@@ -1,0 +1,79 @@
+"""Headline benchmark (BASELINE.json config 1): brute-force top-10 L2 scan
+over 1M x 128 fp32 embeddings with a scalar WHERE filter, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the fraction of speed-of-light throughput for the chip
+(the scan is HBM-bandwidth-bound: 512 B/row fp32; the reference publishes no
+absolute numbers in-tree — BASELINE.md — so roofline fraction is the honest
+denominator; target >= 0.8).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def hbm_gbps_for_device(dev) -> float:
+    kind = getattr(dev, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 819e9
+    if "v5p" in kind or "v5" in kind:
+        return 2765e9
+    if "v4" in kind:
+        return 1228e9
+    if "v6" in kind:
+        return 1640e9
+    return 819e9  # conservative default
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.vector import distance_scan, precompute_sqnorm
+
+    n, d, nq, k = 1_000_000, 128, 10, 10
+    block_rows = 65536
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    meta = jnp.asarray(rng.integers(0, 100, n).astype(np.int32))
+    sqn = precompute_sqnorm(x)
+    jax.block_until_ready((x, q, meta, sqn))
+
+    @jax.jit
+    def query(x, q, meta, sqn):
+        mask = meta < jnp.int32(50)          # scalar WHERE, ~50% selective
+        return distance_scan(x, q, metric="L2", k=k, mask=mask,
+                             block_rows=block_rows, x_sqnorm=sqn)
+
+    # warmup / compile
+    out = query(x, q, meta, sqn)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = query(x, q, meta, sqn)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    rows_per_sec = n / dt
+    dev = jax.devices()[0]
+    # roofline: every row's 512B of embeddings + 4B metadata + 4B norms
+    bytes_per_row = d * 4 + 4 + 4
+    sol_rows = hbm_gbps_for_device(dev) / bytes_per_row
+    result = {
+        "metric": "vector_topk_scan_rows_per_sec_per_chip",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_sec / sol_rows, 4),
+    }
+    print(json.dumps(result))
+    print(f"# dt={dt*1000:.3f} ms/scan on {dev.device_kind}; "
+          f"roofline={sol_rows/1e9:.3f} Grows/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""myscaledb_tpu — a TPU-native vectorized SQL + vector-search execution engine.
+
+A from-scratch JAX/XLA/Pallas query engine with the capabilities of MyScaleDB
+(ClickHouse fork with SQL vector search, /root/reference): columnar filter,
+hash aggregation, sort / ORDER BY ... LIMIT, hash join, and a fused
+vector-distance scan (L2/cosine/IP top-k with metadata predicates), distributed
+over a TPU mesh with hash-partitioned tables and collective-based shuffles.
+
+It is NOT a port: the reference's MergeTree scan pipeline + dynamic
+PipelineExecutor (src/Processors/Executors/PipelineExecutor.cpp) are replaced
+by HBM-resident columnar blocks and a static XLA-compiled operator DAG;
+its LLVM expression JIT (src/Interpreters/JIT/) is replaced by XLA itself;
+its MSTG/HNSW index probes by exact fused distance+top-k kernels.
+"""
+
+import jax as _jax
+
+# The engine uses explicit dtypes everywhere; x64 gives us real Int64/UInt64
+# columns (ClickHouse's default integer types).  Float64 stays off TPU hot
+# paths — compute kernels are f32/bf16/i32 by design.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from myscaledb_tpu.core.types import DataType  # noqa: E402
+from myscaledb_tpu.core.table import Table, Column  # noqa: E402
+from myscaledb_tpu.session import Session, connect  # noqa: E402
+
+__all__ = ["DataType", "Table", "Column", "Session", "connect", "__version__"]

@@ -1,0 +1,49 @@
+"""Three-tier settings, mirroring the reference's config scopes:
+
+  cluster  (config.xml + ServerSettings)           -> ClusterConfig
+  session  (742-entry Settings macro table,
+            src/Core/Settings.h:38)                -> Settings
+  table    (MergeTreeSettings.h incl. vector knobs) -> TableSettings
+
+Names are kept where the semantics carried over (max_block_size,
+max_threads -> chips, hybrid_search_* fusion knobs per Settings.h:919-921).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass
+class ClusterConfig:
+    """Static mesh description (the reference's Cluster, src/Interpreters/Cluster.h)."""
+    mesh_axis_name: str = "shard"
+    num_shards: int = 1            # devices along the table-partition axis
+
+
+@dataclass
+class Settings:
+    """Per-session / per-query settings."""
+    max_block_size: int = 65536          # rows per streamed block (ref: 65409)
+    vector_scan_block_rows: int = 32768  # X-tile rows in the distance scan
+    max_threads: int = 0                 # 0 = all local devices
+    # vector search (reference: src/Core/Settings.h:918-921)
+    enable_brute_force_vector_search: bool = True
+    hybrid_search_fusion_weight: float = 0.5
+    hybrid_search_fusion_k: int = 60
+    hybrid_search_top_k_multiple_base: int = 3
+    # execution
+    use_pallas_kernels: bool = True      # pallas fast paths where available
+    group_by_capacity_hint: int = 1 << 16
+    # LIMIT pushdown of top-k into the distance scan (ref: TreeRewriter.cpp:1671)
+    max_search_top_k: int = 1 << 20
+
+    def copy(self, **kw) -> "Settings":
+        return replace(self, **kw)
+
+
+@dataclass
+class TableSettings:
+    """Per-table settings (reference: MergeTreeSettings.h)."""
+    float_vector_search_metric_type: str = "L2"    # ref :183
+    partition_block_rows: int = 65536

@@ -1,0 +1,4 @@
+from myscaledb_tpu.core.types import DataType
+from myscaledb_tpu.core.table import Table, Column
+
+__all__ = ["DataType", "Table", "Column"]

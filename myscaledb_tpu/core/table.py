@@ -1,0 +1,253 @@
+"""Columnar in-memory tables: the engine's data plane.
+
+A Table is a dictionary of named Columns; each Column is one dense device
+array (plus optional validity mask).  This replaces the reference's
+Block/Chunk flow (src/Core/Block.h, src/Processors/Chunk.h): instead of
+streaming 65409-row blocks through a dynamic pipeline, the whole column sits
+HBM-resident and jitted operators consume it with static shapes, tiling
+internally (BLOCK_ROWS) where streaming is needed.
+
+Zone maps (per-block min/max, the reference's PK/minmax skip-index analog,
+src/Storages/MergeTree/MergeTreeDataSelectExecutor.cpp pruning) are kept as
+host numpy arrays and consulted by the planner to skip whole blocks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from myscaledb_tpu.core.types import DataType, Field, infer_type, physical_dtype
+from myscaledb_tpu.core.dictionary import StringDictionary, NULL_ID
+
+# Rows per zone-map block.  The reference reads 65409-row blocks
+# (src/Core/Defines.h:22 DEFAULT_BLOCK_SIZE); we use the neighboring power of
+# two so tiles align with TPU lane/sublane shapes.
+BLOCK_ROWS = 65536
+
+
+@dataclass
+class ZoneMap:
+    """Per-block min/max for one numeric column (host-side)."""
+    mins: np.ndarray
+    maxs: np.ndarray
+
+    @staticmethod
+    def build(data: np.ndarray, block_rows: int = BLOCK_ROWS) -> "ZoneMap":
+        n = len(data)
+        nblocks = max(1, -(-n // block_rows))
+        mins = np.empty(nblocks, dtype=data.dtype)
+        maxs = np.empty(nblocks, dtype=data.dtype)
+        for b in range(nblocks):
+            chunk = data[b * block_rows:(b + 1) * block_rows]
+            if len(chunk) == 0:
+                mins[b], maxs[b] = 0, 0
+            else:
+                mins[b] = chunk.min()
+                maxs[b] = chunk.max()
+        return ZoneMap(mins, maxs)
+
+
+class Column:
+    """One column: logical field + device data (+ optional validity mask).
+
+    data shape: (n,) for scalars, (n, dim) for FLOAT32_VECTOR.
+    valid: bool (n,) — True where the value is non-NULL; None = no nulls.
+    """
+
+    __slots__ = ("field", "data", "valid", "dictionary", "zonemap")
+
+    def __init__(self, field: Field, data, valid=None,
+                 dictionary: Optional[StringDictionary] = None,
+                 zonemap: Optional[ZoneMap] = None):
+        self.field = field
+        self.data = data
+        self.valid = valid
+        self.dictionary = dictionary
+        self.zonemap = zonemap
+
+    @property
+    def name(self) -> str:
+        return self.field.name
+
+    @property
+    def dtype(self) -> DataType:
+        return self.field.dtype
+
+    def __len__(self) -> int:
+        return int(self.data.shape[0])
+
+    @staticmethod
+    def from_numpy(name: str, arr, dtype: Optional[DataType] = None,
+                   dictionary: Optional[StringDictionary] = None,
+                   build_zonemap: bool = True) -> "Column":
+        """Ingest a host array (strings allowed) into a device column."""
+        valid = None
+        if isinstance(arr, (list, tuple)):
+            if arr and isinstance(arr[0], (list, tuple, np.ndarray)) and not isinstance(arr[0], str):
+                arr = np.asarray(arr, dtype=np.float32)
+            elif any(isinstance(x, str) or x is None for x in arr):
+                arr = np.asarray(arr, dtype=object)
+            else:
+                arr = np.asarray(arr)
+        if dtype is None:
+            dtype = infer_type(np.asarray(arr))
+        fld_dim = 0
+        if dtype is DataType.STRING:
+            dictionary = dictionary or StringDictionary()
+            ids = dictionary.encode(list(arr))
+            nullable = bool((ids == NULL_ID).any())
+            valid_np = (ids != NULL_ID) if nullable else None
+            data_np = ids
+        else:
+            data_np = np.asarray(arr)
+            if dtype is DataType.FLOAT32_VECTOR:
+                data_np = data_np.astype(np.float32, copy=False)
+                fld_dim = int(data_np.shape[1])
+            else:
+                data_np = data_np.astype(physical_dtype(dtype), copy=False)
+            valid_np = None
+            nullable = False
+        fld = Field(name, dtype, nullable=nullable, vector_dim=fld_dim)
+        zm = None
+        if build_zonemap and dtype.is_numeric and data_np.ndim == 1:
+            zm = ZoneMap.build(data_np)
+        col = Column(fld, jnp.asarray(data_np),
+                     jnp.asarray(valid_np) if valid_np is not None else None,
+                     dictionary=dictionary, zonemap=zm)
+        return col
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.data)
+
+    def to_python(self) -> list:
+        """Decode to python values (strings via dictionary, None for nulls)."""
+        arr = np.asarray(self.data)
+        if self.dtype is DataType.STRING:
+            return self.dictionary.decode(arr)
+        vals = arr.tolist()
+        if self.valid is not None:
+            v = np.asarray(self.valid)
+            vals = [x if ok else None for x, ok in zip(vals, v)]
+        return vals
+
+
+class Table:
+    """Named columns of equal row count."""
+
+    def __init__(self, columns: Sequence[Column], name: str = ""):
+        if columns:
+            n = len(columns[0])
+            for c in columns:
+                if len(c) != n:
+                    raise ValueError(
+                        f"column {c.name} has {len(c)} rows, expected {n}")
+        self.name = name
+        self.columns: dict[str, Column] = {c.name: c for c in columns}
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def from_dict(data: dict, name: str = "",
+                  dtypes: Optional[dict] = None) -> "Table":
+        dtypes = dtypes or {}
+        cols = [Column.from_numpy(k, v, dtypes.get(k)) for k, v in data.items()]
+        return Table(cols, name=name)
+
+    # -- basic accessors ----------------------------------------------------
+
+    @property
+    def n_rows(self) -> int:
+        if not self.columns:
+            return 0
+        return len(next(iter(self.columns.values())))
+
+    @property
+    def column_names(self) -> list[str]:
+        return list(self.columns.keys())
+
+    def __getitem__(self, name: str) -> Column:
+        if name not in self.columns:
+            raise KeyError(f"no column {name!r} in table {self.name!r} "
+                           f"(have {self.column_names})")
+        return self.columns[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.columns
+
+    def schema(self) -> list[Field]:
+        return [c.field for c in self.columns.values()]
+
+    # -- transforms (host orchestration; device data stays on device) -------
+
+    def select(self, names: Sequence[str]) -> "Table":
+        return Table([self[n] for n in names], name=self.name)
+
+    def with_column(self, col: Column) -> "Table":
+        cols = [c for c in self.columns.values() if c.name != col.name]
+        cols.append(col)
+        return Table(cols, name=self.name)
+
+    def take(self, idx) -> "Table":
+        """Gather rows by device index array (out-of-range rows undefined)."""
+        cols = []
+        for c in self.columns.values():
+            data = jnp.take(c.data, idx, axis=0)
+            valid = jnp.take(c.valid, idx, axis=0) if c.valid is not None else None
+            cols.append(Column(c.field, data, valid, c.dictionary, None))
+        return Table(cols, name=self.name)
+
+    def head(self, k: int) -> "Table":
+        cols = []
+        for c in self.columns.values():
+            valid = c.valid[:k] if c.valid is not None else None
+            cols.append(Column(c.field, c.data[:k], valid, c.dictionary, None))
+        return Table(cols, name=self.name)
+
+    def to_pydict(self) -> dict[str, list]:
+        return {n: c.to_python() for n, c in self.columns.items()}
+
+    def to_rows(self) -> list[tuple]:
+        cols = [c.to_python() for c in self.columns.values()]
+        return list(zip(*cols)) if cols else []
+
+    def __repr__(self) -> str:
+        flds = ", ".join(str(f) for f in self.schema())
+        return f"Table({self.name!r}, rows={self.n_rows}, [{flds}])"
+
+
+def concat_tables(tables: Sequence[Table], name: str = "") -> Table:
+    """Concatenate row-wise (used when assembling parts into one resident
+    table; dictionaries are merged with id remapping)."""
+    if not tables:
+        return Table([], name=name)
+    first = tables[0]
+    out_cols = []
+    for cname in first.column_names:
+        cols = [t[cname] for t in tables]
+        fld = cols[0].field
+        if fld.dtype is DataType.STRING:
+            base = StringDictionary()
+            datas = []
+            for c in cols:
+                remap = base.merge_from(c.dictionary)
+                remap_dev = jnp.asarray(np.append(remap, NULL_ID))  # map NULL_ID->NULL_ID via index -1
+                datas.append(jnp.where(c.data == NULL_ID, NULL_ID,
+                                       remap_dev[c.data]))
+            data = jnp.concatenate(datas)
+            dictionary = base
+        else:
+            data = jnp.concatenate([c.data for c in cols])
+            dictionary = None
+        if any(c.valid is not None for c in cols):
+            valid = jnp.concatenate([
+                c.valid if c.valid is not None
+                else jnp.ones(len(c), dtype=bool) for c in cols])
+        else:
+            valid = None
+        out_cols.append(Column(fld, data, valid, dictionary, None))
+    return Table(out_cols, name=name or first.name)

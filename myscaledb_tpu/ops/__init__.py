@@ -1,0 +1,5 @@
+from myscaledb_tpu.ops import hash as hash_ops
+from myscaledb_tpu.ops.vector import distance_scan
+from myscaledb_tpu.ops.topk import streaming_topk_min
+
+__all__ = ["hash_ops", "distance_scan", "streaming_topk_min"]

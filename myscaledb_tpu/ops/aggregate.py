@@ -1,0 +1,148 @@
+"""Grouped aggregation: atomic-free scatter histogramming + mergeable states.
+
+Reference analog: Aggregator::executeImplBatch (src/Interpreters/Aggregator.cpp:1096)
+inserting into typed hash tables with per-group state in an Arena, merged
+bucket-parallel across streams/shards (AggregatingTransform.cpp:269,
+MergingAggregatedStep).  The TPU design keeps the same two-phase shape —
+*partial states per shard, then merge* (QueryProcessingStage::WithMergeableState)
+— but computes each partial with data-parallel scatter-adds onto a dense
+state vector indexed by group id:
+
+  * dense integer keys (dict-encoded strings, small int ranges) map straight
+    to group ids — the reference's key8/key16 "direct" variants;
+  * arbitrary / multi-column keys go through ops.hashtable (group id = slot).
+
+States are chosen so that cross-shard merge is a plain collective:
+sum/count -> psum, min -> pmin, max -> pmax; avg = (sum, count) finalized on
+the host in float64 (ClickHouse avg returns Float64).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+AGG_FNS = ("sum", "count", "min", "max", "avg", "any")
+
+
+class AggSpec(NamedTuple):
+    fn: str                       # one of AGG_FNS
+    arg_dtype: Optional[str]      # jnp dtype name of the argument, None = count(*)
+
+
+def _acc_dtype(d):
+    """Accumulator dtype for sums: widen ints to 64-bit (ClickHouse sum(Int32)
+    -> Int64), floats stay f32 on device (finalized in f64 where needed)."""
+    d = jnp.dtype(d)
+    if d.kind == "i" or d.kind == "b":
+        return jnp.int64
+    if d.kind == "u":
+        return jnp.uint64
+    return jnp.float32
+
+
+def _minmax_identity(d, is_min: bool):
+    d = jnp.dtype(d)
+    if d.kind == "f":
+        return jnp.array(np.inf if is_min else -np.inf, dtype=d)
+    info = jnp.iinfo(d)
+    return jnp.array(info.max if is_min else info.min, dtype=d)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "fns"))
+def partial_aggregate(gid, mask, args, fns: tuple, num_groups: int):
+    """One shard's partial aggregation.
+
+    gid:  (n,) int32 group ids in [0, num_groups); masked rows may be huge
+          (scatters use mode="drop").
+    mask: (n,) bool selection (WHERE) AND validity of the agg argument.
+          ``mask`` may also be per-agg (list) — here a single common mask.
+    args: tuple of value arrays, one per agg (dummy zeros for count(*)).
+    fns:  tuple of fn names aligned with args.
+
+    Returns (states, group_count): states is a tuple of per-agg state arrays
+    ((G,) or a (sum, count) pair for avg); group_count (G,) int64 counts rows
+    per group so empty groups can be dropped at finalize.
+    """
+    n = gid.shape[0]
+    OOB = jnp.int32(num_groups)
+    tgt = jnp.where(mask, gid, OOB)
+    ones = jnp.ones(n, dtype=jnp.int64)
+    group_count = jnp.zeros(num_groups, dtype=jnp.int64).at[tgt].add(
+        ones, mode="drop")
+
+    states = []
+    for fn, a in zip(fns, args):
+        if fn == "count":
+            # arg (if any) is ignored: null-awareness is folded into `mask`
+            # by the caller (count(x) masks rows where x is NULL)
+            states.append(group_count)
+        elif fn in ("sum", "avg"):
+            acc = _acc_dtype(a.dtype)
+            s = jnp.zeros(num_groups, dtype=acc).at[tgt].add(
+                a.astype(acc), mode="drop")
+            if fn == "avg":
+                states.append((s, group_count))
+            else:
+                states.append(s)
+        elif fn == "min":
+            ident = _minmax_identity(a.dtype, True)
+            states.append(jnp.full(num_groups, ident).at[tgt].min(a, mode="drop"))
+        elif fn == "max":
+            ident = _minmax_identity(a.dtype, False)
+            states.append(jnp.full(num_groups, ident).at[tgt].max(a, mode="drop"))
+        elif fn == "any":
+            # deterministic 'any' = value of the lowest row id in the group
+            ridx = jnp.arange(n, dtype=jnp.int32)
+            winner = jnp.full(num_groups, np.iinfo(np.int32).max,
+                              dtype=jnp.int32).at[tgt].min(ridx, mode="drop")
+            safe = jnp.clip(winner, 0, max(n - 1, 0))
+            states.append(jnp.where(group_count > 0, a[safe],
+                                    jnp.zeros((), dtype=a.dtype)))
+        else:
+            raise ValueError(f"unknown aggregate {fn}")
+    return tuple(states), group_count
+
+
+def merge_states(states_a, states_b, group_count_a, group_count_b, fns):
+    """Merge two partial-state sets (same group-id space).  Used by the
+    distributed layer; with shard_map the same logic is expressed as
+    psum/pmin/pmax collectives instead."""
+    out = []
+    for fn, a, b in zip(fns, states_a, states_b):
+        if fn in ("sum", "count"):
+            out.append(a + b)
+        elif fn == "avg":
+            out.append((a[0] + b[0], a[1] + b[1]))
+        elif fn == "min":
+            out.append(jnp.minimum(a, b))
+        elif fn == "max":
+            out.append(jnp.maximum(a, b))
+        elif fn == "any":
+            # keep a's value where a's group non-empty, else b's
+            out.append(jnp.where(group_count_a > 0, a, b))
+        else:
+            raise ValueError(fn)
+    return tuple(out), group_count_a + group_count_b
+
+
+def finalize(states, group_count, fns) -> list[np.ndarray]:
+    """Host-side finalization to result columns over ALL group slots; caller
+    filters empty groups with group_count > 0."""
+    out = []
+    gc = np.asarray(group_count)
+    for fn, s in zip(fns, states):
+        if fn == "avg":
+            ssum = np.asarray(s[0], dtype=np.float64)
+            cnt = np.asarray(s[1], dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out.append(np.where(cnt > 0, ssum / cnt, np.nan))
+        elif fn in ("min", "max"):
+            out.append(np.asarray(s))
+        else:
+            out.append(np.asarray(s))
+    return out

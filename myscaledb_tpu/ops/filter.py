@@ -1,0 +1,48 @@
+"""Selection: boolean masks inside kernels, compaction at block boundaries.
+
+The reference evaluates a UInt8 filter column and physically compacts every
+column with SIMD (IColumn::filter, src/Columns/IColumn.h:251,
+ColumnsCommon.cpp).  Under XLA's static shapes we instead carry the mask
+through fused operators (scores/aggregates ignore masked rows), and compact
+only when a later operator genuinely needs dense rows — the analog of the
+PREWHERE read-shrink (src/Storages/MergeTree/MergeTreeRangeReader.h:84) where
+the mask narrows the *work*, not the buffers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def count_true(mask) -> jnp.ndarray:
+    return jnp.sum(jnp.asarray(mask, dtype=jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def compact_indices(mask, capacity: int):
+    """Indices of set rows, padded with n (out-of-range) to static capacity.
+
+    Returns (idx (capacity,) int32, count scalar).  Gathers with these
+    indices use mode='fill' or a validity check on idx < n.
+    """
+    mask = jnp.asarray(mask, dtype=bool)
+    n = mask.shape[0]
+    idx = jnp.nonzero(mask, size=capacity, fill_value=n)[0].astype(jnp.int32)
+    return idx, jnp.sum(mask.astype(jnp.int32))
+
+
+def compact_table_host(table, mask):
+    """Host-driven compaction: reads back the count (one sync), gathers rows.
+
+    Used at operator boundaries where downstream cost is proportional to row
+    count (e.g. join probe after a selective filter).
+    """
+    from myscaledb_tpu.core.table import Table, Column
+    cnt = int(count_true(mask))
+    idx, _ = compact_indices(mask, max(cnt, 1))
+    out = table.take(idx[:cnt]) if cnt else table.head(0)
+    return out, cnt

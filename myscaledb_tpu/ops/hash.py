@@ -1,0 +1,76 @@
+"""Integer hashing on device.
+
+The reference dispatches to cityhash/xxhash and specialized integer hash
+tables (src/Common/HashTable/Hash.h: intHash32/intHash64, CRC-based).  On TPU
+we keep two families, implemented in pure XLA integer ops so they fuse into
+the surrounding kernel:
+
+* ``hash32`` — murmur3 finalizer (avalanche) for 32-bit keys
+* ``hash64`` — splitmix64 finalizer for 64-bit keys (folded to 32 bits)
+
+Both are used for radix partitioning (shard/bucket = hash & (P-1)) and for
+open-addressing table slots.  They only need avalanche quality, not
+cryptographic strength — same contract as the reference's intHash32.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def hash32(x) -> jnp.ndarray:
+    """Murmur3 fmix32 over uint32 lanes; returns uint32."""
+    h = jnp.asarray(x)
+    if h.dtype in (jnp.int64, jnp.uint64):
+        return hash64(h)
+    h = h.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def hash64(x) -> jnp.ndarray:
+    """splitmix64 finalizer folded to uint32."""
+    h = jnp.asarray(x).astype(jnp.uint64)
+    h = (h ^ (h >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> 31)
+    return (h ^ (h >> 32)).astype(jnp.uint32)
+
+
+def hash_combine(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Combine two uint32 hashes (boost-style)."""
+    a = a.astype(jnp.uint32)
+    b = b.astype(jnp.uint32)
+    return a ^ (b + jnp.uint32(0x9E3779B9) + (a << 6) + (a >> 2))
+
+
+def hash_columns(cols) -> jnp.ndarray:
+    """Hash a list of integer key columns into one uint32 per row."""
+    h = hash32(cols[0])
+    for c in cols[1:]:
+        h = hash_combine(h, hash32(c))
+    return h
+
+
+def float_bits_key(x: jnp.ndarray) -> jnp.ndarray:
+    """Canonical integer key for float grouping/joining: bit pattern with
+    -0.0 normalized to +0.0 (the reference hashes float bits the same way)."""
+    f = jnp.asarray(x, dtype=jnp.float32)
+    f = jnp.where(f == 0.0, jnp.float32(0.0), f)   # merge -0.0 / +0.0
+    return f.view(jnp.int32)
+
+
+# host-side mirrors (numpy) for oracle tests
+def np_hash32(x: np.ndarray) -> np.ndarray:
+    h = np.asarray(x).astype(np.uint32)
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h

@@ -1,0 +1,186 @@
+"""Open-addressing hash table built with pure-XLA scatter rounds.
+
+The reference keeps 40+ specialized CPU hash tables for aggregation/joins
+(src/Common/HashTable/, src/Interpreters/Aggregator.h:563 AggregatedDataVariants).
+TPUs have no atomics or pointer chasing, so insertion is reformulated as a
+data-parallel fixed point:
+
+  every unresolved row proposes itself for its current slot via scatter-min of
+  its row index (deterministic winner), winners write their key, then ALL rows
+  compare their key with the slot's key — matches resolve (group id = slot),
+  mismatches advance to the next slot (linear probing).  Each round resolves
+  at least one key per contended slot, so the loop terminates in <= max
+  probe-chain length rounds (O(log n) w.h.p. at load factor <= 0.5).
+
+Keys are tuples of integer component columns (multi-column keys supported by
+comparing every component — the analog of the reference's keys128/serialized
+variants).  The same table drives GROUP BY (ht_insert) and hash-join
+build/probe (ht_insert + ht_lookup); a lookup that reaches an empty slot
+reports "not found".
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from myscaledb_tpu.ops.hash import hash32, hash_combine
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class HashTable(NamedTuple):
+    """Device-resident table state (capacity C = power of two)."""
+    slot_keys: tuple          # per key component: (C,) array
+    slot_row: jnp.ndarray     # (C,) int32: winning build-row index, INT32_MAX = empty
+    capacity: int
+
+    @property
+    def occupied(self) -> jnp.ndarray:
+        return self.slot_row != INT32_MAX
+
+
+def _key_hash(key_cols: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    h = hash32(key_cols[0])
+    for c in key_cols[1:]:
+        h = hash_combine(h, hash32(c))
+    return h
+
+
+def next_pow2(n: int) -> int:
+    c = 1
+    while c < n:
+        c <<= 1
+    return c
+
+
+@partial(jax.jit, static_argnames=("capacity", "max_probes"))
+def _ht_insert_impl(key_cols, mask, capacity: int, max_probes: int):
+    key_cols = tuple(jnp.asarray(c) for c in key_cols)
+    n = key_cols[0].shape[0]
+    cmask = capacity - 1
+    h0 = (_key_hash(key_cols) & jnp.uint32(cmask)).astype(jnp.int32)
+
+    slot_keys0 = tuple(jnp.zeros(capacity, dtype=c.dtype) for c in key_cols)
+    slot_row0 = jnp.full(capacity, INT32_MAX, dtype=jnp.int32)
+    row_idx = jnp.arange(n, dtype=jnp.int32)
+    OOB = jnp.int32(capacity)   # out-of-bounds index, dropped by scatters
+
+    def cond(state):
+        _, _, _, _, unresolved, probes = state
+        return jnp.logical_and(jnp.any(unresolved), probes < max_probes)
+
+    def body(state):
+        slot_keys, slot_row, cur, assigned, unresolved, probes = state
+        empty_here = slot_row[cur] == INT32_MAX
+        # propose: scatter-min row index into currently-empty target slots
+        can_claim = jnp.logical_and(unresolved, empty_here)
+        target = jnp.where(can_claim, cur, OOB)
+        proposal = jnp.full(capacity, INT32_MAX, dtype=jnp.int32)
+        proposal = proposal.at[target].min(row_idx, mode="drop")
+        winner = jnp.logical_and(can_claim, proposal[cur] == row_idx)
+        wslot = jnp.where(winner, cur, OOB)
+        slot_keys = tuple(sk.at[wslot].set(kc, mode="drop")
+                          for sk, kc in zip(slot_keys, key_cols))
+        slot_row = slot_row.at[wslot].set(row_idx, mode="drop")
+        # compare: unresolved rows whose current slot now holds their key resolve
+        occupied = slot_row[cur] != INT32_MAX
+        match = occupied
+        for sk, kc in zip(slot_keys, key_cols):
+            match = jnp.logical_and(match, sk[cur] == kc)
+        newly = jnp.logical_and(unresolved, match)
+        assigned = jnp.where(newly, cur, assigned)
+        unresolved = jnp.logical_and(unresolved, jnp.logical_not(newly))
+        cur = jnp.where(unresolved, (cur + 1) & cmask, cur)
+        return slot_keys, slot_row, cur, assigned, unresolved, probes + 1
+
+    init = (slot_keys0, slot_row0, h0,
+            jnp.full(n, INT32_MAX, dtype=jnp.int32),
+            jnp.asarray(mask, dtype=bool), jnp.int32(0))
+    slot_keys, slot_row, _, assigned, unresolved, _ = lax.while_loop(
+        cond, body, init)
+    ok = jnp.logical_not(jnp.any(unresolved))
+    return slot_keys, slot_row, assigned, ok
+
+
+def ht_insert(key_cols, mask, capacity: int, max_probes: int = 256):
+    """Insert all rows; equal keys land in the same slot.
+
+    key_cols: tuple of (n,) integer arrays (the composite key).
+    mask: (n,) bool — rows with mask=False are ignored (slot INT32_MAX).
+    Returns (table: HashTable, slot_of_row: (n,) int32, ok: bool scalar).
+    ``ok`` is False if max_probes was hit with rows unresolved — the host
+    retries with a larger capacity (the reference grows in-place instead).
+    """
+    slot_keys, slot_row, assigned, ok = _ht_insert_impl(
+        tuple(key_cols), mask, int(capacity), int(max_probes))
+    return HashTable(slot_keys, slot_row, int(capacity)), assigned, ok
+
+
+@partial(jax.jit, static_argnames=("capacity", "max_probes"))
+def _ht_lookup_impl(slot_keys, slot_row, probe_cols, mask,
+                    capacity: int, max_probes: int):
+    probe_cols = tuple(jnp.asarray(c) for c in probe_cols)
+    n = probe_cols[0].shape[0]
+    cmask = capacity - 1
+    cur0 = (_key_hash(probe_cols) & jnp.uint32(cmask)).astype(jnp.int32)
+
+    def cond(state):
+        _, searching, _, probes = state
+        return jnp.logical_and(jnp.any(searching), probes < max_probes)
+
+    def body(state):
+        cur, searching, found_slot, probes = state
+        occupied = slot_row[cur] != INT32_MAX
+        match = occupied
+        for sk, pc in zip(slot_keys, probe_cols):
+            match = jnp.logical_and(match, sk[cur] == pc)
+        hit = jnp.logical_and(searching, match)
+        found_slot = jnp.where(hit, cur, found_slot)
+        miss_empty = jnp.logical_and(searching, jnp.logical_not(occupied))
+        searching = jnp.logical_and(
+            searching, jnp.logical_not(jnp.logical_or(hit, miss_empty)))
+        cur = jnp.where(searching, (cur + 1) & cmask, cur)
+        return cur, searching, found_slot, probes + 1
+
+    init = (cur0, jnp.asarray(mask, dtype=bool),
+            jnp.full(n, INT32_MAX, dtype=jnp.int32), jnp.int32(0))
+    _, _, found_slot, _ = lax.while_loop(cond, body, init)
+    return found_slot, found_slot != INT32_MAX
+
+
+def ht_lookup(table: HashTable, probe_cols, mask=None, max_probes: int = 256):
+    """Probe the table. Returns (slot (n,), found (n,) bool); for found rows,
+    table.slot_row[slot] is the winning build-row index (ANY-join semantics:
+    lowest build row id wins, deterministic)."""
+    probe_cols = tuple(jnp.asarray(c) for c in probe_cols)
+    n = probe_cols[0].shape[0]
+    if mask is None:
+        mask = jnp.ones(n, dtype=bool)
+    return _ht_lookup_impl(table.slot_keys, table.slot_row, probe_cols, mask,
+                           table.capacity, max_probes)
+
+
+def build_group_ids(key_cols, mask=None, num_groups_hint: int | None = None,
+                    max_probes: int = 256):
+    """Host-driving wrapper: insert with capacity doubling until ok.
+
+    Returns (table, gid (n,) int32 slot per row, capacity).  gid of masked-out
+    rows is INT32_MAX.
+    """
+    key_cols = tuple(jnp.asarray(c) for c in key_cols)
+    n = key_cols[0].shape[0]
+    if mask is None:
+        mask = jnp.ones(n, dtype=bool)
+    cap = next_pow2(max(128, 2 * (num_groups_hint or min(n, 1 << 16))))
+    while True:
+        table, gid, ok = ht_insert(key_cols, mask, cap, max_probes)
+        if bool(ok):
+            return table, gid, cap
+        if cap > 4 * next_pow2(max(n, 1)):
+            raise RuntimeError("hash table insertion failed to converge")
+        cap *= 2

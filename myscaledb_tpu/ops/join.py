@@ -1,0 +1,49 @@
+"""Hash join: build + probe over the scatter-round hash table.
+
+Reference analog: HashJoin (src/Interpreters/HashJoin.h:147) — type-dispatched
+right-table build, block-at-a-time probe; ConcurrentHashJoin scatters build
+blocks over N maps (src/Interpreters/ConcurrentHashJoin.cpp).  Here the build
+is one data-parallel ht_insert and the probe one ht_lookup; the distributed
+layer broadcasts small build sides (GLOBAL JOIN analog) or hash-repartitions
+both sides (the shuffle join).
+
+Round-1 semantics: ANY joins (at most one match per probe row, the
+lowest-build-row match, deterministic) for INNER/LEFT/RIGHT-as-flipped, plus
+SEMI/ANTI which only need the `found` mask.  ALL-join multiplicity expansion
+(duplicate build keys fanning out probe rows) is layered on top with a
+match-count prepass.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from myscaledb_tpu.ops.hashtable import (HashTable, build_group_ids, ht_lookup,
+                                         INT32_MAX)
+
+
+class JoinResult(NamedTuple):
+    build_row: jnp.ndarray    # (n_probe,) int32 matched build row (undefined where not found)
+    found: jnp.ndarray        # (n_probe,) bool
+
+
+def build_join_table(build_keys, build_mask=None,
+                     num_keys_hint: Optional[int] = None) -> HashTable:
+    """Build side -> hash table.  Duplicate keys: lowest row id wins (ANY)."""
+    table, _, _ = build_group_ids(tuple(build_keys), mask=build_mask,
+                                  num_groups_hint=num_keys_hint)
+    return table
+
+
+def probe_join_table(table: HashTable, probe_keys, probe_mask=None) -> JoinResult:
+    slot, found = ht_lookup(table, tuple(probe_keys), mask=probe_mask)
+    safe_slot = jnp.where(found, slot, 0)
+    build_row = jnp.where(found, table.slot_row[safe_slot], INT32_MAX)
+    return JoinResult(build_row, found)
+
+
+def hash_join_any(build_keys, probe_keys, build_mask=None, probe_mask=None) -> JoinResult:
+    table = build_join_table(build_keys, build_mask)
+    return probe_join_table(table, probe_keys, probe_mask)

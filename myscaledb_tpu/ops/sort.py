@@ -1,0 +1,108 @@
+"""ORDER BY / ORDER BY ... LIMIT on device.
+
+The reference sorts in three phases (per-block pdqsort/LSD-radix with a top-k
+threshold cutoff, then k-way merge: src/Columns/ColumnVector.cpp:283,
+src/Processors/Transforms/PartialSortingTransform.h:44, src/Processors/Merges/).
+On TPU we lower everything onto XLA's sort (a bitonic/radix network that
+vectorizes across lanes) over *order-encoded integer keys*:
+
+  every key column is encoded into an unsigned integer whose ascending order
+  equals the requested (ASC/DESC, NULLS LAST/FIRST) order — the classic
+  radix-sortable float trick — and a final row-id operand makes ties
+  deterministic (ascending id), matching the vector path's tie rule.
+
+LIMIT k on a single key skips the full sort: lax.top_k over the descending
+encoding (ties -> lowest id by XLA's documented tie rule).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class SortKey(NamedTuple):
+    values: jnp.ndarray                 # (n,) numeric column
+    ascending: bool = True
+    valid: Optional[jnp.ndarray] = None  # None = no nulls
+    nulls_last: bool = True
+
+
+def _ascending_code(arr: jnp.ndarray) -> jnp.ndarray:
+    """Map numerics to unsigned ints preserving ascending order.
+    NaNs land above +inf (ClickHouse puts NaN last in ASC order)."""
+    d = jnp.dtype(arr.dtype)
+    if d == jnp.float64:
+        arr = arr.astype(jnp.float32)   # engine compares floats at f32
+        d = jnp.dtype(jnp.float32)
+    if d == jnp.float32:
+        u = arr.view(jnp.uint32)
+        sign = u >> jnp.uint32(31)
+        return jnp.where(sign == 0, u | jnp.uint32(0x80000000), ~u)
+    if d.kind == "b":
+        return arr.astype(jnp.uint32)
+    if d.kind == "u":
+        return arr
+    if d.kind == "i":
+        bits = d.itemsize * 8
+        ut = jnp.dtype(f"uint{bits}")
+        return arr.view(ut) ^ jnp.array(1 << (bits - 1), dtype=ut)
+    raise TypeError(f"unsortable dtype {d}")
+
+
+def encode_sort_key(key: SortKey) -> list[jnp.ndarray]:
+    """Encode one SortKey into operand columns for an ascending lax.sort.
+    Returns [null_rank?, code] — nulls get their own leading operand so they
+    order strictly before/after every real value."""
+    code = _ascending_code(jnp.asarray(key.values))
+    if not key.ascending:
+        code = ~code
+    ops = []
+    if key.valid is not None:
+        null_rank = jnp.where(jnp.asarray(key.valid, dtype=bool),
+                              jnp.uint8(0 if key.nulls_last else 1),
+                              jnp.uint8(1 if key.nulls_last else 0))
+        ops.append(null_rank)
+    ops.append(code)
+    return ops
+
+
+@jax.jit
+def _sort_perm(operands):
+    n = operands[0].shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    res = lax.sort(tuple(operands) + (iota,), dimension=0,
+                   num_keys=len(operands) + 1)
+    return res[-1]
+
+
+def sort_permutation(keys: Sequence[SortKey]) -> jnp.ndarray:
+    """Full-sort permutation (n,) int32; ties by ascending row id."""
+    operands = []
+    for k in keys:
+        operands.extend(encode_sort_key(k))
+    return _sort_perm(operands)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _topn_single(code_desc, k: int):
+    _, idx = lax.top_k(code_desc, k)
+    return idx.astype(jnp.int32)
+
+
+def topn_permutation(keys: Sequence[SortKey], k: int, n: int) -> jnp.ndarray:
+    """Top-k permutation (k,) int32 for ORDER BY ... LIMIT k.
+
+    Single plain key -> lax.top_k (O(n log k)); otherwise full sort + slice.
+    """
+    k = min(k, n)
+    if len(keys) == 1 and keys[0].valid is None:
+        code = _ascending_code(jnp.asarray(keys[0].values))
+        if not keys[0].ascending:
+            code = ~code
+        return _topn_single(~code, k)  # top_k max of descending-encoded = first k asc
+    return sort_permutation(keys)[:k]

@@ -1,0 +1,72 @@
+"""Streaming exact k-selection primitives.
+
+The reference's vector path keeps faiss CPU heaps per query
+(src/VectorIndex/Common/BruteForceSearch.h: knn_L2sqr / knn_inner_product) and
+its ORDER BY ... LIMIT keeps a cutoff threshold per stream
+(src/Processors/Transforms/PartialSortingTransform.h:44).  The TPU analog is a
+*sorted top-k carry* merged block-by-block inside one compiled loop:
+
+    carry (nq, k) sorted  --merge-->  top-k of (carry ++ block top-k)
+
+Tie semantics (bit-exactness contract, SURVEY.md Appendix A): equal scores
+order by ascending row id.  ``jax.lax.top_k`` documents that equal elements
+keep the lower index first, and within a block ids are position-ordered, so a
+plain f32 top_k is tie-correct; the cross-block merge uses a two-key
+lexicographic ``lax.sort`` on (score, id).  This property is unit-tested
+(tests/test_topk.py) so a backend regression would be caught, not silently
+wrong.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = float("-inf")
+POS_INF = float("inf")
+
+
+def block_topk_min(s: jnp.ndarray, k: int):
+    """Top-k smallest along the last axis.
+
+    Returns (vals, idx): vals ascending; ties resolved to the lowest index.
+    """
+    neg_vals, idx = lax.top_k(-s, k)
+    return -neg_vals, idx
+
+
+def merge_sorted_topk(sa, ia, sb, ib, k: int):
+    """Merge two (…, ka) / (…, kb) candidate sets into the k best.
+
+    Both inputs need not be globally sorted; the merge sorts the union
+    lexicographically by (score asc, id asc) and keeps the first k.
+    """
+    s = jnp.concatenate([sa, sb], axis=-1)
+    i = jnp.concatenate([ia, ib], axis=-1)
+    s_sorted, i_sorted = lax.sort((s, i), dimension=-1, num_keys=2)
+    return s_sorted[..., :k], i_sorted[..., :k]
+
+
+def streaming_topk_min(score_fn, n_blocks: int, block_ids_base, nq: int, k: int,
+                       dtype=jnp.float32):
+    """Generic streaming min-k over ``n_blocks`` score blocks.
+
+    score_fn(b) -> (nq, B) scores for block b (masked-out rows = +inf).
+    block_ids_base(b) -> int32 scalar, global id of the block's first row.
+    Returns (scores (nq,k) ascending, ids (nq,k) int32); +inf rows are
+    padding (fewer than k real candidates existed).
+    """
+    init = (jnp.full((nq, k), POS_INF, dtype=dtype),
+            jnp.full((nq, k), jnp.iinfo(jnp.int32).max, dtype=jnp.int32))
+
+    def body(carry, b):
+        cs, ci = carry
+        s = score_fn(b)
+        bs, bpos = block_topk_min(s, min(k, s.shape[-1]))
+        bi = bpos.astype(jnp.int32) + block_ids_base(b)
+        cs, ci = merge_sorted_topk(cs, ci, bs, bi, k)
+        return (cs, ci), None
+
+    (cs, ci), _ = lax.scan(body, init, jnp.arange(n_blocks))
+    return cs, ci

@@ -1,0 +1,132 @@
+"""Fused vector-distance scan with exact streaming top-k.
+
+This is the TPU replacement for the whole reference stack of
+MergeTreeVSManager::vectorScanWithoutIndex (brute force over part reads,
+src/VectorIndex/Storages/MergeTreeVSManager.cpp:961) + faiss heap kNN
+(src/VectorIndex/Common/BruteForceSearch.h:63) + per-part result merge
+(MergeTreeBaseSearchManager.cpp): one compiled loop over HBM-resident blocks
+computing Q·Xᵀ tiles on the MXU fused with an exact streaming k-selection,
+under an optional predicate mask (the reference's prefilter DenseBitmap,
+MergeTreeSelectWithHybridSearchProcessor.cpp:938).
+
+Distance semantics (bit-exactness contract, SURVEY.md Appendix A):
+  * L2      -> *squared* L2, ascending  (golden 00001_mqvs_distance.reference)
+  * Cosine  -> 1 - cos_similarity, ascending
+  * IP      -> inner product, DESCENDING
+  * ties    -> ascending row id
+L2 uses the |x|^2 - 2 x.q + |q|^2 decomposition (what faiss/BLAS paths do)
+so the heavy term is a single MXU matmul; f32 with HIGHEST precision.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from myscaledb_tpu.ops.topk import block_topk_min, merge_sorted_topk, POS_INF
+
+INVALID_ID = jnp.iinfo(jnp.int32).max
+
+METRICS = ("L2", "Cosine", "IP")
+
+
+def _as_f32(a):
+    return jnp.asarray(a, dtype=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "block_rows", "has_mask"))
+def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
+                        block_rows: int, has_mask: bool):
+    n, d = x.shape
+    nq = q.shape[0]
+    b = min(block_rows, max(8, n))
+    nb = -(-n // b)
+    n_pad = nb * b
+
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        x_sqnorm = jnp.pad(x_sqnorm, (0, n_pad - n))
+        pad_mask = (mask if has_mask else jnp.ones(n, dtype=bool))
+        mask = jnp.pad(pad_mask, (0, n_pad - n), constant_values=False)
+        has_mask = True
+    xb = x.reshape(nb, b, d)
+    mb = mask.reshape(nb, b) if has_mask else None
+    nb_sq = x_sqnorm.reshape(nb, b)
+
+    if metric == "Cosine":
+        q_rnorm = jnp.where(
+            jnp.sqrt(jnp.sum(q * q, axis=1)) > 0.0,
+            1.0 / jnp.sqrt(jnp.sum(q * q, axis=1)), 0.0)          # (nq,)
+    elif metric == "L2":
+        q_sq = jnp.sum(q * q, axis=1)                              # (nq,)
+
+    def score_block(bi):
+        xt = xb[bi]                                                # (b, d)
+        dot = jnp.dot(q, xt.T, precision=lax.Precision.HIGHEST)    # (nq, b)
+        if metric == "L2":
+            s = nb_sq[bi][None, :] - 2.0 * dot + q_sq[:, None]
+        elif metric == "Cosine":
+            x_rnorm = jnp.where(jnp.sqrt(nb_sq[bi]) > 0.0,
+                                1.0 / jnp.sqrt(nb_sq[bi]), 0.0)
+            s = 1.0 - dot * x_rnorm[None, :] * q_rnorm[:, None]
+        else:  # IP: maximize dot == minimize -dot
+            s = -dot
+        if has_mask:
+            s = jnp.where(mb[bi][None, :], s, POS_INF)
+        return s
+
+    init = (jnp.full((nq, k), POS_INF, dtype=jnp.float32),
+            jnp.full((nq, k), INVALID_ID, dtype=jnp.int32))
+
+    def body(carry, bi):
+        cs, ci = carry
+        s = score_block(bi)
+        kk = min(k, b)
+        bs, bpos = block_topk_min(s, kk)
+        bids = bpos.astype(jnp.int32) + (bi * b).astype(jnp.int32)
+        # padding / masked rows carry +inf scores; keep their id INVALID so
+        # ties among invalid entries can't shadow real rows
+        bids = jnp.where(jnp.isposinf(bs), INVALID_ID, bids)
+        return merge_sorted_topk(cs, ci, bs, bids, k), None
+
+    (cs, ci), _ = lax.scan(body, init, jnp.arange(nb))
+    if metric == "IP":
+        cs = jnp.where(jnp.isposinf(cs), -jnp.inf, -cs)
+    return cs, ci
+
+
+def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
+                  block_rows: int = 32768, x_sqnorm=None):
+    """Exact top-k nearest scan of queries ``q`` (nq, d) over rows of ``x``
+    (n, d), under an optional boolean predicate ``mask`` (n,).
+
+    Returns (dist (nq, k), ids (nq, k) int32).  Entries with id == INVALID_ID
+    are padding (fewer than k rows satisfied the mask).  ``dist`` is in the
+    metric's native convention (see module docstring); rows are ordered best
+    first (ascending for L2/Cosine, descending for IP), ties by id.
+    """
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}, got {metric!r}")
+    x = _as_f32(x)
+    q = _as_f32(q)
+    if q.ndim == 1:
+        q = q[None, :]
+    if x_sqnorm is None:
+        x_sqnorm = jnp.sum(x * x, axis=1)
+    has_mask = mask is not None
+    if not has_mask:
+        mask = jnp.ones((0,), dtype=bool)   # placeholder, unused
+    else:
+        mask = jnp.asarray(mask, dtype=bool)
+    return _distance_scan_impl(x, q, mask, _as_f32(x_sqnorm), metric, int(k),
+                               int(block_rows), has_mask)
+
+
+def precompute_sqnorm(x) -> jnp.ndarray:
+    """Host-loadable squared norms (built once per table like the reference
+    precomputes cosine norms at index-build time, arrayNorm.cpp)."""
+    x = _as_f32(x)
+    return jnp.sum(x * x, axis=1)

@@ -1,0 +1,7 @@
+from myscaledb_tpu.parallel.mesh import make_mesh, shard_axis
+from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
+                                        sharded_group_aggregate,
+                                        sharded_topn)
+
+__all__ = ["make_mesh", "shard_axis", "sharded_distance_topk",
+           "sharded_group_aggregate", "sharded_topn"]

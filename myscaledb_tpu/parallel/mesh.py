@@ -1,0 +1,49 @@
+"""Device mesh bring-up — the engine's "Cluster".
+
+The reference's Cluster (src/Interpreters/Cluster.h) enumerates shards and
+replicas reached over its TCP protocol; here the cluster IS a
+jax.sharding.Mesh and "remote execution to a stage"
+(src/Core/QueryProcessingStage.h) becomes shard_map partials merged by XLA
+collectives over ICI/DCN.  One logical axis ("shard") partitions tables
+row-wise; per-chip parallelism inside a shard is XLA's problem, as it should
+be.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SHARD_AXIS = "shard"
+
+
+def shard_axis() -> str:
+    return SHARD_AXIS
+
+
+def make_mesh(n_shards: Optional[int] = None, axis: str = SHARD_AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_shards or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} shards but only {len(devs)} devices")
+    # Auto axis types: shardings come from in_specs/NamedSharding annotations,
+    # not the sharding-in-types system (which make_mesh defaults to in jax>=0.9)
+    return jax.make_mesh((n,), (axis,), devices=devs[:n],
+                         axis_types=(jax.sharding.AxisType.Auto,))
+
+
+def row_sharding(mesh: Mesh, axis: str = SHARD_AXIS) -> NamedSharding:
+    """Rows partitioned across shards, trailing dims replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_rows(mesh: Mesh, arr, axis: str = SHARD_AXIS):
+    """Place an array with rows split across the mesh (row count must be a
+    multiple of the axis size — the storage layer pads tables accordingly)."""
+    return jax.device_put(arr, NamedSharding(mesh, P(axis)))

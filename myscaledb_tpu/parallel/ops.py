@@ -1,0 +1,177 @@
+"""Distributed operators: shard_map partials + XLA collectives.
+
+Maps the reference's distribution mechanisms (SURVEY.md §2.5-2.6) onto the
+mesh:
+
+  P5/P8 shard fan-out + initiator top-k merge
+        (StorageDistributed + RemoteQueryExecutor + MergingSorted)
+     -> local streaming top-k, all_gather of (P, nq, k) candidates,
+        lexicographic (score, id) cut — k is small so the gather rides ICI
+        in one hop; a ppermute tree takes over when P*k gets large.
+  P3/P6 two-level aggregation merge (WithMergeableState)
+     -> dense partial states per shard + psum/pmin/pmax.
+  P9 broadcast join (GLOBAL JOIN)
+     -> build side replicated, probe local.
+
+Row ownership: tables are row-partitioned in mesh order, so shard p owns
+global rows [p*n_loc, (p+1)*n_loc) and local ids lift to global ids with one
+offset add — the analog of the reference's part-offset -> global row id
+remapping (VIWithDataPart.h TransferToOldRowIds).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from myscaledb_tpu.parallel.mesh import SHARD_AXIS
+from myscaledb_tpu.ops.vector import _distance_scan_impl, INVALID_ID
+from myscaledb_tpu.ops.aggregate import partial_aggregate
+from myscaledb_tpu.ops.sort import SortKey, encode_sort_key
+
+
+def _merge_minscore_topk(s, i, k):
+    """(nq, m) candidate min-scores + global ids -> best k by (score, id)."""
+    ss, ii = lax.sort((s, i), dimension=-1, num_keys=2)
+    return ss[..., :k], ii[..., :k]
+
+
+def sharded_distance_topk(mesh: Mesh, x, q, metric: str = "L2", k: int = 10,
+                          mask=None, block_rows: int = 32768,
+                          axis: str = SHARD_AXIS):
+    """Distributed exact top-k distance scan.
+
+    x: (N, D) row-sharded over `axis` (N divisible by axis size).
+    q: (nq, D) replicated.  mask: optional (N,) row-sharded.
+    Returns replicated (dist (nq, k), global_ids (nq, k)).
+    """
+    nsh = mesh.shape[axis]
+    n, d = x.shape
+    assert n % nsh == 0, "table rows must be padded to a multiple of the mesh"
+    n_loc = n // nsh
+    has_mask = mask is not None
+
+    in_specs = (P(axis), P(), P(axis) if has_mask else P())
+    if not has_mask:
+        mask = jnp.zeros((nsh,), dtype=bool)  # dummy, one scalar per shard
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=(P(), P()), check_vma=False)
+    def step(x_loc, q_rep, mask_loc):
+        x_loc = x_loc.astype(jnp.float32)
+        q_rep = q_rep.astype(jnp.float32)
+        sqn = jnp.sum(x_loc * x_loc, axis=1)
+        dloc, iloc = _distance_scan_impl(
+            x_loc, q_rep, mask_loc if has_mask else jnp.zeros(0, dtype=bool),
+            sqn, metric, k, min(block_rows, n_loc), has_mask)
+        # native distance -> internal min-score
+        s = jnp.where(jnp.isneginf(dloc) | jnp.isposinf(dloc), jnp.inf,
+                      -dloc if metric == "IP" else dloc)
+        p = lax.axis_index(axis).astype(jnp.int32)
+        gids = jnp.where(iloc == INVALID_ID, INVALID_ID, iloc + p * n_loc)
+        all_s = lax.all_gather(s, axis)          # (nsh, nq, k)
+        all_i = lax.all_gather(gids, axis)
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(s.shape[0], nsh * k)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(s.shape[0], nsh * k)
+        ms, mi = _merge_minscore_topk(all_s, all_i, k)
+        md = jnp.where(jnp.isposinf(ms),
+                       jnp.float32(-jnp.inf if metric == "IP" else jnp.inf),
+                       -ms if metric == "IP" else ms)
+        return md, mi
+
+    return step(x, q, mask)
+
+
+def sharded_group_aggregate(mesh: Mesh, gid, mask, args, fns: tuple,
+                            num_groups: int, axis: str = SHARD_AXIS):
+    """Distributed GROUP BY: per-shard dense partial states merged with
+    psum/pmin/pmax (P3/P6).  gid/mask/args row-sharded; returns replicated
+    (states, group_count)."""
+    fns = tuple(fns)
+    n_args = len(args)
+    in_specs = (P(axis), P(axis)) + tuple(P(axis) for _ in range(n_args))
+
+    state_specs = tuple((P(), P()) if fn == "avg" else P() for fn in fns)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=(state_specs, P()), check_vma=False)
+    def step(gid_loc, mask_loc, *args_loc):
+        states, gc = partial_aggregate(gid_loc, mask_loc, args_loc, fns,
+                                       num_groups)
+        gc_tot = lax.psum(gc, axis)
+        merged = []
+        for fn, s in zip(fns, states):
+            if fn in ("sum", "count"):
+                merged.append(lax.psum(s, axis))
+            elif fn == "avg":
+                merged.append((lax.psum(s[0], axis), lax.psum(s[1], axis)))
+            elif fn == "min":
+                merged.append(lax.pmin(s, axis))
+            elif fn == "max":
+                merged.append(lax.pmax(s, axis))
+            elif fn == "any":
+                # value from the lowest-indexed shard whose group is non-empty
+                all_v = lax.all_gather(s, axis)            # (nsh, G)
+                all_has = lax.all_gather(gc > 0, axis)     # (nsh, G)
+                first = jnp.argmax(all_has, axis=0)        # first shard with rows
+                merged.append(jnp.take_along_axis(all_v, first[None, :],
+                                                  axis=0)[0])
+            else:
+                raise ValueError(fn)
+        return tuple(merged), gc_tot
+
+    return step(gid, mask, *args)
+
+
+def sharded_topn(mesh: Mesh, keys: Sequence[SortKey], k: int,
+                 axis: str = SHARD_AXIS):
+    """Distributed ORDER BY ... LIMIT k -> replicated global row ids (k,).
+
+    Each shard top-n's its local rows on the order-encoded keys, then the
+    (nsh * k) candidates are gathered and cut (P8's initiator merge).
+    """
+    nsh = mesh.shape[axis]
+    n = keys[0].values.shape[0]
+    assert n % nsh == 0
+    n_loc = n // nsh
+    kk = min(k, n_loc)
+    vals = tuple(jnp.asarray(sk.values) for sk in keys)
+    valids = tuple(sk.valid for sk in keys)
+    meta = tuple((sk.ascending, sk.valid is not None, sk.nulls_last)
+                 for sk in keys)
+
+    in_specs = tuple(P(axis) for _ in vals) + tuple(
+        P(axis) for v in valids if v is not None)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(),
+             check_vma=False)
+    def step(*cols):
+        vs = cols[:len(vals)]
+        extra = list(cols[len(vals):])
+        sks = []
+        for (asc, has_valid, nlast), v in zip(meta, vs):
+            valid = extra.pop(0) if has_valid else None
+            sks.append(SortKey(v, ascending=asc, valid=valid, nulls_last=nlast))
+        operands = []
+        for sk in sks:
+            operands.extend(encode_sort_key(sk))
+        iota = jnp.arange(n_loc, dtype=jnp.int32)
+        res = lax.sort(tuple(operands) + (iota,), dimension=0,
+                       num_keys=len(operands) + 1)
+        loc_ids = res[-1][:kk]
+        loc_codes = [o[:kk] for o in res[:-1]]
+        p = lax.axis_index(axis).astype(jnp.int32)
+        gids = loc_ids + p * n_loc
+        all_codes = [lax.all_gather(c, axis, tiled=True) for c in loc_codes]
+        all_ids = lax.all_gather(gids, axis, tiled=True)
+        res2 = lax.sort(tuple(all_codes) + (all_ids,), dimension=0,
+                        num_keys=len(all_codes) + 1)
+        return res2[-1][:min(k, nsh * kk)]
+
+    args = vals + tuple(v for v in valids if v is not None)
+    return step(*args)

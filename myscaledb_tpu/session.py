@@ -1,0 +1,37 @@
+"""User-facing session: the analog of a client connection + query context.
+
+Reference analog: Context + executeQuery (src/Interpreters/executeQuery.cpp)
+— a Session owns registered tables (the "database"), per-session Settings,
+and runs SQL through parse -> plan -> execute.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from myscaledb_tpu.core.table import Table
+from myscaledb_tpu.config import Settings
+
+
+class Session:
+    def __init__(self, settings: Optional[Settings] = None):
+        self.settings = settings or Settings()
+        self.tables: dict[str, Table] = {}
+
+    def register(self, name: str, table: Table) -> None:
+        table.name = name
+        self.tables[name] = table
+
+    def create_table(self, name: str, data: dict, dtypes=None) -> Table:
+        t = Table.from_dict(data, name=name, dtypes=dtypes)
+        self.tables[name] = t
+        return t
+
+    def sql(self, query: str, **params) -> Table:
+        """Parse, plan and execute a SQL query; returns a result Table."""
+        from myscaledb_tpu.sql.driver import execute_query
+        return execute_query(self, query, params)
+
+
+def connect(settings: Optional[Settings] = None) -> Session:
+    return Session(settings)

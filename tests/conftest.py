@@ -1,0 +1,29 @@
+"""Test harness: force JAX onto CPU with 8 virtual devices so every
+multi-chip code path (shard_map over a Mesh) runs in CI without TPUs — the
+analog of the reference's in-process TestKeeper/LocalConnection fakes
+(src/Common/ZooKeeper/TestKeeper.h, src/Client/LocalConnection.h)."""
+
+import os
+
+# must run before jax initializes a backend.  The axon sitecustomize
+# re-registers the TPU plugin regardless of JAX_PLATFORMS, so we also pin the
+# platform through jax.config (which wins at backend-selection time).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,89 @@
+"""Grouped-aggregation tests vs numpy oracle (sum/count/min/max/avg/any,
+masked rows, two-phase partial merge)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.ops.aggregate import (partial_aggregate, merge_states,
+                                         finalize)
+
+
+def run_agg(gid, mask, args, fns, G):
+    states, gc = partial_aggregate(jnp.asarray(gid), jnp.asarray(mask),
+                                   tuple(jnp.asarray(a) if a is not None else None
+                                         for a in args),
+                                   tuple(fns), G)
+    return finalize(states, gc, fns), np.asarray(gc)
+
+
+def test_sum_count_avg(rng):
+    n, G = 5000, 7
+    gid = rng.integers(0, G, n).astype(np.int32)
+    vals = rng.integers(-100, 100, n).astype(np.int32)
+    mask = np.ones(n, dtype=bool)
+    (s, c, a), gc = run_agg(gid, mask, [vals, None, vals],
+                            ["sum", "count", "avg"], G)
+    for g in range(G):
+        sel = vals[gid == g]
+        assert s[g] == sel.sum()
+        assert c[g] == len(sel)
+        np.testing.assert_allclose(a[g], sel.mean())
+
+
+def test_int64_sum_no_overflow(rng):
+    # sums exceeding int32 range must stay exact (ClickHouse sum(Int32)->Int64)
+    n, G = 100000, 2
+    gid = (np.arange(n) % G).astype(np.int32)
+    vals = np.full(n, 2**30, dtype=np.int32)
+    (s,), _ = run_agg(gid, np.ones(n, bool), [vals], ["sum"], G)
+    assert s[0] == (n // G) * 2**30
+
+
+def test_min_max_masked(rng):
+    n, G = 1000, 4
+    gid = rng.integers(0, G, n).astype(np.int32)
+    vals = rng.standard_normal(n).astype(np.float32)
+    mask = rng.random(n) < 0.5
+    (lo, hi), gc = run_agg(gid, mask, [vals, vals], ["min", "max"], G)
+    for g in range(G):
+        sel = vals[(gid == g) & mask]
+        if len(sel):
+            assert lo[g] == sel.min() and hi[g] == sel.max()
+            assert gc[g] == len(sel)
+
+
+def test_empty_groups_flagged(rng):
+    gid = np.array([0, 0, 2], dtype=np.int32)
+    vals = np.array([1, 2, 3], dtype=np.int32)
+    (s,), gc = run_agg(gid, np.ones(3, bool), [vals], ["sum"], 4)
+    assert gc.tolist() == [2, 0, 1, 0]
+    assert s[0] == 3 and s[2] == 3
+
+
+def test_any_lowest_row(rng):
+    gid = np.array([1, 0, 1, 0], dtype=np.int32)
+    vals = np.array([10, 20, 30, 40], dtype=np.int32)
+    (a,), _ = run_agg(gid, np.ones(4, bool), [vals], ["any"], 2)
+    assert a[0] == 20 and a[1] == 10
+
+
+def test_two_phase_merge_equals_single(rng):
+    n, G = 4000, 5
+    gid = rng.integers(0, G, n).astype(np.int32)
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    fns = ("sum", "min", "max", "avg")
+    args = tuple(jnp.asarray(vals) for _ in fns)
+    mask = jnp.ones(n, dtype=bool)
+    # split into two shards, aggregate each, merge
+    h = n // 2
+    sa, gca = partial_aggregate(jnp.asarray(gid[:h]), mask[:h],
+                                tuple(a[:h] for a in args), fns, G)
+    sb, gcb = partial_aggregate(jnp.asarray(gid[h:]), mask[h:],
+                                tuple(a[h:] for a in args), fns, G)
+    merged, gc = merge_states(sa, sb, gca, gcb, fns)
+    whole, gcw = partial_aggregate(jnp.asarray(gid), mask, args, fns, G)
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(gcw))
+    fa = finalize(merged, gc, fns)
+    fb = finalize(whole, gcw, fns)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(x, y)

@@ -1,0 +1,75 @@
+"""Hash table (scatter-round open addressing) unit tests — the analog of the
+reference's src/Common/HashTable gtests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.ops.hashtable import (build_group_ids, ht_insert, ht_lookup,
+                                         INT32_MAX)
+
+
+def test_insert_groups_equal_keys(rng):
+    keys = rng.integers(0, 50, 2000).astype(np.int32)
+    table, gid, cap = build_group_ids((jnp.asarray(keys),))
+    gid = np.asarray(gid)
+    assert (gid != INT32_MAX).all()
+    # same key -> same slot, different key -> different slot
+    by_key = {}
+    for k, g in zip(keys, gid):
+        by_key.setdefault(int(k), set()).add(int(g))
+    slots = [s.pop() for s in map(set.copy, by_key.values())]
+    assert all(len(v) == 1 for v in by_key.values())
+    assert len(set(slots)) == len(by_key)
+
+
+def test_multi_column_keys(rng):
+    a = rng.integers(0, 10, 500).astype(np.int32)
+    b = rng.integers(0, 10, 500).astype(np.int64)
+    table, gid, _ = build_group_ids((jnp.asarray(a), jnp.asarray(b)))
+    gid = np.asarray(gid)
+    seen = {}
+    for i in range(500):
+        key = (int(a[i]), int(b[i]))
+        if key in seen:
+            assert seen[key] == gid[i]
+        else:
+            seen[key] = gid[i]
+    assert len(set(seen.values())) == len(seen)
+
+
+def test_mask_ignores_rows(rng):
+    keys = np.arange(100, dtype=np.int32)
+    mask = keys < 10
+    table, gid, _ = build_group_ids((jnp.asarray(keys),), mask=jnp.asarray(mask))
+    gid = np.asarray(gid)
+    assert (gid[:10] != INT32_MAX).all()
+    assert (gid[10:] == INT32_MAX).all()
+
+
+def test_capacity_doubling_high_cardinality(rng):
+    # more groups than the initial hint forces the host retry loop
+    keys = np.arange(5000, dtype=np.int32)
+    table, gid, cap = build_group_ids((jnp.asarray(keys),), num_groups_hint=64)
+    assert cap >= 8192
+    assert len(set(np.asarray(gid).tolist())) == 5000
+
+
+def test_lookup_found_and_missing(rng):
+    build = np.array([5, 9, 13, 5, 21], dtype=np.int32)   # dup key 5
+    table, _, _ = build_group_ids((jnp.asarray(build),))
+    probe = np.array([13, 7, 5, 21, 40], dtype=np.int32)
+    slot, found = ht_lookup(table, (jnp.asarray(probe),))
+    found = np.asarray(found)
+    assert found.tolist() == [True, False, True, True, False]
+    slot = np.asarray(slot)
+    slot_row = np.asarray(table.slot_row)
+    assert slot_row[slot[0]] == 2   # key 13 -> build row 2
+    assert slot_row[slot[2]] == 0   # dup key 5 -> lowest build row wins (ANY)
+    assert slot_row[slot[3]] == 4
+
+
+def test_insert_reports_overflow():
+    # capacity 128, 200 distinct keys -> cannot fit, ok must be False
+    keys = jnp.arange(200, dtype=jnp.int32)
+    _, _, ok = ht_insert((keys,), jnp.ones(200, dtype=bool), 128, max_probes=256)
+    assert not bool(ok)

@@ -1,0 +1,77 @@
+"""Distributed operators on an 8-device virtual CPU mesh: results must equal
+the single-device operators exactly (the driver separately dry-runs the same
+code path via __graft_entry__.dryrun_multichip)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from myscaledb_tpu.parallel.mesh import make_mesh, shard_rows
+from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
+                                        sharded_group_aggregate, sharded_topn)
+from myscaledb_tpu.ops.vector import distance_scan
+from myscaledb_tpu.ops.aggregate import partial_aggregate, finalize
+from myscaledb_tpu.ops.sort import SortKey, sort_permutation
+
+
+def test_dist_distance_topk_matches_local(rng):
+    mesh = make_mesh(8)
+    n, d, nq, k = 8 * 512, 32, 3, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    xs = shard_rows(mesh, jnp.asarray(x))
+    dd, ii = sharded_distance_topk(mesh, xs, jnp.asarray(q), "L2", k,
+                                   block_rows=256)
+    ld, li = distance_scan(x, q, metric="L2", k=k, block_rows=256)
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(li))
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(ld), rtol=1e-6)
+
+
+def test_dist_distance_topk_ip_masked(rng):
+    mesh = make_mesh(4)
+    n, d, nq, k = 4 * 256, 16, 2, 7
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    mask = rng.random(n) < 0.4
+    xs = shard_rows(mesh, jnp.asarray(x))
+    ms = shard_rows(mesh, jnp.asarray(mask))
+    dd, ii = sharded_distance_topk(mesh, xs, jnp.asarray(q), "IP", k,
+                                   mask=ms, block_rows=128)
+    ld, li = distance_scan(x, q, metric="IP", k=k, mask=jnp.asarray(mask),
+                           block_rows=128)
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(li))
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(ld), rtol=1e-6)
+
+
+def test_dist_group_aggregate_matches_local(rng):
+    mesh = make_mesh(8)
+    n, G = 8 * 1000, 13
+    gid = rng.integers(0, G, n).astype(np.int32)
+    vals = rng.integers(-50, 50, n).astype(np.int64)
+    fvals = rng.standard_normal(n).astype(np.float32)
+    mask = rng.random(n) < 0.8
+    fns = ("sum", "count", "min", "max", "avg")
+    args_np = (vals, vals, fvals, fvals, vals)
+    states, gc = sharded_group_aggregate(
+        mesh, shard_rows(mesh, jnp.asarray(gid)),
+        shard_rows(mesh, jnp.asarray(mask)),
+        tuple(shard_rows(mesh, jnp.asarray(a)) for a in args_np), fns, G)
+    lstates, lgc = partial_aggregate(jnp.asarray(gid), jnp.asarray(mask),
+                                     tuple(jnp.asarray(a) for a in args_np),
+                                     fns, G)
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(lgc))
+    fa = finalize(states, gc, fns)
+    fb = finalize(lstates, lgc, fns)
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_dist_topn_matches_local(rng):
+    mesh = make_mesh(8)
+    n, k = 8 * 500, 25
+    v = rng.standard_normal(n).astype(np.float32)
+    key = SortKey(jnp.asarray(v), ascending=False)
+    gids = sharded_topn(mesh, [SortKey(shard_rows(mesh, jnp.asarray(v)),
+                                       ascending=False)], k)
+    expect = np.asarray(sort_permutation([key]))[:k]
+    np.testing.assert_array_equal(np.asarray(gids), expect)

@@ -1,0 +1,76 @@
+"""Sort / top-n permutation tests: multi-key, ASC/DESC, NULLS, ties by id."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.ops.sort import SortKey, sort_permutation, topn_permutation
+
+
+def test_single_float_asc(rng):
+    v = rng.standard_normal(1000).astype(np.float32)
+    perm = np.asarray(sort_permutation([SortKey(jnp.asarray(v))]))
+    np.testing.assert_array_equal(perm, np.argsort(v, kind="stable"))
+
+
+def test_single_float_desc_negatives(rng):
+    v = rng.standard_normal(1000).astype(np.float32)
+    perm = np.asarray(sort_permutation([SortKey(jnp.asarray(v), ascending=False)]))
+    np.testing.assert_array_equal(perm, np.argsort(-v, kind="stable"))
+
+
+def test_int_desc_includes_intmin():
+    v = np.array([5, np.iinfo(np.int32).min, -1, np.iinfo(np.int32).max, 0],
+                 dtype=np.int32)
+    perm = np.asarray(sort_permutation([SortKey(jnp.asarray(v), ascending=False)]))
+    assert v[perm].tolist() == sorted(v.tolist(), reverse=True)
+
+
+def test_ties_by_row_id():
+    v = np.array([2, 1, 2, 1, 1], dtype=np.int32)
+    perm = np.asarray(sort_permutation([SortKey(jnp.asarray(v))]))
+    assert perm.tolist() == [1, 3, 4, 0, 2]
+
+
+def test_multi_key_mixed_direction(rng):
+    a = rng.integers(0, 5, 300).astype(np.int32)
+    b = rng.standard_normal(300).astype(np.float32)
+    perm = np.asarray(sort_permutation([
+        SortKey(jnp.asarray(a), ascending=True),
+        SortKey(jnp.asarray(b), ascending=False),
+    ]))
+    expect = np.lexsort((np.arange(300), -b, a))
+    np.testing.assert_array_equal(perm, expect)
+
+
+def test_nulls_last_and_first(rng):
+    v = np.array([3.0, 1.0, 2.0, 5.0], dtype=np.float32)
+    valid = np.array([True, False, True, False])
+    k_last = SortKey(jnp.asarray(v), valid=jnp.asarray(valid), nulls_last=True)
+    perm = np.asarray(sort_permutation([k_last]))
+    assert perm.tolist() == [2, 0, 1, 3]        # values asc, then nulls by id
+    k_first = SortKey(jnp.asarray(v), valid=jnp.asarray(valid), nulls_last=False)
+    perm = np.asarray(sort_permutation([k_first]))
+    assert perm.tolist() == [1, 3, 2, 0]
+
+
+def test_nan_sorts_last_asc():
+    v = np.array([1.0, np.nan, -np.inf, np.inf, 0.0], dtype=np.float32)
+    perm = np.asarray(sort_permutation([SortKey(jnp.asarray(v))]))
+    assert perm.tolist() == [2, 4, 0, 3, 1]
+
+
+def test_topn_matches_sort(rng):
+    v = rng.standard_normal(5000).astype(np.float32)
+    key = SortKey(jnp.asarray(v), ascending=False)
+    top = np.asarray(topn_permutation([key], 20, 5000))
+    full = np.asarray(sort_permutation([key]))[:20]
+    np.testing.assert_array_equal(top, full)
+
+
+def test_topn_multikey_fallback(rng):
+    a = rng.integers(0, 3, 200).astype(np.int32)
+    b = rng.integers(0, 100, 200).astype(np.int32)
+    keys = [SortKey(jnp.asarray(a)), SortKey(jnp.asarray(b), ascending=False)]
+    top = np.asarray(topn_permutation(keys, 10, 200))
+    full = np.asarray(sort_permutation(keys))[:10]
+    np.testing.assert_array_equal(top, full)

@@ -1,0 +1,51 @@
+"""Unit tests for the streaming k-selection primitives — including the tie
+rule the engine's bit-exactness depends on (equal scores -> ascending id)."""
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from myscaledb_tpu.ops.topk import block_topk_min, merge_sorted_topk
+
+
+def test_lax_topk_tie_breaks_to_lowest_index():
+    # The engine relies on XLA's documented top_k tie rule.  If a backend
+    # ever changes it, this must fail loudly.
+    x = jnp.array([1.0, 2.0, 2.0, 0.5, 2.0, 0.5], dtype=jnp.float32)
+    vals, idx = lax.top_k(x, 4)
+    assert vals.tolist() == [2.0, 2.0, 2.0, 1.0]
+    assert idx.tolist() == [1, 2, 4, 0]
+
+
+def test_block_topk_min_ties():
+    s = jnp.array([[3.0, 1.0, 1.0, 2.0, 1.0]], dtype=jnp.float32)
+    vals, idx = block_topk_min(s, 3)
+    assert vals[0].tolist() == [1.0, 1.0, 1.0]
+    assert idx[0].tolist() == [1, 2, 4]
+
+
+def test_merge_sorted_topk_lexicographic():
+    sa = jnp.array([[1.0, 5.0]], dtype=jnp.float32)
+    ia = jnp.array([[10, 11]], dtype=jnp.int32)
+    sb = jnp.array([[1.0, 2.0]], dtype=jnp.float32)
+    ib = jnp.array([[3, 12]], dtype=jnp.int32)
+    s, i = merge_sorted_topk(sa, ia, sb, ib, 3)
+    assert s[0].tolist() == [1.0, 1.0, 2.0]
+    assert i[0].tolist() == [3, 10, 12]   # tie at 1.0 -> lower id first
+
+
+def test_streaming_matches_oracle(rng):
+    n, nq, k = 1000, 4, 7
+    s_all = rng.standard_normal((nq, n)).astype(np.float32)
+    # streaming in 4 blocks of 250
+    carry_s = jnp.full((nq, k), np.inf, dtype=jnp.float32)
+    carry_i = jnp.full((nq, k), np.iinfo(np.int32).max, dtype=jnp.int32)
+    for b in range(4):
+        blk = jnp.asarray(s_all[:, b * 250:(b + 1) * 250])
+        bs, bp = block_topk_min(blk, k)
+        bi = bp.astype(jnp.int32) + b * 250
+        carry_s, carry_i = merge_sorted_topk(carry_s, carry_i, bs, bi, k)
+    order = np.argsort(s_all, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(carry_i), order)
+    np.testing.assert_allclose(np.asarray(carry_s),
+                               np.take_along_axis(s_all, order, axis=1))

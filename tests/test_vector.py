@@ -1,0 +1,111 @@
+"""Distance-scan correctness vs a numpy oracle implementing the reference's
+semantics (SURVEY.md Appendix A): squared L2 ascending, cosine distance
+ascending, IP descending, ties by ascending row id, masked prefilter."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.ops.vector import distance_scan, INVALID_ID
+
+
+def np_scores(x, q, metric):
+    x = x.astype(np.float32)
+    q = q.astype(np.float32)
+    dot = q @ x.T
+    if metric == "L2":
+        return ((x * x).sum(1)[None, :] - 2.0 * dot + (q * q).sum(1)[:, None])
+    if metric == "Cosine":
+        xn = np.sqrt((x * x).sum(1))
+        qn = np.sqrt((q * q).sum(1))
+        denom = xn[None, :] * qn[:, None]
+        sim = np.where(denom > 0, dot / np.where(denom == 0, 1, denom), 0.0)
+        return 1.0 - sim
+    return -dot  # IP as min-score
+
+
+def oracle_topk(x, q, metric, k, mask=None):
+    s = np_scores(x, q, metric).astype(np.float32)
+    if mask is not None:
+        s = np.where(mask[None, :], s, np.inf)
+    ids = np.argsort(s, axis=1, kind="stable")[:, :k]
+    d = np.take_along_axis(s, ids, axis=1)
+    ids = np.where(np.isinf(d), INVALID_ID, ids)
+    if metric == "IP":
+        d = -d
+    return d, ids
+
+
+def test_l2_basic(rng):
+    x = rng.standard_normal((1000, 32)).astype(np.float32)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    d, i = distance_scan(x, q, metric="L2", k=10, block_rows=256)
+    od, oi = oracle_topk(x, q, "L2", 10)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(d), od, rtol=2e-5, atol=2e-5)
+
+
+def test_l2_golden_semantics():
+    # reference golden 00001_mqvs_distance.reference: [1,1,1] vs [0.1,0.1,0.1]
+    # -> 2.4299998 (squared L2 in fp32)
+    x = np.array([[1.0, 1.0, 1.0]], dtype=np.float32)
+    q = np.array([[0.1, 0.1, 0.1]], dtype=np.float32)
+    d, i = distance_scan(x, q, metric="L2", k=1)
+    assert abs(float(d[0, 0]) - 2.43) < 1e-5
+    assert int(i[0, 0]) == 0
+
+
+def test_cosine_identical_vector_near_zero(rng):
+    x = rng.standard_normal((100, 16)).astype(np.float32)
+    q = x[7:8]
+    d, i = distance_scan(x, q, metric="Cosine", k=1)
+    assert int(i[0, 0]) == 7
+    assert abs(float(d[0, 0])) < 1e-5   # golden shows 1.19e-7-style noise
+
+
+def test_ip_descending(rng):
+    x = rng.standard_normal((500, 8)).astype(np.float32)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    d, i = distance_scan(x, q, metric="IP", k=5, block_rows=128)
+    od, oi = oracle_topk(x, q, "IP", 5)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(np.asarray(d), od, rtol=2e-5, atol=2e-5)
+    dd = np.asarray(d)
+    assert (np.diff(dd, axis=1) <= 1e-6).all()   # descending
+
+
+def test_masked_prefilter(rng):
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    mask = rng.random(300) < 0.3
+    d, i = distance_scan(x, q, metric="L2", k=8, mask=jnp.asarray(mask),
+                         block_rows=64)
+    od, oi = oracle_topk(x, q, "L2", 8, mask)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_mask_fewer_than_k_pads_invalid(rng):
+    x = rng.standard_normal((50, 4)).astype(np.float32)
+    q = rng.standard_normal((1, 4)).astype(np.float32)
+    mask = np.zeros(50, dtype=bool)
+    mask[[3, 11]] = True
+    d, i = distance_scan(x, q, metric="L2", k=5, mask=jnp.asarray(mask))
+    ids = np.asarray(i[0])
+    assert set(ids[:2]) == {3, 11}
+    assert (ids[2:] == INVALID_ID).all()
+    assert np.isinf(np.asarray(d[0])[2:]).all()
+
+
+def test_exact_ties_by_row_id():
+    # duplicate rows -> exactly equal distances -> ids ascending
+    x = np.tile(np.array([[2.0, 0.0], [1.0, 0.0]], dtype=np.float32), (5, 1))
+    q = np.array([[1.0, 0.0]], dtype=np.float32)
+    d, i = distance_scan(x, q, metric="L2", k=6, block_rows=4)
+    # nearest: the five copies of [1,0] at odd ids, then copies of [2,0]
+    assert i[0].tolist() == [1, 3, 5, 7, 9, 0]
+
+
+def test_query_1d_promoted(rng):
+    x = rng.standard_normal((64, 8)).astype(np.float32)
+    q = x[5]
+    d, i = distance_scan(x, q, metric="L2", k=1)
+    assert i.shape == (1, 1) and int(i[0, 0]) == 5
