@@ -52,11 +52,13 @@ def main():
     out = query(x, q, meta, sqn)
     jax.block_until_ready(out)
 
-    iters = 20
+    # throughput timing: keep a pipeline of dispatches in flight and block on
+    # ALL results (a bare per-call loop measures host->device tunnel latency,
+    # not device throughput; blocking on every future serializes the pipe)
+    iters = 32
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = query(x, q, meta, sqn)
-    jax.block_until_ready(out)
+    outs = [query(x, q, meta, sqn) for _ in range(iters)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
 
     rows_per_sec = n / dt

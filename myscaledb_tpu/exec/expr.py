@@ -1,0 +1,490 @@
+"""Expression evaluation: AST -> jnp arrays over a table environment.
+
+The reference builds an ActionsDAG and executes/JIT-compiles it per block
+(src/Interpreters/ActionsDAG.cpp, ExpressionActions.cpp, JIT in
+src/Interpreters/JIT/compileFunction.cpp).  Here evaluation simply *traces*
+jnp operations — XLA is the JIT, and fusion across the whole expression (and
+into the consuming operator) is automatic.
+
+String semantics ride the dictionary: predicates on strings are evaluated
+once over the (small) dictionary on the host, then mapped to rows with one
+device gather — the reference's LowCardinality fast path generalized.
+
+Null semantics (round 1): validity masks propagate through arithmetic and
+comparisons; WHERE/HAVING treat NULL as false (matching SQL filter
+semantics). AND/OR collapse NULL to false rather than full Kleene logic.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.core.types import DataType
+from myscaledb_tpu.core.table import Table, Column
+from myscaledb_tpu.core.dictionary import StringDictionary
+from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
+                                   BinOp, UnOp, FuncCall, InList, Between)
+
+
+class EvalError(ValueError):
+    pass
+
+
+@dataclass
+class Value:
+    """An evaluated expression: device array (n,) / scalar / string literal /
+    vector literal, with optional validity and string dictionary."""
+    data: object
+    valid: Optional[object] = None          # jnp bool (n,) or None
+    dictionary: Optional[StringDictionary] = None
+    is_scalar: bool = False
+    py: object = None                       # python literal (str/None/bool/num)
+
+    @property
+    def is_string(self) -> bool:
+        return self.dictionary is not None or isinstance(self.py, str)
+
+
+class Env:
+    """Name -> Column resolution over one (possibly joined) table."""
+
+    def __init__(self, table: Table, aliases: Optional[dict] = None):
+        self.table = table
+        self.aliases = aliases or {}          # alias -> prefix used in column names
+        self.extra: dict[str, Value] = {}     # computed columns (e.g. distance)
+
+    @property
+    def n_rows(self) -> int:
+        return self.table.n_rows
+
+    def resolve(self, ident: Ident) -> Value:
+        for name in self._candidates(ident):
+            if name in self.extra:
+                return self.extra[name]
+            if name in self.table:
+                c = self.table[name]
+                return Value(c.data, c.valid, c.dictionary)
+        raise EvalError(f"unknown column {ident.qualified!r} "
+                        f"(have {self.table.column_names})")
+
+    def _candidates(self, ident: Ident):
+        if ident.table:
+            yield f"{ident.table}.{ident.name}"
+            if self.aliases.get(ident.table) is not None:
+                yield self.aliases[ident.table] + ident.name
+            yield ident.name
+        else:
+            yield ident.name
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _both_valid(a: Value, b: Value):
+    if a.valid is None:
+        return b.valid
+    if b.valid is None:
+        return a.valid
+    return jnp.logical_and(a.valid, b.valid)
+
+
+def as_bool_mask(v: Value, n: int) -> jnp.ndarray:
+    """WHERE semantics: NULL -> False; numeric nonzero -> True."""
+    d = v.data
+    if v.is_scalar:
+        d = jnp.full((n,), jnp.asarray(d))
+    if d.dtype != jnp.bool_:
+        d = d != 0
+    if v.valid is not None:
+        d = jnp.logical_and(d, v.valid)
+    return d
+
+
+def _dict_map(v: Value, table_np: np.ndarray) -> jnp.ndarray:
+    """Map dictionary ids through a host-computed per-id table (strings are
+    evaluated on the dictionary, rows get one gather)."""
+    lut = jnp.asarray(table_np)
+    ids = jnp.clip(v.data, 0, len(table_np) - 1)
+    return lut[ids]
+
+
+def _encode_str_literal(lit: str, dictionary: StringDictionary) -> int:
+    return dictionary.encode_one(lit, grow=False)   # -2 = matches nothing
+
+
+# ---------------------------------------------------------------------------
+# scalar function registry (ClickHouse-compatible names)
+
+_FUNCS: dict[str, Callable] = {}
+
+
+def func(*names):
+    def deco(f):
+        for n in names:
+            _FUNCS[n.lower()] = f
+        return f
+    return deco
+
+
+def _numeric(v: Value, n: int) -> jnp.ndarray:
+    if v.is_string:
+        raise EvalError("expected numeric argument, got string")
+    d = v.data
+    if v.is_scalar:
+        return jnp.asarray(d)
+    return d
+
+
+@func("abs")
+def _f_abs(args, env):
+    return Value(jnp.abs(_numeric(args[0], env.n_rows)), args[0].valid)
+
+@func("negate")
+def _f_negate(args, env):
+    return Value(-_numeric(args[0], env.n_rows), args[0].valid)
+
+@func("sqrt")
+def _f_sqrt(args, env):
+    return Value(jnp.sqrt(_numeric(args[0], env.n_rows).astype(jnp.float32)),
+                 args[0].valid)
+
+@func("exp")
+def _f_exp(args, env):
+    return Value(jnp.exp(_numeric(args[0], env.n_rows).astype(jnp.float32)),
+                 args[0].valid)
+
+@func("log", "ln")
+def _f_log(args, env):
+    return Value(jnp.log(_numeric(args[0], env.n_rows).astype(jnp.float32)),
+                 args[0].valid)
+
+@func("floor")
+def _f_floor(args, env):
+    return Value(jnp.floor(_numeric(args[0], env.n_rows)), args[0].valid)
+
+@func("ceil", "ceiling")
+def _f_ceil(args, env):
+    return Value(jnp.ceil(_numeric(args[0], env.n_rows)), args[0].valid)
+
+@func("round")
+def _f_round(args, env):
+    x = _numeric(args[0], env.n_rows)
+    if len(args) > 1:
+        ndigits = int(args[1].py)
+        scale = 10.0 ** ndigits
+        return Value(jnp.round(x * scale) / scale, args[0].valid)
+    return Value(jnp.round(x), args[0].valid)
+
+@func("pow", "power")
+def _f_pow(args, env):
+    a = _numeric(args[0], env.n_rows).astype(jnp.float32)
+    b = _numeric(args[1], env.n_rows).astype(jnp.float32)
+    return Value(jnp.power(a, b), _both_valid(args[0], args[1]))
+
+@func("greatest")
+def _f_greatest(args, env):
+    out = _numeric(args[0], env.n_rows)
+    valid = args[0].valid
+    for a in args[1:]:
+        out = jnp.maximum(out, _numeric(a, env.n_rows))
+        valid = _both_valid(Value(out, valid), a)
+    return Value(out, valid)
+
+@func("least")
+def _f_least(args, env):
+    out = _numeric(args[0], env.n_rows)
+    valid = args[0].valid
+    for a in args[1:]:
+        out = jnp.minimum(out, _numeric(a, env.n_rows))
+        valid = _both_valid(Value(out, valid), a)
+    return Value(out, valid)
+
+@func("if")
+def _f_if(args, env):
+    c = as_bool_mask(args[0], env.n_rows)
+    t, f = args[1], args[2]
+    if t.is_string or f.is_string:
+        raise EvalError("if() over strings not supported yet")
+    return Value(jnp.where(c, _numeric(t, env.n_rows), _numeric(f, env.n_rows)),
+                 _both_valid(t, f))
+
+@func("toInt32")
+def _f_toint32(args, env):
+    return Value(_numeric(args[0], env.n_rows).astype(jnp.int32), args[0].valid)
+
+@func("toInt64")
+def _f_toint64(args, env):
+    return Value(_numeric(args[0], env.n_rows).astype(jnp.int64), args[0].valid)
+
+@func("toFloat32")
+def _f_tofloat32(args, env):
+    return Value(_numeric(args[0], env.n_rows).astype(jnp.float32), args[0].valid)
+
+@func("toFloat64")
+def _f_tofloat64(args, env):
+    return Value(_numeric(args[0], env.n_rows).astype(jnp.float64), args[0].valid)
+
+@func("intDiv")
+def _f_intdiv(args, env):
+    a = _numeric(args[0], env.n_rows)
+    b = _numeric(args[1], env.n_rows)
+    return Value(a // b, _both_valid(args[0], args[1]))
+
+@func("modulo")
+def _f_modulo(args, env):
+    a = _numeric(args[0], env.n_rows)
+    b = _numeric(args[1], env.n_rows)
+    return Value(a % b, _both_valid(args[0], args[1]))
+
+@func("plus")
+def _f_plus(args, env):
+    return _arith("+", args[0], args[1], env)
+
+@func("minus")
+def _f_minus(args, env):
+    return _arith("-", args[0], args[1], env)
+
+@func("multiply")
+def _f_multiply(args, env):
+    return _arith("*", args[0], args[1], env)
+
+@func("divide")
+def _f_divide(args, env):
+    return _arith("/", args[0], args[1], env)
+
+@func("isNull")
+def _f_isnull(args, env):
+    v = args[0]
+    if v.valid is None:
+        n = env.n_rows if not v.is_scalar else None
+        data = jnp.zeros(n, dtype=bool) if n else jnp.asarray(v.py is None)
+        return Value(data)
+    return Value(jnp.logical_not(v.valid))
+
+@func("isNotNull")
+def _f_isnotnull(args, env):
+    v = args[0]
+    if v.valid is None:
+        n = env.n_rows if not v.is_scalar else None
+        data = jnp.ones(n, dtype=bool) if n else jnp.asarray(v.py is not None)
+        return Value(data)
+    return Value(v.valid)
+
+
+def _like_to_re(pat: str) -> re.Pattern:
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+@func("like", "notLike", "ilike")
+def _f_like(args, env, _name=None):
+    v, pat = args[0], args[1]
+    if v.dictionary is None or not isinstance(pat.py, str):
+        raise EvalError("LIKE needs a string column and literal pattern")
+    rx = _like_to_re(pat.py)
+    lut = np.array([bool(rx.match(s)) for s in v.dictionary.values], dtype=bool)
+    if len(lut) == 0:
+        lut = np.zeros(1, dtype=bool)
+    return Value(_dict_map(v, lut), v.valid)
+
+
+@func("lower", "upper")
+def _f_case_change(args, env):
+    raise EvalError("lower/upper: use the host string API (round 2)")
+
+
+@func("length")
+def _f_length(args, env):
+    v = args[0]
+    if v.dictionary is None:
+        raise EvalError("length() expects a string column")
+    lut = np.array([len(s) for s in v.dictionary.values] or [0], dtype=np.int64)
+    return Value(_dict_map(v, lut), v.valid)
+
+
+@func("tuple")
+def _f_tuple(args, env):
+    raise EvalError("tuple values are only supported in comparisons")
+
+
+# ---------------------------------------------------------------------------
+# core evaluation
+
+def _promote_pair(a, b):
+    """Numeric type promotion for binary arithmetic (jnp rules; division
+    handled separately)."""
+    return a, b
+
+
+def _arith(op: str, a: Value, b: Value, env: Env) -> Value:
+    if a.is_string or b.is_string:
+        raise EvalError(f"arithmetic {op!r} on strings")
+    x = _numeric(a, env.n_rows)
+    y = _numeric(b, env.n_rows)
+    if op == "+":
+        d = x + y
+    elif op == "-":
+        d = x - y
+    elif op == "*":
+        d = x * y
+    elif op == "/":
+        # ClickHouse: division always yields float (Float64 there; f32 here —
+        # TPU has no f64 compute; documented engine deviation)
+        d = x.astype(jnp.float32) / y.astype(jnp.float32)
+    elif op == "%":
+        d = x % y
+    else:
+        raise EvalError(f"unknown arithmetic op {op}")
+    return Value(d, _both_valid(a, b))
+
+
+def _compare(op: str, a: Value, b: Value, env: Env) -> Value:
+    # string comparisons via dictionary
+    if a.is_string or b.is_string:
+        return _compare_strings(op, a, b, env)
+    x = _numeric(a, env.n_rows)
+    y = _numeric(b, env.n_rows)
+    if op == "=":
+        d = x == y
+    elif op == "!=":
+        d = x != y
+    elif op == "<":
+        d = x < y
+    elif op == "<=":
+        d = x <= y
+    elif op == ">":
+        d = x > y
+    elif op == ">=":
+        d = x >= y
+    else:
+        raise EvalError(f"unknown comparison {op}")
+    return Value(d, _both_valid(a, b))
+
+
+def _compare_strings(op: str, a: Value, b: Value, env: Env) -> Value:
+    col, lit = (a, b) if a.dictionary is not None else (b, a)
+    flipped = col is b
+    if col.dictionary is None:
+        # literal vs literal
+        res = _py_compare(op, a.py, b.py)
+        return Value(jnp.asarray(res), is_scalar=True, py=res)
+    if lit.dictionary is not None:
+        # column vs column: remap rhs ids into lhs dictionary
+        remap = np.array([col.dictionary.encode_one(s) for s in
+                          lit.dictionary.values] or [-2], dtype=np.int32)
+        rhs_ids = _dict_map(lit, remap)
+        if op in ("=", "!="):
+            d = col.data == rhs_ids if op == "=" else col.data != rhs_ids
+            return Value(d, _both_valid(col, lit))
+        ra = jnp.asarray(col.dictionary.ranks())[jnp.clip(col.data, 0, None)]
+        # order-compare via merged dictionary ranks
+        merged = StringDictionary(list(col.dictionary.values))
+        for s in lit.dictionary.values:
+            merged.encode_one(s, grow=True)
+        ranks = merged.ranks()
+        la = _dict_map(col, ranks[:len(col.dictionary)])
+        remap2 = np.array([merged.index[s] for s in lit.dictionary.values]
+                          or [0], dtype=np.int32)
+        lb = _dict_map(lit, ranks[remap2])
+        if flipped:
+            la, lb = lb, la
+        return _compare(op, Value(la), Value(lb), env)
+    if not isinstance(lit.py, str):
+        raise EvalError("cannot compare string column with non-string")
+    if op in ("=", "!="):
+        lid = _encode_str_literal(lit.py, col.dictionary)
+        d = col.data == lid if op == "=" else col.data != lid
+        return Value(d, col.valid)
+    # order comparison against literal: evaluate on dictionary values
+    import operator as _op
+    pyop = {"<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}[op]
+    vals = col.dictionary.values
+    if flipped:
+        lut = np.array([pyop(lit.py, s) for s in vals] or [False], dtype=bool)
+    else:
+        lut = np.array([pyop(s, lit.py) for s in vals] or [False], dtype=bool)
+    return Value(_dict_map(col, lut), col.valid)
+
+
+def _py_compare(op, a, b):
+    import operator as _op
+    return {"=": _op.eq, "!=": _op.ne, "<": _op.lt, "<=": _op.le,
+            ">": _op.gt, ">=": _op.ge}[op](a, b)
+
+
+def eval_expr(e: Expr, env: Env) -> Value:
+    if isinstance(e, Literal):
+        if e.value is None:
+            return Value(jnp.asarray(0), is_scalar=True, py=None)
+        if isinstance(e.value, bool):
+            return Value(jnp.asarray(e.value), is_scalar=True, py=e.value)
+        if isinstance(e.value, str):
+            return Value(None, is_scalar=True, py=e.value)
+        return Value(jnp.asarray(e.value), is_scalar=True, py=e.value)
+    if isinstance(e, VectorLiteral):
+        return Value(np.asarray(e.values, dtype=np.float32), is_scalar=True,
+                     py=e.values)
+    if isinstance(e, Ident):
+        return env.resolve(e)
+    if isinstance(e, UnOp):
+        v = eval_expr(e.operand, env)
+        if e.op == "-":
+            return Value(-_numeric(v, env.n_rows), v.valid)
+        if e.op == "NOT":
+            return Value(jnp.logical_not(as_bool_mask(v, env.n_rows)))
+        raise EvalError(f"unknown unary {e.op}")
+    if isinstance(e, BinOp):
+        if e.op in ("AND", "OR"):
+            a = as_bool_mask(eval_expr(e.left, env), env.n_rows)
+            b = as_bool_mask(eval_expr(e.right, env), env.n_rows)
+            return Value(jnp.logical_and(a, b) if e.op == "AND"
+                         else jnp.logical_or(a, b))
+        a = eval_expr(e.left, env)
+        b = eval_expr(e.right, env)
+        if e.op in ("+", "-", "*", "/", "%"):
+            return _arith(e.op, a, b, env)
+        return _compare(e.op, a, b, env)
+    if isinstance(e, InList):
+        v = eval_expr(e.expr, env)
+        hits = None
+        for item in e.items:
+            it = eval_expr(item, env)
+            h = _compare("=", v, it, env)
+            hm = as_bool_mask(h, env.n_rows)
+            hits = hm if hits is None else jnp.logical_or(hits, hm)
+        if e.negated:
+            hits = jnp.logical_not(hits)
+            if v.valid is not None:
+                hits = jnp.logical_and(hits, v.valid)
+        return Value(hits)
+    if isinstance(e, Between):
+        v = eval_expr(e.expr, env)
+        lo = eval_expr(e.low, env)
+        hi = eval_expr(e.high, env)
+        a = as_bool_mask(_compare(">=", v, lo, env), env.n_rows)
+        b = as_bool_mask(_compare("<=", v, hi, env), env.n_rows)
+        res = jnp.logical_and(a, b)
+        if e.negated:
+            res = jnp.logical_not(res)
+            if v.valid is not None:
+                res = jnp.logical_and(res, v.valid)
+        return Value(res)
+    if isinstance(e, FuncCall):
+        impl = _FUNCS.get(e.name.lower())
+        if impl is None:
+            raise EvalError(f"unknown function {e.name!r}")
+        args = [eval_expr(a, env) for a in e.args]
+        return impl(args, env)
+    raise EvalError(f"cannot evaluate {e!r}")

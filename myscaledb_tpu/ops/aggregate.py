@@ -54,19 +54,22 @@ def _minmax_identity(d, is_min: bool):
 
 
 @partial(jax.jit, static_argnames=("num_groups", "fns"))
-def partial_aggregate(gid, mask, args, fns: tuple, num_groups: int):
+def partial_aggregate(gid, mask, args, fns: tuple, num_groups: int,
+                      arg_valids=None):
     """One shard's partial aggregation.
 
     gid:  (n,) int32 group ids in [0, num_groups); masked rows may be huge
           (scatters use mode="drop").
-    mask: (n,) bool selection (WHERE) AND validity of the agg argument.
-          ``mask`` may also be per-agg (list) — here a single common mask.
+    mask: (n,) bool selection (WHERE).
     args: tuple of value arrays, one per agg (dummy zeros for count(*)).
     fns:  tuple of fn names aligned with args.
+    arg_valids: optional tuple of per-agg validity masks (bool (n,)) — NULL
+          arguments are skipped per-aggregate (count(x) vs count(*)); pass
+          all-ones where the argument has no nulls.
 
     Returns (states, group_count): states is a tuple of per-agg state arrays
-    ((G,) or a (sum, count) pair for avg); group_count (G,) int64 counts rows
-    per group so empty groups can be dropped at finalize.
+    ((G,) or a (sum, count) pair for avg); group_count (G,) int64 counts
+    selected rows per group so empty groups can be dropped at finalize.
     """
     n = gid.shape[0]
     OOB = jnp.int32(num_groups)
@@ -76,32 +79,36 @@ def partial_aggregate(gid, mask, args, fns: tuple, num_groups: int):
         ones, mode="drop")
 
     states = []
-    for fn, a in zip(fns, args):
+    for i, (fn, a) in enumerate(zip(fns, args)):
+        at = tgt
+        acount = group_count
+        if arg_valids is not None and arg_valids[i] is not None:
+            at = jnp.where(jnp.logical_and(mask, arg_valids[i]), gid, OOB)
+            acount = jnp.zeros(num_groups, dtype=jnp.int64).at[at].add(
+                ones, mode="drop")
         if fn == "count":
-            # arg (if any) is ignored: null-awareness is folded into `mask`
-            # by the caller (count(x) masks rows where x is NULL)
-            states.append(group_count)
+            states.append(acount)
         elif fn in ("sum", "avg"):
             acc = _acc_dtype(a.dtype)
-            s = jnp.zeros(num_groups, dtype=acc).at[tgt].add(
+            s = jnp.zeros(num_groups, dtype=acc).at[at].add(
                 a.astype(acc), mode="drop")
             if fn == "avg":
-                states.append((s, group_count))
+                states.append((s, acount))
             else:
                 states.append(s)
         elif fn == "min":
             ident = _minmax_identity(a.dtype, True)
-            states.append(jnp.full(num_groups, ident).at[tgt].min(a, mode="drop"))
+            states.append(jnp.full(num_groups, ident).at[at].min(a, mode="drop"))
         elif fn == "max":
             ident = _minmax_identity(a.dtype, False)
-            states.append(jnp.full(num_groups, ident).at[tgt].max(a, mode="drop"))
+            states.append(jnp.full(num_groups, ident).at[at].max(a, mode="drop"))
         elif fn == "any":
             # deterministic 'any' = value of the lowest row id in the group
             ridx = jnp.arange(n, dtype=jnp.int32)
             winner = jnp.full(num_groups, np.iinfo(np.int32).max,
-                              dtype=jnp.int32).at[tgt].min(ridx, mode="drop")
+                              dtype=jnp.int32).at[at].min(ridx, mode="drop")
             safe = jnp.clip(winner, 0, max(n - 1, 0))
-            states.append(jnp.where(group_count > 0, a[safe],
+            states.append(jnp.where(acount > 0, a[safe],
                                     jnp.zeros((), dtype=a.dtype)))
         else:
             raise ValueError(f"unknown aggregate {fn}")

@@ -9,13 +9,25 @@ computing Q·Xᵀ tiles on the MXU fused with an exact streaming k-selection,
 under an optional predicate mask (the reference's prefilter DenseBitmap,
 MergeTreeSelectWithHybridSearchProcessor.cpp:938).
 
-Distance semantics (bit-exactness contract, SURVEY.md Appendix A):
-  * L2      -> *squared* L2, ascending  (golden 00001_mqvs_distance.reference)
-  * Cosine  -> 1 - cos_similarity, ascending
-  * IP      -> inner product, DESCENDING
-  * ties    -> ascending row id
-L2 uses the |x|^2 - 2 x.q + |q|^2 decomposition (what faiss/BLAS paths do)
-so the heavy term is a single MXU matmul; f32 with HIGHEST precision.
+Distance semantics (bit-exactness contract, SURVEY.md Appendix A; calibrated
+against the reference goldens 00001/00002/00014 in
+tests/queries/2_vector_search/):
+  * L2     -> *squared* L2 computed DIRECTLY as sum((x-q)^2) in f32
+              (golden 0.029999085 = 3*(50-50.1f)^2 — the reference's brute
+              force is the direct faiss fvec_L2sqr loop, NOT the norm
+              decomposition), ascending.
+  * Cosine -> 1 - dot(x/|x|, q/|q|) with f32-normalized vectors, ascending.
+  * IP     -> inner product, DESCENDING.
+  * ties   -> ascending row id.
+
+Execution is two-stage, mirroring the reference's candidate->rerank split
+(MergeTreeVSManager::executeSecondStageVectorScan, :511):
+  stage 1: streaming top-(k+margin) selection using the |x|^2 - 2 x.q + |q|^2
+           decomposition — one MXU matmul per block (fast, selection only);
+  stage 2: gather the candidates and rescore with the exact direct formula,
+           re-rank by (exact distance, id), cut to k.
+Equal rows get equal stage-1 scores, so ties survive selection and the final
+(id-ascending) tie rule is exact.
 """
 
 from __future__ import annotations
@@ -37,14 +49,34 @@ def _as_f32(a):
     return jnp.asarray(a, dtype=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "block_rows", "has_mask"))
+def exact_distance(xc, q, metric: str):
+    """Exact reference-semantics distance.
+
+    xc: (..., d) candidate vectors; q: broadcastable (..., d) queries.
+    Returns the metric's native distance (L2 squared / cosine distance / IP).
+    """
+    if metric == "L2":
+        diff = xc - q
+        return jnp.sum(diff * diff, axis=-1)
+    if metric == "Cosine":
+        xn = jnp.sqrt(jnp.sum(xc * xc, axis=-1, keepdims=True))
+        qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+        xu = jnp.where(xn > 0, xc / xn, 0.0)
+        qu = jnp.where(qn > 0, q / qn, 0.0)
+        return 1.0 - jnp.sum(xu * qu, axis=-1)
+    return jnp.sum(xc * q, axis=-1)   # IP
+
+
+@partial(jax.jit,
+         static_argnames=("metric", "k", "block_rows", "has_mask", "margin"))
 def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
-                        block_rows: int, has_mask: bool):
+                        block_rows: int, has_mask: bool, margin: int = 16):
     n, d = x.shape
     nq = q.shape[0]
     b = min(block_rows, max(8, n))
     nb = -(-n // b)
     n_pad = nb * b
+    ksel = min(k + margin, n)   # stage-1 selection width
 
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
@@ -57,15 +89,15 @@ def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
     nb_sq = x_sqnorm.reshape(nb, b)
 
     if metric == "Cosine":
-        q_rnorm = jnp.where(
-            jnp.sqrt(jnp.sum(q * q, axis=1)) > 0.0,
-            1.0 / jnp.sqrt(jnp.sum(q * q, axis=1)), 0.0)          # (nq,)
+        q_norm = jnp.sqrt(jnp.sum(q * q, axis=1))
+        q_rnorm = jnp.where(q_norm > 0.0, 1.0 / q_norm, 0.0)   # (nq,)
     elif metric == "L2":
-        q_sq = jnp.sum(q * q, axis=1)                              # (nq,)
+        q_sq = jnp.sum(q * q, axis=1)                          # (nq,)
 
     def score_block(bi):
-        xt = xb[bi]                                                # (b, d)
-        dot = jnp.dot(q, xt.T, precision=lax.Precision.HIGHEST)    # (nq, b)
+        """Stage-1 selection score (decomposition; one MXU matmul)."""
+        xt = xb[bi]                                            # (b, d)
+        dot = jnp.dot(q, xt.T, precision=lax.Precision.HIGHEST)  # (nq, b)
         if metric == "L2":
             s = nb_sq[bi][None, :] - 2.0 * dot + q_sq[:, None]
         elif metric == "Cosine":
@@ -78,28 +110,38 @@ def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
             s = jnp.where(mb[bi][None, :], s, POS_INF)
         return s
 
-    init = (jnp.full((nq, k), POS_INF, dtype=jnp.float32),
-            jnp.full((nq, k), INVALID_ID, dtype=jnp.int32))
+    init = (jnp.full((nq, ksel), POS_INF, dtype=jnp.float32),
+            jnp.full((nq, ksel), INVALID_ID, dtype=jnp.int32))
 
     def body(carry, bi):
         cs, ci = carry
         s = score_block(bi)
-        kk = min(k, b)
+        kk = min(ksel, b)
         bs, bpos = block_topk_min(s, kk)
         bids = bpos.astype(jnp.int32) + (bi * b).astype(jnp.int32)
         # padding / masked rows carry +inf scores; keep their id INVALID so
         # ties among invalid entries can't shadow real rows
         bids = jnp.where(jnp.isposinf(bs), INVALID_ID, bids)
-        return merge_sorted_topk(cs, ci, bs, bids, k), None
+        return merge_sorted_topk(cs, ci, bs, bids, ksel), None
 
     (cs, ci), _ = lax.scan(body, init, jnp.arange(nb))
-    if metric == "IP":
-        cs = jnp.where(jnp.isposinf(cs), -jnp.inf, -cs)
-    return cs, ci
+
+    # ---- stage 2: exact rescore of the candidates -------------------------
+    invalid = ci == INVALID_ID
+    safe_ids = jnp.where(invalid, 0, ci)
+    xc = x[safe_ids]                                   # (nq, ksel, d)
+    ex = exact_distance(xc, q[:, None, :], metric)     # (nq, ksel)
+    score = jnp.where(invalid, POS_INF, -ex if metric == "IP" else ex)
+    fs, fi = lax.sort((score, ci), dimension=-1, num_keys=2)
+    fs, fi = fs[:, :k], fi[:, :k]
+    dist = jnp.where(jnp.isposinf(fs),
+                     jnp.float32(-jnp.inf if metric == "IP" else jnp.inf),
+                     -fs if metric == "IP" else fs)
+    return dist, fi
 
 
 def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
-                  block_rows: int = 32768, x_sqnorm=None):
+                  block_rows: int = 32768, x_sqnorm=None, margin: int = 16):
     """Exact top-k nearest scan of queries ``q`` (nq, d) over rows of ``x``
     (n, d), under an optional boolean predicate ``mask`` (n,).
 
@@ -122,7 +164,18 @@ def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
     else:
         mask = jnp.asarray(mask, dtype=bool)
     return _distance_scan_impl(x, q, mask, _as_f32(x_sqnorm), metric, int(k),
-                               int(block_rows), has_mask)
+                               int(block_rows), has_mask, int(margin))
+
+
+def rowwise_distance(x, q, metric: str = "L2") -> jnp.ndarray:
+    """Materialized per-row distance column (the non-fused path, used when
+    distance() appears outside an ORDER BY ... LIMIT pattern — the analog of
+    plain arrayDistance.cpp evaluation)."""
+    x = _as_f32(x)
+    q = _as_f32(q)
+    if q.ndim == 2:
+        q = q[0]
+    return exact_distance(x, q[None, :], metric)
 
 
 def precompute_sqnorm(x) -> jnp.ndarray:

@@ -15,22 +15,36 @@ from myscaledb_tpu.config import Settings
 
 class Session:
     def __init__(self, settings: Optional[Settings] = None):
+        from myscaledb_tpu.config import TableSettings
         self.settings = settings or Settings()
         self.tables: dict[str, Table] = {}
+        self.table_settings: dict[str, "TableSettings"] = {}
 
-    def register(self, name: str, table: Table) -> None:
+    def register(self, name: str, table: Table, settings=None) -> None:
         table.name = name
         self.tables[name] = table
+        if settings is not None:
+            self.table_settings[name] = settings
 
-    def create_table(self, name: str, data: dict, dtypes=None) -> Table:
+    def create_table(self, name: str, data: dict, dtypes=None,
+                     settings=None) -> Table:
         t = Table.from_dict(data, name=name, dtypes=dtypes)
-        self.tables[name] = t
+        self.register(name, t, settings)
         return t
+
+    def drop_table(self, name: str) -> None:
+        self.tables.pop(name, None)
+        self.table_settings.pop(name, None)
 
     def sql(self, query: str, **params) -> Table:
         """Parse, plan and execute a SQL query; returns a result Table."""
         from myscaledb_tpu.sql.driver import execute_query
         return execute_query(self, query, params)
+
+    def sql_tsv(self, query: str) -> str:
+        """Execute and format as ClickHouse-style TSV (golden-test surface)."""
+        from myscaledb_tpu.sql.format import format_tsv
+        return format_tsv(self.sql(query))
 
 
 def connect(settings: Optional[Settings] = None) -> Session:

@@ -1,0 +1,7 @@
+"""SQL front-end: lexer -> parser -> AST -> analyzer -> logical plan -> jitted
+execution.  The subset covers the reference's benchmark query shapes:
+SELECT with WHERE / GROUP BY / HAVING / ORDER BY / LIMIT [BY] / JOIN, vector
+search pseudo-functions (distance, batch_distance), and DDL-lite via the
+Session API.  Reference analog: src/Parsers (grammar), src/Interpreters/
+TreeRewriter+ExpressionAnalyzer (analysis), src/Processors/QueryPlan (plan).
+"""

@@ -1,0 +1,140 @@
+"""AST node definitions (reference analog: src/Parsers/IAST.h and the
+ASTSelectQuery family — flattened to the subset the engine executes)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+class Expr:
+    pass
+
+
+@dataclass
+class Literal(Expr):
+    value: object            # python int/float/str/bool/None
+    def __repr__(self):
+        return f"Lit({self.value!r})"
+
+
+@dataclass
+class VectorLiteral(Expr):
+    values: list             # list[float] or list[list[float]] (batch)
+    def __repr__(self):
+        return f"Vec({len(self.values)})"
+
+
+@dataclass
+class Ident(Expr):
+    name: str
+    table: Optional[str] = None
+    def __repr__(self):
+        return f"Id({self.table + '.' if self.table else ''}{self.name})"
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.table}.{self.name}" if self.table else self.name
+
+
+@dataclass
+class Star(Expr):
+    table: Optional[str] = None
+
+
+@dataclass
+class BinOp(Expr):
+    op: str
+    left: Expr
+    right: Expr
+    def __repr__(self):
+        return f"({self.left} {self.op} {self.right})"
+
+
+@dataclass
+class UnOp(Expr):
+    op: str                  # 'NOT', '-'
+    operand: Expr
+
+
+@dataclass
+class FuncCall(Expr):
+    name: str
+    args: list
+    distinct: bool = False
+    def __repr__(self):
+        return f"{self.name}({', '.join(map(repr, self.args))})"
+
+
+@dataclass
+class InList(Expr):
+    expr: Expr
+    items: list
+    negated: bool = False
+
+
+@dataclass
+class Between(Expr):
+    expr: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass
+class SelectItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    ascending: bool = True
+    nulls_last: Optional[bool] = None   # None -> default (last for ASC, first for DESC)
+
+
+@dataclass
+class JoinClause:
+    table: str
+    alias: Optional[str]
+    how: str                  # 'INNER' | 'LEFT'
+    strictness: str           # 'ANY' | 'ALL'
+    condition: Optional[Expr] # ON expression (conjunction of equalities)
+    using: Optional[list] = None  # USING (col, ...)
+
+
+@dataclass
+class SelectQuery:
+    items: list               # list[SelectItem]
+    table: Optional[str] = None
+    table_alias: Optional[str] = None
+    joins: list = field(default_factory=list)
+    where: Optional[Expr] = None
+    prewhere: Optional[Expr] = None
+    group_by: list = field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: list = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: int = 0
+    limit_by: Optional[tuple] = None    # (n, [exprs])
+    subquery: Optional["SelectQuery"] = None  # FROM (SELECT ...)
+
+
+def walk(e: Expr):
+    """Yield every node in an expression tree."""
+    yield e
+    if isinstance(e, BinOp):
+        yield from walk(e.left)
+        yield from walk(e.right)
+    elif isinstance(e, UnOp):
+        yield from walk(e.operand)
+    elif isinstance(e, FuncCall):
+        for a in e.args:
+            yield from walk(a)
+    elif isinstance(e, InList):
+        yield from walk(e.expr)
+    elif isinstance(e, Between):
+        yield from walk(e.expr)
+        yield from walk(e.low)
+        yield from walk(e.high)

@@ -1,0 +1,13 @@
+"""Query driver: the executeQuery() analog
+(src/Interpreters/executeQuery.cpp:359 parse -> interpret -> execute)."""
+
+from __future__ import annotations
+
+from myscaledb_tpu.sql.parser import parse_sql
+from myscaledb_tpu.sql.executor import execute_select
+from myscaledb_tpu.core.table import Table
+
+
+def execute_query(session, sql: str, params=None) -> Table:
+    q = parse_sql(sql)
+    return execute_select(session, q)

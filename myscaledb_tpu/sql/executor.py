@@ -1,0 +1,793 @@
+"""Query execution: analyzed SELECT -> operator calls -> result Table.
+
+This file is the analog of InterpreterSelectQuery::executeImpl
+(src/Interpreters/InterpreterSelectQuery.cpp:1361) plus the vector-search
+rewrites of TreeRewriter (:1671 top-k extraction) and ExpressionAnalyzer
+(analyzeVectorScan, :566): it recognizes the distance()/batch_distance()
+pseudo-functions, fuses ORDER BY <distance> LIMIT k into the exact two-stage
+scan, and lowers the rest of the query onto the ops layer (filter masks,
+grouped aggregation, order-encoded sorts, hash joins).
+
+Stage order (SQL semantics): JOIN -> PREWHERE/WHERE -> [vector top-k] ->
+GROUP BY -> HAVING -> SELECT -> ORDER BY -> LIMIT BY -> OFFSET/LIMIT.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.core.types import DataType, Field
+from myscaledb_tpu.core.table import Table, Column
+from myscaledb_tpu.core.dictionary import StringDictionary, NULL_ID
+from myscaledb_tpu.config import TableSettings
+from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
+                                   BinOp, UnOp, FuncCall, InList, Between,
+                                   SelectQuery, SelectItem, OrderItem, walk)
+from myscaledb_tpu.sql.render import render, substitute
+from myscaledb_tpu.exec.expr import (Env, Value, eval_expr, as_bool_mask,
+                                     EvalError, _dict_map)
+from myscaledb_tpu.ops.vector import (distance_scan, rowwise_distance,
+                                      INVALID_ID)
+from myscaledb_tpu.ops.aggregate import partial_aggregate, finalize
+from myscaledb_tpu.ops.hashtable import build_group_ids, INT32_MAX
+from myscaledb_tpu.ops.hash import float_bits_key
+from myscaledb_tpu.ops.sort import SortKey, sort_permutation, topn_permutation
+from myscaledb_tpu.ops.join import hash_join_any
+from myscaledb_tpu.ops.filter import compact_table_host
+
+AGG_NAMES = {"count", "sum", "min", "max", "avg", "any"}
+DIST_FNS = {"distance", "batch_distance", "l2distance", "cosinedistance",
+            "dotproduct"}
+
+
+class ExecError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# vector-search analysis (TreeRewriter.cpp:1671 / ExpressionAnalyzer analog)
+
+@dataclass
+class VSInfo:
+    call: FuncCall
+    name: str                    # render(call)
+    alias: Optional[str]
+    metric: str
+    col: str
+    qvec: np.ndarray             # (nq, d) float32
+    is_batch: bool
+    fused: bool = False
+    k: int = 0
+
+
+def _metric_for(call: FuncCall, tsettings: TableSettings) -> str:
+    n = call.name.lower()
+    if n == "l2distance":
+        return "L2"
+    if n == "cosinedistance":
+        return "Cosine"
+    if n == "dotproduct":
+        return "IP"
+    return tsettings.float_vector_search_metric_type
+
+
+def _find_distance_call(q: SelectQuery, alias_exprs: dict):
+    exprs = [it.expr for it in q.items]
+    exprs += [o.expr for o in q.order_by]
+    for e in (q.where, q.prewhere, q.having):
+        if e is not None:
+            exprs.append(e)
+    for e in exprs:
+        for node in walk(e):
+            if isinstance(node, FuncCall) and node.name.lower() in DIST_FNS:
+                return node
+    return None
+
+
+def analyze_vector_search(q: SelectQuery, session, table: Table,
+                          alias_exprs: dict) -> Optional[VSInfo]:
+    call = _find_distance_call(q, alias_exprs)
+    if call is None:
+        return None
+    if len(call.args) != 2:
+        raise ExecError(f"{call.name} expects (column, query_vector)")
+    col_arg, vec_arg = call.args
+    if not isinstance(col_arg, Ident):
+        raise ExecError(f"{call.name}: first argument must be a vector column")
+    if not isinstance(vec_arg, VectorLiteral):
+        raise ExecError(f"{call.name}: second argument must be a vector literal")
+    col = col_arg.name
+    if col not in table or not table[col].dtype.is_vector:
+        raise ExecError(f"{call.name}: {col!r} is not a vector column of the table")
+    is_batch = call.name.lower() == "batch_distance"
+    qv = np.asarray(vec_arg.values, dtype=np.float32)
+    if qv.size == 0:
+        raise ExecError("empty query vector")
+    if is_batch:
+        if qv.ndim != 2:
+            raise ExecError("batch_distance expects [[..],[..]] query vectors")
+    else:
+        if qv.ndim != 1:
+            raise ExecError("distance expects a flat [..] query vector")
+        qv = qv[None, :]
+    dim = table[col].field.vector_dim
+    if qv.shape[1] != dim:
+        raise ExecError(f"query vector dim {qv.shape[1]} != column dim {dim}")
+    tsettings = session.table_settings.get(table.name, TableSettings())
+    alias = None
+    for it in q.items:
+        if it.alias and render(it.expr) == render(call):
+            alias = it.alias
+    info = VSInfo(call, render(call), alias, _metric_for(call, tsettings),
+                  col, qv, is_batch)
+
+    # fusion check: ORDER BY <distance expr|alias> [dir matches metric] LIMIT k
+    def refs_distance(e: Expr) -> bool:
+        r = render(e)
+        if r == info.name or (alias and isinstance(e, Ident)
+                              and e.table is None and e.name == alias):
+            return True
+        return False
+
+    want_asc = info.metric != "IP"
+    if not is_batch:
+        if (q.order_by and q.limit is not None and not q.group_by
+                and refs_distance(q.order_by[0].expr)
+                and q.order_by[0].ascending == want_asc):
+            info.fused = True
+            info.k = q.limit + q.offset
+    else:
+        # batch: LIMIT n BY dist.1 with ORDER BY dist.1, dist.2
+        if q.limit_by is not None and not q.group_by:
+            info.fused = True
+            info.k = q.limit_by[0]
+        else:
+            raise ExecError("batch_distance requires LIMIT n BY <alias>.1")
+    return info
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _expand_item_aliases(e: Expr, alias_exprs: dict, table: Table) -> Expr:
+    """Replace Ident(alias) with its SELECT expression (unless the name is a
+    real column — real columns win, like the reference's scope rules)."""
+    if isinstance(e, Ident) and e.table is None and e.name in alias_exprs \
+            and e.name not in table:
+        return alias_exprs[e.name]
+    if isinstance(e, BinOp):
+        return BinOp(e.op, _expand_item_aliases(e.left, alias_exprs, table),
+                     _expand_item_aliases(e.right, alias_exprs, table))
+    if isinstance(e, UnOp):
+        return UnOp(e.op, _expand_item_aliases(e.operand, alias_exprs, table))
+    if isinstance(e, FuncCall):
+        return FuncCall(e.name, [_expand_item_aliases(a, alias_exprs, table)
+                                 for a in e.args], e.distinct)
+    if isinstance(e, InList):
+        return InList(_expand_item_aliases(e.expr, alias_exprs, table),
+                      [_expand_item_aliases(i, alias_exprs, table)
+                       for i in e.items], e.negated)
+    if isinstance(e, Between):
+        return Between(_expand_item_aliases(e.expr, alias_exprs, table),
+                       _expand_item_aliases(e.low, alias_exprs, table),
+                       _expand_item_aliases(e.high, alias_exprs, table),
+                       e.negated)
+    return e
+
+
+def _split_conjuncts(e: Optional[Expr]) -> list:
+    if e is None:
+        return []
+    if isinstance(e, BinOp) and e.op == "AND":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+def _conjoin(terms: list) -> Optional[Expr]:
+    if not terms:
+        return None
+    out = terms[0]
+    for t in terms[1:]:
+        out = BinOp("AND", out, t)
+    return out
+
+
+def _value_to_column(name: str, v: Value, n: int) -> Column:
+    data = v.data
+    if v.is_scalar:
+        if isinstance(v.py, str):
+            d = StringDictionary()
+            ids = np.full(n, d.encode_one(v.py, grow=True), dtype=np.int32)
+            return Column(Field(name, DataType.STRING),
+                          jnp.asarray(ids), None, d)
+        data = jnp.full((n,), jnp.asarray(data))
+    dt = _logical_dtype_of(data, v)
+    fld = Field(name, dt, nullable=v.valid is not None)
+    return Column(fld, data, v.valid, v.dictionary)
+
+
+def _logical_dtype_of(data, v: Value) -> DataType:
+    if v.dictionary is not None:
+        return DataType.STRING
+    kind_map = {
+        "bool": DataType.BOOL, "int8": DataType.INT8, "int16": DataType.INT16,
+        "int32": DataType.INT32, "int64": DataType.INT64,
+        "uint8": DataType.UINT8, "uint16": DataType.UINT16,
+        "uint32": DataType.UINT32, "uint64": DataType.UINT64,
+        "float32": DataType.FLOAT32, "float64": DataType.FLOAT64,
+    }
+    name = str(np.dtype(data.dtype))
+    if name in kind_map:
+        return kind_map[name]
+    raise ExecError(f"unsupported result dtype {name}")
+
+
+def _sort_key_from_value(v: Value, ascending: bool, nulls_last: bool, n: int) -> SortKey:
+    data = v.data
+    if v.is_scalar:
+        data = jnp.full((n,), jnp.asarray(data))
+    if v.dictionary is not None:
+        ranks = v.dictionary.ranks()
+        if len(ranks) == 0:
+            ranks = np.zeros(1, dtype=np.int32)
+        data = _dict_map(v, ranks)
+    return SortKey(data, ascending=ascending, valid=v.valid,
+                   nulls_last=nulls_last)
+
+
+# ---------------------------------------------------------------------------
+# join
+
+def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
+    if jc.table not in session.tables:
+        raise ExecError(f"unknown join table {jc.table!r}")
+    right = session.tables[jc.table]
+    ralias = jc.alias or jc.table
+
+    # extract equality key pairs
+    pairs = []
+    if jc.using:
+        for c in jc.using:
+            pairs.append((Ident(c), Ident(c)))
+    elif jc.condition is not None:
+        for term in _split_conjuncts(jc.condition):
+            if not (isinstance(term, BinOp) and term.op == "="):
+                raise ExecError("JOIN ON supports conjunctions of equalities")
+            l, r = term.left, term.right
+            def side(e):
+                if isinstance(e, Ident):
+                    if e.table == ralias or (e.table is None and
+                                             e.name in right and
+                                             e.name not in left):
+                        return "right"
+                    return "left"
+                raise ExecError("JOIN ON terms must be column = column")
+            if side(l) == "right" and side(r) == "left":
+                l, r = r, l
+            elif not (side(l) == "left" and side(r) == "right"):
+                raise ExecError("JOIN ON must relate left and right columns")
+            pairs.append((l, r))
+    else:
+        raise ExecError("JOIN requires ON or USING")
+
+    lenv = Env(left)
+    renv = Env(right)
+    lkeys, rkeys = [], []
+    for le, re_ in pairs:
+        lv = eval_expr(Ident(le.name), lenv)
+        rv = eval_expr(Ident(re_.name), renv)
+        lk, rk = _join_key_arrays(lv, rv)
+        lkeys.append(lk)
+        rkeys.append(rk)
+
+    res = hash_join_any(tuple(rkeys), tuple(lkeys))
+    found = res.found
+    build_row = jnp.where(found, res.build_row, 0)
+
+    if jc.how == "INNER":
+        keep_mask = found
+        joined_left, cnt = compact_table_host(left, keep_mask)
+        sel_rows = jnp.asarray(np.flatnonzero(np.asarray(keep_mask)))
+        gather_rows = jnp.take(build_row, sel_rows) if cnt else build_row[:0]
+        right_valid = None
+    else:  # LEFT
+        joined_left = left
+        gather_rows = build_row
+        right_valid = found
+
+    cols = list(joined_left.columns.values())
+    lnames = set(joined_left.column_names)
+    using_names = set(jc.using or [])
+    for c in right.columns.values():
+        if c.name in using_names:
+            continue
+        out_name = c.name if c.name not in lnames else f"{ralias}.{c.name}"
+        data = jnp.take(c.data, gather_rows, axis=0)
+        valid = jnp.take(c.valid, gather_rows, axis=0) if c.valid is not None else None
+        if right_valid is not None:
+            valid = right_valid if valid is None else jnp.logical_and(valid, right_valid)
+        cols.append(Column(Field(out_name, c.dtype, valid is not None,
+                                 c.field.vector_dim),
+                           data, valid, c.dictionary))
+    alias_prefixes[ralias] = ""
+    return Table(cols, name=left.name)
+
+
+def _join_key_arrays(lv: Value, rv: Value):
+    """Align join key dtypes across the two sides (string dictionaries are
+    remapped host-side into the left dictionary)."""
+    if (lv.dictionary is None) != (rv.dictionary is None):
+        raise ExecError("cannot join string with non-string column")
+    if lv.dictionary is not None:
+        remap = np.array([lv.dictionary.encode_one(s)
+                          for s in rv.dictionary.values] or [-2],
+                         dtype=np.int32)
+        rk = _dict_map(rv, remap)
+        return lv.data, rk
+    lk, rk = lv.data, rv.data
+    if jnp.issubdtype(lk.dtype, jnp.floating) or jnp.issubdtype(rk.dtype, jnp.floating):
+        return float_bits_key(lk), float_bits_key(rk)
+    common = jnp.promote_types(lk.dtype, rk.dtype)
+    return lk.astype(common), rk.astype(common)
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+
+def _group_ids(key_vals: list[Value], n: int, mask, hint: int):
+    """Compute dense group ids for arbitrary key expressions.  Strategy
+    dispatch in the spirit of AggregatedDataVariants (Aggregator.h:563):
+    dictionary ids and small integer ranges map directly; everything else
+    goes through the scatter-round hash table."""
+    if len(key_vals) == 1:
+        v = key_vals[0]
+        if v.dictionary is not None:
+            G = len(v.dictionary) + 1
+            gid = (v.data + 1).astype(jnp.int32)    # NULL_ID(-1) -> group 0
+            return gid, G, ("dict", v.dictionary)
+        if jnp.issubdtype(v.data.dtype, jnp.integer) or v.data.dtype == jnp.bool_:
+            data = v.data.astype(jnp.int64)
+            lo = int(jnp.min(jnp.where(_mask_or_true(mask, n), data,
+                                       data[0] if n else 0)))
+            hi = int(jnp.max(jnp.where(_mask_or_true(mask, n), data,
+                                       data[0] if n else 0)))
+            rng = hi - lo + 1
+            if rng <= max(4 * hint, 1 << 20):
+                gid = (data - lo).astype(jnp.int32)
+                return gid, int(rng), ("range", lo, v.data.dtype)
+    # hash path
+    arrays = []
+    for v in key_vals:
+        d = v.data
+        if v.dictionary is not None:
+            arrays.append(d.astype(jnp.int32))
+        elif jnp.issubdtype(d.dtype, jnp.floating):
+            arrays.append(float_bits_key(d))
+        else:
+            arrays.append(d.astype(jnp.int64) if d.dtype == jnp.uint64
+                          else d)
+    table, gid, cap = build_group_ids(tuple(arrays), mask=mask,
+                                      num_groups_hint=hint)
+    gid = jnp.where(gid == INT32_MAX, 0, gid)
+    return gid, cap, ("hash",)
+
+
+def _mask_or_true(mask, n):
+    return mask if mask is not None else jnp.ones(n, dtype=bool)
+
+
+def run_aggregate(env: Env, q: SelectQuery, mask, session,
+                  alias_exprs: dict) -> tuple[Table, dict]:
+    table = env.table
+    n = table.n_rows
+    # collect aggregate calls across all clauses
+    agg_calls: dict[str, FuncCall] = {}
+    scan_exprs = [it.expr for it in q.items] + [o.expr for o in q.order_by]
+    if q.having is not None:
+        scan_exprs.append(q.having)
+    for e in scan_exprs:
+        e = _expand_item_aliases(e, alias_exprs, table)
+        for node in walk(e):
+            if isinstance(node, FuncCall) and node.name.lower() in AGG_NAMES:
+                for inner in node.args:
+                    for sub in walk(inner):
+                        if isinstance(sub, FuncCall) and \
+                                sub.name.lower() in AGG_NAMES:
+                            raise ExecError("nested aggregate functions")
+                agg_calls[render(node)] = node
+
+    fns, args, arg_valids = [], [], []
+    for r, call in agg_calls.items():
+        name = call.name.lower()
+        if name == "count" and (not call.args or isinstance(call.args[0], Star)):
+            fns.append("count")
+            args.append(jnp.zeros(n, dtype=jnp.int32))
+            arg_valids.append(None)
+            continue
+        if not call.args:
+            raise ExecError(f"{call.name} requires an argument")
+        v = eval_expr(_expand_item_aliases(call.args[0], alias_exprs, table), env)
+        data = v.data
+        if v.is_scalar:
+            data = jnp.full((n,), jnp.asarray(data))
+        fns.append("count" if name == "count" else name)
+        args.append(data)
+        arg_valids.append(v.valid)
+
+    # group keys
+    key_exprs = [_expand_item_aliases(k, alias_exprs, table) for k in q.group_by]
+    key_vals = [eval_expr(k, env) for k in key_exprs]
+    for kv in key_vals:
+        if kv.is_scalar:
+            raise ExecError("GROUP BY constant not supported")
+
+    m = _mask_or_true(mask, n)
+    if key_vals:
+        gid, G, _strategy = _group_ids(key_vals, n,
+                                       m, session.settings.group_by_capacity_hint)
+    else:
+        gid, G = jnp.zeros(n, dtype=jnp.int32), 1   # global aggregation
+
+    states, gc = partial_aggregate(gid, m, tuple(args), tuple(fns), G,
+                                   tuple(arg_valids))
+    outs = finalize(states, gc, tuple(fns))
+    gc_np = np.asarray(gc)
+    present = np.flatnonzero(gc_np > 0)
+    if not key_vals and len(present) == 0:
+        present = np.array([0])   # global agg over empty set still yields a row
+
+    # representative row per group -> group key output values
+    rep = jnp.full(G, INT32_MAX, dtype=jnp.int32).at[
+        jnp.where(m, gid, G)].min(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    rep_np = np.asarray(rep)[present]
+    rep_np = np.where(rep_np == INT32_MAX, 0, rep_np)
+    rep_dev = jnp.asarray(rep_np)
+
+    cols = []
+    mapping = {}
+    for ke, kv in zip(key_exprs, key_vals):
+        name = render(ke)
+        data = jnp.take(kv.data, rep_dev, axis=0)
+        valid = jnp.take(kv.valid, rep_dev) if kv.valid is not None else None
+        cols.append(Column(Field(name, _logical_dtype_of(data, kv),
+                                 valid is not None),
+                           data, valid, kv.dictionary))
+        mapping[name] = name
+    for (r, call), out in zip(agg_calls.items(), outs):
+        name = r
+        arr = out[present]
+        col = Column.from_numpy(name, arr, build_zonemap=False)
+        # aggregates over empty group sets are impossible here (present>0),
+        # but min/max identities could leak for all-null args: mask them
+        cols.append(col)
+        mapping[name] = name
+    agg_table = Table(cols, name=table.name)
+    return agg_table, mapping
+
+
+# ---------------------------------------------------------------------------
+# main entry
+
+def execute_select(session, q: SelectQuery) -> Table:
+    settings = session.settings
+    # 1. source
+    if q.subquery is not None:
+        base = execute_select(session, q.subquery)
+    elif q.table is not None:
+        if q.table not in session.tables:
+            raise ExecError(f"unknown table {q.table!r}")
+        base = session.tables[q.table]
+    else:
+        base = Table([Column.from_numpy("dummy", np.zeros(1, dtype=np.int64),
+                                        build_zonemap=False)])
+    table = base
+    alias_prefixes = {}
+    if q.table_alias:
+        alias_prefixes[q.table_alias] = ""
+    for jc in q.joins:
+        table = apply_join(session, table, jc, alias_prefixes)
+
+    env = Env(table, alias_prefixes)
+    alias_exprs = {it.alias: it.expr for it in q.items if it.alias}
+    tuple_groups: dict[str, list] = {}
+
+    # 2. vector search analysis
+    vs = analyze_vector_search(q, session, table, alias_exprs) \
+        if q.table is not None else None
+
+    # 3. WHERE/PREWHERE split into pre-search and post-search terms
+    def refs_dist(e: Expr) -> bool:
+        if vs is None:
+            return False
+        for node in walk(e):
+            r = render(node)
+            if r == vs.name:
+                return True
+            if isinstance(node, Ident) and node.table is None \
+                    and vs.alias and node.name == vs.alias:
+                return True
+        return False
+
+    conjuncts = _split_conjuncts(q.prewhere) + _split_conjuncts(q.where)
+    pre_terms = [c for c in conjuncts if not refs_dist(c)]
+    post_terms = [c for c in conjuncts if refs_dist(c)]
+    pre_expr = _conjoin([_expand_item_aliases(c, alias_exprs, table)
+                         for c in pre_terms])
+    mask = None
+    if pre_expr is not None:
+        mask = as_bool_mask(eval_expr(pre_expr, env), table.n_rows)
+
+    # 4a. fused vector top-k
+    if vs is not None and vs.fused:
+        x = table[vs.col].data
+        d, ids = distance_scan(
+            x, jnp.asarray(vs.qvec), metric=vs.metric, k=vs.k, mask=mask,
+            block_rows=settings.vector_scan_block_rows)
+        table, env, extra_cols = _materialize_topk(table, vs, d, ids,
+                                                   tuple_groups)
+        mask = None
+        # post-search filters on the distance value (00004-style
+        # "filter by distance": WHERE d < x applies AFTER the top-k search)
+        if post_terms:
+            pe = _conjoin([substitute(c, {vs.name: vs.name})
+                           for c in post_terms])
+            pm = as_bool_mask(eval_expr(pe, env), table.n_rows)
+            table, _ = compact_table_host(table, pm)
+            env = Env(table)
+            if vs.alias and not vs.is_batch and vs.name in table:
+                c = table[vs.name]
+                env.extra[vs.alias] = Value(c.data, c.valid)
+            post_terms = []
+    elif vs is not None:
+        # non-fused: materialize the full distance column
+        if vs.is_batch:
+            raise ExecError("batch_distance requires LIMIT n BY <alias>.1")
+        dist = rowwise_distance(table[vs.col].data, jnp.asarray(vs.qvec),
+                                vs.metric)
+        env.extra[vs.name] = Value(dist)
+        if vs.alias:
+            env.extra[vs.alias] = Value(dist)
+        # post terms can now be evaluated as normal filters
+        if post_terms:
+            pe = _conjoin([_expand_item_aliases(c, alias_exprs, table)
+                           for c in post_terms])
+            pm = as_bool_mask(eval_expr(pe, env), table.n_rows)
+            mask = pm if mask is None else jnp.logical_and(mask, pm)
+            post_terms = []
+
+    # 4b. aggregation
+    has_aggs = bool(q.group_by)
+    if not has_aggs:
+        for it in q.items + [SelectItem(o.expr) for o in q.order_by]:
+            e = _expand_item_aliases(it.expr, alias_exprs, table)
+            for node in walk(e):
+                if isinstance(node, FuncCall) and node.name.lower() in AGG_NAMES:
+                    has_aggs = True
+    if has_aggs:
+        agg_table, mapping = run_aggregate(env, q, mask, session, alias_exprs)
+        # rewrite remaining clauses against the aggregated table
+        table = agg_table
+        env = Env(table)
+        mask = None
+        rewrite = lambda e: substitute(
+            _expand_item_aliases(e, alias_exprs, base), mapping)
+        items = [SelectItem(rewrite(it.expr), it.alias) for it in q.items]
+        having = rewrite(q.having) if q.having is not None else None
+        order_by = [OrderItem(rewrite(o.expr), o.ascending, o.nulls_last)
+                    for o in q.order_by]
+        if having is not None:
+            hm = as_bool_mask(eval_expr(having, env), table.n_rows)
+            table, _ = compact_table_host(table, hm)
+            env = Env(table)
+        # default deterministic order: by group key columns ascending
+        if not order_by and q.group_by:
+            order_by = [OrderItem(Ident(render(k)), True, True)
+                        for k in q.group_by]
+    else:
+        items = q.items
+        order_by = q.order_by
+        if mask is not None:
+            table, _ = compact_table_host(table, mask)
+            new_env = Env(table, alias_prefixes)
+            # recompute non-fused distance extras on the compacted table
+            if vs is not None and not vs.fused and vs.name in env.extra:
+                dist = rowwise_distance(table[vs.col].data,
+                                        jnp.asarray(vs.qvec), vs.metric)
+                new_env.extra[vs.name] = Value(dist)
+                if vs.alias:
+                    new_env.extra[vs.alias] = Value(dist)
+            env = new_env
+            mask = None
+
+    # 5. projection (before sort: aliases must exist as columns for ORDER BY)
+    out_cols, out_order = _project(q, items, env, table, alias_exprs,
+                                   tuple_groups, vs)
+    proj_table = Table(out_cols, name=table.name)
+    proj_table.tuple_groups = tuple_groups
+
+    # 6. ORDER BY
+    if order_by:
+        n2 = proj_table.n_rows
+        sks = []
+        penv = Env(proj_table)
+        penv.extra = {}
+        for o in order_by:
+            oe = _expand_item_aliases(o.expr, alias_exprs, table)
+            # resolve against projected/materialized columns first (a fused
+            # distance column exists by its rendered name), then evaluate
+            v = None
+            for cn in (render(o.expr), render(oe)):
+                for t in (proj_table, table):
+                    if cn in t:
+                        c = t[cn]
+                        v = Value(c.data, c.valid, c.dictionary)
+                        break
+                if v is None and cn in env.extra:
+                    v = env.extra[cn]
+                if v is not None:
+                    break
+            if v is None:
+                try:
+                    v = eval_expr(oe, penv)
+                except EvalError:
+                    v = eval_expr(oe, env)
+            nl = o.nulls_last if o.nulls_last is not None else o.ascending
+            sks.append(_sort_key_from_value(v, o.ascending, nl, n2))
+        if q.limit is not None and q.limit_by is None:
+            perm = topn_permutation(sks, q.limit + q.offset, n2)
+        else:
+            perm = sort_permutation(sks)
+        proj_table = proj_table.take(perm)
+        proj_table.tuple_groups = tuple_groups
+
+    # 7. LIMIT BY
+    if q.limit_by is not None:
+        nlb, lb_exprs = q.limit_by
+        proj_table = _limit_by(proj_table, lb_exprs, nlb, env, alias_exprs,
+                               table)
+        proj_table.tuple_groups = tuple_groups
+
+    # 8. OFFSET / LIMIT
+    if q.limit is not None or q.offset:
+        lo = q.offset
+        hi = (lo + q.limit) if q.limit is not None else proj_table.n_rows
+        idx = jnp.arange(lo, min(hi, proj_table.n_rows), dtype=jnp.int32)
+        proj_table = proj_table.take(idx) if len(idx) < proj_table.n_rows \
+            else proj_table
+        proj_table.tuple_groups = tuple_groups
+
+    # order output columns as written
+    final = proj_table.select(out_order)
+    final.tuple_groups = tuple_groups
+    return final
+
+
+def _materialize_topk(table: Table, vs: VSInfo, d, ids, tuple_groups):
+    """Gather the top-k rows and attach the distance column(s) — the analog
+    of MergeTreeBaseSearchManager::mergeSearchResultToBlock."""
+    d_np = np.asarray(d)
+    ids_np = np.asarray(ids)
+    nq, k = ids_np.shape
+    rows, qids, dists = [], [], []
+    for qi in range(nq):
+        valid = ids_np[qi] != INVALID_ID
+        rows.append(ids_np[qi][valid])
+        dists.append(d_np[qi][valid])
+        qids.append(np.full(valid.sum(), qi, dtype=np.uint32))
+    rows = np.concatenate(rows) if rows else np.zeros(0, dtype=np.int64)
+    gathered = table.take(jnp.asarray(rows))
+    dist_col = np.concatenate(dists).astype(np.float32) if dists else \
+        np.zeros(0, dtype=np.float32)
+    name = vs.name
+    if vs.is_batch:
+        alias = vs.alias or name
+        c1 = Column(Field(alias + ".1", DataType.UINT32),
+                    jnp.asarray(np.concatenate(qids).astype(np.uint32)))
+        c2 = Column(Field(alias + ".2", DataType.FLOAT32),
+                    jnp.asarray(dist_col))
+        gathered = gathered.with_column(c1).with_column(c2)
+        tuple_groups[alias] = [alias + ".1", alias + ".2"]
+        if alias != name:
+            tuple_groups[name] = tuple_groups[alias]
+    else:
+        col = Column(Field(name, DataType.FLOAT32), jnp.asarray(dist_col))
+        gathered = gathered.with_column(col)
+    env = Env(gathered)
+    if vs.alias and not vs.is_batch:
+        c = gathered[name]
+        env.extra[vs.alias] = Value(c.data, c.valid)
+    return gathered, env, None
+
+
+def _project(q, items, env: Env, table: Table, alias_exprs, tuple_groups, vs):
+    out_cols: list[Column] = []
+    out_order: list[str] = []
+    seen = set()
+    n = table.n_rows
+    for it in items:
+        if isinstance(it.expr, Star):
+            for c in table.columns.values():
+                if any(c.name in grp for grp in tuple_groups.values()):
+                    continue   # tuple members emitted via their group
+                if c.name not in seen:
+                    out_cols.append(c)
+                    out_order.append(c.name)
+                    seen.add(c.name)
+            continue
+        e = _expand_item_aliases(it.expr, alias_exprs, table)
+        name = it.alias or render(it.expr)
+        # tuple column (batch distance): select emits its member columns
+        if name in tuple_groups or render(e) in tuple_groups:
+            gname = name if name in tuple_groups else render(e)
+            for member in tuple_groups[gname]:
+                if member not in seen:
+                    out_cols.append(table[member])
+                    out_order.append(member)
+                    seen.add(member)
+            continue
+        if vs is not None and vs.is_batch and render(e) == vs.name:
+            for member in tuple_groups[vs.alias or vs.name]:
+                if member not in seen:
+                    out_cols.append(table[member])
+                    out_order.append(member)
+                    seen.add(member)
+            continue
+        # direct column reference (or an already-materialized expression
+        # column, e.g. the fused distance) keeps its column as-is
+        cand_names = []
+        if isinstance(e, Ident):
+            cand_names = [e.qualified] if e.table else [e.name]
+        cand_names.append(render(e))
+        col = None
+        for cn in cand_names:
+            if cn in table:
+                col = table[cn]
+                break
+            if cn in env.extra:
+                v = env.extra[cn]
+                out_cols.append(_value_to_column(name, v, n))
+                out_order.append(name)
+                seen.add(name)
+                break
+        if name in seen:
+            continue
+        if col is not None:
+            out_cols.append(Column(Field(name, col.dtype,
+                                         col.field.nullable,
+                                         col.field.vector_dim),
+                                   col.data, col.valid, col.dictionary))
+            out_order.append(name)
+            seen.add(name)
+            continue
+        v = eval_expr(e, env)
+        out_cols.append(_value_to_column(name, v, n))
+        out_order.append(name)
+        seen.add(name)
+    return out_cols, out_order
+
+
+def _limit_by(table: Table, lb_exprs, nlb: int, env, alias_exprs, src_table):
+    """LIMIT n BY exprs: keep the first n rows per key group, preserving the
+    current (post-ORDER BY) row order.  Host-side — runs on candidate sets
+    that are already small (per-query top-k unions)."""
+    penv = Env(table)
+    keys = []
+    for e in lb_exprs:
+        ee = _expand_item_aliases(e, alias_exprs, src_table)
+        v = eval_expr(ee, penv)
+        data = np.asarray(v.data)
+        keys.append(data)
+    seen: dict[tuple, int] = {}
+    keep = np.zeros(table.n_rows, dtype=bool)
+    for i in range(table.n_rows):
+        key = tuple(k[i].item() for k in keys)
+        c = seen.get(key, 0)
+        if c < nlb:
+            keep[i] = True
+            seen[key] = c + 1
+    idx = jnp.asarray(np.flatnonzero(keep))
+    return table.take(idx)

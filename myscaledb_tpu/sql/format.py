@@ -1,0 +1,98 @@
+"""ClickHouse-compatible TSV result formatting (golden-file compatibility).
+
+Float32 values print as their shortest round-tripping decimal (ClickHouse
+uses the same convention: 0.030000001, 2.4299998, 104.43001); integers plain;
+Array(Float32) as [v1,v2,...]; tuple columns (batch_distance) as (q,d);
+NULL as \\N.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from myscaledb_tpu.core.types import DataType
+from myscaledb_tpu.core.table import Table
+
+
+def format_f32(v) -> str:
+    f = np.float32(v)
+    if np.isnan(f):
+        return "nan"
+    if np.isinf(f):
+        return "inf" if f > 0 else "-inf"
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    s = np.format_float_positional(f, unique=True, trim="-")
+    # scientific for very small/large like ClickHouse (1.1920929e-7 but
+    # 0.00008100271 positional — threshold calibrated on the goldens)
+    if abs(f) < 1e-5 or abs(f) >= 1e15:
+        s = np.format_float_scientific(f, unique=True, trim="-")
+        s = s.replace("e+0", "e+").replace("e-0", "e-")
+        # ClickHouse style: 1.1920929e-7 (no plus sign on negative exps only)
+    return s
+
+
+def format_f64(v) -> str:
+    f = float(v)
+    if f != f:
+        return "nan"
+    if f in (float("inf"), float("-inf")):
+        return "inf" if f > 0 else "-inf"
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return repr(f)
+
+
+def format_value(v, dtype: DataType) -> str:
+    if v is None:
+        return "\\N"
+    if dtype is DataType.FLOAT32:
+        return format_f32(v)
+    if dtype is DataType.FLOAT64:
+        return format_f64(v)
+    if dtype is DataType.FLOAT32_VECTOR:
+        return "[" + ",".join(format_f32(x) for x in v) + "]"
+    if dtype is DataType.BOOL:
+        return "true" if v else "false"
+    if dtype is DataType.STRING:
+        return str(v)
+    return str(v)
+
+
+def format_tsv(table: Table) -> str:
+    """Render a result Table as ClickHouse-style TSV (one line per row)."""
+    tuple_groups: dict = getattr(table, "tuple_groups", {}) or {}
+    member_to_group: dict[str, str] = {}
+    for g, members in tuple_groups.items():
+        for m in members:
+            member_to_group[m] = g
+
+    cols = list(table.columns.values())
+    pycols = {c.name: c.to_python() for c in cols}
+    dtypes = {c.name: c.dtype for c in cols}
+
+    # column emission plan: tuple members collapse into one cell at the
+    # position of their first member
+    plan = []
+    emitted_groups = set()
+    for c in cols:
+        g = member_to_group.get(c.name)
+        if g is None:
+            plan.append(("col", c.name))
+        elif g not in emitted_groups:
+            members = [m for m in tuple_groups[g] if m in pycols]
+            plan.append(("tuple", members))
+            emitted_groups.add(g)
+
+    lines = []
+    for i in range(table.n_rows):
+        cells = []
+        for kind, ref in plan:
+            if kind == "col":
+                cells.append(format_value(pycols[ref][i], dtypes[ref]))
+            else:
+                inner = ",".join(format_value(pycols[m][i], dtypes[m])
+                                 for m in ref)
+                cells.append("(" + inner + ")")
+        lines.append("\t".join(cells))
+    return "\n".join(lines)

@@ -1,0 +1,58 @@
+"""SQL tokenizer (reference analog: src/Parsers/Lexer.cpp)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+  | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<string>'(?:[^'\\]|\\.|'')*')
+  | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<punct><=|>=|!=|<>|==|\|\||->|[-+*/%(),.\[\]<>=])
+""", re.VERBOSE | re.DOTALL)
+
+
+@dataclass
+class Token:
+    kind: str      # 'number' | 'string' | 'ident' | 'punct' | 'eof'
+    text: str
+    pos: int
+
+    @property
+    def upper(self) -> str:
+        return self.text.upper()
+
+
+class LexError(ValueError):
+    pass
+
+
+def tokenize(sql: str) -> list[Token]:
+    out = []
+    pos = 0
+    n = len(sql)
+    while pos < n:
+        m = TOKEN_RE.match(sql, pos)
+        if not m:
+            raise LexError(f"unexpected character {sql[pos]!r} at {pos}: "
+                           f"...{sql[max(0, pos-20):pos+10]}...")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "qident":
+            text = text[1:-1].replace('""', '"').replace("``", "`")
+            kind = "ident_quoted"
+        out.append(Token(kind, text, m.start()))
+    out.append(Token("eof", "", n))
+    return out
+
+
+def unquote_string(tok_text: str) -> str:
+    body = tok_text[1:-1]
+    return (body.replace("''", "'").replace("\\'", "'")
+            .replace("\\\\", "\\").replace("\\n", "\n").replace("\\t", "\t"))

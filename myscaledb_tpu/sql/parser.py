@@ -1,0 +1,458 @@
+"""Recursive-descent SQL parser (reference analog: src/Parsers/ParserQuery.h,
+ExpressionListParsers.cpp — reduced to the executed subset).
+
+Grammar (case-insensitive keywords):
+
+  SELECT item [, item ...]
+  [ FROM table [AS alias] | FROM ( select ) ]
+  [ [INNER|LEFT] [ANY|ALL] JOIN table [AS alias] (ON expr | USING (cols)) ]*
+  [ PREWHERE expr ] [ WHERE expr ]
+  [ GROUP BY expr [, ...] ] [ HAVING expr ]
+  [ ORDER BY expr [ASC|DESC] [NULLS FIRST|LAST] [, ...] ]
+  [ LIMIT n BY expr [, ...] ]
+  [ LIMIT [offset,] n ] [ OFFSET n ]
+
+Expressions: OR / AND / NOT / comparisons (= == != <> < <= > >=, [NOT] IN,
+[NOT] BETWEEN, [NOT] LIKE) / + - / * / %% / unary - / function calls /
+[vector, literals] / tuple literals / qualified identifiers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from myscaledb_tpu.sql.lexer import tokenize, unquote_string, Token
+from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
+                                   BinOp, UnOp, FuncCall, InList, Between,
+                                   SelectItem, OrderItem, JoinClause,
+                                   SelectQuery)
+
+KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "PREWHERE", "GROUP", "BY", "HAVING", "ORDER",
+    "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE",
+    "ILIKE", "IS", "NULL", "ASC", "DESC", "NULLS", "FIRST", "LAST", "JOIN",
+    "INNER", "LEFT", "RIGHT", "FULL", "ANY", "ALL", "ON", "USING", "DISTINCT",
+    "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "WITH", "SETTINGS",
+}
+
+
+class ParseError(ValueError):
+    pass
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+        self.sql = sql
+
+    # -- token helpers ------------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> Token:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i = min(self.i + 1, len(self.toks) - 1)
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "ident" and t.upper in kws
+
+    def take_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, kw: str):
+        if not self.take_kw(kw):
+            raise ParseError(f"expected {kw} at {self.peek().text!r} "
+                             f"(pos {self.peek().pos})")
+
+    def at_punct(self, *ps: str) -> bool:
+        t = self.peek()
+        return t.kind == "punct" and t.text in ps
+
+    def take_punct(self, *ps: str) -> bool:
+        if self.at_punct(*ps):
+            self.next()
+            return True
+        return False
+
+    def expect_punct(self, p: str):
+        if not self.take_punct(p):
+            raise ParseError(f"expected {p!r} at {self.peek().text!r} "
+                             f"(pos {self.peek().pos})")
+
+    # -- entry --------------------------------------------------------------
+
+    def parse_query(self) -> SelectQuery:
+        q = self.parse_select()
+        if self.peek().kind != "eof":
+            raise ParseError(f"trailing input at {self.peek().text!r}")
+        return q
+
+    def parse_select(self) -> SelectQuery:
+        self.expect_kw("SELECT")
+        self.take_kw("DISTINCT")  # TODO: round-2 distinct support flag
+        items = [self.parse_select_item()]
+        while self.take_punct(","):
+            items.append(self.parse_select_item())
+        q = SelectQuery(items=items)
+
+        if self.take_kw("FROM"):
+            if self.take_punct("("):
+                q.subquery = self.parse_select()
+                self.expect_punct(")")
+                if self.take_kw("AS"):
+                    q.table_alias = self.next().text
+                elif self.peek().kind in ("ident", "ident_quoted") \
+                        and self.peek().upper not in KEYWORDS:
+                    q.table_alias = self.next().text
+            else:
+                q.table = self.parse_table_name()
+                if self.take_kw("AS"):
+                    q.table_alias = self.next().text
+                elif self.peek().kind in ("ident", "ident_quoted") \
+                        and self.peek().upper not in KEYWORDS:
+                    q.table_alias = self.next().text
+
+        while self.at_kw("INNER", "LEFT", "JOIN", "ANY", "ALL", "GLOBAL"):
+            q.joins.append(self.parse_join())
+
+        if self.take_kw("PREWHERE"):
+            q.prewhere = self.parse_expr()
+        if self.take_kw("WHERE"):
+            q.where = self.parse_expr()
+        if self.at_kw("GROUP"):
+            self.next(); self.expect_kw("BY")
+            q.group_by.append(self.parse_expr())
+            while self.take_punct(","):
+                q.group_by.append(self.parse_expr())
+        if self.take_kw("HAVING"):
+            q.having = self.parse_expr()
+        if self.at_kw("ORDER"):
+            self.next(); self.expect_kw("BY")
+            q.order_by.append(self.parse_order_item())
+            while self.take_punct(","):
+                q.order_by.append(self.parse_order_item())
+        if self.take_kw("LIMIT"):
+            n1 = self.parse_int()
+            if self.take_kw("BY"):
+                exprs = [self.parse_expr()]
+                while self.take_punct(","):
+                    exprs.append(self.parse_expr())
+                q.limit_by = (n1, exprs)
+                if self.take_kw("LIMIT"):
+                    n1 = self.parse_int()
+                    if self.take_punct(","):
+                        q.offset = n1
+                        q.limit = self.parse_int()
+                    else:
+                        q.limit = n1
+            elif self.take_punct(","):
+                q.offset = n1
+                q.limit = self.parse_int()
+            else:
+                q.limit = n1
+        if self.take_kw("OFFSET"):
+            q.offset = self.parse_int()
+        return q
+
+    def parse_table_name(self) -> str:
+        t = self.next()
+        if t.kind not in ("ident", "ident_quoted"):
+            raise ParseError(f"expected table name, got {t.text!r}")
+        name = t.text
+        while self.at_punct(".") and self.peek(1).kind in ("ident", "ident_quoted"):
+            self.next()
+            name += "." + self.next().text
+        return name
+
+    def parse_join(self) -> JoinClause:
+        how, strictness = "INNER", "ALL"
+        self.take_kw("GLOBAL")   # GLOBAL JOIN == broadcast; we always broadcast
+        if self.take_kw("LEFT"):
+            how = "LEFT"
+        elif self.take_kw("INNER"):
+            how = "INNER"
+        if self.take_kw("ANY"):
+            strictness = "ANY"
+        elif self.take_kw("ALL"):
+            strictness = "ALL"
+        self.expect_kw("JOIN")
+        table = self.parse_table_name()
+        alias = None
+        if self.take_kw("AS"):
+            alias = self.next().text
+        elif self.peek().kind in ("ident", "ident_quoted") \
+                and self.peek().upper not in KEYWORDS:
+            alias = self.next().text
+        cond, using = None, None
+        if self.take_kw("ON"):
+            cond = self.parse_expr()
+        elif self.take_kw("USING"):
+            paren = self.take_punct("(")
+            using = [self.next().text]
+            while self.take_punct(","):
+                using.append(self.next().text)
+            if paren:
+                self.expect_punct(")")
+        return JoinClause(table, alias, how, strictness, cond, using)
+
+    def parse_select_item(self) -> SelectItem:
+        if self.at_punct("*"):
+            self.next()
+            return SelectItem(Star())
+        e = self.parse_expr()
+        alias = None
+        if self.take_kw("AS"):
+            t = self.next()
+            alias = t.text
+        elif self.peek().kind in ("ident", "ident_quoted") \
+                and self.peek().upper not in KEYWORDS:
+            alias = self.next().text
+        return SelectItem(e, alias)
+
+    def parse_order_item(self) -> OrderItem:
+        e = self.parse_expr()
+        asc = True
+        if self.take_kw("DESC"):
+            asc = False
+        else:
+            self.take_kw("ASC")
+        nulls_last = None
+        if self.take_kw("NULLS"):
+            if self.take_kw("FIRST"):
+                nulls_last = False
+            else:
+                self.expect_kw("LAST")
+                nulls_last = True
+        return OrderItem(e, asc, nulls_last)
+
+    def parse_int(self) -> int:
+        t = self.next()
+        if t.kind != "number":
+            raise ParseError(f"expected integer, got {t.text!r}")
+        return int(float(t.text))
+
+    # -- expressions (precedence climbing) ----------------------------------
+
+    def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> Expr:
+        e = self.parse_and()
+        while self.take_kw("OR"):
+            e = BinOp("OR", e, self.parse_and())
+        return e
+
+    def parse_and(self) -> Expr:
+        e = self.parse_not()
+        while self.take_kw("AND"):
+            e = BinOp("AND", e, self.parse_not())
+        return e
+
+    def parse_not(self) -> Expr:
+        if self.take_kw("NOT"):
+            return UnOp("NOT", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> Expr:
+        e = self.parse_additive()
+        while True:
+            neg = False
+            if self.at_kw("NOT") and self.peek(1).upper in ("IN", "BETWEEN", "LIKE", "ILIKE"):
+                self.next()
+                neg = True
+            if self.take_kw("IN"):
+                self.expect_punct("(")
+                items = [self.parse_expr()]
+                while self.take_punct(","):
+                    items.append(self.parse_expr())
+                self.expect_punct(")")
+                e = InList(e, items, neg)
+            elif self.take_kw("BETWEEN"):
+                lo = self.parse_additive()
+                self.expect_kw("AND")
+                hi = self.parse_additive()
+                e = Between(e, lo, hi, neg)
+            elif self.take_kw("LIKE") or self.take_kw("ILIKE"):
+                pat = self.parse_additive()
+                e = FuncCall("notLike" if neg else "like", [e, pat])
+            elif self.at_kw("IS"):
+                self.next()
+                n = self.take_kw("NOT")
+                self.expect_kw("NULL")
+                e = FuncCall("isNotNull" if n else "isNull", [e])
+            elif self.at_punct("=", "==", "!=", "<>", "<", "<=", ">", ">="):
+                op = self.next().text
+                op = {"==": "=", "<>": "!="}.get(op, op)
+                e = BinOp(op, e, self.parse_additive())
+            else:
+                return e
+
+    def parse_additive(self) -> Expr:
+        e = self.parse_multiplicative()
+        while self.at_punct("+", "-"):
+            op = self.next().text
+            e = BinOp(op, e, self.parse_multiplicative())
+        return e
+
+    def parse_multiplicative(self) -> Expr:
+        e = self.parse_unary()
+        while self.at_punct("*", "/", "%"):
+            op = self.next().text
+            e = BinOp(op, e, self.parse_unary())
+        return e
+
+    def parse_unary(self) -> Expr:
+        if self.take_punct("-"):
+            return UnOp("-", self.parse_unary())
+        if self.take_punct("+"):
+            return self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self) -> Expr:
+        t = self.peek()
+        if t.kind == "number":
+            self.next()
+            txt = t.text
+            if "." in txt or "e" in txt or "E" in txt:
+                return Literal(float(txt))
+            return Literal(int(txt))
+        if t.kind == "string":
+            self.next()
+            return Literal(unquote_string(t.text))
+        if self.take_punct("["):
+            return self.parse_vector_literal()
+        if self.take_punct("("):
+            e = self.parse_expr()
+            if self.take_punct(","):
+                # tuple literal -> treat as function tuple(...)
+                args = [e, self.parse_expr()]
+                while self.take_punct(","):
+                    args.append(self.parse_expr())
+                self.expect_punct(")")
+                return FuncCall("tuple", args)
+            self.expect_punct(")")
+            return e
+        if t.kind in ("ident", "ident_quoted"):
+            up = t.upper
+            if up == "NULL":
+                self.next()
+                return Literal(None)
+            if up in ("TRUE", "FALSE"):
+                self.next()
+                return Literal(up == "TRUE")
+            if up == "CASE":
+                return self.parse_case()
+            self.next()
+            # function call?
+            if self.at_punct("("):
+                self.next()
+                distinct = self.take_kw("DISTINCT")
+                args = []
+                if not self.at_punct(")"):
+                    if self.at_punct("*"):
+                        self.next()
+                        args.append(Star())
+                    else:
+                        args.append(self.parse_expr())
+                        while self.take_punct(","):
+                            args.append(self.parse_expr())
+                self.expect_punct(")")
+                call = FuncCall(t.text, args, distinct)
+                # HybridSearch('fusion_type=rsf')(vec, text, [q], 'text')
+                if self.at_punct("("):
+                    self.next()
+                    args2 = []
+                    if not self.at_punct(")"):
+                        args2.append(self.parse_expr())
+                        while self.take_punct(","):
+                            args2.append(self.parse_expr())
+                    self.expect_punct(")")
+                    call = FuncCall(t.text, args2 + call.args, distinct)
+                return call
+            # tuple element access "dist.1": the lexer fuses ".1" into a
+            # number token; detect by adjacency (no whitespace between)
+            nt = self.peek()
+            if (nt.kind == "number" and nt.text.startswith(".")
+                    and nt.text[1:].isdigit()
+                    and nt.pos == t.pos + len(t.text)):
+                self.next()
+                return Ident(nt.text[1:], table=t.text)
+            # qualified identifier a.b / a.* / tuple element a.1
+            if self.at_punct(".") :
+                if self.peek(1).kind in ("ident", "ident_quoted"):
+                    self.next()
+                    col = self.next().text
+                    return Ident(col, table=t.text)
+                if self.peek(1).kind == "number":
+                    self.next()
+                    num = self.next().text
+                    return Ident(num, table=t.text)   # dist.1 -> column "dist.1"
+                if self.peek(1).text == "*":
+                    self.next(); self.next()
+                    return Star(table=t.text)
+            return Ident(t.text)
+        raise ParseError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def parse_vector_literal(self) -> Expr:
+        # '[' already consumed; supports [1,2,3] and [[1,2],[3,4]]
+        vals = []
+        nested = False
+        if self.at_punct("]"):
+            self.next()
+            return VectorLiteral([])
+        while True:
+            if self.take_punct("["):
+                nested = True
+                inner = []
+                while not self.at_punct("]"):
+                    inner.append(self._number())
+                    if not self.take_punct(","):
+                        break
+                self.expect_punct("]")
+                vals.append(inner)
+            else:
+                vals.append(self._number())
+            if not self.take_punct(","):
+                break
+        self.expect_punct("]")
+        if nested and not all(isinstance(v, list) for v in vals):
+            raise ParseError("mixed scalar/vector elements in array literal")
+        return VectorLiteral(vals)
+
+    def _number(self) -> float:
+        sign = 1.0
+        if self.take_punct("-"):
+            sign = -1.0
+        t = self.next()
+        if t.kind != "number":
+            raise ParseError(f"expected number in vector literal, got {t.text!r}")
+        return sign * float(t.text)
+
+    def parse_case(self) -> Expr:
+        self.expect_kw("CASE")
+        whens = []
+        while self.take_kw("WHEN"):
+            c = self.parse_expr()
+            self.expect_kw("THEN")
+            v = self.parse_expr()
+            whens.append((c, v))
+        default = Literal(None)
+        if self.take_kw("ELSE"):
+            default = self.parse_expr()
+        self.expect_kw("END")
+        # lower to nested if(c, v, ...)
+        e = default
+        for c, v in reversed(whens):
+            e = FuncCall("if", [c, v, e])
+        return e
+
+
+def parse_sql(sql: str) -> SelectQuery:
+    return Parser(sql).parse_query()

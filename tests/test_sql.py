@@ -1,0 +1,221 @@
+"""SQL engine end-to-end tests vs numpy oracles (filter, projection,
+aggregation, having, joins, sorting, limits)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+
+@pytest.fixture
+def sess(rng):
+    s = connect()
+    n = 500
+    s.create_table("t", {
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 7, n).astype(np.int32),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+        "f": rng.standard_normal(n).astype(np.float32),
+        "s": rng.choice(["aa", "ab", "bc", "cd"], n),
+    })
+    s.create_table("dim", {
+        "dk": np.arange(7, dtype=np.int32),
+        "label": [f"g{i}" for i in range(7)],
+        "w": (np.arange(7) * 10).astype(np.int64),
+    })
+    return s
+
+
+def cols(s):
+    t = s.tables["t"]
+    return (np.asarray(t["id"].data), np.asarray(t["k"].data),
+            np.asarray(t["v"].data), np.asarray(t["f"].data),
+            np.array(t["s"].to_python()))
+
+
+def test_filter_projection(sess):
+    r = sess.sql("SELECT id, v + 1 AS v1 FROM t WHERE v >= 40 ORDER BY id")
+    i, k, v, f, st = cols(sess)
+    want = i[v >= 40]
+    got = r.to_pydict()
+    np.testing.assert_array_equal(got["id"], want)
+    np.testing.assert_array_equal(got["v1"], v[v >= 40] + 1)
+
+
+def test_string_predicates(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT count(*) FROM t WHERE s = 'aa'")
+    assert r.to_rows()[0][0] == (st == "aa").sum()
+    r = sess.sql("SELECT count(*) FROM t WHERE s IN ('aa', 'cd')")
+    assert r.to_rows()[0][0] == np.isin(st, ["aa", "cd"]).sum()
+    r = sess.sql("SELECT count(*) FROM t WHERE s LIKE 'a%'")
+    assert r.to_rows()[0][0] == sum(x.startswith("a") for x in st)
+    r = sess.sql("SELECT count(*) FROM t WHERE s < 'b'")
+    assert r.to_rows()[0][0] == (st < "b").sum()
+
+
+def test_group_by_sums(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT k, count(*) AS c, sum(v) AS sv, min(f) AS mf, "
+                 "max(f) AS xf, avg(v) AS av FROM t GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for row, kk in enumerate(sorted(set(k.tolist()))):
+        sel = k == kk
+        assert d["k"][row] == kk
+        assert d["c"][row] == sel.sum()
+        assert d["sv"][row] == v[sel].sum()
+        assert np.isclose(d["mf"][row], f[sel].min())
+        assert np.isclose(d["xf"][row], f[sel].max())
+        assert np.isclose(d["av"][row], v[sel].mean())
+
+
+def test_group_by_string_key(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT s, sum(v) FROM t GROUP BY s ORDER BY s")
+    d = r.to_pydict()
+    want = sorted(set(st.tolist()))
+    assert d["s"] == want
+    for row, sv in enumerate(want):
+        assert d["sum(v)"][row] == v[st == sv].sum()
+
+
+def test_group_by_expression_key(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT intDiv(v, 10) AS b, count(*) FROM t GROUP BY b ORDER BY b")
+    d = r.to_pydict()
+    binned = v // 10
+    want = sorted(set(binned.tolist()))
+    assert d["b"] == want
+    for row, b in enumerate(want):
+        assert d["count()"][row] == (binned == b).sum()   # CH name: count()
+
+
+def test_group_by_multi_key_hash_path(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT k, s, count(*) AS c FROM t GROUP BY k, s ORDER BY k, s")
+    d = r.to_pydict()
+    from collections import Counter
+    want = Counter(zip(k.tolist(), st.tolist()))
+    assert len(d["c"]) == len(want)
+    for kk, ss, cc in zip(d["k"], d["s"], d["c"]):
+        assert want[(kk, ss)] == cc
+
+
+def test_global_aggregate(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT count(*), sum(v), min(v), max(v) FROM t")
+    row = r.to_rows()[0]
+    assert row == (len(v), v.sum(), v.min(), v.max())
+
+
+def test_having(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT k, count(*) AS c FROM t GROUP BY k HAVING c > 70 "
+                 "ORDER BY c DESC")
+    d = r.to_pydict()
+    from collections import Counter
+    want = {kk: c for kk, c in Counter(k.tolist()).items() if c > 70}
+    assert sorted(d["c"], reverse=True) == d["c"]
+    assert dict(zip(d["k"], d["c"])) == want
+
+
+def test_where_before_group(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT k, sum(v) FROM t WHERE v > 0 GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for row, kk in enumerate(d["k"]):
+        assert d["sum(v)"][row] == v[(k == kk) & (v > 0)].sum()
+
+
+def test_inner_join(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT id, k, label, w FROM t INNER JOIN dim ON k = dk "
+                 "ORDER BY id LIMIT 10")
+    d = r.to_pydict()
+    for row in range(10):
+        kk = d["k"][row]
+        assert d["label"][row] == f"g{kk}"
+        assert d["w"][row] == kk * 10
+
+
+def test_left_join_missing_null(sess, rng):
+    s = connect()
+    s.create_table("l", {"a": np.array([1, 2, 3, 9], dtype=np.int64)})
+    s.create_table("r", {"a": np.array([1, 3], dtype=np.int64),
+                         "b": np.array([10, 30], dtype=np.int64)})
+    out = s.sql("SELECT a, b FROM l LEFT JOIN r USING (a) ORDER BY a")
+    assert out.to_rows() == [(1, 10), (2, None), (3, 30), (9, None)]
+    out = s.sql("SELECT a, b FROM l INNER JOIN r USING (a) ORDER BY a")
+    assert out.to_rows() == [(1, 10), (3, 30)]
+
+
+def test_string_key_join():
+    s = connect()
+    s.create_table("l", {"c": ["x", "y", "z", "x"],
+                         "v": np.array([1, 2, 3, 4], dtype=np.int64)})
+    s.create_table("r", {"c": ["y", "x"],
+                         "u": np.array([20, 10], dtype=np.int64)})
+    out = s.sql("SELECT v, u FROM l INNER JOIN r ON l.c = r.c ORDER BY v")
+    assert out.to_rows() == [(1, 10), (2, 20), (4, 10)]
+
+
+def test_order_by_limit_offset(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT id FROM t ORDER BY f DESC, id LIMIT 5 OFFSET 3")
+    order = np.lexsort((i, -f))
+    np.testing.assert_array_equal(r.to_pydict()["id"], i[order][3:8])
+
+
+def test_order_by_string(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT s, id FROM t ORDER BY s, id LIMIT 8")
+    order = np.lexsort((i, st))
+    assert r.to_pydict()["id"] == i[order][:8].tolist()
+
+
+def test_limit_by(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT k, id FROM t ORDER BY k, id LIMIT 3 BY k")
+    d = r.to_pydict()
+    from collections import Counter
+    assert all(c == 3 for c in Counter(d["k"]).values())
+    for kk in set(d["k"]):
+        want = np.sort(i[k == kk])[:3].tolist()
+        got = [x for x, kk2 in zip(d["id"], d["k"]) if kk2 == kk]
+        assert got == want
+
+
+def test_subquery(sess):
+    i, k, v, f, st = cols(sess)
+    r = sess.sql("SELECT k, c FROM (SELECT k, count(*) AS c FROM t GROUP BY k) "
+                 "WHERE c > 70 ORDER BY k")
+    d = r.to_pydict()
+    from collections import Counter
+    want = {kk: c for kk, c in Counter(k.tolist()).items() if c > 70}
+    assert dict(zip(d["k"], d["c"])) == want
+
+
+def test_scalar_functions(sess):
+    r = connect()
+    r.create_table("x", {"a": np.array([-2.0, 3.5], dtype=np.float32)})
+    out = r.sql("SELECT abs(a), round(a), a * 2, if(a > 0, 1, 0) FROM x")
+    rows = out.to_rows()
+    assert rows[0][0] == 2.0 and rows[1][0] == 3.5
+    assert rows[0][3] == 0 and rows[1][3] == 1
+
+
+def test_case_expression(sess):
+    r = sess.sql("SELECT count(*) FROM t WHERE (CASE WHEN v > 0 THEN 1 "
+                 "ELSE 0 END) = 1")
+    i, k, v, f, st = cols(sess)
+    assert r.to_rows()[0][0] == (v > 0).sum()
+
+
+def test_error_unknown_column(sess):
+    with pytest.raises(Exception, match="unknown column"):
+        sess.sql("SELECT nope FROM t")
+
+
+def test_error_unknown_table(sess):
+    with pytest.raises(Exception, match="unknown table"):
+        sess.sql("SELECT 1 FROM missing")

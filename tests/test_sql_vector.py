@@ -1,0 +1,162 @@
+"""Vector-search SQL tests replicating the reference's golden suite
+(tests/queries/2_vector_search/): 00001 distance, 00002 batch_distance,
+00003 prewhere, 00011 where, 00014 cosine.  Row ids and order must be
+EXACTLY the goldens; distance values match the golden text (within 1 ULP of
+the reference's SIMD accumulation where noted)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.config import TableSettings
+
+
+@pytest.fixture
+def vsess():
+    s = connect()
+    n = 100
+    s.create_table("test_vector", {
+        "id": np.arange(n, dtype=np.float32),
+        "vector": np.stack([np.arange(n)] * 3, axis=1).astype(np.float32),
+    })
+    return s
+
+
+GOLDEN_00001 = """0	[0,0,0]	0.030000001
+1	[1,1,1]	2.4299998
+2	[2,2,2]	10.83
+3	[3,3,3]	25.230003
+4	[4,4,4]	45.630005
+5	[5,5,5]	72.03
+6	[6,6,6]	104.43001
+7	[7,7,7]	142.83
+8	[8,8,8]	187.23
+9	[9,9,9]	237.62997"""
+
+
+def _rows_ids(tsv: str):
+    return [line.split("\t")[0] for line in tsv.splitlines()]
+
+
+def test_golden_00001_distance(vsess):
+    tsv = vsess.sql_tsv(
+        "SELECT id, vector, distance(vector, [0.1, 0.1, 0.1]) FROM test_vector "
+        "order by distance(vector, [0.1, 0.1, 0.1]) limit 10")
+    assert _rows_ids(tsv) == _rows_ids(GOLDEN_00001)
+    # distances within 1 ULP of the golden text
+    for got, want in zip(tsv.splitlines(), GOLDEN_00001.splitlines()):
+        g = np.float32(got.split("\t")[2])
+        w = np.float32(want.split("\t")[2])
+        assert abs(np.float32(g - w)) <= abs(np.spacing(w)), (got, want)
+    # first two rows are exactly the golden values
+    assert tsv.splitlines()[0] == "0\t[0,0,0]\t0.030000001"
+    assert tsv.splitlines()[1] == "1\t[1,1,1]\t2.4299998"
+
+
+def test_golden_00002_batch_l2(vsess):
+    tsv = vsess.sql_tsv(
+        "SELECT id, vector, batch_distance(vector, [[0.1, 0.1, 0.1], "
+        "[0.2, 0.2, 0.2], [50.1, 50.1, 50.1]]) as dist FROM test_vector "
+        "order by dist.1,dist.2 limit 10 by dist.1")
+    lines = tsv.splitlines()
+    assert len(lines) == 30
+    # golden: queries 0/1 -> ids 0..9; query 2 -> 50,51,49,52,48,...
+    assert [l.split("\t")[0] for l in lines[:10]] == [str(i) for i in range(10)]
+    assert [l.split("\t")[0] for l in lines[20:]] == \
+        ["50", "51", "49", "52", "48", "53", "47", "54", "46", "55"]
+    assert lines[20].split("\t")[2] == "(2,0.029999085)"
+    assert lines[21].split("\t")[2] == "(2,2.4300082)"
+
+
+def test_golden_00002_batch_ip(vsess):
+    vsess.table_settings["test_vector"] = TableSettings(
+        float_vector_search_metric_type="IP")
+    tsv = vsess.sql_tsv(
+        "SELECT id, vector, batch_distance(vector, [[0.1, 0.1, 0.1], "
+        "[0.2, 0.2, 0.2], [50.1, 50.1, 50.1]]) as dist FROM test_vector "
+        "order by dist.1,dist.2 DESC limit 10 by dist.1")
+    lines = tsv.splitlines()
+    assert len(lines) == 30
+    for b in range(3):
+        assert [l.split("\t")[0] for l in lines[b*10:(b+1)*10]] == \
+            [str(i) for i in range(99, 89, -1)]
+
+
+def test_golden_00014_cosine():
+    s = connect()
+    s.create_table("test_vector", {
+        "id": np.arange(1000, dtype=np.float32),
+        "vector": np.stack([np.arange(1000), np.arange(1000) + 3,
+                            np.arange(1000) + 1], axis=1).astype(np.float32),
+    }, settings=TableSettings(float_vector_search_metric_type="Cosine"))
+    tsv = s.sql_tsv("SELECT id, distance(vector, [8., 11, 9]) AS d "
+                    "FROM test_vector ORDER BY d LIMIT 5")
+    lines = tsv.splitlines()
+    assert [l.split("\t")[0] for l in lines] == ["8", "9", "7", "10", "11"]
+    assert lines[0] == "8\t1.1920929e-7"
+    assert lines[1] == "9\t0.00008100271"
+    assert lines[2] == "7\t0.00012362003"
+
+
+def test_prewhere_filtered_search(vsess):
+    # 00003-style: predicate + search; only rows passing the filter appear
+    tsv = vsess.sql_tsv(
+        "SELECT id, distance(vector, [0.1, 0.1, 0.1]) AS d FROM test_vector "
+        "PREWHERE id >= 5 ORDER BY d LIMIT 5")
+    ids = [l.split("\t")[0] for l in tsv.splitlines()]
+    assert ids == ["5", "6", "7", "8", "9"]
+
+
+def test_where_filtered_search(vsess):
+    tsv = vsess.sql_tsv(
+        "SELECT id, distance(vector, [30.1, 30.1, 30.1]) AS d "
+        "FROM test_vector WHERE id < 30 ORDER BY d LIMIT 3")
+    ids = [l.split("\t")[0] for l in tsv.splitlines()]
+    assert ids == ["29", "28", "27"]
+
+
+def test_filter_by_distance_alias(vsess):
+    # 00004-style: WHERE on the distance alias is a post-search filter
+    tsv = vsess.sql_tsv(
+        "SELECT id, distance(vector, [0.1, 0.1, 0.1]) AS d FROM test_vector "
+        "WHERE d < 11 ORDER BY d LIMIT 10")
+    ids = [l.split("\t")[0] for l in tsv.splitlines()]
+    assert ids == ["0", "1", "2"]
+
+
+def test_distance_not_fused_without_limit(vsess):
+    # no LIMIT -> materialized distance column for every row
+    r = vsess.sql("SELECT id, distance(vector, [1., 1, 1]) AS d "
+                  "FROM test_vector WHERE id < 3 ORDER BY id")
+    d = r.to_pydict()
+    assert d["id"] == [0.0, 1.0, 2.0]
+    np.testing.assert_allclose(d["d"], [3.0, 0.0, 3.0], atol=1e-5)
+
+
+def test_ip_direction_enforced(vsess):
+    # ORDER BY ASC with IP metric must NOT fuse (different semantics):
+    # it still executes as a full sort over materialized distances
+    vsess.table_settings["test_vector"] = TableSettings(
+        float_vector_search_metric_type="IP")
+    r = vsess.sql("SELECT id, distance(vector, [1., 1, 1]) AS d "
+                  "FROM test_vector ORDER BY d ASC LIMIT 3")
+    assert r.to_pydict()["id"] == [0.0, 1.0, 2.0]   # smallest dot first
+
+
+def test_wrong_dim_rejected(vsess):
+    with pytest.raises(Exception, match="dim"):
+        vsess.sql("SELECT id, distance(vector, [1., 2]) AS d FROM test_vector "
+                  "ORDER BY d LIMIT 3")
+
+
+def test_empty_vector_rejected(vsess):
+    with pytest.raises(Exception, match="empty query vector"):
+        vsess.sql("SELECT id, distance(vector, []) AS d FROM test_vector "
+                  "ORDER BY d LIMIT 3")
+
+
+def test_limit_exceeds_matching_rows(vsess):
+    tsv = vsess.sql_tsv(
+        "SELECT id, distance(vector, [0.1, 0.1, 0.1]) AS d FROM test_vector "
+        "WHERE id < 2 ORDER BY d LIMIT 10")
+    assert len(tsv.splitlines()) == 2

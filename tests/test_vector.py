@@ -9,18 +9,20 @@ from myscaledb_tpu.ops.vector import distance_scan, INVALID_ID
 
 
 def np_scores(x, q, metric):
+    """Numpy oracle with the reference's exact brute-force semantics
+    (direct f32 L2, normalized-vector cosine)."""
     x = x.astype(np.float32)
     q = q.astype(np.float32)
-    dot = q @ x.T
     if metric == "L2":
-        return ((x * x).sum(1)[None, :] - 2.0 * dot + (q * q).sum(1)[:, None])
+        d = x[None, :, :] - q[:, None, :]
+        return (d * d).sum(-1).astype(np.float32)
     if metric == "Cosine":
-        xn = np.sqrt((x * x).sum(1))
-        qn = np.sqrt((q * q).sum(1))
-        denom = xn[None, :] * qn[:, None]
-        sim = np.where(denom > 0, dot / np.where(denom == 0, 1, denom), 0.0)
-        return 1.0 - sim
-    return -dot  # IP as min-score
+        xn = np.sqrt((x * x).sum(1, keepdims=True)).astype(np.float32)
+        qn = np.sqrt((q * q).sum(1, keepdims=True)).astype(np.float32)
+        xu = np.where(xn > 0, x / xn, 0.0).astype(np.float32)
+        qu = np.where(qn > 0, q / qn, 0.0).astype(np.float32)
+        return (1.0 - qu @ xu.T).astype(np.float32)
+    return -(q @ x.T)  # IP as min-score
 
 
 def oracle_topk(x, q, metric, k, mask=None):
@@ -45,13 +47,29 @@ def test_l2_basic(rng):
 
 
 def test_l2_golden_semantics():
-    # reference golden 00001_mqvs_distance.reference: [1,1,1] vs [0.1,0.1,0.1]
-    # -> 2.4299998 (squared L2 in fp32)
-    x = np.array([[1.0, 1.0, 1.0]], dtype=np.float32)
-    q = np.array([[0.1, 0.1, 0.1]], dtype=np.float32)
+    # reference goldens (tests/queries/2_vector_search/00001/00002):
+    # [1,1,1] vs [0.1]*3 -> 2.4299998 ; [50,50,50] vs [50.1]*3 -> 0.029999085
+    # (direct f32 sum((x-q)^2), NOT the norm decomposition)
+    x = np.array([[1.0, 1.0, 1.0], [50.0, 50.0, 50.0]], dtype=np.float32)
+    q = np.array([[0.1, 0.1, 0.1], [50.1, 50.1, 50.1]], dtype=np.float32)
     d, i = distance_scan(x, q, metric="L2", k=1)
-    assert abs(float(d[0, 0]) - 2.43) < 1e-5
+    assert float(d[0, 0]) == np.float32(2.4299998)
     assert int(i[0, 0]) == 0
+    assert float(d[1, 0]) == np.float32(0.029999085)
+    assert int(i[1, 0]) == 1
+
+
+def test_cosine_golden_semantics():
+    # reference golden 00014_mqvs_distance_cosine_bruteforce.reference:
+    # rows [n, n+3, n+1], query [8,11,9]: id 8 -> 1.1920929e-7,
+    # id 9 -> 0.00008100271, id 7 -> 0.00012362003
+    x = np.stack([[n, n + 3, n + 1] for n in range(1000)]).astype(np.float32)
+    q = np.array([[8.0, 11.0, 9.0]], dtype=np.float32)
+    d, i = distance_scan(x, q, metric="Cosine", k=3)
+    assert i[0].tolist() == [8, 9, 7]
+    got = np.asarray(d[0])
+    want = np.array([1.1920929e-7, 8.100271e-5, 1.2362003e-4], dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
 def test_cosine_identical_vector_near_zero(rng):
