@@ -1,0 +1,61 @@
+"""Distributed (hash/row-partitioned) tables over a device mesh.
+
+The reference's StorageDistributed (src/Storages/StorageDistributed.cpp) wraps
+local tables on each shard and fans queries out over TCP; here a distributed
+table is the SAME Table object with its columns device_put into a row
+sharding over the mesh — the query executor then routes hot operators to the
+shard_map implementations (parallel/ops.py) and lets jit/GSPMD partition the
+elementwise expression work automatically.
+
+Rows are padded to a multiple of the mesh size; a hidden __row_valid__ column
+masks the padding out of every operator (the executor folds it into WHERE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from myscaledb_tpu.core.types import DataType, Field
+from myscaledb_tpu.core.table import Table, Column
+from myscaledb_tpu.parallel.mesh import SHARD_AXIS
+
+ROW_VALID = "__row_valid__"
+
+
+def distribute_table(table: Table, mesh: Mesh, axis: str = SHARD_AXIS) -> Table:
+    """Pad rows to a multiple of the mesh and shard every column row-wise."""
+    nsh = mesh.shape[axis]
+    n = table.n_rows
+    n_pad = ((n + nsh - 1) // nsh) * nsh
+    pad = n_pad - n
+    cols = []
+    for c in table.columns.values():
+        data = c.data
+        if pad:
+            widths = ((0, pad),) + ((0, 0),) * (data.ndim - 1)
+            data = jnp.pad(data, widths)
+        sharding = NamedSharding(mesh, P(axis) if data.ndim == 1
+                                 else P(axis, None))
+        data = jax.device_put(data, sharding)
+        valid = c.valid
+        if valid is not None:
+            if pad:
+                valid = jnp.pad(valid, (0, pad), constant_values=False)
+            valid = jax.device_put(valid, NamedSharding(mesh, P(axis)))
+        cols.append(Column(c.field, data, valid, c.dictionary, c.zonemap))
+    if pad or True:
+        rv = jnp.pad(jnp.ones(n, dtype=bool), (0, pad), constant_values=False)
+        rv = jax.device_put(rv, NamedSharding(mesh, P(axis)))
+        cols.append(Column(Field(ROW_VALID, DataType.BOOL), rv))
+    out = Table(cols, name=table.name)
+    out.mesh = mesh
+    out.mesh_axis = axis
+    out.real_rows = n
+    return out
+
+
+def is_distributed(table: Table) -> bool:
+    return getattr(table, "mesh", None) is not None

@@ -88,21 +88,27 @@ def sharded_distance_topk(mesh: Mesh, x, q, metric: str = "L2", k: int = 10,
 
 
 def sharded_group_aggregate(mesh: Mesh, gid, mask, args, fns: tuple,
-                            num_groups: int, axis: str = SHARD_AXIS):
+                            num_groups: int, axis: str = SHARD_AXIS,
+                            arg_valids=None):
     """Distributed GROUP BY: per-shard dense partial states merged with
     psum/pmin/pmax (P3/P6).  gid/mask/args row-sharded; returns replicated
-    (states, group_count)."""
+    (states, group_count).  arg_valids: optional per-agg validity arrays
+    (all-ones where the argument has no nulls)."""
     fns = tuple(fns)
     n_args = len(args)
-    in_specs = (P(axis), P(axis)) + tuple(P(axis) for _ in range(n_args))
+    has_valids = arg_valids is not None
+    in_specs = (P(axis), P(axis)) + tuple(
+        P(axis) for _ in range(n_args * (2 if has_valids else 1)))
 
     state_specs = tuple((P(), P()) if fn == "avg" else P() for fn in fns)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
              out_specs=(state_specs, P()), check_vma=False)
-    def step(gid_loc, mask_loc, *args_loc):
+    def step(gid_loc, mask_loc, *rest):
+        args_loc = rest[:n_args]
+        valids_loc = rest[n_args:] if has_valids else None
         states, gc = partial_aggregate(gid_loc, mask_loc, args_loc, fns,
-                                       num_groups)
+                                       num_groups, valids_loc)
         gc_tot = lax.psum(gc, axis)
         merged = []
         for fn, s in zip(fns, states):
@@ -125,7 +131,8 @@ def sharded_group_aggregate(mesh: Mesh, gid, mask, args, fns: tuple,
                 raise ValueError(fn)
         return tuple(merged), gc_tot
 
-    return step(gid, mask, *args)
+    extra = tuple(arg_valids) if has_valids else ()
+    return step(gid, mask, *args, *extra)
 
 
 def sharded_topn(mesh: Mesh, keys: Sequence[SortKey], k: int,

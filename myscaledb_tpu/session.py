@@ -32,6 +32,16 @@ class Session:
         self.register(name, t, settings)
         return t
 
+    def distribute(self, name: str, mesh=None) -> Table:
+        """Convert a registered table to a row-sharded distributed table over
+        a device mesh (the StorageDistributed analog)."""
+        from myscaledb_tpu.parallel.mesh import make_mesh
+        from myscaledb_tpu.parallel.dist_table import distribute_table
+        mesh = mesh or make_mesh()
+        t = distribute_table(self.tables[name], mesh)
+        self.tables[name] = t
+        return t
+
     def drop_table(self, name: str) -> None:
         self.tables.pop(name, None)
         self.table_settings.pop(name, None)

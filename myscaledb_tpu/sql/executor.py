@@ -38,6 +38,9 @@ from myscaledb_tpu.ops.hash import float_bits_key
 from myscaledb_tpu.ops.sort import SortKey, sort_permutation, topn_permutation
 from myscaledb_tpu.ops.join import hash_join_any
 from myscaledb_tpu.ops.filter import compact_table_host
+from myscaledb_tpu.parallel.dist_table import is_distributed, ROW_VALID
+from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
+                                        sharded_group_aggregate)
 
 AGG_NAMES = {"count", "sum", "min", "max", "avg", "any"}
 DIST_FNS = {"distance", "batch_distance", "l2distance", "cosinedistance",
@@ -432,8 +435,16 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     else:
         gid, G = jnp.zeros(n, dtype=jnp.int32), 1   # global aggregation
 
-    states, gc = partial_aggregate(gid, m, tuple(args), tuple(fns), G,
-                                   tuple(arg_valids))
+    if is_distributed(table):
+        av = tuple(v if v is not None else jnp.ones(n, dtype=bool)
+                   for v in arg_valids)
+        states, gc = sharded_group_aggregate(table.mesh, gid, m, tuple(args),
+                                             tuple(fns), G,
+                                             axis=table.mesh_axis,
+                                             arg_valids=av)
+    else:
+        states, gc = partial_aggregate(gid, m, tuple(args), tuple(fns), G,
+                                       tuple(arg_valids))
     outs = finalize(states, gc, tuple(fns))
     gc_np = np.asarray(gc)
     present = np.flatnonzero(gc_np > 0)
@@ -520,13 +531,23 @@ def execute_select(session, q: SelectQuery) -> Table:
     mask = None
     if pre_expr is not None:
         mask = as_bool_mask(eval_expr(pre_expr, env), table.n_rows)
+    # distributed tables carry a hidden padding mask; fold it into the filter
+    if is_distributed(table) and ROW_VALID in table:
+        rv = table[ROW_VALID].data
+        mask = rv if mask is None else jnp.logical_and(mask, rv)
 
     # 4a. fused vector top-k
     if vs is not None and vs.fused:
         x = table[vs.col].data
-        d, ids = distance_scan(
-            x, jnp.asarray(vs.qvec), metric=vs.metric, k=vs.k, mask=mask,
-            block_rows=settings.vector_scan_block_rows)
+        if is_distributed(table):
+            d, ids = sharded_distance_topk(
+                table.mesh, x, jnp.asarray(vs.qvec), vs.metric, vs.k,
+                mask=mask, block_rows=settings.vector_scan_block_rows,
+                axis=table.mesh_axis)
+        else:
+            d, ids = distance_scan(
+                x, jnp.asarray(vs.qvec), metric=vs.metric, k=vs.k, mask=mask,
+                block_rows=settings.vector_scan_block_rows)
         table, env, extra_cols = _materialize_topk(table, vs, d, ids,
                                                    tuple_groups)
         mask = None
@@ -711,6 +732,8 @@ def _project(q, items, env: Env, table: Table, alias_exprs, tuple_groups, vs):
     for it in items:
         if isinstance(it.expr, Star):
             for c in table.columns.values():
+                if c.name.startswith("__"):
+                    continue   # hidden columns (padding mask etc.)
                 if any(c.name in grp for grp in tuple_groups.values()):
                     continue   # tuple members emitted via their group
                 if c.name not in seen:

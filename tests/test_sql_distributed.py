@@ -1,0 +1,65 @@
+"""Distributed SQL: every query over a row-sharded table must return exactly
+the same rows as the same query on the local table (the reference's
+StorageDistributed contract, stage-merged at the initiator)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.parallel.mesh import make_mesh
+
+
+def make_sessions(rng, n=1003):   # deliberately NOT divisible by 8 (padding)
+    data = {
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 5, n).astype(np.int32),
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+        "s": rng.choice(["x", "y", "z"], n),
+        "emb": rng.standard_normal((n, 16)).astype(np.float32),
+    }
+    local = connect()
+    local.create_table("t", {k: v.copy() for k, v in data.items()})
+    dist = connect()
+    dist.create_table("t", data)
+    dist.distribute("t", make_mesh(8))
+    return local, dist
+
+
+QUERIES = [
+    "SELECT id, v FROM t WHERE v > 50 ORDER BY id LIMIT 20",
+    "SELECT k, count(*), sum(v), min(v), max(v), avg(v) FROM t GROUP BY k ORDER BY k",
+    "SELECT s, sum(v) FROM t WHERE k != 2 GROUP BY s ORDER BY s",
+    "SELECT count(*) FROM t",
+    "SELECT id FROM t ORDER BY v DESC, id LIMIT 7",
+    "SELECT k, count(*) AS c FROM t GROUP BY k HAVING c > 150 ORDER BY k",
+]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_distributed_matches_local(rng, qi):
+    local, dist = make_sessions(rng)
+    q = QUERIES[qi]
+    assert dist.sql_tsv(q) == local.sql_tsv(q), q
+
+
+def test_distributed_vector_topk(rng):
+    local, dist = make_sessions(rng)
+    q = ("SELECT id, distance(emb, [" + ", ".join(["0.1"] * 16) + "]) AS d "
+         "FROM t WHERE v > 0 ORDER BY d LIMIT 12")
+    assert dist.sql_tsv(q) == local.sql_tsv(q)
+
+
+def test_distributed_batch_distance(rng):
+    local, dist = make_sessions(rng)
+    qv = ", ".join(["0.1"] * 16)
+    qv2 = ", ".join(["-0.3"] * 16)
+    q = (f"SELECT id, batch_distance(emb, [[{qv}], [{qv2}]]) AS dist FROM t "
+         "ORDER BY dist.1, dist.2 LIMIT 5 BY dist.1")
+    assert dist.sql_tsv(q) == local.sql_tsv(q)
+
+
+def test_padding_rows_never_leak(rng):
+    local, dist = make_sessions(rng, n=7)   # 7 rows over 8 shards
+    q = "SELECT id FROM t ORDER BY id"
+    assert dist.sql_tsv(q) == local.sql_tsv(q)
+    assert len(dist.sql("SELECT id FROM t").to_rows()) == 7
