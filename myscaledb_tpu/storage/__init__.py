@@ -1,0 +1,3 @@
+from myscaledb_tpu.storage.table_store import TableStore, open_table
+
+__all__ = ["TableStore", "open_table"]

@@ -1,0 +1,104 @@
+"""Column compression codecs (host-side; reference: src/Compression/).
+
+The reference ships LZ4/ZSTD/Delta/DoubleDelta/Gorilla/T64 block codecs.
+On-disk parts here use stdlib-only equivalents (no pip installs allowed):
+
+  none       raw bytes
+  zlib       DEFLATE (the LZ4/ZSTD general-purpose slot)
+  delta      per-element delta (int columns) then DEFLATE — the reference's
+             Delta+LZ4 combo (CompressionCodecDelta.cpp)
+  shuffle    byte-plane transpose then DEFLATE (floats/embeddings compress
+             far better split into byte planes — the T64/Gorilla role)
+
+Every encoded buffer is framed with magic, codec id, raw size, and a crc32
+(the reference checksums every compressed frame the same way,
+src/Compression/CompressedReadBufferBase.cpp).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"MSC1"
+CODECS = {"none": 0, "zlib": 1, "delta": 2, "shuffle": 3}
+CODEC_IDS = {v: k for k, v in CODECS.items()}
+
+
+class CodecError(ValueError):
+    pass
+
+
+def _delta_encode(arr: np.ndarray) -> bytes:
+    d = np.diff(arr, prepend=arr.dtype.type(0))
+    return zlib.compress(d.tobytes(), 6)
+
+
+def _delta_decode(raw: bytes, dtype, count: int) -> np.ndarray:
+    d = np.frombuffer(zlib.decompress(raw), dtype=dtype, count=count)
+    return np.cumsum(d, dtype=dtype)
+
+
+def _shuffle_encode(arr: np.ndarray) -> bytes:
+    b = arr.view(np.uint8).reshape(-1, arr.dtype.itemsize)
+    planes = np.ascontiguousarray(b.T)
+    return zlib.compress(planes.tobytes(), 6)
+
+
+def _shuffle_decode(raw: bytes, dtype, count: int) -> np.ndarray:
+    dtype = np.dtype(dtype)
+    planes = np.frombuffer(zlib.decompress(raw), dtype=np.uint8)
+    planes = planes.reshape(dtype.itemsize, count)
+    return np.ascontiguousarray(planes.T).reshape(-1).view(dtype)[:count]
+
+
+def encode(arr: np.ndarray, codec: str = "zlib") -> bytes:
+    arr = np.ascontiguousarray(arr)
+    flat = arr.reshape(-1)
+    if codec == "none":
+        payload = flat.tobytes()
+    elif codec == "zlib":
+        payload = zlib.compress(flat.tobytes(), 6)
+    elif codec == "delta":
+        if flat.dtype.kind not in "iu":
+            raise CodecError("delta codec requires integer data")
+        payload = _delta_encode(flat)
+    elif codec == "shuffle":
+        payload = _shuffle_encode(flat)
+    else:
+        raise CodecError(f"unknown codec {codec!r}")
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    header = MAGIC + struct.pack("<BQI", CODECS[codec], flat.nbytes, crc)
+    return header + payload
+
+
+def decode(buf: bytes, dtype, count: int) -> np.ndarray:
+    if buf[:4] != MAGIC:
+        raise CodecError("bad magic in compressed frame")
+    codec_id, raw_size, crc = struct.unpack("<BQI", buf[4:4 + 13])
+    payload = buf[4 + 13:]
+    if (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+        raise CodecError("checksum mismatch — corrupted column file")
+    codec = CODEC_IDS[codec_id]
+    dtype = np.dtype(dtype)
+    if codec == "none":
+        return np.frombuffer(payload, dtype=dtype, count=count)
+    if codec == "zlib":
+        return np.frombuffer(zlib.decompress(payload), dtype=dtype,
+                             count=count)
+    if codec == "delta":
+        return _delta_decode(payload, dtype, count)
+    if codec == "shuffle":
+        return _shuffle_decode(payload, dtype, count)
+    raise CodecError(f"unknown codec id {codec_id}")
+
+
+def default_codec(dtype: np.dtype) -> str:
+    dtype = np.dtype(dtype)
+    if dtype.kind in "iu" and dtype.itemsize >= 4:
+        return "delta"
+    if dtype.kind == "f":
+        return "shuffle"
+    return "zlib"

@@ -1,0 +1,125 @@
+"""Immutable on-disk parts (reference: src/Storages/MergeTree data parts,
+IMergeTreeDataPart.h — Wide format: one file per column + checksums +
+count.txt + minmax indexes, committed by directory rename).
+
+Part layout:
+    <table>/part_<seq>_<rows>/
+        meta.json        schema, row count, codecs, per-column checksums,
+                         per-block zone maps, sort key
+        <col>.bin        framed compressed column data (codecs.py)
+        <col>.dict.json  dictionary values (STRING columns)
+
+Writes go to a tmp_ directory renamed into place on success — crash safety by
+atomic rename, exactly the reference's tmp_-prefix commit protocol
+(MergeTreeDataWriter.cpp writeTempPart -> rename)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+
+from myscaledb_tpu.core.types import DataType, Field, physical_dtype
+from myscaledb_tpu.core.table import Table, Column, ZoneMap, BLOCK_ROWS
+from myscaledb_tpu.core.dictionary import StringDictionary
+from myscaledb_tpu.storage import codecs
+
+
+class PartError(RuntimeError):
+    pass
+
+
+def write_part(dir_path: str, table: Table, sort_key: list[str] | None = None,
+               codec_overrides: dict | None = None) -> str:
+    """Write a Table as one immutable part directory; returns the final path."""
+    codec_overrides = codec_overrides or {}
+    os.makedirs(os.path.dirname(dir_path) or ".", exist_ok=True)
+    tmp = os.path.join(os.path.dirname(dir_path) or ".",
+                       "tmp_" + os.path.basename(dir_path) + "_" +
+                       uuid.uuid4().hex[:8])
+    os.makedirs(tmp)
+    try:
+        meta = {"rows": table.n_rows, "columns": [], "sort_key": sort_key or []}
+        for c in table.columns.values():
+            arr = np.asarray(c.data)
+            codec = codec_overrides.get(c.name, codecs.default_codec(arr.dtype))
+            buf = codecs.encode(arr, codec)
+            fn = f"{c.name}.bin"
+            with open(os.path.join(tmp, fn), "wb") as f:
+                f.write(buf)
+            colmeta = {
+                "name": c.name,
+                "type": c.dtype.value,
+                "dtype": str(arr.dtype),
+                "shape": list(arr.shape),
+                "codec": codec,
+                "bytes": len(buf),
+                "nullable": c.valid is not None,
+                "vector_dim": c.field.vector_dim,
+            }
+            if c.valid is not None:
+                vbuf = codecs.encode(np.asarray(c.valid), "zlib")
+                with open(os.path.join(tmp, f"{c.name}.null.bin"), "wb") as f:
+                    f.write(vbuf)
+            if c.dictionary is not None:
+                with open(os.path.join(tmp, f"{c.name}.dict.json"), "w") as f:
+                    json.dump(c.dictionary.values, f)
+            if arr.ndim == 1 and c.dtype.is_numeric:
+                zm = ZoneMap.build(arr)
+                colmeta["zonemap"] = {"mins": zm.mins.tolist(),
+                                      "maxs": zm.maxs.tolist()}
+            meta["columns"].append(colmeta)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(dir_path):
+            raise PartError(f"part already exists: {dir_path}")
+        os.rename(tmp, dir_path)
+        return dir_path
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def read_part(dir_path: str, columns: list[str] | None = None) -> Table:
+    """Load a part back into an in-memory Table (device arrays)."""
+    import jax.numpy as jnp
+    with open(os.path.join(dir_path, "meta.json")) as f:
+        meta = json.load(f)
+    cols = []
+    for cm in meta["columns"]:
+        if columns is not None and cm["name"] not in columns:
+            continue
+        with open(os.path.join(dir_path, f"{cm['name']}.bin"), "rb") as f:
+            buf = f.read()
+        count = int(np.prod(cm["shape"]))
+        arr = codecs.decode(buf, cm["dtype"], count).reshape(cm["shape"])
+        valid = None
+        if cm["nullable"]:
+            with open(os.path.join(dir_path, f"{cm['name']}.null.bin"), "rb") as f:
+                vbuf = f.read()
+            valid = codecs.decode(vbuf, "bool", meta["rows"]).copy()
+        dictionary = None
+        dpath = os.path.join(dir_path, f"{cm['name']}.dict.json")
+        if os.path.exists(dpath):
+            with open(dpath) as f:
+                dictionary = StringDictionary(json.load(f))
+        dt = DataType(cm["type"]) if cm["type"] in [t.value for t in DataType] \
+            else DataType.INT64
+        fld = Field(cm["name"], dt, nullable=cm["nullable"],
+                    vector_dim=cm.get("vector_dim", 0))
+        zm = None
+        if "zonemap" in cm:
+            zm = ZoneMap(np.asarray(cm["zonemap"]["mins"]),
+                         np.asarray(cm["zonemap"]["maxs"]))
+        cols.append(Column(fld, jnp.asarray(arr.copy()),
+                           jnp.asarray(valid) if valid is not None else None,
+                           dictionary, zm))
+    return Table(cols)
+
+
+def part_rows(dir_path: str) -> int:
+    with open(os.path.join(dir_path, "meta.json")) as f:
+        return json.load(f)["rows"]

@@ -1,0 +1,109 @@
+"""Durable table = a directory of immutable parts + background merges.
+
+Reference analog: MergeTreeData part-set management
+(src/Storages/MergeTree/MergeTreeData.cpp): INSERTs create new parts
+atomically; a merge rewrites several small parts into one bigger part and
+retires the originals; crash recovery is simply re-listing the directory
+(tmp_ leftovers are garbage-collected).  Checkpoint/restore IS this layer —
+the durability model matches the reference's (immutable parts, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import numpy as np
+
+from myscaledb_tpu.core.table import Table, concat_tables
+from myscaledb_tpu.storage.part import write_part, read_part, part_rows
+
+_PART_RE = re.compile(r"^part_(\d+)_(\d+)$")
+
+
+class TableStore:
+    """Manages the on-disk parts of one table."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._gc_tmp()
+
+    def _gc_tmp(self):
+        for d in os.listdir(self.path):
+            if d.startswith("tmp_"):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def parts(self) -> list[str]:
+        out = []
+        for d in sorted(os.listdir(self.path)):
+            m = _PART_RE.match(d)
+            if m and os.path.isfile(os.path.join(self.path, d, "meta.json")):
+                out.append(os.path.join(self.path, d))
+        return out
+
+    def _next_seq(self) -> int:
+        seqs = [int(_PART_RE.match(os.path.basename(p)).group(1))
+                for p in self.parts()]
+        return (max(seqs) + 1) if seqs else 0
+
+    def insert(self, table: Table, sort_key: list[str] | None = None) -> str:
+        """Append one part.  If sort_key given, rows are sorted by it first
+        (the reference sorts every part by primary key on insert,
+        MergeTreeDataWriter.cpp:338)."""
+        if sort_key:
+            import jax.numpy as jnp
+            from myscaledb_tpu.ops.sort import SortKey, sort_permutation
+            keys = []
+            for name in sort_key:
+                c = table[name]
+                data = c.data
+                if c.dictionary is not None:
+                    ranks = c.dictionary.ranks()
+                    data = jnp.asarray(ranks)[jnp.clip(data, 0, None)]
+                keys.append(SortKey(data, valid=c.valid))
+            perm = sort_permutation(keys)
+            table = table.take(perm)
+        seq = self._next_seq()
+        name = f"part_{seq}_{table.n_rows}"
+        return write_part(os.path.join(self.path, name), table,
+                          sort_key=sort_key)
+
+    def load(self, columns: list[str] | None = None) -> Table:
+        """Materialize all parts into one resident Table (dictionary merge
+        handled by concat_tables)."""
+        parts = self.parts()
+        if not parts:
+            return Table([])
+        tables = [read_part(p, columns) for p in parts]
+        if len(tables) == 1:
+            return tables[0]
+        return concat_tables(tables)
+
+    def total_rows(self) -> int:
+        return sum(part_rows(p) for p in self.parts())
+
+    def merge_parts(self, max_parts: int | None = None) -> str | None:
+        """Compact all (or the first max_parts) parts into one — the
+        background MergeTask analog (MergeTask.h), run synchronously here;
+        the runtime layer schedules it off the query path."""
+        parts = self.parts()
+        if max_parts:
+            parts = parts[:max_parts]
+        if len(parts) < 2:
+            return None
+        merged = concat_tables([read_part(p) for p in parts])
+        seq = self._next_seq()
+        name = f"part_{seq}_{merged.n_rows}"
+        out = write_part(os.path.join(self.path, name), merged)
+        for p in parts:
+            shutil.rmtree(p)
+        return out
+
+    def drop(self):
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def open_table(path: str, columns: list[str] | None = None) -> Table:
+    return TableStore(path).load(columns)

@@ -1,0 +1,146 @@
+"""Storage layer: codecs round-trip + checksums, part write/read, insert/
+merge lifecycle, crash-safety (tmp_ GC), checkpoint/restore."""
+
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.core.table import Table
+from myscaledb_tpu.storage import codecs
+from myscaledb_tpu.storage.part import write_part, read_part, PartError
+from myscaledb_tpu.storage.table_store import TableStore
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "delta", "shuffle"])
+def test_codec_roundtrip_int(codec, rng):
+    arr = rng.integers(-1000, 1000, 10000).astype(np.int64)
+    buf = codecs.encode(arr, codec)
+    out = codecs.decode(buf, np.int64, len(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_codec_roundtrip_float(rng):
+    arr = rng.standard_normal((100, 16)).astype(np.float32)
+    buf = codecs.encode(arr, "shuffle")
+    out = codecs.decode(buf, np.float32, arr.size).reshape(arr.shape)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_codec_detects_corruption(rng):
+    arr = np.arange(100, dtype=np.int64)
+    buf = bytearray(codecs.encode(arr, "zlib"))
+    buf[-1] ^= 0xFF
+    with pytest.raises(codecs.CodecError, match="checksum"):
+        codecs.decode(bytes(buf), np.int64, 100)
+
+
+def test_delta_compresses_sequences():
+    arr = np.arange(100000, dtype=np.int64)
+    d = codecs.encode(arr, "delta")
+    z = codecs.encode(arr, "zlib")
+    assert len(d) < len(z) / 5    # delta should crush monotonic sequences
+
+
+def make_table(rng, n=1000):
+    return Table.from_dict({
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 100, n).astype(np.int32),
+        "f": rng.standard_normal(n).astype(np.float32),
+        "s": rng.choice(["red", "green", "blue"], n),
+        "emb": rng.standard_normal((n, 8)).astype(np.float32),
+    })
+
+
+def test_part_roundtrip(tmp_path, rng):
+    t = make_table(rng)
+    p = write_part(str(tmp_path / "part_0_1000"), t)
+    t2 = read_part(p)
+    assert t2.n_rows == 1000
+    for name in t.column_names:
+        np.testing.assert_array_equal(np.asarray(t2[name].data),
+                                      np.asarray(t[name].data))
+    assert t2["s"].to_python() == t["s"].to_python()
+    assert t2["emb"].field.vector_dim == 8
+
+
+def test_part_column_pruning(tmp_path, rng):
+    t = make_table(rng)
+    p = write_part(str(tmp_path / "part_0_1000"), t)
+    t2 = read_part(p, columns=["id", "s"])
+    assert t2.column_names == ["id", "s"]
+
+
+def test_part_no_overwrite(tmp_path, rng):
+    t = make_table(rng, 10)
+    write_part(str(tmp_path / "part_0_10"), t)
+    with pytest.raises(PartError, match="already exists"):
+        write_part(str(tmp_path / "part_0_10"), t)
+
+
+def test_store_insert_load_merge(tmp_path, rng):
+    store = TableStore(str(tmp_path / "t"))
+    t1 = make_table(rng, 300)
+    t2 = make_table(rng, 200)
+    store.insert(t1)
+    store.insert(t2)
+    assert len(store.parts()) == 2
+    assert store.total_rows() == 500
+    loaded = store.load()
+    assert loaded.n_rows == 500
+    # merge compacts to one part with identical content
+    before = loaded.to_rows()
+    store.merge_parts()
+    assert len(store.parts()) == 1
+    after = store.load().to_rows()
+    assert before == after
+
+
+def test_store_sorted_insert(tmp_path, rng):
+    store = TableStore(str(tmp_path / "t"))
+    t = make_table(rng, 100)
+    store.insert(t, sort_key=["v", "id"])
+    loaded = store.load()
+    v = np.asarray(loaded["v"].data)
+    assert (np.diff(v) >= 0).all()
+
+
+def test_tmp_garbage_collected(tmp_path, rng):
+    store = TableStore(str(tmp_path / "t"))
+    store.insert(make_table(rng, 50))
+    # simulate a crashed write
+    os.makedirs(str(tmp_path / "t" / "tmp_part_9_999_deadbeef"))
+    store2 = TableStore(str(tmp_path / "t"))
+    assert not any(d.startswith("tmp_")
+                   for d in os.listdir(str(tmp_path / "t")))
+    assert store2.total_rows() == 50
+
+
+def test_checkpoint_restore_through_session(tmp_path, rng):
+    """Save a session table, reopen it, run the same query — restore path."""
+    from myscaledb_tpu import connect
+    from myscaledb_tpu.storage.table_store import open_table
+    s = connect()
+    t = make_table(rng, 400)
+    s.register("t", t)
+    q = "SELECT s, count(*), sum(v) FROM t GROUP BY s ORDER BY s"
+    want = s.sql_tsv(q)
+    TableStore(str(tmp_path / "ckpt")).insert(t)
+    s2 = connect()
+    s2.register("t", open_table(str(tmp_path / "ckpt")))
+    assert s2.sql_tsv(q) == want
+
+
+def test_string_dictionary_merge_across_parts(tmp_path):
+    from myscaledb_tpu import connect
+    store = TableStore(str(tmp_path / "t"))
+    store.insert(Table.from_dict({"s": ["a", "b", "a"],
+                                  "v": np.array([1, 2, 3], dtype=np.int64)}))
+    store.insert(Table.from_dict({"s": ["c", "b"],
+                                  "v": np.array([4, 5], dtype=np.int64)}))
+    loaded = store.load()
+    assert loaded["s"].to_python() == ["a", "b", "a", "c", "b"]
+    s = connect()
+    s.register("t", loaded)
+    assert s.sql("SELECT sum(v) FROM t WHERE s = 'b'").to_rows()[0][0] == 7
