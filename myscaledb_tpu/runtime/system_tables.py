@@ -1,0 +1,101 @@
+"""Virtual system.* tables (reference: src/Storages/System/ + SystemLog
+tables: query_log, opentelemetry_span_log, metrics, events, one...).
+
+Built on demand from live session/runtime state; queried through the normal
+SQL path so `SELECT * FROM system.query_log WHERE ...` just works.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from myscaledb_tpu.core.table import Table
+from myscaledb_tpu.runtime import metrics as M
+from myscaledb_tpu.runtime import tracing
+
+SYSTEM_TABLES = ("system.one", "system.tables", "system.columns",
+                 "system.settings", "system.events", "system.metrics",
+                 "system.timings", "system.query_log", "system.span_log")
+
+
+def build_system_table(session, name: str) -> Table:
+    if name == "system.one":
+        return Table.from_dict({"dummy": np.zeros(1, dtype=np.uint8)})
+
+    if name == "system.tables":
+        names, rows, ncols, dist = [], [], [], []
+        for tname, t in session.tables.items():
+            names.append(tname)
+            rows.append(getattr(t, "real_rows", t.n_rows))
+            ncols.append(len(t.column_names))
+            dist.append(1 if getattr(t, "mesh", None) is not None else 0)
+        return Table.from_dict({
+            "name": names,
+            "total_rows": np.asarray(rows, dtype=np.int64),
+            "total_columns": np.asarray(ncols, dtype=np.int64),
+            "is_distributed": np.asarray(dist, dtype=np.uint8)})
+
+    if name == "system.columns":
+        tabs, cols, types = [], [], []
+        for tname, t in session.tables.items():
+            for f in t.schema():
+                if f.name.startswith("__"):
+                    continue
+                tabs.append(tname)
+                cols.append(f.name)
+                types.append(str(f))
+        return Table.from_dict({"table": tabs, "name": cols, "type": types})
+
+    if name == "system.settings":
+        items = sorted(vars(session.settings).items())
+        return Table.from_dict({
+            "name": [k for k, _ in items],
+            "value": [json.dumps(v) if not isinstance(v, str) else v
+                      for _, v in items]})
+
+    if name == "system.events":
+        ev = sorted(M.events_snapshot().items())
+        return Table.from_dict({
+            "event": [k for k, _ in ev],
+            "value": np.asarray([v for _, v in ev], dtype=np.int64)})
+
+    if name == "system.metrics":
+        ev = sorted(M.metrics_snapshot().items())
+        return Table.from_dict({
+            "metric": [k for k, _ in ev],
+            "value": np.asarray([v for _, v in ev], dtype=np.int64)})
+
+    if name == "system.timings":
+        ev = sorted(M.timings_snapshot().items())
+        return Table.from_dict({
+            "name": [k for k, _ in ev],
+            "seconds": np.asarray([v for _, v in ev], dtype=np.float64)})
+
+    if name == "system.query_log":
+        entries = list(session.query_log)
+        return Table.from_dict({
+            "query": [e["query"] for e in entries],
+            "event_time": np.asarray([e["event_time"] for e in entries],
+                                     dtype=np.float64),
+            "duration_ms": np.asarray([e["duration_ms"] for e in entries],
+                                      dtype=np.float64),
+            "result_rows": np.asarray([e["result_rows"] for e in entries],
+                                      dtype=np.int64),
+            "status": [e["status"] for e in entries],
+            "error": [e["error"] for e in entries]})
+
+    if name == "system.span_log":
+        spans = tracing.span_log_snapshot()
+        return Table.from_dict({
+            "name": [s.name for s in spans],
+            "trace_id": [s.trace_id for s in spans],
+            "span_id": [s.span_id for s in spans],
+            "parent_span_id": [s.parent_span_id or "" for s in spans],
+            "start": np.asarray([s.start for s in spans], dtype=np.float64),
+            "duration_us": np.asarray([s.duration_us for s in spans],
+                                      dtype=np.int64),
+            "attributes": [json.dumps(s.attributes) for s in spans]})
+
+    raise KeyError(f"unknown system table {name!r}")

@@ -15,10 +15,24 @@ from myscaledb_tpu.config import Settings
 
 class Session:
     def __init__(self, settings: Optional[Settings] = None):
+        from collections import deque
         from myscaledb_tpu.config import TableSettings
         self.settings = settings or Settings()
         self.tables: dict[str, Table] = {}
         self.table_settings: dict[str, "TableSettings"] = {}
+        self.query_log = deque(maxlen=10_000)
+
+    def get_table(self, name: str) -> Table:
+        """Resolve a table name: registered tables first, then virtual
+        system.* tables built from live runtime state."""
+        if name in self.tables:
+            return self.tables[name]
+        if name.startswith("system."):
+            from myscaledb_tpu.runtime.system_tables import build_system_table
+            t = build_system_table(self, name)
+            t.name = name
+            return t
+        raise KeyError(f"unknown table {name!r}")
 
     def register(self, name: str, table: Table, settings=None) -> None:
         table.name = name

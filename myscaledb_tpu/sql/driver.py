@@ -1,13 +1,50 @@
 """Query driver: the executeQuery() analog
-(src/Interpreters/executeQuery.cpp:359 parse -> interpret -> execute)."""
+(src/Interpreters/executeQuery.cpp:359 parse -> interpret -> execute), with
+the cross-cutting plumbing the reference does there too: a root trace span
+per query (:373), ProfileEvents counters, and a query_log record.
+
+Also dispatches EXPLAIN [PLAN] (InterpreterExplainQuery analog).
+"""
 
 from __future__ import annotations
 
+import time
+
 from myscaledb_tpu.sql.parser import parse_sql
-from myscaledb_tpu.sql.executor import execute_select
+from myscaledb_tpu.sql.executor import execute_select, explain_select
 from myscaledb_tpu.core.table import Table
+from myscaledb_tpu.runtime import metrics as M
+from myscaledb_tpu.runtime.tracing import span
 
 
 def execute_query(session, sql: str, params=None) -> Table:
-    q = parse_sql(sql)
-    return execute_select(session, q)
+    stripped = sql.lstrip()
+    upper = stripped.upper()
+    if upper.startswith("EXPLAIN"):
+        rest = stripped[len("EXPLAIN"):].lstrip()
+        if rest.upper().startswith("PLAN"):
+            rest = rest[len("PLAN"):].lstrip()
+        q = parse_sql(rest)
+        return Table.from_dict({"explain": explain_select(session, q)})
+
+    M.increment(M.QUERY)
+    M.increment(M.SELECT_QUERY)
+    t0 = time.perf_counter()
+    entry = {"query": sql, "event_time": time.time(), "duration_ms": 0.0,
+             "result_rows": 0, "status": "QueryStart", "error": ""}
+    try:
+        with span("query", query=sql[:200]):
+            q = parse_sql(sql)
+            result = execute_select(session, q)
+        entry["result_rows"] = result.n_rows
+        entry["status"] = "QueryFinish"
+        M.increment(M.RESULT_ROWS, result.n_rows)
+        return result
+    except Exception as e:
+        entry["status"] = "ExceptionWhileProcessing"
+        entry["error"] = f"{type(e).__name__}: {e}"
+        M.increment(M.FAILED_QUERY)
+        raise
+    finally:
+        entry["duration_ms"] = (time.perf_counter() - t0) * 1e3
+        session.query_log.append(entry)

@@ -41,6 +41,8 @@ from myscaledb_tpu.ops.filter import compact_table_host
 from myscaledb_tpu.parallel.dist_table import is_distributed, ROW_VALID
 from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
                                         sharded_group_aggregate)
+from myscaledb_tpu.runtime import metrics as M
+from myscaledb_tpu.runtime.tracing import span
 
 AGG_NAMES = {"count", "sum", "min", "max", "avg", "any"}
 DIST_FNS = {"distance", "batch_distance", "l2distance", "cosinedistance",
@@ -246,9 +248,10 @@ def _sort_key_from_value(v: Value, ascending: bool, nulls_last: bool, n: int) ->
 # join
 
 def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
-    if jc.table not in session.tables:
+    try:
+        right = session.get_table(jc.table)
+    except KeyError:
         raise ExecError(f"unknown join table {jc.table!r}")
-    right = session.tables[jc.table]
     ralias = jc.alias or jc.table
 
     # extract equality key pairs
@@ -287,7 +290,10 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
         lkeys.append(lk)
         rkeys.append(rk)
 
-    res = hash_join_any(tuple(rkeys), tuple(lkeys))
+    M.increment(M.JOIN_PROBE_ROWS, left.n_rows)
+    with span("hash_join", how=jc.how, probe_rows=left.n_rows,
+              build_rows=right.n_rows):
+        res = hash_join_any(tuple(rkeys), tuple(lkeys))
     found = res.found
     build_row = jnp.where(found, res.build_row, 0)
 
@@ -489,9 +495,10 @@ def execute_select(session, q: SelectQuery) -> Table:
     if q.subquery is not None:
         base = execute_select(session, q.subquery)
     elif q.table is not None:
-        if q.table not in session.tables:
+        try:
+            base = session.get_table(q.table)
+        except KeyError:
             raise ExecError(f"unknown table {q.table!r}")
-        base = session.tables[q.table]
     else:
         base = Table([Column.from_numpy("dummy", np.zeros(1, dtype=np.int64),
                                         build_zonemap=False)])
@@ -538,6 +545,12 @@ def execute_select(session, q: SelectQuery) -> Table:
 
     # 4a. fused vector top-k
     if vs is not None and vs.fused:
+        M.increment(M.VECTOR_SCAN_QUERIES)
+        M.increment(M.VECTOR_SCAN_ROWS, table.n_rows * vs.qvec.shape[0])
+        _vs_cm = span("vector_topk", metric=vs.metric, k=vs.k,
+                      rows=table.n_rows)
+        _vs_cm.__enter__()
+        _vs_ok = False
         x = table[vs.col].data
         if is_distributed(table):
             d, ids = sharded_distance_topk(
@@ -550,6 +563,7 @@ def execute_select(session, q: SelectQuery) -> Table:
                 block_rows=settings.vector_scan_block_rows)
         table, env, extra_cols = _materialize_topk(table, vs, d, ids,
                                                    tuple_groups)
+        _vs_cm.__exit__(None, None, None)
         mask = None
         # post-search filters on the distance value (00004-style
         # "filter by distance": WHERE d < x applies AFTER the top-k search)
@@ -589,7 +603,10 @@ def execute_select(session, q: SelectQuery) -> Table:
                 if isinstance(node, FuncCall) and node.name.lower() in AGG_NAMES:
                     has_aggs = True
     if has_aggs:
-        agg_table, mapping = run_aggregate(env, q, mask, session, alias_exprs)
+        M.increment(M.AGG_ROWS, table.n_rows)
+        with span("aggregate", rows=table.n_rows):
+            agg_table, mapping = run_aggregate(env, q, mask, session,
+                                               alias_exprs)
         # rewrite remaining clauses against the aggregated table
         table = agg_table
         env = Env(table)
@@ -658,10 +675,12 @@ def execute_select(session, q: SelectQuery) -> Table:
                     v = eval_expr(oe, env)
             nl = o.nulls_last if o.nulls_last is not None else o.ascending
             sks.append(_sort_key_from_value(v, o.ascending, nl, n2))
-        if q.limit is not None and q.limit_by is None:
-            perm = topn_permutation(sks, q.limit + q.offset, n2)
-        else:
-            perm = sort_permutation(sks)
+        M.increment(M.SORTED_ROWS, n2)
+        with span("sort", rows=n2, keys=len(sks)):
+            if q.limit is not None and q.limit_by is None:
+                perm = topn_permutation(sks, q.limit + q.offset, n2)
+            else:
+                perm = sort_permutation(sks)
         proj_table = proj_table.take(perm)
         proj_table.tuple_groups = tuple_groups
 
@@ -791,6 +810,87 @@ def _project(q, items, env: Env, table: Table, alias_exprs, tuple_groups, vs):
         out_order.append(name)
         seen.add(name)
     return out_cols, out_order
+
+
+def explain_select(session, q: SelectQuery, depth: int = 0) -> list[str]:
+    """Textual logical plan (EXPLAIN PLAN analog, InterpreterExplainQuery).
+    Mirrors execute_select's stage dispatch without executing."""
+    pad = "  " * depth
+    steps: list[str] = []
+
+    def add(s):
+        steps.append(pad + s)
+
+    if q.subquery is not None:
+        inner = explain_select(session, q.subquery, depth + 1)
+    else:
+        inner = None
+
+    add("Projection [" + ", ".join(
+        (it.alias or render(it.expr)) for it in q.items) + "]")
+    if q.limit is not None or q.offset:
+        add(f"Limit (limit={q.limit}, offset={q.offset})")
+    if q.limit_by is not None:
+        add(f"LimitBy (n={q.limit_by[0]}, keys=["
+            + ", ".join(render(e) for e in q.limit_by[1]) + "])")
+    if q.order_by:
+        keys = ", ".join(render(o.expr) + ("" if o.ascending else " DESC")
+                         for o in q.order_by)
+        if q.limit is not None:
+            add(f"TopN (k={q.limit + q.offset}, keys=[{keys}])")
+        else:
+            add(f"Sorting (keys=[{keys}])")
+    if q.having is not None:
+        add(f"Having ({render(q.having)})")
+
+    table = None
+    vs = None
+    if q.table is not None:
+        try:
+            table = session.get_table(q.table)
+            alias_exprs = {it.alias: it.expr for it in q.items if it.alias}
+            vs = analyze_vector_search(q, session, table, alias_exprs)
+        except (ExecError, KeyError):
+            pass
+    has_aggs = bool(q.group_by)
+    if not has_aggs:
+        for it in q.items:
+            for node in walk(it.expr):
+                if isinstance(node, FuncCall) and node.name.lower() in AGG_NAMES:
+                    has_aggs = True
+    if has_aggs:
+        aggs = []
+        for it in q.items:
+            for node in walk(it.expr):
+                if isinstance(node, FuncCall) and node.name.lower() in AGG_NAMES:
+                    aggs.append(render(node))
+        add("Aggregating (keys=[" + ", ".join(render(k) for k in q.group_by)
+            + "], aggregates=[" + ", ".join(aggs) + "])")
+    if vs is not None and vs.fused:
+        add(f"VectorTopK (metric={vs.metric}, k={vs.k}, "
+            f"queries={vs.qvec.shape[0]}, two-stage exact scan"
+            + (", distributed" if table is not None and
+               is_distributed(table) else "") + ")")
+    elif vs is not None:
+        add(f"DistanceMaterialize (metric={vs.metric})")
+    if q.where is not None or q.prewhere is not None:
+        conds = [render(c) for c in
+                 _split_conjuncts(q.prewhere) + _split_conjuncts(q.where)]
+        add("Filter (" + " AND ".join(conds) + ")")
+    for jc in q.joins:
+        add(f"HashJoin ({jc.how} {jc.strictness}, table={jc.table})")
+    if inner is not None:
+        add("ReadFromSubquery")
+        steps.extend(inner)
+    elif q.table is not None:
+        desc = f"ReadFromTable {q.table}"
+        if table is not None:
+            nrows = getattr(table, "real_rows", table.n_rows)
+            desc += f" ({nrows} rows)"
+            if is_distributed(table):
+                desc += f" [distributed over {table.mesh.devices.size} shards]"
+        add(desc)
+    return steps
 
 
 def _limit_by(table: Table, lb_exprs, nlb: int, env, alias_exprs, src_table):
