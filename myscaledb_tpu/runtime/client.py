@@ -1,0 +1,88 @@
+"""Command-line client (reference analog: clickhouse-client,
+src/Client/ClientBase.cpp — batch `-q` mode and an interactive REPL over the
+HTTP protocol; `--local` runs an embedded session like clickhouse-local).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import urllib.request
+import urllib.error
+
+
+def http_query(host: str, port: int, sql: str, fmt: str | None = None) -> str:
+    req = urllib.request.Request(
+        f"http://{host}:{port}/", data=sql.encode(),
+        headers={"X-Format": fmt} if fmt else {})
+    try:
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return resp.read().decode()
+    except urllib.error.HTTPError as e:
+        raise RuntimeError(e.read().decode().strip()) from None
+
+
+def run_local(args):
+    from myscaledb_tpu.session import Session
+    from myscaledb_tpu.storage.table_store import open_table
+    import os
+    session = Session()
+    if args.data_dir:
+        for d in sorted(os.listdir(args.data_dir)):
+            p = os.path.join(args.data_dir, d)
+            if os.path.isdir(p):
+                session.register(d, open_table(p))
+    def run(sql):
+        return session.sql_tsv(sql)
+    return run
+
+
+def run_remote(args):
+    def run(sql):
+        return http_query(args.host, args.port, sql, args.format).rstrip("\n")
+    return run
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="myscaledb-tpu client")
+    ap.add_argument("-q", "--query", action="append",
+                    help="query to run (repeatable); omit for REPL")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8123)
+    ap.add_argument("--format", default=None, help="TSV | JSON | JSONEachRow")
+    ap.add_argument("--local", action="store_true",
+                    help="embedded session (clickhouse-local analog)")
+    ap.add_argument("--data-dir", default=None)
+    args = ap.parse_args(argv)
+
+    run = run_local(args) if args.local else run_remote(args)
+
+    if args.query:
+        for sql in args.query:
+            out = run(sql)
+            if out:
+                print(out)
+        return 0
+
+    # REPL
+    print("myscaledb-tpu client. Type SQL; 'exit' to quit.")
+    while True:
+        try:
+            line = input(":) ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not line:
+            continue
+        if line.lower() in ("exit", "quit", "\\q"):
+            return 0
+        try:
+            out = run(line.rstrip(";"))
+            if out:
+                print(out)
+        except Exception as e:
+            print(f"Error: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""HTTP query server (reference analog: src/Server/HTTPHandler.cpp on port
+8123 — `echo 'SELECT 1' | curl --data-binary @- http://host:8123/`).
+
+Endpoints:
+    POST /            SQL in the body (or GET /?query=...) -> TSV (default),
+                      JSON / JSONEachRow via X-Format header or FORMAT clause
+    GET  /ping        "Ok." health check (same as the reference)
+    GET  /metrics     Prometheus text exposition of events/metrics
+                      (reference: PrometheusRequestHandler)
+
+A lock serializes query execution (one chip, one compiled stream); the server
+itself is threaded so pings/metrics stay responsive during long queries.
+Storage-backed tables can be attached at startup: every part directory under
+--data-dir is opened as a table named after its directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse, parse_qs
+
+from myscaledb_tpu.session import Session
+from myscaledb_tpu.sql.format import format_tsv, format_value
+from myscaledb_tpu.runtime import metrics as M
+
+_FORMAT_RE = re.compile(r"\s+FORMAT\s+(\w+)\s*$", re.IGNORECASE)
+
+
+def _result_to_json(table) -> str:
+    cols = [{"name": c.name, "type": str(c.field)}
+            for c in table.columns.values()]
+    data = table.to_rows()
+    rows = [[v.tolist() if hasattr(v, "tolist") else v for v in r]
+            for r in data]
+    return json.dumps({"meta": cols, "data": rows, "rows": len(rows)},
+                      default=str)
+
+
+def _result_to_json_each_row(table) -> str:
+    names = table.column_names
+    out = []
+    for r in table.to_rows():
+        out.append(json.dumps({n: (v.tolist() if hasattr(v, "tolist") else v)
+                               for n, v in zip(names, r)}, default=str))
+    return "\n".join(out)
+
+
+class QueryHandler(BaseHTTPRequestHandler):
+    server_version = "myscaledb-tpu/0.1"
+    session: Session = None
+    exec_lock: threading.Lock = None
+
+    def log_message(self, fmt, *args):   # quiet access log
+        pass
+
+    def _send(self, code: int, body: str, ctype="text/tab-separated-values"):
+        data = body.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", ctype + "; charset=UTF-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _run_query(self, sql: str):
+        sql = sql.strip()
+        if not sql:
+            return self._send(400, "empty query\n", "text/plain")
+        fmt = "TSV"
+        m = _FORMAT_RE.search(sql)
+        if m:
+            fmt = m.group(1).upper()
+            sql = sql[:m.start()]
+        hdr_fmt = self.headers.get("X-Format")
+        if hdr_fmt:
+            fmt = hdr_fmt.upper()
+        try:
+            with self.exec_lock:
+                result = self.session.sql(sql)
+        except Exception as e:
+            M.increment("HTTPFailedQuery")
+            return self._send(500, f"{type(e).__name__}: {e}\n", "text/plain")
+        if fmt in ("JSON",):
+            return self._send(200, _result_to_json(result), "application/json")
+        if fmt in ("JSONEACHROW",):
+            return self._send(200, _result_to_json_each_row(result),
+                              "application/json")
+        body = format_tsv(result)
+        return self._send(200, body + ("\n" if body else ""))
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        if url.path == "/ping":
+            return self._send(200, "Ok.\n", "text/plain")
+        if url.path == "/metrics":
+            lines = []
+            for k, v in sorted(M.events_snapshot().items()):
+                lines.append(f"msdb_events_{k} {v}")
+            for k, v in sorted(M.metrics_snapshot().items()):
+                lines.append(f"msdb_metrics_{k} {v}")
+            for k, v in sorted(M.timings_snapshot().items()):
+                lines.append(f"msdb_seconds_{k} {v:.6f}")
+            return self._send(200, "\n".join(lines) + "\n", "text/plain")
+        qs = parse_qs(url.query)
+        if "query" in qs:
+            return self._run_query(qs["query"][0])
+        return self._send(200, "myscaledb-tpu. POST SQL to / or use "
+                               "/?query=...\n", "text/plain")
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length).decode()
+        url = urlparse(self.path)
+        qs = parse_qs(url.query)
+        sql = qs.get("query", [body])[0] or body
+        return self._run_query(sql)
+
+
+def make_server(session: Session, host: str = "127.0.0.1",
+                port: int = 8123) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (QueryHandler,),
+                   {"session": session, "exec_lock": threading.Lock()})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(host="127.0.0.1", port=8123, data_dir=None, session=None):
+    from myscaledb_tpu.storage.table_store import open_table
+    session = session or Session()
+    if data_dir:
+        for d in sorted(os.listdir(data_dir)):
+            path = os.path.join(data_dir, d)
+            if os.path.isdir(path):
+                try:
+                    session.register(d, open_table(path))
+                except Exception:
+                    traceback.print_exc()
+    srv = make_server(session, host, port)
+    print(f"myscaledb-tpu HTTP server on {host}:{port} "
+          f"({len(session.tables)} tables)")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8123)
+    ap.add_argument("--data-dir", default=None)
+    args = ap.parse_args()
+    serve(args.host, args.port, args.data_dir)

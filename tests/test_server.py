@@ -1,0 +1,87 @@
+"""HTTP server + client round trip (reference: HTTPHandler on 8123)."""
+
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.runtime.server import make_server
+from myscaledb_tpu.runtime.client import http_query
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = connect()
+    rng = np.random.default_rng(0)
+    s.create_table("t", {
+        "id": np.arange(100, dtype=np.int64),
+        "v": rng.integers(0, 10, 100).astype(np.int64),
+        "emb": rng.standard_normal((100, 4)).astype(np.float32),
+    })
+    srv = make_server(s, "127.0.0.1", 0)   # ephemeral port
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def test_ping(server):
+    host, port = server
+    with urllib.request.urlopen(f"http://{host}:{port}/ping") as r:
+        assert r.read() == b"Ok.\n"
+
+
+def test_post_query_tsv(server):
+    host, port = server
+    out = http_query(host, port, "SELECT count(*) FROM t")
+    assert out.strip() == "100"
+
+
+def test_get_query_param(server):
+    host, port = server
+    url = (f"http://{host}:{port}/?query=" +
+           urllib.request.quote("SELECT sum(v) FROM t"))
+    with urllib.request.urlopen(url) as r:
+        assert int(r.read().strip()) > 0
+
+
+def test_json_format(server):
+    import json
+    host, port = server
+    out = http_query(host, port, "SELECT id FROM t ORDER BY id LIMIT 3",
+                     fmt="JSON")
+    doc = json.loads(out)
+    assert doc["rows"] == 3
+    assert [r[0] for r in doc["data"]] == [0, 1, 2]
+
+
+def test_format_clause(server):
+    import json
+    host, port = server
+    out = http_query(host, port,
+                     "SELECT id FROM t ORDER BY id LIMIT 2 FORMAT JSONEachRow")
+    lines = [json.loads(l) for l in out.strip().splitlines()]
+    assert lines == [{"id": 0}, {"id": 1}]
+
+
+def test_vector_query_over_http(server):
+    host, port = server
+    out = http_query(host, port,
+                     "SELECT id, distance(emb, [0.1, 0.2, 0.3, 0.4]) AS d "
+                     "FROM t ORDER BY d LIMIT 3")
+    assert len(out.strip().splitlines()) == 3
+
+
+def test_error_returns_500(server):
+    host, port = server
+    with pytest.raises(RuntimeError, match="unknown table"):
+        http_query(host, port, "SELECT 1 FROM missing_table")
+
+
+def test_metrics_endpoint(server):
+    host, port = server
+    with urllib.request.urlopen(f"http://{host}:{port}/metrics") as r:
+        body = r.read().decode()
+    assert "msdb_events_Query" in body
