@@ -210,6 +210,8 @@ def _value_to_column(name: str, v: Value, n: int) -> Column:
             return Column(Field(name, DataType.STRING),
                           jnp.asarray(ids), None, d)
         data = jnp.full((n,), jnp.asarray(data))
+    if hasattr(data, "ndim") and data.ndim == 0:
+        data = jnp.full((n,), data)   # scalar-folded expression (e.g. 1+1)
     dt = _logical_dtype_of(data, v)
     fld = Field(name, dt, nullable=v.valid is not None)
     return Column(fld, data, v.valid, v.dictionary)
