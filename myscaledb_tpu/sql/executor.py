@@ -47,6 +47,7 @@ from myscaledb_tpu.runtime.tracing import span
 AGG_NAMES = {"count", "sum", "min", "max", "avg", "any"}
 DIST_FNS = {"distance", "batch_distance", "l2distance", "cosinedistance",
             "dotproduct"}
+TEXT_FNS = {"textsearch", "hybridsearch"}
 
 
 class ExecError(ValueError):
@@ -153,6 +154,108 @@ def analyze_vector_search(q: SelectQuery, session, table: Table,
         else:
             raise ExecError("batch_distance requires LIMIT n BY <alias>.1")
     return info
+
+
+# ---------------------------------------------------------------------------
+# text / hybrid search analysis (reference: TextSearchInfo / HybridSearchInfo,
+# src/VectorIndex/Storages/VSDescription.h:72,110)
+
+@dataclass
+class TSInfo:
+    call: FuncCall
+    name: str
+    alias: Optional[str]
+    kind: str                    # 'text' | 'hybrid'
+    text_col: str = ""
+    query: str = ""
+    operator: str = "OR"
+    vec_col: str = ""
+    qvec: Optional[np.ndarray] = None
+    metric: str = "L2"
+    fusion_type: str = "RSF"
+    fused: bool = False
+    k: int = 0
+    is_batch: bool = False       # single-list results (matches VSInfo shape)
+
+
+def _parse_search_params(s: str) -> dict:
+    out = {}
+    for kv in s.replace(",", "&").split("&"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            out[k.strip().lower()] = v.strip()
+    return out
+
+
+def analyze_text_search(q: SelectQuery, session, table: Table,
+                        alias_exprs: dict) -> Optional[TSInfo]:
+    call = None
+    for it in q.items:
+        for node in walk(it.expr):
+            if isinstance(node, FuncCall) and node.name.lower() in TEXT_FNS:
+                call = node
+                break
+    if call is None:
+        return None
+    kind = "text" if call.name.lower() == "textsearch" else "hybrid"
+    args = list(call.args)
+    params = {}
+    if args and isinstance(args[0], Literal) and isinstance(args[0].value, str) \
+            and ("=" in args[0].value):
+        params = _parse_search_params(args[0].value)
+        args = args[1:]
+    alias = None
+    for it in q.items:
+        if it.alias and render(it.expr) == render(call):
+            alias = it.alias
+    info = TSInfo(call, render(call), alias, kind,
+                  operator=params.get("operator", "OR").upper(),
+                  fusion_type=params.get("fusion_type", "rsf").upper())
+    if kind == "text":
+        if len(args) != 2 or not isinstance(args[0], Ident) \
+                or not isinstance(args[1], Literal):
+            raise ExecError("TextSearch expects (column, 'query text')")
+        info.text_col = args[0].name
+        info.query = str(args[1].value)
+    else:
+        if len(args) != 4 or not isinstance(args[0], Ident) \
+                or not isinstance(args[1], Ident) \
+                or not isinstance(args[2], VectorLiteral) \
+                or not isinstance(args[3], Literal):
+            raise ExecError("HybridSearch expects "
+                            "(vector_col, text_col, [qvec], 'query text')")
+        info.vec_col = args[0].name
+        info.text_col = args[1].name
+        info.qvec = np.asarray(args[2].values, dtype=np.float32)
+        if info.qvec.ndim == 1:
+            info.qvec = info.qvec[None, :]
+        info.query = str(args[3].value)
+        tsettings = session.table_settings.get(table.name, TableSettings())
+        info.metric = tsettings.float_vector_search_metric_type
+    if info.text_col not in table or not table[info.text_col].dtype.is_string:
+        raise ExecError(f"{call.name}: {info.text_col!r} is not a string column")
+    # fusion: ORDER BY <score> DESC LIMIT k (scores are descending-better)
+    def refs(e):
+        r = render(e)
+        return r == info.name or (alias and isinstance(e, Ident)
+                                  and e.table is None and e.name == alias)
+    if q.order_by and q.limit is not None and not q.group_by \
+            and refs(q.order_by[0].expr) and not q.order_by[0].ascending:
+        info.fused = True
+        info.k = q.limit + q.offset
+    return info
+
+
+def _get_text_index(session, table: Table, col: str):
+    from myscaledb_tpu.text.bm25 import BM25Index
+    cache = getattr(session, "_text_indexes", None)
+    if cache is None:
+        cache = session._text_indexes = {}
+    key = (table.name, col, table.n_rows)
+    if key not in cache:
+        docs = table[col].to_python()
+        cache[key] = BM25Index(docs)
+    return cache[key]
 
 
 # ---------------------------------------------------------------------------
@@ -515,21 +618,25 @@ def execute_select(session, q: SelectQuery) -> Table:
     alias_exprs = {it.alias: it.expr for it in q.items if it.alias}
     tuple_groups: dict[str, list] = {}
 
-    # 2. vector search analysis
+    # 2. search analysis (vector / text / hybrid pseudo-functions)
     vs = analyze_vector_search(q, session, table, alias_exprs) \
+        if q.table is not None else None
+    ts = analyze_text_search(q, session, table, alias_exprs) \
         if q.table is not None else None
 
     # 3. WHERE/PREWHERE split into pre-search and post-search terms
     def refs_dist(e: Expr) -> bool:
-        if vs is None:
+        searches = [s for s in (vs, ts) if s is not None]
+        if not searches:
             return False
         for node in walk(e):
             r = render(node)
-            if r == vs.name:
-                return True
-            if isinstance(node, Ident) and node.table is None \
-                    and vs.alias and node.name == vs.alias:
-                return True
+            for s in searches:
+                if r == s.name:
+                    return True
+                if isinstance(node, Ident) and node.table is None \
+                        and s.alias and node.name == s.alias:
+                    return True
         return False
 
     conjuncts = _split_conjuncts(q.prewhere) + _split_conjuncts(q.where)
@@ -579,6 +686,70 @@ def execute_select(session, q: SelectQuery) -> Table:
                 c = table[vs.name]
                 env.extra[vs.alias] = Value(c.data, c.valid)
             post_terms = []
+    elif ts is not None and ts.fused:
+        # 4a'. fused text / hybrid top-k
+        idx = _get_text_index(session, table, ts.text_col)
+        if ts.kind == "text":
+            with span("text_search", k=ts.k, rows=table.n_rows):
+                scores, ids = idx.search(ts.query, ts.k, mask=mask,
+                                         operator=ts.operator)
+            d2, i2 = np.asarray(scores)[None, :], np.asarray(ids)[None, :]
+        else:
+            from myscaledb_tpu.text.fusion import (relative_score_fusion,
+                                                   reciprocal_rank_fusion)
+            ncand = ts.k * settings.hybrid_search_top_k_multiple_base
+            with span("hybrid_search", k=ts.k, rows=table.n_rows):
+                vd, vids = distance_scan(
+                    table[ts.vec_col].data, jnp.asarray(ts.qvec),
+                    metric=ts.metric, k=ncand, mask=mask,
+                    block_rows=settings.vector_scan_block_rows)
+                tscores, tids = idx.search(ts.query, ncand, mask=mask,
+                                           operator=ts.operator)
+            vids_np = np.asarray(vids[0]); vd_np = np.asarray(vd[0])
+            vok = vids_np != INVALID_ID
+            tids_np = np.asarray(tids); ts_np = np.asarray(tscores)
+            tok = tids_np != INVALID_ID
+            if ts.fusion_type == "RRF":
+                fids, fscores = reciprocal_rank_fusion(
+                    [vids_np[vok], tids_np[tok]],
+                    settings.hybrid_search_fusion_k)
+            else:
+                fids, fscores = relative_score_fusion(
+                    vids_np[vok], vd_np[vok], tids_np[tok], ts_np[tok],
+                    weight=settings.hybrid_search_fusion_weight,
+                    vector_descending=(ts.metric == "IP"))
+            fids = fids[:ts.k]
+            fscores = fscores[:ts.k]
+            pad = ts.k - len(fids)
+            d2 = np.concatenate([fscores, np.full(pad, -np.inf,
+                                                  dtype=np.float32)])[None, :]
+            i2 = np.concatenate([fids.astype(np.int32),
+                                 np.full(pad, INVALID_ID,
+                                         dtype=np.int32)])[None, :]
+        table, env, _ = _materialize_topk(table, ts, jnp.asarray(d2),
+                                          jnp.asarray(i2), tuple_groups)
+        mask = None
+        if post_terms:
+            pe = _conjoin([substitute(c, {ts.name: ts.name})
+                           for c in post_terms])
+            pm = as_bool_mask(eval_expr(pe, env), table.n_rows)
+            table, _ = compact_table_host(table, pm)
+            env = Env(table)
+            if ts.alias and ts.name in table:
+                c = table[ts.name]
+                env.extra[ts.alias] = Value(c.data, c.valid)
+            post_terms = []
+    elif ts is not None and ts.kind == "text":
+        # non-fused TextSearch: materialize the full score column
+        idx = _get_text_index(session, table, ts.text_col)
+        sc = idx.scores(ts.query, ts.operator)
+        if mask is not None:
+            sc = jnp.where(mask, sc, 0.0)
+        env.extra[ts.name] = Value(sc)
+        if ts.alias:
+            env.extra[ts.alias] = Value(sc)
+    elif ts is not None:
+        raise ExecError("HybridSearch requires ORDER BY <score> DESC LIMIT k")
     elif vs is not None:
         # non-fused: materialize the full distance column
         if vs.is_batch:

@@ -374,7 +374,8 @@ class Parser:
                         while self.take_punct(","):
                             args2.append(self.parse_expr())
                     self.expect_punct(")")
-                    call = FuncCall(t.text, args2 + call.args, distinct)
+                    # parameterized call F('params')(args...): params first
+                    call = FuncCall(t.text, call.args + args2, distinct)
                 return call
             # tuple element access "dist.1": the lexer fuses ".1" into a
             # number token; detect by adjacency (no whitespace between)

@@ -1,0 +1,5 @@
+from myscaledb_tpu.text.bm25 import BM25Index, tokenize
+from myscaledb_tpu.text.fusion import relative_score_fusion, reciprocal_rank_fusion
+
+__all__ = ["BM25Index", "tokenize", "relative_score_fusion",
+           "reciprocal_rank_fusion"]

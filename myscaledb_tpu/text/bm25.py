@@ -1,0 +1,142 @@
+"""BM25 full-text scoring (the TextSearch() backend).
+
+The reference delegates BM25 to the Rust tantivy crate through a cxxbridge
+FFI (src/Storages/MergeTree/TantivyIndexStore.h: bm25Search/
+bm25SearchWithFilter) with *global* doc-frequency statistics aggregated
+across parts/shards for distributed scoring
+(src/VectorIndex/Common/BM25InfoInDataParts.h).  Here the index is:
+
+  host side  — tokenization + vocabulary + postings construction (the
+               un-vectorizable part, exactly what tantivy does off-chip);
+  device side — scoring: query postings are concatenated into flat
+               (doc_id, tf) arrays, contributions are computed vectorized
+               and scatter-added into a dense per-doc score vector, and the
+               existing top-k machinery cuts k under an optional predicate
+               mask (the DenseBitmap filter analog).
+
+Scoring formula matches tantivy/Lucene BM25 (k1=1.2, b=0.75):
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*len/avg_len))
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+K1 = 1.2
+B = 0.75
+
+
+def tokenize(text: str) -> list[str]:
+    if text is None:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+class BM25Index:
+    """Inverted index over a list of documents."""
+
+    def __init__(self, docs: list[Optional[str]]):
+        self.n_docs = len(docs)
+        vocab: dict[str, int] = {}
+        postings: list[dict[int, int]] = []   # term_id -> {doc: tf}
+        doc_len = np.zeros(self.n_docs, dtype=np.float32)
+        for di, doc in enumerate(docs):
+            toks = tokenize(doc)
+            doc_len[di] = len(toks)
+            for t in toks:
+                tid = vocab.get(t)
+                if tid is None:
+                    tid = len(vocab)
+                    vocab[tid if False else t] = tid
+                    postings.append({})
+                p = postings[tid]
+                p[di] = p.get(di, 0) + 1
+        self.vocab = vocab
+        self.doc_len = jnp.asarray(doc_len)
+        self.avg_len = float(doc_len.mean()) if self.n_docs else 0.0
+        # flatten postings
+        self._post_docs = []
+        self._post_tfs = []
+        self.df = np.zeros(len(vocab), dtype=np.int64)
+        for tid, p in enumerate(postings):
+            items = sorted(p.items())
+            self._post_docs.append(np.fromiter((d for d, _ in items),
+                                               dtype=np.int32, count=len(items)))
+            self._post_tfs.append(np.fromiter((tf for _, tf in items),
+                                              dtype=np.float32, count=len(items)))
+            self.df[tid] = len(items)
+        self.total_tokens = int(doc_len.sum())
+
+    # -- statistics (the BM25InfoInDataParts surface: mergeable across
+    #    shards by summing df and token counts) ----------------------------
+
+    def stats(self) -> dict:
+        return {"n_docs": self.n_docs, "total_tokens": self.total_tokens,
+                "vocab_size": len(self.vocab)}
+
+    def term_df(self, term: str) -> int:
+        tid = self.vocab.get(term)
+        return int(self.df[tid]) if tid is not None else 0
+
+    # -- scoring ------------------------------------------------------------
+
+    def scores(self, query: str, operator: str = "OR",
+               global_stats: Optional[dict] = None) -> jnp.ndarray:
+        """Dense (n_docs,) BM25 score vector for the query.
+
+        operator='AND' zeroes docs that miss any query term (the reference's
+        text_operator, VSDescription.h:80-84).  global_stats may override
+        (n_docs, df per term) for distributed global scoring.
+        """
+        terms = tokenize(query)
+        n = global_stats["n_docs"] if global_stats else self.n_docs
+        out = jnp.zeros(self.n_docs, dtype=jnp.float32)
+        if not terms or self.n_docs == 0:
+            return out
+        hit_counts = jnp.zeros(self.n_docs, dtype=jnp.int32)
+        norm_denom = K1 * (1.0 - B + B * self.doc_len /
+                           jnp.float32(max(self.avg_len, 1e-9)))
+        seen = set()
+        n_query_terms = 0
+        for t in terms:
+            if t in seen:
+                continue   # repeated query terms count once (tantivy)
+            seen.add(t)
+            n_query_terms += 1
+            tid = self.vocab.get(t)
+            if tid is None:
+                continue
+            df = (global_stats["df"].get(t, int(self.df[tid]))
+                  if global_stats else int(self.df[tid]))
+            idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            docs = jnp.asarray(self._post_docs[tid])
+            tfs = jnp.asarray(self._post_tfs[tid])
+            tf_norm = tfs * (K1 + 1.0) / (tfs + norm_denom[docs])
+            out = out.at[docs].add(idf * tf_norm)
+            hit_counts = hit_counts.at[docs].add(1)
+        if operator.upper() == "AND":
+            out = jnp.where(hit_counts == n_query_terms, out, 0.0)
+        return out
+
+    def search(self, query: str, k: int, mask=None, operator: str = "OR"):
+        """Top-k (scores desc, ties by doc id asc).  Returns (scores, ids);
+        docs with zero score are excluded (id = INT32_MAX padding)."""
+        from myscaledb_tpu.ops.vector import INVALID_ID
+        s = self.scores(query, operator)
+        if mask is not None:
+            s = jnp.where(jnp.asarray(mask, dtype=bool), s, 0.0)
+        neg = jnp.where(s > 0, -s, jnp.inf)
+        k = min(k, self.n_docs)
+        vals, ids = lax.top_k(-neg, k)   # max of -neg = min of neg
+        scores = vals
+        ids = jnp.where(jnp.isneginf(vals), INVALID_ID, ids)
+        scores = jnp.where(jnp.isneginf(vals), 0.0, -(-vals))
+        return scores, ids.astype(jnp.int32)

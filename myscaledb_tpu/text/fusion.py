@@ -1,0 +1,63 @@
+"""Hybrid search fusion — exact reference semantics (SURVEY.md Appendix A,
+src/VectorIndex/Utils/HybridSearchUtils.cpp).
+
+RSF (Relative Score Fusion, :212): min-max normalize each candidate list
+independently over the candidate set (num_candidates = k * multiple); if
+min == max every normalized score is 1.0.  Fused score =
+    w * norm(bm25) + (1 - w) * (direction == -1 ? norm(dist) : 1 - norm(dist))
+where direction -1 means descending metric (IP).
+
+RRF (Reciprocal Rank Fusion, :164): fused = sum over lists of
+    1 / (fusion_k + rank + 1)     (0-based rank, default fusion_k = 60);
+missing membership contributes 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _normalized(scores: np.ndarray) -> np.ndarray:
+    if len(scores) == 0:
+        return scores
+    lo, hi = float(np.min(scores)), float(np.max(scores))
+    if hi == lo:
+        return np.ones_like(scores, dtype=np.float32)
+    return ((scores - lo) / (hi - lo)).astype(np.float32)
+
+
+def relative_score_fusion(vec_ids, vec_dists, text_ids, text_scores,
+                          weight: float = 0.5,
+                          vector_descending: bool = False):
+    """Returns (ids, fused_scores) sorted by fused score desc, ties by id asc.
+
+    vec_dists: distances in metric convention (asc lists for L2/Cosine,
+    desc for IP -> vector_descending=True).  text_scores: BM25 desc.
+    """
+    vec_ids = np.asarray(vec_ids)
+    text_ids = np.asarray(text_ids)
+    nv = _normalized(np.asarray(vec_dists, dtype=np.float32))
+    nt = _normalized(np.asarray(text_scores, dtype=np.float32))
+    fused: dict[int, float] = {}
+    for i, vid in enumerate(vec_ids):
+        contrib = nv[i] if vector_descending else 1.0 - nv[i]
+        fused[int(vid)] = fused.get(int(vid), 0.0) + (1.0 - weight) * float(contrib)
+    for i, tid in enumerate(text_ids):
+        fused[int(tid)] = fused.get(int(tid), 0.0) + weight * float(nt[i])
+    items = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+    ids = np.array([k for k, _ in items], dtype=np.int64)
+    scores = np.array([v for _, v in items], dtype=np.float32)
+    return ids, scores
+
+
+def reciprocal_rank_fusion(id_lists, fusion_k: int = 60):
+    """id_lists: sequence of ranked id arrays (best first)."""
+    fused: dict[int, float] = {}
+    for ids in id_lists:
+        for rank, rid in enumerate(np.asarray(ids)):
+            fused[int(rid)] = fused.get(int(rid), 0.0) + \
+                1.0 / (fusion_k + rank + 1)
+    items = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+    ids = np.array([k for k, _ in items], dtype=np.int64)
+    scores = np.array([v for _, v in items], dtype=np.float32)
+    return ids, scores

@@ -1,0 +1,152 @@
+"""TextSearch (BM25) + HybridSearch (RSF/RRF fusion) tests; BM25 values
+checked against a pure-python oracle with the tantivy/Lucene formula."""
+
+import math
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.text.bm25 import BM25Index, tokenize, K1, B
+from myscaledb_tpu.text.fusion import (relative_score_fusion,
+                                       reciprocal_rank_fusion)
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a quick brown cat",
+    "the lazy dog sleeps",
+    "foxes are quick and clever animals",
+    "dogs and cats are pets",
+    "",
+]
+
+
+def oracle_bm25(docs, query):
+    toks = [tokenize(d) for d in docs]
+    n = len(docs)
+    avg = sum(len(t) for t in toks) / n
+    scores = [0.0] * n
+    for term in dict.fromkeys(tokenize(query)):
+        df = sum(term in t for t in toks)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, t in enumerate(toks):
+            tf = t.count(term)
+            if tf:
+                denom = tf + K1 * (1 - B + B * len(t) / avg)
+                scores[i] += idf * tf * (K1 + 1) / denom
+    return scores
+
+
+def test_bm25_matches_oracle():
+    idx = BM25Index(DOCS)
+    got = np.asarray(idx.scores("quick dog"))
+    want = oracle_bm25(DOCS, "quick dog")
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bm25_and_operator():
+    idx = BM25Index(DOCS)
+    s = np.asarray(idx.scores("quick dog", operator="AND"))
+    # only doc 0 has both 'quick' and 'dog'
+    assert s[0] > 0
+    assert (s[1:] == 0).all()
+
+
+def test_bm25_search_topk_and_mask():
+    idx = BM25Index(DOCS)
+    scores, ids = idx.search("quick", k=3)
+    assert set(np.asarray(ids)[np.asarray(scores) > 0].tolist()) <= {0, 1, 3}
+    mask = np.zeros(len(DOCS), dtype=bool)
+    mask[3] = True
+    scores, ids = idx.search("quick", k=2, mask=mask)
+    assert int(ids[0]) == 3
+
+
+def test_rsf_min_max_equal_gives_ones():
+    ids, sc = relative_score_fusion([1, 2], [5.0, 5.0], [2, 3], [2.0, 1.0],
+                                    weight=0.5)
+    # equal distances -> both normalized to 1.0 -> vector contrib (1-1)=0;
+    # text: norm([2,1]) = [1,0] -> doc2 gets 0.5, doc3 gets 0
+    d = dict(zip(ids.tolist(), sc.tolist()))
+    assert abs(d[2] - 0.5) < 1e-6
+    assert abs(d[3] - 0.0) < 1e-6
+    assert abs(d[1] - 0.0) < 1e-6
+
+
+def test_rrf_formula():
+    ids, sc = reciprocal_rank_fusion([[7, 8], [8, 9]], fusion_k=60)
+    d = dict(zip(ids.tolist(), sc.tolist()))
+    assert abs(d[8] - (1 / 62 + 1 / 61)) < 1e-6
+    assert abs(d[7] - 1 / 61) < 1e-6
+    assert abs(d[9] - 1 / 62) < 1e-6
+    assert ids[0] == 8
+
+
+@pytest.fixture
+def tsess(rng):
+    s = connect()
+    n = len(DOCS)
+    s.create_table("articles", {
+        "id": np.arange(n, dtype=np.int64),
+        "body": DOCS,
+        "emb": np.eye(n, 4, dtype=np.float32) +
+               rng.standard_normal((n, 4)).astype(np.float32) * 0.01,
+    })
+    return s
+
+
+def test_sql_textsearch_fused(tsess):
+    r = tsess.sql("SELECT id, TextSearch(body, 'quick dog') AS score "
+                  "FROM articles ORDER BY score DESC LIMIT 3")
+    d = r.to_pydict()
+    want = oracle_bm25(DOCS, "quick dog")
+    order = sorted(range(len(DOCS)), key=lambda i: (-want[i], i))
+    expect = [i for i in order if want[i] > 0][:3]
+    assert d["id"] == expect
+    np.testing.assert_allclose(d["score"], [want[i] for i in expect], rtol=1e-5)
+
+
+def test_sql_textsearch_with_filter(tsess):
+    r = tsess.sql("SELECT id, TextSearch(body, 'quick') AS s FROM articles "
+                  "WHERE id > 1 ORDER BY s DESC LIMIT 5")
+    assert all(i > 1 for i in r.to_pydict()["id"])
+
+
+def test_sql_textsearch_not_fused(tsess):
+    r = tsess.sql("SELECT id, TextSearch(body, 'quick') AS s FROM articles "
+                  "ORDER BY id")
+    d = r.to_pydict()
+    assert len(d["id"]) == len(DOCS)
+    want = oracle_bm25(DOCS, "quick")
+    np.testing.assert_allclose(d["s"], want, rtol=1e-5)
+
+
+def test_sql_hybrid_rsf(tsess):
+    qv = "[1., 0, 0, 0]"
+    r = tsess.sql("SELECT id, HybridSearch('fusion_type=rsf')(emb, body, "
+                  f"{qv}, 'quick dog') AS score FROM articles "
+                  "ORDER BY score DESC LIMIT 4")
+    d = r.to_pydict()
+    assert len(d["id"]) == 4
+    # doc 0: both strong text match ('quick dog') and closest vector (e_0)
+    assert d["id"][0] == 0
+    assert all(d["score"][i] >= d["score"][i + 1] for i in range(3))
+
+
+def test_sql_hybrid_rrf(tsess):
+    qv = "[0., 1, 0, 0]"
+    r = tsess.sql("SELECT id, HybridSearch('fusion_type=rrf')(emb, body, "
+                  f"{qv}, 'lazy dog') AS score FROM articles "
+                  "ORDER BY score DESC LIMIT 3")
+    d = r.to_pydict()
+    assert len(d["id"]) == 3
+    # doc 1 is nearest vector (e_1); docs 0/2 match 'lazy dog' text
+    assert set(d["id"]) & {0, 1, 2}
+
+
+def test_hybrid_requires_order_limit(tsess):
+    with pytest.raises(Exception, match="HybridSearch requires"):
+        tsess.sql("SELECT HybridSearch('fusion_type=rsf')(emb, body, "
+                  "[1., 0, 0, 0], 'x') AS s FROM articles")
