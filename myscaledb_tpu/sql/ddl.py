@@ -1,0 +1,393 @@
+"""DDL / DML statements: CREATE TABLE, INSERT, DROP, TRUNCATE, SET, SHOW,
+DESCRIBE (reference: the ~40 Interpreter*Query classes,
+src/Interpreters/InterpreterFactory — reduced to the statements a user of a
+session-scoped engine needs).
+
+Type grammar accepts the ClickHouse names (Int8..UInt64, Float32/64, String,
+Bool, Date, DateTime, Array(Float32) [+ fixed dim], Nullable(T),
+LowCardinality(T) which folds to T since every string is dictionary-encoded).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from myscaledb_tpu.core.types import DataType, Field, type_from_name, physical_dtype
+from myscaledb_tpu.core.table import Table, Column, concat_tables
+from myscaledb_tpu.sql.lexer import tokenize, unquote_string
+from myscaledb_tpu.sql.parser import Parser, ParseError
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    dtype: DataType
+    nullable: bool = False
+    vector_dim: int = 0
+
+
+@dataclass
+class CreateTable:
+    name: str
+    columns: list
+    order_by: list = field(default_factory=list)
+    if_not_exists: bool = False
+    settings: dict = field(default_factory=dict)
+
+
+@dataclass
+class InsertValues:
+    table: str
+    columns: Optional[list]
+    rows: list                    # list of tuples of python literals
+    select_sql: Optional[str] = None
+
+
+@dataclass
+class DropTable:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class TruncateTable:
+    name: str
+
+
+@dataclass
+class SetStatement:
+    name: str
+    value: object
+
+
+@dataclass
+class ShowTables:
+    pass
+
+
+@dataclass
+class DescribeTable:
+    name: str
+
+
+class DDLParser(Parser):
+    def parse_statement(self):
+        t = self.peek()
+        up = t.upper
+        if up == "CREATE":
+            return self.parse_create()
+        if up == "INSERT":
+            return self.parse_insert()
+        if up == "DROP":
+            return self.parse_drop()
+        if up == "TRUNCATE":
+            self.next()
+            self.take_kw("TABLE")
+            return TruncateTable(self.parse_table_name())
+        if up == "SET":
+            return self.parse_set()
+        if up == "SHOW":
+            self.next()
+            self.expect_kw("TABLES")
+            return ShowTables()
+        if up in ("DESCRIBE", "DESC"):
+            self.next()
+            self.take_kw("TABLE")
+            return DescribeTable(self.parse_table_name())
+        return None   # fall through to SELECT
+
+    def parse_create(self):
+        self.expect_kw("CREATE")
+        self.expect_kw("TABLE")
+        ine = False
+        if self.take_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            ine = True
+        name = self.parse_table_name()
+        self.expect_punct("(")
+        cols = []
+        while True:
+            if self.take_kw("CONSTRAINT"):
+                # CONSTRAINT x CHECK length(v) = N fixes a vector dim
+                self.next()                       # constraint name
+                self.expect_kw("CHECK")
+                chk = self.parse_expr()
+                self._apply_length_constraint(cols, chk)
+            else:
+                cname = self.next().text
+                ctype, nullable, vdim = self.parse_type()
+                # DEFAULT/CODEC clauses: accept and ignore value expression
+                if self.take_kw("DEFAULT"):
+                    self.parse_expr()
+                cols.append(ColumnDef(cname, ctype, nullable, vdim))
+            if not self.take_punct(","):
+                break
+        self.expect_punct(")")
+        order_by = []
+        settings = {}
+        # engine / order by / primary key / settings tail
+        while self.peek().kind != "eof":
+            if self.take_kw("ENGINE"):
+                self.take_punct("=")
+                self.next()                       # engine name (ignored)
+                if self.take_punct("("):
+                    depth = 1
+                    while depth and self.peek().kind != "eof":
+                        tok = self.next()
+                        depth += (tok.text == "(") - (tok.text == ")")
+            elif self.at_kw("ORDER") or self.at_kw("PRIMARY"):
+                self.next()
+                self.expect_kw("BY" if self.toks[self.i - 1].upper == "ORDER"
+                               else "KEY")
+                if self.take_punct("("):
+                    order_by.append(self.next().text)
+                    while self.take_punct(","):
+                        order_by.append(self.next().text)
+                    self.expect_punct(")")
+                else:
+                    order_by.append(self.next().text)
+            elif self.take_kw("SETTINGS"):
+                while self.peek().kind != "eof":
+                    sname = self.next().text
+                    self.expect_punct("=")
+                    sval = self.next().text
+                    settings[sname] = sval.strip("'")
+                    if not self.take_punct(","):
+                        break
+            else:
+                self.next()   # tolerate unknown clauses (PARTITION BY etc.)
+        return CreateTable(name, cols, order_by, ine, settings)
+
+    def _apply_length_constraint(self, cols, chk):
+        # recognize length(col) = N
+        from myscaledb_tpu.sql.ast import BinOp, FuncCall, Ident, Literal
+        if isinstance(chk, BinOp) and chk.op == "=" and \
+                isinstance(chk.left, FuncCall) and \
+                chk.left.name.lower() == "length" and \
+                isinstance(chk.left.args[0], Ident) and \
+                isinstance(chk.right, Literal):
+            cname = chk.left.args[0].name
+            for c in cols:
+                if c.name == cname and c.dtype is DataType.FLOAT32_VECTOR:
+                    c.vector_dim = int(chk.right.value)
+
+    def parse_type(self):
+        t = self.next()
+        name = t.text
+        nullable = False
+        vdim = 0
+        if name.lower() == "nullable":
+            self.expect_punct("(")
+            dtype, _, vdim = self.parse_type()
+            self.expect_punct(")")
+            return dtype, True, vdim
+        if name.lower() == "lowcardinality":
+            self.expect_punct("(")
+            dtype, nullable, vdim = self.parse_type()
+            self.expect_punct(")")
+            return dtype, nullable, vdim
+        if name.lower() == "array":
+            self.expect_punct("(")
+            inner = self.next().text
+            if inner.lower() not in ("float32", "float"):
+                raise ParseError("only Array(Float32) vector columns supported")
+            if self.take_punct(","):
+                vdim = int(self.next().text)
+            self.expect_punct(")")
+            return DataType.FLOAT32_VECTOR, False, vdim
+        try:
+            return type_from_name(name), False, 0
+        except ValueError:
+            raise ParseError(f"unknown type {name!r}")
+
+    def parse_insert(self):
+        self.expect_kw("INSERT")
+        self.expect_kw("INTO")
+        name = self.parse_table_name()
+        columns = None
+        if self.take_punct("("):
+            columns = [self.next().text]
+            while self.take_punct(","):
+                columns.append(self.next().text)
+            self.expect_punct(")")
+        if self.at_kw("SELECT"):
+            rest = self.sql[self.peek().pos:]
+            return InsertValues(name, columns, [], select_sql=rest)
+        self.expect_kw("VALUES")
+        rows = []
+        while self.take_punct("("):
+            row = [self.parse_insert_value()]
+            while self.take_punct(","):
+                row.append(self.parse_insert_value())
+            self.expect_punct(")")
+            rows.append(tuple(row))
+            if not self.take_punct(","):
+                break
+        return InsertValues(name, columns, rows)
+
+    def parse_insert_value(self):
+        from myscaledb_tpu.sql.ast import Literal, VectorLiteral, UnOp
+        e = self.parse_expr()
+        if isinstance(e, Literal):
+            return e.value
+        if isinstance(e, VectorLiteral):
+            return list(e.values)
+        if isinstance(e, UnOp) and e.op == "-" and isinstance(e.operand, Literal):
+            return -e.operand.value
+        raise ParseError("INSERT VALUES must be literals")
+
+    def parse_drop(self):
+        self.expect_kw("DROP")
+        self.expect_kw("TABLE")
+        ie = False
+        if self.take_kw("IF"):
+            self.expect_kw("EXISTS")
+            ie = True
+        name = self.parse_table_name()
+        self.take_kw("SYNC")
+        return DropTable(name, ie)
+
+    def parse_set(self):
+        self.expect_kw("SET")
+        name = self.next().text
+        self.expect_punct("=")
+        t = self.next()
+        if t.kind == "number":
+            val = float(t.text) if "." in t.text else int(t.text)
+        elif t.kind == "string":
+            val = unquote_string(t.text)
+        else:
+            val = t.text
+        return SetStatement(name, val)
+
+
+# ---------------------------------------------------------------------------
+# execution
+
+def empty_table_from_defs(name: str, defs: list[ColumnDef]) -> Table:
+    import jax.numpy as jnp
+    from myscaledb_tpu.core.dictionary import StringDictionary
+    cols = []
+    for d in defs:
+        if d.dtype is DataType.FLOAT32_VECTOR:
+            data = jnp.zeros((0, max(d.vector_dim, 0)), dtype=jnp.float32)
+        else:
+            data = jnp.zeros((0,), dtype=physical_dtype(d.dtype))
+        dictionary = StringDictionary() if d.dtype is DataType.STRING else None
+        cols.append(Column(Field(d.name, d.dtype, d.nullable, d.vector_dim),
+                           data, None, dictionary))
+    return Table(cols, name=name)
+
+
+def rows_to_table(template: Table, columns: Optional[list],
+                  rows: list) -> Table:
+    names = columns or template.column_names
+    if rows and len(rows[0]) != len(names):
+        raise ParseError(f"INSERT arity mismatch: {len(rows[0])} values for "
+                         f"{len(names)} columns")
+    data = {}
+    for i, cname in enumerate(names):
+        c = template[cname]
+        vals = [r[i] for r in rows]
+        if c.dtype is DataType.FLOAT32_VECTOR:
+            arr = np.asarray(vals, dtype=np.float32)
+            if c.field.vector_dim and arr.shape[1] != c.field.vector_dim:
+                raise ParseError(
+                    f"vector dim {arr.shape[1]} != declared "
+                    f"{c.field.vector_dim} for column {cname!r}")
+        elif c.dtype is DataType.STRING:
+            arr = np.asarray(vals, dtype=object)
+        else:
+            arr = np.asarray(vals).astype(physical_dtype(c.dtype))
+        data[cname] = arr
+    dtypes = {cname: template[cname].dtype for cname in names}
+    return Table.from_dict(data, dtypes=dtypes)
+
+
+def execute_statement(session, stmt) -> Table:
+    from myscaledb_tpu.core.table import Table as T
+    from myscaledb_tpu.config import TableSettings
+
+    if isinstance(stmt, CreateTable):
+        if stmt.name in session.tables:
+            if stmt.if_not_exists:
+                return T([])
+            raise ValueError(f"table {stmt.name!r} already exists")
+        t = empty_table_from_defs(stmt.name, stmt.columns)
+        ts = TableSettings()
+        if "float_vector_search_metric_type" in stmt.settings:
+            ts.float_vector_search_metric_type = \
+                stmt.settings["float_vector_search_metric_type"]
+        session.register(stmt.name, t, ts)
+        session._table_order_keys = getattr(session, "_table_order_keys", {})
+        session._table_order_keys[stmt.name] = stmt.order_by
+        return T([])
+
+    if isinstance(stmt, InsertValues):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        existing = session.tables[stmt.table]
+        if stmt.select_sql is not None:
+            new = session.sql(stmt.select_sql)
+            if stmt.columns:
+                new = new.select(stmt.columns)
+            # align column names to target schema by position
+            renamed = []
+            for tgt, src in zip(existing.columns.values(),
+                                new.columns.values()):
+                renamed.append(Column(Field(tgt.name, src.dtype,
+                                            src.field.nullable,
+                                            src.field.vector_dim),
+                                      src.data, src.valid, src.dictionary))
+            new = T(renamed)
+        else:
+            new = rows_to_table(existing, stmt.columns, stmt.rows)
+        if existing.n_rows == 0 and set(new.column_names) == \
+                set(existing.column_names):
+            # first insert fixes unknown vector dims
+            merged = new.select(existing.column_names)
+        else:
+            merged = concat_tables([existing, new.select(
+                existing.column_names)])
+        merged.name = stmt.table
+        session.tables[stmt.table] = merged
+        return T([])
+
+    if isinstance(stmt, DropTable):
+        if stmt.name not in session.tables and not stmt.if_exists:
+            raise ValueError(f"unknown table {stmt.name!r}")
+        session.drop_table(stmt.name)
+        return T([])
+
+    if isinstance(stmt, TruncateTable):
+        t = session.tables[stmt.name]
+        session.tables[stmt.name] = t.head(0)
+        return T([])
+
+    if isinstance(stmt, SetStatement):
+        if hasattr(session.settings, stmt.name):
+            cur = getattr(session.settings, stmt.name)
+            val = stmt.value
+            if isinstance(cur, bool):
+                val = bool(int(val)) if not isinstance(val, str) else \
+                    val.lower() in ("1", "true")
+            elif isinstance(cur, int) and not isinstance(val, str):
+                val = int(val)
+            setattr(session.settings, stmt.name, val)
+        return T([])   # unknown settings are accepted silently (CH compat)
+
+    if isinstance(stmt, ShowTables):
+        return session.sql("SELECT name FROM system.tables ORDER BY name")
+
+    if isinstance(stmt, DescribeTable):
+        t = session.get_table(stmt.name)
+        return T.from_dict({
+            "name": [f.name for f in t.schema() if not f.name.startswith("__")],
+            "type": [str(f).split(" ", 1)[1] for f in t.schema()
+                     if not f.name.startswith("__")]})
+
+    raise ValueError(f"unsupported statement {stmt!r}")

@@ -17,9 +17,34 @@ from myscaledb_tpu.runtime import metrics as M
 from myscaledb_tpu.runtime.tracing import span
 
 
+DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "SET ", "SET\t",
+                "SHOW", "DESCRIBE", "DESC ")
+
+
 def execute_query(session, sql: str, params=None) -> Table:
-    stripped = sql.lstrip()
+    stripped = sql.lstrip().rstrip().rstrip(";")
+    sql = stripped
     upper = stripped.upper()
+    if any(upper.startswith(kw) for kw in DDL_KEYWORDS):
+        from myscaledb_tpu.sql.ddl import DDLParser, execute_statement
+        stmt = DDLParser(stripped).parse_statement()
+        if stmt is not None:
+            t0 = time.perf_counter()
+            entry = {"query": sql, "event_time": time.time(),
+                     "duration_ms": 0.0, "result_rows": 0,
+                     "status": "QueryStart", "error": ""}
+            try:
+                with span("ddl", query=sql[:200]):
+                    result = execute_statement(session, stmt)
+                entry["status"] = "QueryFinish"
+                return result
+            except Exception as e:
+                entry["status"] = "ExceptionWhileProcessing"
+                entry["error"] = f"{type(e).__name__}: {e}"
+                raise
+            finally:
+                entry["duration_ms"] = (time.perf_counter() - t0) * 1e3
+                session.query_log.append(entry)
     if upper.startswith("EXPLAIN"):
         rest = stripped[len("EXPLAIN"):].lstrip()
         if rest.upper().startswith("PLAN"):

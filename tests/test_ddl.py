@@ -1,0 +1,101 @@
+"""DDL/DML through SQL: CREATE TABLE / INSERT / DROP / TRUNCATE / SET /
+SHOW TABLES / DESCRIBE — replicating the reference test-table lifecycle
+(tests/queries/2_vector_search/helpers/00000_prepare_index.sh)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+
+def test_create_insert_select_drop():
+    s = connect()
+    s.sql("CREATE TABLE test_vector(id Float32, vector Array(Float32), "
+          "CONSTRAINT vector_len CHECK length(vector) = 3) "
+          "engine MergeTree primary key id")
+    s.sql("INSERT INTO test_vector VALUES (0, [0, 0, 0]), (1, [1, 1, 1]), "
+          "(2, [2, 2, 2])")
+    out = s.sql_tsv("SELECT id, vector, distance(vector, [0.1, 0.1, 0.1]) "
+                    "FROM test_vector ORDER BY "
+                    "distance(vector, [0.1, 0.1, 0.1]) LIMIT 2")
+    assert out.splitlines()[0] == "0\t[0,0,0]\t0.030000001"
+    assert out.splitlines()[1] == "1\t[1,1,1]\t2.4299998"
+    s.sql("DROP TABLE test_vector")
+    assert "test_vector" not in s.tables
+
+
+def test_create_if_not_exists_and_drop_if_exists():
+    s = connect()
+    s.sql("CREATE TABLE t(a Int64)")
+    s.sql("CREATE TABLE IF NOT EXISTS t(a Int64)")
+    with pytest.raises(Exception, match="already exists"):
+        s.sql("CREATE TABLE t(a Int64)")
+    s.sql("DROP TABLE IF EXISTS missing")
+    with pytest.raises(Exception, match="unknown table"):
+        s.sql("DROP TABLE missing")
+
+
+def test_insert_accumulates_and_truncate():
+    s = connect()
+    s.sql("CREATE TABLE t(a Int64, b String)")
+    s.sql("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    s.sql("INSERT INTO t VALUES (3, 'x')")
+    assert s.sql("SELECT count(*) FROM t").to_rows()[0][0] == 3
+    assert s.sql("SELECT sum(a) FROM t WHERE b = 'x'").to_rows()[0][0] == 4
+    s.sql("TRUNCATE TABLE t")
+    assert s.sql("SELECT count(*) FROM t").to_rows()[0][0] == 0
+
+
+def test_insert_column_subset_nulls_not_required():
+    s = connect()
+    s.sql("CREATE TABLE t(a Int64, b Float32)")
+    s.sql("INSERT INTO t (b, a) VALUES (1.5, 10)")
+    assert s.sql("SELECT a, b FROM t").to_rows() == [(10, 1.5)]
+
+
+def test_insert_select():
+    s = connect()
+    s.sql("CREATE TABLE src(a Int64)")
+    s.sql("INSERT INTO src VALUES (1), (2), (3)")
+    s.sql("CREATE TABLE dst(a Int64)")
+    s.sql("INSERT INTO dst SELECT a * 10 AS a FROM src WHERE a != 2")
+    assert s.sql("SELECT a FROM dst ORDER BY a").to_pydict()["a"] == [10, 30]
+
+
+def test_vector_dim_enforced():
+    s = connect()
+    s.sql("CREATE TABLE t(v Array(Float32), CONSTRAINT c CHECK length(v) = 4)")
+    with pytest.raises(Exception, match="vector dim"):
+        s.sql("INSERT INTO t VALUES ([1, 2, 3])")
+
+
+def test_set_session_setting():
+    s = connect()
+    s.sql("SET hybrid_search_top_k_multiple_base = 5")
+    assert s.settings.hybrid_search_top_k_multiple_base == 5
+    s.sql("SET enable_brute_force_vector_search = 0")
+    assert s.settings.enable_brute_force_vector_search is False
+    s.sql("SET unknown_setting_xyz = 1")   # CH-compatible: silently accepted
+
+
+def test_show_and_describe():
+    s = connect()
+    s.sql("CREATE TABLE zz(a Int64, s Nullable(String), "
+          "v Array(Float32, 8))")
+    names = s.sql("SHOW TABLES").to_pydict()["name"]
+    assert "zz" in names
+    d = s.sql("DESCRIBE zz").to_pydict()
+    assert d["name"] == ["a", "s", "v"]
+    assert d["type"][1] == "Nullable(String)"
+
+
+def test_metric_from_create_settings():
+    s = connect()
+    s.sql("CREATE TABLE tv(id Float32, vector Array(Float32, 3)) "
+          "engine=MergeTree primary key id SETTINGS index_granularity=1024, "
+          "float_vector_search_metric_type='Cosine'")
+    s.sql("INSERT INTO tv VALUES (0, [1, 1, 1]), (1, [1, 2, 3])")
+    out = s.sql("SELECT id, distance(vector, [1., 2, 3]) AS d FROM tv "
+                "ORDER BY d LIMIT 1")
+    assert out.to_pydict()["id"] == [1.0]
+    assert abs(out.to_pydict()["d"][0]) < 1e-6   # cosine distance ~0
