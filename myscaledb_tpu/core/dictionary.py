@@ -32,11 +32,24 @@ class StringDictionary:
         return len(self.values)
 
     def encode(self, strings: Iterable) -> np.ndarray:
-        """Encode strings to int32 ids, growing the dictionary as needed."""
+        """Encode strings to int32 ids, growing the dictionary as needed.
+        Large batches with no NULLs go through the native C++ encoder
+        (native/msdb_host.cpp msdb_dict_encode) when built."""
+        strings = list(strings) if not isinstance(strings, list) else strings
+        if len(strings) >= 4096 and not any(s is None for s in strings):
+            from myscaledb_tpu import native
+            if native.available():
+                ids, values = native.dict_encode(
+                    [str(s) for s in strings], seed_values=self.values)
+                if len(values) != len(self.values):
+                    for v in values[len(self.values):]:
+                        self.index[v] = len(self.values)
+                        self.values.append(v)
+                    self._ranks = None
+                return ids
         idx = self.index
         vals = self.values
-        out = np.empty(len(strings) if hasattr(strings, "__len__") else 0,
-                       dtype=np.int32)
+        out = np.empty(len(strings), dtype=np.int32)
         grew = False
         for i, s in enumerate(strings):
             if s is None:

@@ -1,0 +1,198 @@
+"""ctypes bindings for the native host library (native/libmsdb_host.so).
+
+Every entry point has a pure-Python fallback so the engine works without the
+compiled library; when present, ingest-path hot loops (dictionary encoding,
+corpus tokenization, typed CSV parsing, LZ block codec) run in C++.
+Build with:  make -C native
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "libmsdb_host.so")
+
+_lib = None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    c = ctypes
+    i64, u32p, i64p, i32p = (c.c_int64, c.POINTER(c.c_uint32),
+                             c.POINTER(c.c_int64), c.POINTER(c.c_int32))
+    charp, f32p, voidp = c.c_char_p, c.POINTER(c.c_float), c.c_void_p
+    lib.msdb_hash32.argtypes = [u32p, i64, u32p]
+    lib.msdb_partition32.argtypes = [u32p, i64, c.c_uint32, u32p]
+    lib.msdb_dict_encode.argtypes = [charp, i64p, i64, charp, i64p, i64]
+    lib.msdb_dict_encode.restype = voidp
+    lib.msdb_dict_result_n_uniq.argtypes = [voidp]
+    lib.msdb_dict_result_n_uniq.restype = i64
+    lib.msdb_dict_result_uniq_bytes.argtypes = [voidp]
+    lib.msdb_dict_result_uniq_bytes.restype = i64
+    lib.msdb_dict_result_copy.argtypes = [voidp, i32p, c.c_char_p, i64p]
+    lib.msdb_dict_result_free.argtypes = [voidp]
+    lib.msdb_tokenize_corpus.argtypes = [charp, i64p, i64]
+    lib.msdb_tokenize_corpus.restype = voidp
+    lib.msdb_tok_n_tokens.argtypes = [voidp]
+    lib.msdb_tok_n_tokens.restype = i64
+    lib.msdb_tok_n_vocab.argtypes = [voidp]
+    lib.msdb_tok_n_vocab.restype = i64
+    lib.msdb_tok_vocab_bytes.argtypes = [voidp]
+    lib.msdb_tok_vocab_bytes.restype = i64
+    lib.msdb_tok_copy.argtypes = [voidp, i32p, i32p, c.c_char_p, i64p]
+    lib.msdb_tok_free.argtypes = [voidp]
+    lib.msdb_lz_compress_bound.argtypes = [i64]
+    lib.msdb_lz_compress_bound.restype = i64
+    lib.msdb_lz_compress.argtypes = [c.c_char_p, i64, c.c_char_p]
+    lib.msdb_lz_compress.restype = i64
+    lib.msdb_lz_decompress.argtypes = [c.c_char_p, i64, c.c_char_p, i64]
+    lib.msdb_lz_decompress.restype = i64
+    lib.msdb_parse_int64_column.argtypes = [charp, i64p, i64, i64p]
+    lib.msdb_parse_int64_column.restype = i64
+    lib.msdb_parse_float32_column.argtypes = [charp, i64p, i64, f32p]
+    lib.msdb_parse_float32_column.restype = i64
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _concat_strings(strings) -> tuple[bytes, np.ndarray]:
+    bs = [(s or "").encode() for s in strings]
+    offsets = np.zeros(len(bs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bs], out=offsets[1:])
+    return b"".join(bs), offsets
+
+
+def dict_encode(strings, seed_values: Optional[list] = None):
+    """Encode strings to int32 ids.  Returns (ids, all_values list) where
+    all_values extends seed_values with newly seen strings in order."""
+    lib = load()
+    seed_values = seed_values or []
+    if lib is None:
+        index = {v: i for i, v in enumerate(seed_values)}
+        values = list(seed_values)
+        ids = np.empty(len(strings), dtype=np.int32)
+        for i, s in enumerate(strings):
+            s = "" if s is None else str(s)
+            j = index.get(s)
+            if j is None:
+                j = len(values)
+                values.append(s)
+                index[s] = j
+            ids[i] = j
+        return ids, values
+    data, offsets = _concat_strings(strings)
+    sdata, soffsets = _concat_strings(seed_values)
+    h = lib.msdb_dict_encode(
+        data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(strings), sdata,
+        soffsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seed_values))
+    try:
+        n_uniq = lib.msdb_dict_result_n_uniq(h)
+        nbytes = lib.msdb_dict_result_uniq_bytes(h)
+        ids = np.empty(len(strings), dtype=np.int32)
+        ubytes = ctypes.create_string_buffer(max(nbytes, 1))
+        uoffsets = np.empty(n_uniq + 1, dtype=np.int64)
+        lib.msdb_dict_result_copy(
+            h, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ubytes,
+            uoffsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        raw = ubytes.raw[:nbytes]
+        values = [raw[uoffsets[i]:uoffsets[i + 1]].decode()
+                  for i in range(n_uniq)]
+        return ids, values
+    finally:
+        lib.msdb_dict_result_free(h)
+
+
+def tokenize_corpus(docs):
+    """Tokenize all docs at once.  Returns (term_ids, doc_ids, vocab list)
+    or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    data, offsets = _concat_strings(docs)
+    h = lib.msdb_tokenize_corpus(
+        data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(docs))
+    try:
+        nt = lib.msdb_tok_n_tokens(h)
+        nv = lib.msdb_tok_n_vocab(h)
+        nbytes = lib.msdb_tok_vocab_bytes(h)
+        term_ids = np.empty(nt, dtype=np.int32)
+        doc_ids = np.empty(nt, dtype=np.int32)
+        vbytes = ctypes.create_string_buffer(max(nbytes, 1))
+        voffsets = np.empty(nv + 1, dtype=np.int64)
+        lib.msdb_tok_copy(
+            h, term_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            doc_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vbytes, voffsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        raw = vbytes.raw[:nbytes]
+        vocab = [raw[voffsets[i]:voffsets[i + 1]].decode()
+                 for i in range(nv)]
+        return term_ids, doc_ids, vocab
+    finally:
+        lib.msdb_tok_free(h)
+
+
+def lz_compress(data: bytes) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    bound = lib.msdb_lz_compress_bound(len(data))
+    out = ctypes.create_string_buffer(bound)
+    n = lib.msdb_lz_compress(data, len(data), out)
+    return out.raw[:n]
+
+
+def lz_decompress(data: bytes, raw_size: int) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(max(raw_size, 1))
+    n = lib.msdb_lz_decompress(data, len(data), out, raw_size)
+    if n != raw_size:
+        raise ValueError(f"msdb-lz decompression error (got {n}, "
+                         f"want {raw_size})")
+    return out.raw[:raw_size]
+
+
+def parse_int64(strings) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    data, offsets = _concat_strings(strings)
+    out = np.empty(len(strings), dtype=np.int64)
+    n = lib.msdb_parse_int64_column(
+        data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(strings), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if n != len(strings):
+        raise ValueError(f"cannot parse {strings[n]!r} as Int64 (row {n})")
+    return out
+
+
+def parse_float32(strings) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    data, offsets = _concat_strings(strings)
+    out = np.empty(len(strings), dtype=np.float32)
+    n = lib.msdb_parse_float32_column(
+        data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(strings), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if n != len(strings):
+        raise ValueError(f"cannot parse {strings[n]!r} as Float32 (row {n})")
+    return out

@@ -23,7 +23,7 @@ import zlib
 import numpy as np
 
 MAGIC = b"MSC1"
-CODECS = {"none": 0, "zlib": 1, "delta": 2, "shuffle": 3}
+CODECS = {"none": 0, "zlib": 1, "delta": 2, "shuffle": 3, "lz": 4}
 CODEC_IDS = {v: k for k, v in CODECS.items()}
 
 
@@ -67,6 +67,14 @@ def encode(arr: np.ndarray, codec: str = "zlib") -> bytes:
         payload = _delta_encode(flat)
     elif codec == "shuffle":
         payload = _shuffle_encode(flat)
+    elif codec == "lz":
+        # native LZ4-class block codec (native/msdb_host.cpp); much faster
+        # than DEFLATE on the part-write path
+        from myscaledb_tpu import native
+        payload = native.lz_compress(flat.tobytes())
+        if payload is None:
+            raise CodecError("lz codec requires native/libmsdb_host.so "
+                             "(make -C native)")
     else:
         raise CodecError(f"unknown codec {codec!r}")
     crc = zlib.crc32(payload) & 0xFFFFFFFF
@@ -92,6 +100,12 @@ def decode(buf: bytes, dtype, count: int) -> np.ndarray:
         return _delta_decode(payload, dtype, count)
     if codec == "shuffle":
         return _shuffle_decode(payload, dtype, count)
+    if codec == "lz":
+        from myscaledb_tpu import native
+        raw = native.lz_decompress(payload, raw_size)
+        if raw is None:
+            raise CodecError("lz-coded file needs native/libmsdb_host.so")
+        return np.frombuffer(raw, dtype=dtype, count=count)
     raise CodecError(f"unknown codec id {codec_id}")
 
 

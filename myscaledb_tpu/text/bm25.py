@@ -45,34 +45,66 @@ class BM25Index:
 
     def __init__(self, docs: list[Optional[str]]):
         self.n_docs = len(docs)
-        vocab: dict[str, int] = {}
-        postings: list[dict[int, int]] = []   # term_id -> {doc: tf}
-        doc_len = np.zeros(self.n_docs, dtype=np.float32)
-        for di, doc in enumerate(docs):
-            toks = tokenize(doc)
-            doc_len[di] = len(toks)
-            for t in toks:
-                tid = vocab.get(t)
-                if tid is None:
-                    tid = len(vocab)
-                    vocab[tid if False else t] = tid
-                    postings.append({})
-                p = postings[tid]
-                p[di] = p.get(di, 0) + 1
-        self.vocab = vocab
+        from myscaledb_tpu import native
+        tok = native.tokenize_corpus(docs) if native.available() else None
+        if tok is not None:
+            term_ids, doc_ids, vocab_list = tok
+            self.vocab = {t: i for i, t in enumerate(vocab_list)}
+            doc_len = np.bincount(doc_ids, minlength=self.n_docs) \
+                .astype(np.float32) if len(doc_ids) else \
+                np.zeros(self.n_docs, dtype=np.float32)
+            # per (term, doc) tf via sort + run-length
+            nv = len(vocab_list)
+            self._post_docs = [None] * nv
+            self._post_tfs = [None] * nv
+            self.df = np.zeros(nv, dtype=np.int64)
+            if len(term_ids):
+                key = term_ids.astype(np.int64) * np.int64(self.n_docs + 1) \
+                    + doc_ids.astype(np.int64)
+                uk, tf = np.unique(key, return_counts=True)
+                ut = (uk // (self.n_docs + 1)).astype(np.int32)
+                ud = (uk % (self.n_docs + 1)).astype(np.int32)
+                starts = np.searchsorted(ut, np.arange(nv, dtype=np.int32))
+                ends = np.searchsorted(ut, np.arange(nv, dtype=np.int32),
+                                       side="right")
+                for tid in range(nv):
+                    s, e = starts[tid], ends[tid]
+                    self._post_docs[tid] = ud[s:e]
+                    self._post_tfs[tid] = tf[s:e].astype(np.float32)
+                    self.df[tid] = e - s
+            else:
+                for tid in range(nv):
+                    self._post_docs[tid] = np.zeros(0, dtype=np.int32)
+                    self._post_tfs[tid] = np.zeros(0, dtype=np.float32)
+        else:
+            vocab: dict[str, int] = {}
+            postings: list[dict[int, int]] = []   # term_id -> {doc: tf}
+            doc_len = np.zeros(self.n_docs, dtype=np.float32)
+            for di, doc in enumerate(docs):
+                toks = tokenize(doc)
+                doc_len[di] = len(toks)
+                for t in toks:
+                    tid = vocab.get(t)
+                    if tid is None:
+                        tid = len(vocab)
+                        vocab[t] = tid
+                        postings.append({})
+                    p = postings[tid]
+                    p[di] = p.get(di, 0) + 1
+            self.vocab = vocab
+            self._post_docs = []
+            self._post_tfs = []
+            self.df = np.zeros(len(vocab), dtype=np.int64)
+            for tid, p in enumerate(postings):
+                items = sorted(p.items())
+                self._post_docs.append(np.fromiter(
+                    (d for d, _ in items), dtype=np.int32, count=len(items)))
+                self._post_tfs.append(np.fromiter(
+                    (tf for _, tf in items), dtype=np.float32,
+                    count=len(items)))
+                self.df[tid] = len(items)
         self.doc_len = jnp.asarray(doc_len)
         self.avg_len = float(doc_len.mean()) if self.n_docs else 0.0
-        # flatten postings
-        self._post_docs = []
-        self._post_tfs = []
-        self.df = np.zeros(len(vocab), dtype=np.int64)
-        for tid, p in enumerate(postings):
-            items = sorted(p.items())
-            self._post_docs.append(np.fromiter((d for d, _ in items),
-                                               dtype=np.int32, count=len(items)))
-            self._post_tfs.append(np.fromiter((tf for _, tf in items),
-                                              dtype=np.float32, count=len(items)))
-            self.df[tid] = len(items)
         self.total_tokens = int(doc_len.sum())
 
     # -- statistics (the BM25InfoInDataParts surface: mergeable across

@@ -1,0 +1,111 @@
+"""Native host library (C++ via ctypes): parity with the Python fallbacks
+and round-trips.  Skipped when native/libmsdb_host.so is not built."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib not built (make -C native)")
+
+
+def test_dict_encode_matches_python(rng):
+    strings = [f"s{i % 57}" for i in range(10000)]
+    ids, values = native.dict_encode(strings)
+    # python fallback (force by seeding a fresh map manually)
+    index, pyvalues, pyids = {}, [], []
+    for s in strings:
+        if s not in index:
+            index[s] = len(pyvalues)
+            pyvalues.append(s)
+        pyids.append(index[s])
+    assert values == pyvalues
+    np.testing.assert_array_equal(ids, pyids)
+
+
+def test_dict_encode_with_seed():
+    ids, values = native.dict_encode(["b", "c", "a"], seed_values=["a", "b"])
+    assert values == ["a", "b", "c"]
+    assert ids.tolist() == [1, 2, 0]
+
+
+def test_dictionary_large_batch_uses_native(rng):
+    from myscaledb_tpu.core.dictionary import StringDictionary
+    d = StringDictionary(["pre"])
+    strings = [f"v{i % 100}" for i in range(5000)]
+    ids = d.encode(strings)
+    assert d.values[0] == "pre"
+    assert len(d.values) == 101
+    assert d.values[ids[0] ] == "v0"
+    # second batch keeps ids stable
+    ids2 = d.encode(strings)
+    np.testing.assert_array_equal(ids, ids2)
+
+
+def test_tokenize_matches_python():
+    from myscaledb_tpu.text.bm25 import tokenize
+    docs = ["The quick brown FOX!", "fox-trot 123", "", None, "tabs\tand spaces"]
+    out = native.tokenize_corpus(docs)
+    assert out is not None
+    term_ids, doc_ids, vocab = out
+    got = [[] for _ in docs]
+    for t, d in zip(term_ids, doc_ids):
+        got[d].append(vocab[t])
+    for i, doc in enumerate(docs):
+        assert got[i] == tokenize(doc), (i, doc)
+
+
+def test_bm25_native_equals_python_oracle():
+    from myscaledb_tpu.text.bm25 import BM25Index
+    docs = ["alpha beta gamma", "beta beta", "gamma alpha", "delta"]
+    idx = BM25Index(docs)     # uses native tokenizer when available
+    s = np.asarray(idx.scores("beta gamma"))
+    # doc1 (beta beta) should beat doc0 on 'beta'; doc3 scores 0
+    assert s[3] == 0
+    assert s[1] > 0 and s[0] > 0
+
+
+def test_lz_roundtrip(rng):
+    for data in [b"", b"a", b"ab" * 5000,
+                 rng.integers(0, 4, 100000).astype(np.uint8).tobytes(),
+                 np.arange(50000, dtype=np.int64).tobytes(),
+                 rng.bytes(10000)]:
+        comp = native.lz_compress(data)
+        out = native.lz_decompress(comp, len(data))
+        assert out == data, f"roundtrip failed for len={len(data)}"
+
+
+def test_lz_compresses_repetitive():
+    data = b"hello world " * 10000
+    comp = native.lz_compress(data)
+    assert len(comp) < len(data) / 20
+
+
+def test_lz_codec_in_storage(rng, tmp_path):
+    from myscaledb_tpu.storage import codecs
+    arr = rng.integers(0, 100, 100000).astype(np.int64)
+    buf = codecs.encode(arr, "lz")
+    out = codecs.decode(buf, np.int64, len(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_parse_int64_and_float32():
+    assert native.parse_int64(["1", "-42", "0", "999999999999"]).tolist() == \
+        [1, -42, 0, 999999999999]
+    np.testing.assert_allclose(native.parse_float32(["1.5", "-2e3", "0.25"]),
+                               [1.5, -2000.0, 0.25])
+    with pytest.raises(ValueError, match="row 1"):
+        native.parse_int64(["3", "x9"])
+
+
+def test_native_hash_matches_device_hash32():
+    import jax
+    from myscaledb_tpu.ops.hash import np_hash32
+    lib = native.load()
+    import ctypes
+    keys = np.arange(1000, dtype=np.uint32)
+    out = np.empty(1000, dtype=np.uint32)
+    lib.msdb_hash32(keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    1000, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    np.testing.assert_array_equal(out, np_hash32(keys))
