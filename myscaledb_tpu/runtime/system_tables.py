@@ -17,7 +17,8 @@ from myscaledb_tpu.runtime import tracing
 
 SYSTEM_TABLES = ("system.one", "system.tables", "system.columns",
                  "system.settings", "system.events", "system.metrics",
-                 "system.timings", "system.query_log", "system.span_log")
+                 "system.timings", "system.query_log", "system.span_log",
+                 "system.vector_indices")
 
 
 def build_system_table(session, name: str) -> Table:
@@ -72,6 +73,16 @@ def build_system_table(session, name: str) -> Table:
         return Table.from_dict({
             "name": [k for k, _ in ev],
             "seconds": np.asarray([v for _, v in ev], dtype=np.float64)})
+
+    if name == "system.vector_indices":
+        idxs = getattr(session, "vector_indices", [])
+        return Table.from_dict({
+            "table": [i["table"] for i in idxs],
+            "name": [i["name"] for i in idxs],
+            "column": [i["column"] for i in idxs],
+            "type": [i["type"] for i in idxs],
+            "status": [i["status"] for i in idxs],
+        })
 
     if name == "system.query_log":
         entries = list(session.query_log)

@@ -105,8 +105,15 @@ class JoinClause:
 
 
 @dataclass
+class UnionQuery:
+    selects: list             # list[SelectQuery], UNION ALL semantics
+
+
+@dataclass
 class SelectQuery:
     items: list               # list[SelectItem]
+    distinct: bool = False
+    ctes: list = field(default_factory=list)   # [(name, SelectQuery), ...]
     table: Optional[str] = None
     table_alias: Optional[str] = None
     joins: list = field(default_factory=list)

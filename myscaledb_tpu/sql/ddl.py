@@ -47,6 +47,34 @@ class InsertValues:
 
 
 @dataclass
+class AlterDelete:
+    table: str
+    where: object
+
+
+@dataclass
+class AlterUpdate:
+    table: str
+    assignments: list           # [(col, expr)]
+    where: object
+
+
+@dataclass
+class AddVectorIndex:
+    table: str
+    name: str
+    column: str
+    index_type: str
+    params: str = ""
+
+
+@dataclass
+class DropVectorIndex:
+    table: str
+    name: str
+
+
+@dataclass
 class DropTable:
     name: str
     if_exists: bool = False
@@ -83,6 +111,8 @@ class DDLParser(Parser):
             return self.parse_insert()
         if up == "DROP":
             return self.parse_drop()
+        if up == "ALTER":
+            return self.parse_alter()
         if up == "TRUNCATE":
             self.next()
             self.take_kw("TABLE")
@@ -98,6 +128,47 @@ class DDLParser(Parser):
             self.take_kw("TABLE")
             return DescribeTable(self.parse_table_name())
         return None   # fall through to SELECT
+
+    def parse_alter(self):
+        self.expect_kw("ALTER")
+        self.expect_kw("TABLE")
+        table = self.parse_table_name()
+        if self.take_kw("DELETE"):
+            self.expect_kw("WHERE")
+            return AlterDelete(table, self.parse_expr())
+        if self.take_kw("UPDATE"):
+            assignments = []
+            while True:
+                col = self.next().text
+                self.expect_punct("=")
+                assignments.append((col, self.parse_expr()))
+                if not self.take_punct(","):
+                    break
+            self.expect_kw("WHERE")
+            return AlterUpdate(table, assignments, self.parse_expr())
+        if self.take_kw("ADD"):
+            self.expect_kw("VECTOR")
+            self.expect_kw("INDEX")
+            name = self.next().text
+            column = self.next().text
+            self.expect_kw("TYPE")
+            itype = self.next().text
+            params = ""
+            if self.take_punct("("):
+                depth = 1
+                parts = []
+                while depth and self.peek().kind != "eof":
+                    tok = self.next()
+                    depth += (tok.text == "(") - (tok.text == ")")
+                    if depth:
+                        parts.append(tok.text)
+                params = " ".join(parts)
+            return AddVectorIndex(table, name, column, itype, params)
+        if self.take_kw("DROP"):
+            self.expect_kw("VECTOR")
+            self.expect_kw("INDEX")
+            return DropVectorIndex(table, self.next().text)
+        raise ParseError("unsupported ALTER TABLE clause")
 
     def parse_create(self):
         self.expect_kw("CREATE")
@@ -355,6 +426,71 @@ def execute_statement(session, stmt) -> Table:
                 existing.column_names)])
         merged.name = stmt.table
         session.tables[stmt.table] = merged
+        return T([])
+
+    if isinstance(stmt, AlterDelete):
+        # lightweight-delete semantics: rows matching WHERE disappear
+        # (reference: MutateTask + _row_exists mask; we rewrite the table)
+        from myscaledb_tpu.exec.expr import Env, eval_expr, as_bool_mask
+        from myscaledb_tpu.ops.filter import compact_table_host
+        import jax.numpy as jnp
+        t = session.tables[stmt.table]
+        env = Env(t)
+        kill = as_bool_mask(eval_expr(stmt.where, env), t.n_rows)
+        keep, _ = compact_table_host(t, jnp.logical_not(kill))
+        keep.name = stmt.table
+        session.tables[stmt.table] = keep
+        return T([])
+
+    if isinstance(stmt, AlterUpdate):
+        from myscaledb_tpu.exec.expr import Env, eval_expr, as_bool_mask
+        import jax.numpy as jnp
+        t = session.tables[stmt.table]
+        env = Env(t)
+        cond = as_bool_mask(eval_expr(stmt.where, env), t.n_rows)
+        for col, expr in stmt.assignments:
+            old = t[col]
+            v = eval_expr(expr, env)
+            newdata = v.data
+            if v.is_scalar:
+                newdata = jnp.full((t.n_rows,), jnp.asarray(newdata))
+            newdata = jnp.where(cond, newdata.astype(old.data.dtype), old.data)
+            t = t.with_column(Column(old.field, newdata, old.valid,
+                                     old.dictionary))
+        t.name = stmt.table
+        session.tables[stmt.table] = t
+        return T([])
+
+    if isinstance(stmt, AddVectorIndex):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        t = session.tables[stmt.table]
+        if stmt.column not in t or not t[stmt.column].dtype.is_vector:
+            raise ValueError(f"{stmt.column!r} is not a vector column")
+        idxs = getattr(session, "vector_indices", None)
+        if idxs is None:
+            idxs = session.vector_indices = []
+        # metric from params ('metric_type=L2') overrides table settings
+        params = {}
+        for kv in stmt.params.replace("'", "").replace('"', "").split(","):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                params[k.strip().lower()] = v.strip()
+        if "metric_type" in params:
+            ts = session.table_settings.setdefault(stmt.table, TableSettings())
+            ts.float_vector_search_metric_type = params["metric_type"]
+        idxs.append({"table": stmt.table, "name": stmt.name,
+                     "column": stmt.column, "type": stmt.index_type,
+                     # exact brute-force scans serve every query, so the
+                     # index is immediately usable ("Built")
+                     "status": "Built", "params": stmt.params})
+        return T([])
+
+    if isinstance(stmt, DropVectorIndex):
+        idxs = getattr(session, "vector_indices", [])
+        session.vector_indices = [i for i in idxs
+                                  if not (i["table"] == stmt.table and
+                                          i["name"] == stmt.name)]
         return T([])
 
     if isinstance(stmt, DropTable):

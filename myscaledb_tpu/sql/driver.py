@@ -11,14 +11,14 @@ from __future__ import annotations
 import time
 
 from myscaledb_tpu.sql.parser import parse_sql
-from myscaledb_tpu.sql.executor import execute_select, explain_select
+from myscaledb_tpu.sql.executor import execute_any, explain_select
 from myscaledb_tpu.core.table import Table
 from myscaledb_tpu.runtime import metrics as M
 from myscaledb_tpu.runtime.tracing import span
 
 
 DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "SET ", "SET\t",
-                "SHOW", "DESCRIBE", "DESC ")
+                "SHOW", "DESCRIBE", "DESC ", "ALTER")
 
 
 def execute_query(session, sql: str, params=None) -> Table:
@@ -50,6 +50,13 @@ def execute_query(session, sql: str, params=None) -> Table:
         if rest.upper().startswith("PLAN"):
             rest = rest[len("PLAN"):].lstrip()
         q = parse_sql(rest)
+        from myscaledb_tpu.sql.ast import UnionQuery
+        if isinstance(q, UnionQuery):
+            lines = []
+            for i, s in enumerate(q.selects):
+                lines.append(f"Union branch {i}")
+                lines.extend("  " + l for l in explain_select(session, s))
+            return Table.from_dict({"explain": lines})
         return Table.from_dict({"explain": explain_select(session, q)})
 
     M.increment(M.QUERY)
@@ -60,7 +67,7 @@ def execute_query(session, sql: str, params=None) -> Table:
     try:
         with span("query", query=sql[:200]):
             q = parse_sql(sql)
-            result = execute_select(session, q)
+            result = execute_any(session, q)
         entry["result_rows"] = result.n_rows
         entry["status"] = "QueryFinish"
         M.increment(M.RESULT_ROWS, result.n_rows)

@@ -26,7 +26,8 @@ from myscaledb_tpu.core.dictionary import StringDictionary, NULL_ID
 from myscaledb_tpu.config import TableSettings
 from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
                                    BinOp, UnOp, FuncCall, InList, Between,
-                                   SelectQuery, SelectItem, OrderItem, walk)
+                                   SelectQuery, UnionQuery, SelectItem,
+                                   OrderItem, walk)
 from myscaledb_tpu.sql.render import render, substitute
 from myscaledb_tpu.exec.expr import (Env, Value, eval_expr, as_bool_mask,
                                      EvalError, _dict_map)
@@ -44,7 +45,9 @@ from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
 from myscaledb_tpu.runtime import metrics as M
 from myscaledb_tpu.runtime.tracing import span
 
-AGG_NAMES = {"count", "sum", "min", "max", "avg", "any"}
+AGG_NAMES = {"count", "sum", "min", "max", "avg", "any", "uniqexact",
+             "argmin", "argmax"}
+SPECIAL_AGGS = {"uniqexact", "argmin", "argmax"}
 DIST_FNS = {"distance", "batch_distance", "l2distance", "cosinedistance",
             "dotproduct"}
 TEXT_FNS = {"textsearch", "hybridsearch"}
@@ -515,8 +518,23 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
                 agg_calls[render(node)] = node
 
     fns, args, arg_valids = [], [], []
+    special: dict[str, tuple] = {}       # render -> (kind, arg Values)
+    normal_order: list[str] = []
     for r, call in agg_calls.items():
         name = call.name.lower()
+        if name in SPECIAL_AGGS:
+            if is_distributed(table):
+                raise ExecError(f"{call.name} over distributed tables is not "
+                                "supported yet")
+            vals = [eval_expr(_expand_item_aliases(a, alias_exprs, table), env)
+                    for a in call.args]
+            if name == "uniqexact" and len(vals) != 1:
+                raise ExecError("uniqExact expects one argument")
+            if name in ("argmin", "argmax") and len(vals) != 2:
+                raise ExecError(f"{call.name} expects (result, order) arguments")
+            special[r] = (name, vals)
+            continue
+        normal_order.append(r)
         if name == "count" and (not call.args or isinstance(call.args[0], Star)):
             fns.append("count")
             args.append(jnp.zeros(n, dtype=jnp.int32))
@@ -579,26 +597,135 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
                                  valid is not None),
                            data, valid, kv.dictionary))
         mapping[name] = name
-    for (r, call), out in zip(agg_calls.items(), outs):
+    for r, out in zip(normal_order, outs):
         name = r
         arr = out[present]
         col = Column.from_numpy(name, arr, build_zonemap=False)
-        # aggregates over empty group sets are impossible here (present>0),
-        # but min/max identities could leak for all-null args: mask them
         cols.append(col)
         mapping[name] = name
+    for r, (kind, vals) in special.items():
+        col = _special_aggregate(kind, vals, gid, m, G, present, n)
+        col = Column(Field(r, col.dtype, col.field.nullable,
+                           col.field.vector_dim),
+                     col.data, col.valid, col.dictionary)
+        cols.append(col)
+        mapping[r] = r
     agg_table = Table(cols, name=table.name)
     return agg_table, mapping
+
+
+def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int):
+    """uniqExact / argMin / argMax — computed outside the mergeable-state
+    pipeline (reference: these have dedicated state classes in
+    src/AggregateFunctions/AggregateFunctionUniq.h / ...ArgMinMax.h)."""
+    from myscaledb_tpu.ops.sort import _ascending_code
+    OOB = jnp.int32(G)
+    tgt = jnp.where(m, gid, OOB)
+    present_dev = jnp.asarray(present)
+    if kind == "uniqexact":
+        v = vals[0]
+        data = v.data
+        if v.is_scalar:
+            data = jnp.full((n,), jnp.asarray(data))
+        if v.dictionary is not None:
+            key = data.astype(jnp.int32)
+        elif jnp.issubdtype(data.dtype, jnp.floating):
+            key = float_bits_key(data)
+        else:
+            key = data
+        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
+        _, slot, _cap = build_group_ids((jnp.where(vm, gid, OOB), key),
+                                        mask=vm)
+        # count distinct (gid, value) pairs per group: one hit per unique slot
+        srow = jnp.full(_cap, INT32_MAX, dtype=jnp.int32).at[
+            jnp.where(vm, slot, _cap)].min(jnp.arange(n, dtype=jnp.int32),
+                                           mode="drop")
+        first_hit = jnp.logical_and(vm, srow[jnp.clip(slot, 0, _cap - 1)] ==
+                                    jnp.arange(n, dtype=jnp.int32))
+        counts = jnp.zeros(G, dtype=jnp.int64).at[
+            jnp.where(first_hit, gid, OOB)].add(1, mode="drop")
+        return Column.from_numpy("x", np.asarray(counts)[present],
+                                 build_zonemap=False)
+    # argMin / argMax
+    res_v, ord_v = vals
+    data = ord_v.data
+    if ord_v.is_scalar:
+        data = jnp.full((n,), jnp.asarray(data))
+    code = _ascending_code(data)
+    if kind == "argmax":
+        code = ~code
+    om = m if ord_v.valid is None else jnp.logical_and(m, ord_v.valid)
+    otgt = jnp.where(om, gid, OOB)
+    ident = jnp.array(jnp.iinfo(code.dtype).max, dtype=code.dtype)
+    best = jnp.full(G, ident).at[otgt].min(code, mode="drop")
+    is_best = jnp.logical_and(om, code == best[jnp.clip(gid, 0, G - 1)])
+    winner = jnp.full(G, INT32_MAX, dtype=jnp.int32).at[
+        jnp.where(is_best, gid, OOB)].min(jnp.arange(n, dtype=jnp.int32),
+                                          mode="drop")
+    wsel = np.asarray(winner)[present]
+    has = wsel != INT32_MAX
+    wsel = np.where(has, wsel, 0)
+    rdata = res_v.data
+    if res_v.is_scalar:
+        rdata = jnp.full((n,), jnp.asarray(rdata))
+    out_data = jnp.take(rdata, jnp.asarray(wsel), axis=0)
+    out_valid = None
+    if res_v.valid is not None:
+        out_valid = jnp.take(res_v.valid, jnp.asarray(wsel))
+    if not has.all():
+        hv = jnp.asarray(has)
+        out_valid = hv if out_valid is None else jnp.logical_and(out_valid, hv)
+    dt = _logical_dtype_of(out_data, res_v)
+    return Column(Field("x", dt, out_valid is not None), out_data, out_valid,
+                  res_v.dictionary)
 
 
 # ---------------------------------------------------------------------------
 # main entry
 
+def execute_any(session, q) -> Table:
+    """Dispatch SelectQuery | UnionQuery (UNION ALL concatenation)."""
+    if isinstance(q, UnionQuery):
+        from myscaledb_tpu.core.table import concat_tables
+        parts = [execute_any(session, s) for s in q.selects]
+        first = parts[0]
+        aligned = [first]
+        for p in parts[1:]:
+            if len(p.column_names) != len(first.column_names):
+                raise ExecError("UNION ALL arity mismatch")
+            # align by position to the first select's names
+            cols = []
+            for tgt_name, c in zip(first.column_names, p.columns.values()):
+                cols.append(Column(Field(tgt_name, c.dtype, c.field.nullable,
+                                         c.field.vector_dim),
+                                   c.data, c.valid, c.dictionary))
+            aligned.append(Table(cols))
+        return concat_tables(aligned, name=first.name)
+    return execute_select(session, q)
+
+
 def execute_select(session, q: SelectQuery) -> Table:
     settings = session.settings
+    # 0. CTEs: materialize into temporarily-registered tables
+    if q.ctes:
+        saved = {}
+        try:
+            for name, sub in q.ctes:
+                saved[name] = session.tables.get(name)
+                t = execute_any(session, sub)
+                t.name = name
+                session.tables[name] = t
+            inner = SelectQuery(**{**vars(q), "ctes": []})
+            return execute_select(session, inner)
+        finally:
+            for name, old in saved.items():
+                if old is None:
+                    session.tables.pop(name, None)
+                else:
+                    session.tables[name] = old
     # 1. source
     if q.subquery is not None:
-        base = execute_select(session, q.subquery)
+        base = execute_any(session, q.subquery)
     elif q.table is not None:
         try:
             base = session.get_table(q.table)
@@ -819,6 +946,12 @@ def execute_select(session, q: SelectQuery) -> Table:
                                    tuple_groups, vs)
     proj_table = Table(out_cols, name=table.name)
     proj_table.tuple_groups = tuple_groups
+
+    # 5b. DISTINCT (before ORDER BY, SQL semantics): keep the first row of
+    # each distinct projected tuple
+    if q.distinct and proj_table.n_rows:
+        proj_table = _distinct_rows(proj_table)
+        proj_table.tuple_groups = tuple_groups
 
     # 6. ORDER BY
     if order_by:
@@ -1064,6 +1197,31 @@ def explain_select(session, q: SelectQuery, depth: int = 0) -> list[str]:
                 desc += f" [distributed over {table.mesh.devices.size} shards]"
         add(desc)
     return steps
+
+
+def _distinct_rows(table: Table) -> Table:
+    """Device-side DISTINCT: group rows by all columns, keep each group's
+    first row (reference: DistinctTransform)."""
+    n = table.n_rows
+    keys = []
+    for c in table.columns.values():
+        d = c.data
+        if d.ndim > 1:
+            raise ExecError("DISTINCT over vector columns not supported")
+        if c.dictionary is not None:
+            keys.append(d.astype(jnp.int32))
+        elif jnp.issubdtype(d.dtype, jnp.floating):
+            keys.append(float_bits_key(d))
+        else:
+            keys.append(d)
+        if c.valid is not None:
+            keys.append(c.valid.astype(jnp.int32))
+    _, gid, cap = build_group_ids(tuple(keys))
+    rep = jnp.full(cap, INT32_MAX, dtype=jnp.int32).at[gid].min(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    keep = rep[jnp.clip(gid, 0, cap - 1)] == jnp.arange(n, dtype=jnp.int32)
+    out, _ = compact_table_host(table, keep)
+    return out
 
 
 def _limit_by(table: Table, lb_exprs, nlb: int, env, alias_exprs, src_table):

@@ -25,7 +25,7 @@ from myscaledb_tpu.sql.lexer import tokenize, unquote_string, Token
 from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
                                    BinOp, UnOp, FuncCall, InList, Between,
                                    SelectItem, OrderItem, JoinClause,
-                                   SelectQuery)
+                                   SelectQuery, UnionQuery)
 
 KEYWORDS = {
     "SELECT", "FROM", "WHERE", "PREWHERE", "GROUP", "BY", "HAVING", "ORDER",
@@ -88,19 +88,38 @@ class Parser:
 
     # -- entry --------------------------------------------------------------
 
-    def parse_query(self) -> SelectQuery:
-        q = self.parse_select()
+    def parse_query(self):
+        q = self.parse_select_or_union()
         if self.peek().kind != "eof":
             raise ParseError(f"trailing input at {self.peek().text!r}")
         return q
 
+    def parse_select_or_union(self):
+        selects = [self.parse_select()]
+        while self.at_kw("UNION"):
+            self.next()
+            self.expect_kw("ALL")
+            selects.append(self.parse_select())
+        return selects[0] if len(selects) == 1 else UnionQuery(selects)
+
     def parse_select(self) -> SelectQuery:
+        ctes = []
+        if self.take_kw("WITH"):
+            while True:
+                name = self.next().text
+                self.expect_kw("AS")
+                self.expect_punct("(")
+                sub = self.parse_select_or_union()
+                self.expect_punct(")")
+                ctes.append((name, sub))
+                if not self.take_punct(","):
+                    break
         self.expect_kw("SELECT")
-        self.take_kw("DISTINCT")  # TODO: round-2 distinct support flag
+        distinct = self.take_kw("DISTINCT")
         items = [self.parse_select_item()]
         while self.take_punct(","):
             items.append(self.parse_select_item())
-        q = SelectQuery(items=items)
+        q = SelectQuery(items=items, distinct=distinct, ctes=ctes)
 
         if self.take_kw("FROM"):
             if self.take_punct("("):

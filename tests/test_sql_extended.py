@@ -1,0 +1,124 @@
+"""Extended SQL: DISTINCT, UNION ALL, CTEs, uniqExact/argMin/argMax,
+ALTER TABLE DELETE/UPDATE, vector index DDL + system.vector_indices."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+
+@pytest.fixture
+def sess(rng):
+    s = connect()
+    s.create_table("t", {
+        "k": rng.integers(0, 4, 300).astype(np.int32),
+        "v": rng.integers(0, 20, 300).astype(np.int64),
+        "s": rng.choice(["a", "b", "c"], 300),
+    })
+    return s
+
+
+def cols(s):
+    t = s.tables["t"]
+    return (np.asarray(t["k"].data), np.asarray(t["v"].data),
+            np.array(t["s"].to_python()))
+
+
+def test_distinct_single(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT DISTINCT k FROM t ORDER BY k")
+    assert r.to_pydict()["k"] == sorted(set(k.tolist()))
+
+
+def test_distinct_multi_with_strings(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT DISTINCT k, s FROM t ORDER BY k, s")
+    got = list(zip(r.to_pydict()["k"], r.to_pydict()["s"]))
+    want = sorted(set(zip(k.tolist(), st.tolist())))
+    assert got == want
+
+
+def test_union_all(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, v FROM t WHERE k = 0 UNION ALL "
+                 "SELECT k, v FROM t WHERE k = 1")
+    assert len(r.to_rows()) == ((k == 0) | (k == 1)).sum()
+
+
+def test_union_all_aggregated(sess):
+    r = sess.sql("SELECT count(*) AS c FROM t WHERE k = 0 UNION ALL "
+                 "SELECT count(*) AS c FROM t WHERE k >= 0")
+    c = r.to_pydict()["c"]
+    assert len(c) == 2 and c[1] == 300
+
+
+def test_cte(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("WITH big AS (SELECT k, v FROM t WHERE v >= 10) "
+                 "SELECT k, count(*) AS c FROM big GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for kk, c in zip(d["k"], d["c"]):
+        assert c == ((k == kk) & (v >= 10)).sum()
+    assert "big" not in sess.tables   # temp table cleaned up
+
+
+def test_uniq_exact(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, uniqExact(v) AS u FROM t GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for kk, u in zip(d["k"], d["u"]):
+        assert u == len(set(v[k == kk].tolist()))
+
+
+def test_uniq_exact_strings_global(sess):
+    r = sess.sql("SELECT uniqExact(s) FROM t")
+    assert r.to_rows()[0][0] == 3
+
+
+def test_argmin_argmax(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, argMin(s, v) AS lo, argMax(s, v) AS hi FROM t "
+                 "GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for i, kk in enumerate(d["k"]):
+        sel = np.flatnonzero(k == kk)
+        lo_row = sel[np.lexsort((sel, v[sel]))[0]]
+        hi_row = sel[np.lexsort((sel, -v[sel]))[0]]
+        assert d["lo"][i] == st[lo_row]
+        assert d["hi"][i] == st[hi_row]
+
+
+def test_alter_delete(sess):
+    k, v, st = cols(sess)
+    n_kill = (v < 5).sum()
+    sess.sql("ALTER TABLE t DELETE WHERE v < 5")
+    assert sess.sql("SELECT count(*) FROM t").to_rows()[0][0] == 300 - n_kill
+    assert sess.sql("SELECT count(*) FROM t WHERE v < 5").to_rows()[0][0] == 0
+
+
+def test_alter_update(sess):
+    sess.sql("ALTER TABLE t UPDATE v = v * 0 WHERE k = 2")
+    assert sess.sql("SELECT sum(v) FROM t WHERE k = 2").to_rows()[0][0] == 0
+    assert sess.sql("SELECT sum(v) FROM t WHERE k != 2").to_rows()[0][0] > 0
+
+
+def test_vector_index_ddl():
+    s = connect()
+    s.sql("CREATE TABLE tv(id Float32, vector Array(Float32, 3))")
+    s.sql("INSERT INTO tv VALUES (0, [0,0,0]), (1, [1,1,1])")
+    s.sql("ALTER TABLE tv ADD VECTOR INDEX v1 vector TYPE MSTG")
+    st = s.sql("SELECT status FROM system.vector_indices "
+               "WHERE table = 'tv' AND name = 'v1'").to_rows()
+    assert st == [("Built",)]
+    # metric_type in index params overrides table settings
+    s.sql("ALTER TABLE tv ADD VECTOR INDEX v2 vector TYPE HNSWFLAT('metric_type=IP')")
+    assert s.table_settings["tv"].float_vector_search_metric_type == "IP"
+    s.sql("ALTER TABLE tv DROP VECTOR INDEX v1")
+    s.sql("ALTER TABLE tv DROP VECTOR INDEX v2")
+    assert s.sql("SELECT count(*) FROM system.vector_indices").to_rows() == [(0,)]
+
+
+def test_explain_union(sess):
+    out = sess.sql("EXPLAIN SELECT k FROM t UNION ALL SELECT k FROM t")
+    lines = out.to_pydict()["explain"]
+    assert lines[0] == "Union branch 0"
