@@ -1,13 +1,23 @@
-"""Headline benchmark (BASELINE.json config 1): brute-force top-10 L2 scan
-over 1M x 128 fp32 embeddings with a scalar WHERE filter, single chip.
+"""Benchmarks for the BASELINE.json configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the fraction of speed-of-light throughput for the chip
-(the scan is HBM-bandwidth-bound: 512 B/row fp32; the reference publishes no
-absolute numbers in-tree — BASELINE.md — so roofline fraction is the honest
-denominator; target >= 0.8).
+Default (driver contract): config 1 — brute-force top-10 L2 scan over
+1M x 128 fp32 with a scalar WHERE filter, single chip — printing ONE JSON
+line {"metric", "value", "unit", "vs_baseline"}.  ``vs_baseline`` is the
+fraction of the chip's HBM-roofline throughput (the scan is bandwidth-bound;
+the reference publishes no absolute numbers in-tree — BASELINE.md).
+
+--config 2: filter + hash aggregate (GROUP BY low-card key, SUM/COUNT/AVG)
+--config 3: ORDER BY ... LIMIT top-n over 100M rows
+--config 4: hash join fact⋈dim with skewed keys
+--all:      run everything, one JSON line each (first line stays config 1)
+
+Timing methodology: R iterations inside one jitted lax.scan with a tiny
+data dependency between iterations, then a single scalar fetch — dispatch
+pipelining and host round-trips through the remote tunnel otherwise dominate
+(block_until_ready alone under-reports; see BENCH_NOTES.md).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -28,53 +38,172 @@ def hbm_gbps_for_device(dev) -> float:
     return 819e9  # conservative default
 
 
-def main():
+def _timed_repeat(make_body, *args, iters=16):
+    """Run body iters times inside one jit with chained deps; time the whole
+    execution via a scalar host fetch.  Returns seconds per iteration."""
     import jax
     import jax.numpy as jnp
-    from myscaledb_tpu.ops.vector import distance_scan, precompute_sqnorm
+    from jax import lax
+
+    @jax.jit
+    def run(*a):
+        def body(acc, _):
+            out = make_body(*a, acc)
+            return jnp.float32(out), None
+        acc, _ = lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    np.asarray(run(*args))          # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(run(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_config1():
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.vector import _distance_scan_oneshot_impl
 
     n, d, nq, k = 1_000_000, 128, 10, 10
     block_rows = 65536
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
-    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
-    meta = jnp.asarray(rng.integers(0, 100, n).astype(np.int32))
-    sqn = precompute_sqnorm(x)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (n, d), dtype=jnp.float32)
+    q = jax.random.normal(k2, (nq, d), dtype=jnp.float32)
+    meta = jax.random.randint(k3, (n,), 0, 100, dtype=jnp.int32)
+    sqn = jnp.sum(x * x, axis=1)
     jax.block_until_ready((x, q, meta, sqn))
 
-    @jax.jit
-    def query(x, q, meta, sqn):
-        mask = meta < jnp.int32(50)          # scalar WHERE, ~50% selective
-        return distance_scan(x, q, metric="L2", k=k, mask=mask,
-                             block_rows=block_rows, x_sqnorm=sqn)
+    def body(x, q, meta, sqn, acc):
+        mask = meta < jnp.int32(50)
+        dd, ii = _distance_scan_oneshot_impl(x, q + acc * 1e-30, mask, sqn,
+                                             "L2", k, True, 16)
+        return jnp.sum(dd) + jnp.float32(0) * jnp.sum(ii).astype(jnp.float32)
 
-    # warmup / compile
-    out = query(x, q, meta, sqn)
-    jax.block_until_ready(out)
-
-    # throughput timing: keep a pipeline of dispatches in flight and block on
-    # ALL results (a bare per-call loop measures host->device tunnel latency,
-    # not device throughput; blocking on every future serializes the pipe)
-    iters = 32
-    t0 = time.perf_counter()
-    outs = [query(x, q, meta, sqn) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
-
+    dt = _timed_repeat(body, x, q, meta, sqn)
     rows_per_sec = n / dt
     dev = jax.devices()[0]
-    # roofline: every row's 512B of embeddings + 4B metadata + 4B norms
     bytes_per_row = d * 4 + 4 + 4
     sol_rows = hbm_gbps_for_device(dev) / bytes_per_row
-    result = {
+    return {
         "metric": "vector_topk_scan_rows_per_sec_per_chip",
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
         "vs_baseline": round(rows_per_sec / sol_rows, 4),
-    }
-    print(json.dumps(result))
-    print(f"# dt={dt*1000:.3f} ms/scan on {dev.device_kind}; "
-          f"roofline={sol_rows/1e9:.3f} Grows/s", file=sys.stderr)
+    }, f"dt={dt*1000:.3f} ms/scan on {dev.device_kind}; roofline={sol_rows/1e9:.3f} Grows/s"
+
+
+def bench_config2():
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.aggregate import partial_aggregate
+
+    n, G = 100_000_000, 256
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    gid = jax.random.randint(k1, (n,), 0, G, dtype=jnp.int32)
+    vals = jax.random.randint(k2, (n,), -1000, 1000, dtype=jnp.int32)
+    jax.block_until_ready((gid, vals))
+    fns = ("sum", "count", "avg")
+
+    def body(gid, vals, acc):
+        mask = vals > jnp.int32(-500) + acc.astype(jnp.int32) * 0  # ~75% pass
+        states, gc = partial_aggregate(gid, mask, (vals, vals, vals), fns, G)
+        return (states[0].astype(jnp.float32).sum() +
+                gc.astype(jnp.float32).sum() * 0)
+
+    dt = _timed_repeat(body, gid, vals, iters=8)
+    rows_per_sec = n / dt
+    dev = jax.devices()[0]
+    bytes_per_row = 4 + 4
+    sol = hbm_gbps_for_device(dev) / bytes_per_row
+    return {
+        "metric": "filter_hash_aggregate_rows_per_sec_per_chip",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_sec / sol, 4),
+    }, f"dt={dt*1000:.3f} ms for {n} rows"
+
+
+def bench_config3():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, limit = 100_000_000, 100
+    key = jax.random.PRNGKey(2)
+    v = jax.random.normal(key, (n,), dtype=jnp.float32)
+    jax.block_until_ready(v)
+
+    def body(v, acc):
+        code = (v + acc * 1e-30).view(jnp.uint32)
+        code = jnp.where((code >> 31) == 0, code | jnp.uint32(0x80000000),
+                         ~code)
+        vals, idx = lax.top_k(code, limit)     # ORDER BY v DESC LIMIT 100
+        return vals.astype(jnp.float32).sum() * 1e-9
+
+    dt = _timed_repeat(body, v, iters=8)
+    rows_per_sec = n / dt
+    dev = jax.devices()[0]
+    sol = hbm_gbps_for_device(dev) / 4
+    return {
+        "metric": "topn_sort_rows_per_sec_per_chip",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_sec / sol, 4),
+    }, f"dt={dt*1000:.3f} ms for {n} rows"
+
+
+def bench_config4():
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.hashtable import ht_insert, _ht_lookup_impl
+
+    n_fact, n_dim = 200_000_000, 1_000_000
+    cap = 1 << 21
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    dim_keys = jnp.arange(n_dim, dtype=jnp.int32)
+    # skewed probe: zipf-ish via squaring uniform
+    u = jax.random.uniform(k1, (n_fact,), dtype=jnp.float32)
+    fact_keys = (u * u * n_dim).astype(jnp.int32)
+    jax.block_until_ready((dim_keys, fact_keys))
+
+    table, _, ok = ht_insert((dim_keys,), jnp.ones(n_dim, dtype=bool), cap)
+    jax.block_until_ready(table.slot_row)
+    assert bool(ok)
+
+    def body(slot_keys, slot_row, fact_keys, acc):
+        probe = fact_keys + acc.astype(jnp.int32) * 0
+        slot, found = _ht_lookup_impl(slot_keys, slot_row, (probe,),
+                                      jnp.ones(n_fact, dtype=bool), cap, 256)
+        return found.sum().astype(jnp.float32) * 1e-9
+
+    dt = _timed_repeat(body, table.slot_keys, table.slot_row, fact_keys,
+                       iters=4)
+    rows_per_sec = n_fact / dt
+    dev = jax.devices()[0]
+    sol = hbm_gbps_for_device(dev) / 8   # probe row: key read + slot gather
+    return {
+        "metric": "hash_join_probe_rows_per_sec_per_chip",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_sec / sol, 4),
+    }, f"dt={dt*1000:.3f} ms probe of {n_fact} rows vs {n_dim} build"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=1)
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+    benches = {1: bench_config1, 2: bench_config2, 3: bench_config3,
+               4: bench_config4}
+    configs = sorted(benches) if args.all else [args.config]
+    for c in configs:
+        result, note = benches[c]()
+        print(json.dumps(result))
+        print(f"# config {c}: {note}", file=sys.stderr)
 
 
 if __name__ == "__main__":

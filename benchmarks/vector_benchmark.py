@@ -1,0 +1,126 @@
+"""Vector search benchmark harness (reference analog:
+tests/vector_search/benchmark.py — QPS, latency p50/p99/p99.9, recall@k,
+index build time over SIFT-style datasets).
+
+The engine's scans are exact, so recall is 1.0 by construction; the harness
+still verifies it against a numpy oracle on sampled queries (the reference
+sweeps nprobe/ef_s for its ANN indexes; the analogous knob here is the scan
+block size).
+
+Usage:
+    python benchmarks/vector_benchmark.py --rows 1000000 --dim 128 \
+        --queries 100 --k 10 [--metric L2|Cosine|IP] [--selectivity 0.5]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=100)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--metric", default="L2", choices=["L2", "Cosine", "IP"])
+    ap.add_argument("--selectivity", type=float, default=1.0,
+                    help="fraction of rows passing the metadata predicate")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="queries per request (batch_distance analog)")
+    ap.add_argument("--oracle-sample", type=int, default=8,
+                    help="queries to verify against the numpy oracle")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.vector import distance_scan, INVALID_ID
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (args.rows, args.dim), dtype=jnp.float32)
+    qs = jax.random.normal(k2, (args.queries, args.dim), dtype=jnp.float32)
+    mask = None
+    if args.selectivity < 1.0:
+        mask = jax.random.uniform(k3, (args.rows,)) < args.selectivity
+    jax.block_until_ready((x, qs))
+    sqn = jnp.sum(x * x, axis=1)
+    jax.block_until_ready(sqn)
+
+    def run(qbatch):
+        return distance_scan(x, qbatch, metric=args.metric, k=args.k,
+                             mask=mask, x_sqnorm=sqn)
+
+    # build time analog: norms precompute (indexes are never built — exact)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.sum(x * x, axis=1))
+    build_s = time.perf_counter() - t0
+
+    # warm up / compile
+    out = run(qs[: args.batch])
+    jax.block_until_ready(out)
+
+    latencies = []
+    results = []
+    nq = args.queries
+    t_total0 = time.perf_counter()
+    for i in range(0, nq, args.batch):
+        qb = qs[i:i + args.batch]
+        t0 = time.perf_counter()
+        d, ids = run(qb)
+        np.asarray(ids)            # full round trip, like a real client
+        latencies.append(time.perf_counter() - t0)
+        results.append((np.asarray(d), np.asarray(ids)))
+    wall = time.perf_counter() - t_total0
+    qps = nq / wall
+
+    lat = np.array(latencies) * 1e3
+    p50, p99, p999 = (np.percentile(lat, p) for p in (50, 99, 99.9))
+
+    # recall vs oracle on a sample
+    sample = min(args.oracle_sample, nq)
+    x_np = np.asarray(x[:, :])
+    mask_np = np.asarray(mask) if mask is not None else None
+    hits = total = 0
+    for qi in range(sample):
+        d_np, ids_np = results[qi // args.batch]
+        got = ids_np[qi % args.batch]
+        got = got[got != INVALID_ID][: args.k]
+        q_np = np.asarray(qs[qi])
+        if args.metric == "L2":
+            s = ((x_np - q_np) ** 2).sum(1)
+            order_best_first = True
+        elif args.metric == "Cosine":
+            xn = np.linalg.norm(x_np, axis=1)
+            qn = np.linalg.norm(q_np)
+            s = 1 - (x_np @ q_np) / np.where(xn * qn == 0, 1, xn * qn)
+            order_best_first = True
+        else:
+            s = -(x_np @ q_np)
+            order_best_first = True
+        if mask_np is not None:
+            s = np.where(mask_np, s, np.inf)
+        want = np.argsort(s, kind="stable")[: args.k]
+        want = want[np.isfinite(s[want])]
+        hits += len(set(got.tolist()) & set(want.tolist()))
+        total += len(want)
+    recall = hits / max(total, 1)
+
+    report = {
+        "rows": args.rows, "dim": args.dim, "metric": args.metric,
+        "k": args.k, "batch": args.batch, "selectivity": args.selectivity,
+        "qps": round(qps, 2),
+        "latency_ms_p50": round(float(p50), 3),
+        "latency_ms_p99": round(float(p99), 3),
+        "latency_ms_p999": round(float(p999), 3),
+        "recall_at_k": round(recall, 6),
+        "norm_precompute_s": round(build_s, 3),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

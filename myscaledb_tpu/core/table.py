@@ -128,8 +128,9 @@ class Column:
         """Decode to python values (strings via dictionary, None for nulls)."""
         arr = np.asarray(self.data)
         if self.dtype is DataType.STRING:
-            return self.dictionary.decode(arr)
-        vals = arr.tolist()
+            vals = self.dictionary.decode(arr)
+        else:
+            vals = arr.tolist()
         if self.valid is not None:
             v = np.asarray(self.valid)
             vals = [x if ok else None for x, ok in zip(vals, v)]

@@ -47,3 +47,53 @@ def probe_join_table(table: HashTable, probe_keys, probe_mask=None) -> JoinResul
 def hash_join_any(build_keys, probe_keys, build_mask=None, probe_mask=None) -> JoinResult:
     table = build_join_table(build_keys, build_mask)
     return probe_join_table(table, probe_keys, probe_mask)
+
+
+class JoinExpansion(NamedTuple):
+    """ALL-join result: matched (probe,build) row pairs, dense."""
+    probe_idx: jnp.ndarray    # (n_out,) int32
+    build_idx: jnp.ndarray    # (n_out,) int32
+    found: jnp.ndarray        # (n_probe,) bool — probe rows with >=1 match
+
+
+def hash_join_all(build_keys, probe_keys, build_mask=None, probe_mask=None
+                  ) -> JoinExpansion:
+    """ALL-strictness join: every (probe, build) key match becomes an output
+    pair (reference: HashJoin MapsAll row-ref lists, HashJoin.cpp).
+
+    Build rows are bucketed per slot (sort by slot -> contiguous runs), the
+    probe fans out with one host sync for the output cardinality — the
+    static-shape boundary the reference doesn't have but XLA requires.
+    """
+    import numpy as np
+    build_keys = tuple(jnp.asarray(b) for b in build_keys)
+    n_build = build_keys[0].shape[0]
+    table, slot_of_build, _ = build_group_ids(
+        build_keys, mask=build_mask, num_groups_hint=min(n_build, 1 << 16))
+    cap = table.capacity
+    # bucket build rows by slot: counts, starts, and slot-sorted row ids
+    bmask = slot_of_build != INT32_MAX
+    safe_slot = jnp.where(bmask, slot_of_build, cap)
+    counts = jnp.zeros(cap, dtype=jnp.int32).at[safe_slot].add(
+        1, mode="drop")
+    order = jnp.argsort(safe_slot, stable=True)       # rows grouped by slot
+    rows_by_slot = order.astype(jnp.int32)            # (n_build,)
+    starts = jnp.concatenate([jnp.zeros(1, dtype=jnp.int32),
+                              jnp.cumsum(counts, dtype=jnp.int32)[:-1]])
+
+    pslot, found = ht_lookup(table, tuple(jnp.asarray(p) for p in probe_keys),
+                             mask=probe_mask)
+    safe_pslot = jnp.where(found, pslot, 0)
+    match_count = jnp.where(found, counts[safe_pslot], 0)
+    total = int(jnp.sum(match_count))                 # host sync (one)
+    n_probe = pslot.shape[0]
+    if total == 0:
+        return JoinExpansion(jnp.zeros(0, dtype=jnp.int32),
+                             jnp.zeros(0, dtype=jnp.int32), found)
+    probe_idx = jnp.repeat(jnp.arange(n_probe, dtype=jnp.int32), match_count,
+                           total_repeat_length=total)
+    offsets = jnp.concatenate([jnp.zeros(1, dtype=jnp.int32),
+                               jnp.cumsum(match_count, dtype=jnp.int32)[:-1]])
+    j = jnp.arange(total, dtype=jnp.int32) - offsets[probe_idx]
+    build_idx = rows_by_slot[starts[safe_pslot[probe_idx]] + j]
+    return JoinExpansion(probe_idx, build_idx, found)

@@ -399,34 +399,75 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
         rkeys.append(rk)
 
     M.increment(M.JOIN_PROBE_ROWS, left.n_rows)
-    with span("hash_join", how=jc.how, probe_rows=left.n_rows,
-              build_rows=right.n_rows):
-        res = hash_join_any(tuple(rkeys), tuple(lkeys))
-    found = res.found
-    build_row = jnp.where(found, res.build_row, 0)
+    how, strict = jc.how, jc.strictness
+    with span("hash_join", how=how, strictness=strict,
+              probe_rows=left.n_rows, build_rows=right.n_rows):
+        if strict in ("ANY", "SEMI", "ANTI"):
+            res = hash_join_any(tuple(rkeys), tuple(lkeys))
+            found_np = np.asarray(res.found)
+            build_row = np.asarray(jnp.where(res.found, res.build_row, 0))
+            if strict == "ANTI":
+                left_rows = np.flatnonzero(~found_np)
+                right_rows = np.zeros(len(left_rows), dtype=np.int32)
+                right_has = np.zeros(len(left_rows), dtype=bool)
+            elif strict == "SEMI" or how == "INNER":
+                left_rows = np.flatnonzero(found_np)
+                right_rows = build_row[left_rows]
+                right_has = np.ones(len(left_rows), dtype=bool)
+            else:  # LEFT ANY
+                left_rows = np.arange(left.n_rows)
+                right_rows = build_row
+                right_has = found_np
+        else:   # ALL multiplicity
+            from myscaledb_tpu.ops.join import hash_join_all
+            exp = hash_join_all(tuple(rkeys), tuple(lkeys))
+            left_rows = np.asarray(exp.probe_idx)
+            right_rows = np.asarray(exp.build_idx)
+            right_has = np.ones(len(left_rows), dtype=bool)
+            found_np = np.asarray(exp.found)
+            if how in ("LEFT", "FULL"):
+                extra = np.flatnonzero(~found_np)
+                left_rows = np.concatenate([left_rows, extra])
+                right_rows = np.concatenate(
+                    [right_rows, np.zeros(len(extra), dtype=right_rows.dtype)])
+                right_has = np.concatenate(
+                    [right_has, np.zeros(len(extra), dtype=bool)])
+            if how in ("RIGHT", "FULL"):
+                matched_right = np.zeros(right.n_rows, dtype=bool)
+                matched_right[np.asarray(exp.build_idx)] = True
+                extra_r = np.flatnonzero(~matched_right)
+                left_rows = np.concatenate(
+                    [left_rows, np.full(len(extra_r), -1, dtype=left_rows.dtype)])
+                right_rows = np.concatenate([right_rows, extra_r])
+                right_has = np.concatenate(
+                    [right_has, np.ones(len(extra_r), dtype=bool)])
 
-    if jc.how == "INNER":
-        keep_mask = found
-        joined_left, cnt = compact_table_host(left, keep_mask)
-        sel_rows = jnp.asarray(np.flatnonzero(np.asarray(keep_mask)))
-        gather_rows = jnp.take(build_row, sel_rows) if cnt else build_row[:0]
-        right_valid = None
-    else:  # LEFT
-        joined_left = left
-        gather_rows = build_row
-        right_valid = found
-
-    cols = list(joined_left.columns.values())
-    lnames = set(joined_left.column_names)
+    left_has = left_rows >= 0
+    safe_left = np.where(left_has, left_rows, 0)
+    lh_dev = jnp.asarray(left_has)
+    cols = []
+    for c in left.columns.values():
+        data = jnp.take(c.data, jnp.asarray(safe_left), axis=0)
+        valid = jnp.take(c.valid, jnp.asarray(safe_left), axis=0) \
+            if c.valid is not None else None
+        if not left_has.all():
+            valid = lh_dev if valid is None else jnp.logical_and(valid, lh_dev)
+        cols.append(Column(Field(c.name, c.dtype, valid is not None,
+                                 c.field.vector_dim),
+                           data, valid, c.dictionary))
+    lnames = set(left.column_names)
     using_names = set(jc.using or [])
+    rh_dev = jnp.asarray(right_has)
+    include_right = strict != "ANTI" or True   # ANTI keeps right cols as NULLs
     for c in right.columns.values():
         if c.name in using_names:
             continue
         out_name = c.name if c.name not in lnames else f"{ralias}.{c.name}"
-        data = jnp.take(c.data, gather_rows, axis=0)
-        valid = jnp.take(c.valid, gather_rows, axis=0) if c.valid is not None else None
-        if right_valid is not None:
-            valid = right_valid if valid is None else jnp.logical_and(valid, right_valid)
+        data = jnp.take(c.data, jnp.asarray(right_rows), axis=0)
+        valid = jnp.take(c.valid, jnp.asarray(right_rows), axis=0) \
+            if c.valid is not None else None
+        if not right_has.all():
+            valid = rh_dev if valid is None else jnp.logical_and(valid, rh_dev)
         cols.append(Column(Field(out_name, c.dtype, valid is not None,
                                  c.field.vector_dim),
                            data, valid, c.dictionary))

@@ -33,6 +33,7 @@ KEYWORDS = {
     "ILIKE", "IS", "NULL", "ASC", "DESC", "NULLS", "FIRST", "LAST", "JOIN",
     "INNER", "LEFT", "RIGHT", "FULL", "ANY", "ALL", "ON", "USING", "DISTINCT",
     "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "WITH", "SETTINGS",
+    "SEMI", "ANTI", "CROSS", "OUTER", "GLOBAL", "PREWHERE",
 }
 
 
@@ -138,7 +139,8 @@ class Parser:
                         and self.peek().upper not in KEYWORDS:
                     q.table_alias = self.next().text
 
-        while self.at_kw("INNER", "LEFT", "JOIN", "ANY", "ALL", "GLOBAL"):
+        while self.at_kw("INNER", "LEFT", "RIGHT", "FULL", "CROSS", "JOIN",
+                         "ANY", "ALL", "SEMI", "ANTI", "GLOBAL"):
             q.joins.append(self.parse_join())
 
         if self.take_kw("PREWHERE"):
@@ -193,14 +195,30 @@ class Parser:
     def parse_join(self) -> JoinClause:
         how, strictness = "INNER", "ALL"
         self.take_kw("GLOBAL")   # GLOBAL JOIN == broadcast; we always broadcast
+        # strictness may come before or after the direction (CH grammar)
+        def take_strictness():
+            nonlocal strictness
+            if self.take_kw("ANY"):
+                strictness = "ANY"
+            elif self.take_kw("ALL"):
+                strictness = "ALL"
+            elif self.take_kw("SEMI"):
+                strictness = "SEMI"
+            elif self.take_kw("ANTI"):
+                strictness = "ANTI"
+        take_strictness()
         if self.take_kw("LEFT"):
             how = "LEFT"
+        elif self.take_kw("RIGHT"):
+            how = "RIGHT"
+        elif self.take_kw("FULL"):
+            how = "FULL"
         elif self.take_kw("INNER"):
             how = "INNER"
-        if self.take_kw("ANY"):
-            strictness = "ANY"
-        elif self.take_kw("ALL"):
-            strictness = "ALL"
+        elif self.take_kw("CROSS"):
+            how = "CROSS"
+        self.take_kw("OUTER")
+        take_strictness()
         self.expect_kw("JOIN")
         table = self.parse_table_name()
         alias = None

@@ -1,0 +1,92 @@
+"""Full join-type matrix: ALL-multiplicity fan-out, ANY, SEMI, ANTI x
+INNER/LEFT/RIGHT/FULL, verified against a nested-loop numpy oracle."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+
+@pytest.fixture
+def jsess():
+    s = connect()
+    s.create_table("l", {
+        "k": np.array([1, 2, 2, 3, 5], dtype=np.int64),
+        "lv": np.array([10, 20, 21, 30, 50], dtype=np.int64),
+    })
+    s.create_table("r", {
+        "k": np.array([2, 2, 3, 4], dtype=np.int64),
+        "rv": np.array([200, 201, 300, 400], dtype=np.int64),
+    })
+    return s
+
+
+def oracle(how, lk, lv, rk, rv):
+    out = []
+    matched_r = set()
+    for i in range(len(lk)):
+        hits = [j for j in range(len(rk)) if rk[j] == lk[i]]
+        matched_r.update(hits)
+        if hits:
+            for j in hits:
+                out.append((lv[i], rv[j]))
+        elif how in ("LEFT", "FULL"):
+            out.append((lv[i], None))
+    if how in ("RIGHT", "FULL"):
+        for j in range(len(rk)):
+            if j not in matched_r:
+                out.append((None, rv[j]))
+    return sorted(out, key=lambda t: (t[0] is None, t[0] or 0,
+                                      t[1] is None, t[1] or 0))
+
+
+@pytest.mark.parametrize("how", ["INNER", "LEFT", "RIGHT", "FULL"])
+def test_all_join_matrix(jsess, how):
+    lk = [1, 2, 2, 3, 5]
+    lv = [10, 20, 21, 30, 50]
+    rk = [2, 2, 3, 4]
+    rv = [200, 201, 300, 400]
+    sql_how = {"INNER": "INNER JOIN", "LEFT": "LEFT JOIN",
+               "RIGHT": "RIGHT JOIN", "FULL": "FULL OUTER JOIN"}[how]
+    res = jsess.sql(f"SELECT lv, rv FROM l {sql_how} r ON l.k = r.k")
+    got = sorted(res.to_rows(), key=lambda t: (t[0] is None, t[0] or 0,
+                                               t[1] is None, t[1] or 0))
+    assert got == oracle(how, lk, lv, rk, rv), how
+
+
+def test_inner_all_fanout_count(jsess):
+    # key 2 matches 2 build rows for each of 2 probe rows -> 4 pairs + key 3
+    r = jsess.sql("SELECT count(*) FROM l INNER JOIN r ON l.k = r.k")
+    assert r.to_rows()[0][0] == 5
+
+
+def test_any_join_single_match(jsess):
+    r = jsess.sql("SELECT lv, rv FROM l ANY LEFT JOIN r ON l.k = r.k "
+                  "ORDER BY lv")
+    rows = r.to_rows()
+    assert len(rows) == 5                      # one row per left row
+    d = dict(rows)
+    assert d[20] == 200 and d[21] == 200       # lowest build row wins
+    assert d[10] is None and d[50] is None
+
+
+def test_semi_and_anti(jsess):
+    semi = jsess.sql("SELECT lv FROM l SEMI LEFT JOIN r ON l.k = r.k "
+                     "ORDER BY lv")
+    assert semi.to_pydict()["lv"] == [20, 21, 30]
+    anti = jsess.sql("SELECT lv FROM l ANTI LEFT JOIN r ON l.k = r.k "
+                     "ORDER BY lv")
+    assert anti.to_pydict()["lv"] == [10, 50]
+
+
+def test_join_then_aggregate(jsess):
+    r = jsess.sql("SELECT l.k, sum(rv) AS s FROM l INNER JOIN r ON l.k = r.k "
+                  "GROUP BY l.k ORDER BY l.k")
+    d = r.to_pydict()
+    assert d["l.k"] == [2, 3] or d["k"] == [2, 3]
+    assert d["s"] == [802, 300]   # (200+201) * 2 probe rows, then 300
+
+
+def test_empty_match_all_join(jsess):
+    r = jsess.sql("SELECT count(*) FROM l INNER JOIN r ON l.lv = r.rv")
+    assert r.to_rows()[0][0] == 0

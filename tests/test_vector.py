@@ -127,3 +127,36 @@ def test_query_1d_promoted(rng):
     q = x[5]
     d, i = distance_scan(x, q, metric="L2", k=1)
     assert i.shape == (1, 1) and int(i[0, 0]) == 5
+
+
+def test_oneshot_segment_prefilter_tie_torture():
+    # >margin exact duplicates straddling segment boundaries: the candidate
+    # cut must keep the LOWEST ids (ascending-id tie rule), across segments
+    n, d, k = 2048, 4, 5
+    x = np.zeros((n, d), dtype=np.float32)
+    x[:, 0] = 7.0          # every row identical -> all distances equal
+    q = np.array([[1.0, 0.0, 0.0, 0.0]], dtype=np.float32)
+    d_, i_ = distance_scan(x, q, metric="L2", k=k)
+    assert i_[0].tolist() == [0, 1, 2, 3, 4]
+    # two-level ties: first 300 rows slightly better, rest worse
+    x[300:, 0] = 8.0
+    d_, i_ = distance_scan(x, q, metric="L2", k=8, margin=4)
+    assert i_[0].tolist() == list(range(8))
+    # boundary: k lands exactly where duplicates straddle the margin cut
+    d_, i_ = distance_scan(x, q, metric="L2", k=299, margin=2)
+    assert i_[0].tolist() == list(range(299))
+
+
+def test_oneshot_vs_scan_path_equal(rng):
+    from myscaledb_tpu.ops.vector import (_distance_scan_impl,
+                                          _distance_scan_oneshot_impl)
+    import jax.numpy as jnp
+    n, dq, nq, k = 3000, 24, 3, 12
+    x = jnp.asarray(rng.standard_normal((n, dq)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((nq, dq)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) < 0.6)
+    sqn = jnp.sum(x * x, axis=1)
+    d1, i1 = _distance_scan_oneshot_impl(x, q, mask, sqn, "L2", k, True, 16)
+    d2, i2 = _distance_scan_impl(x, q, mask, sqn, "L2", k, 512, True, 16)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
