@@ -67,10 +67,11 @@ def float_bits_key(x: jnp.ndarray) -> jnp.ndarray:
 
 # host-side mirrors (numpy) for oracle tests
 def np_hash32(x: np.ndarray) -> np.ndarray:
-    h = np.asarray(x).astype(np.uint32)
-    h = h ^ (h >> np.uint32(16))
-    h = h * np.uint32(0x85EBCA6B)
-    h = h ^ (h >> np.uint32(13))
-    h = h * np.uint32(0xC2B2AE35)
-    h = h ^ (h >> np.uint32(16))
+    with np.errstate(over="ignore"):   # uint32 wrap-around is the algorithm
+        h = np.asarray(x).astype(np.uint32)
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
     return h

@@ -1,0 +1,152 @@
+"""Ragged all-to-all shuffle: hash-repartition rows across the mesh.
+
+Reference analog: Distributed aggregation/join repartitioning — blocks
+scattered by key hash over the native TCP protocol (DistributedSink.cpp,
+P6/P10 in SURVEY.md §2.5).  On TPU the exchange is one `lax.all_to_all`
+over ICI with *padded buckets*: every shard sorts its rows by destination,
+packs them into an (nsh, cap) buffer (cap = global max rows any shard sends
+to any destination, agreed via pmax), exchanges, and returns the received
+rows plus a validity mask — raggedness is carried as padding, the standard
+static-shape trick.
+
+After a shuffle by key-hash, every occurrence of a key lives on exactly one
+shard, so joins and aggregations become purely local (the north star's
+"distributed shuffle" with local compaction).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from myscaledb_tpu.parallel.mesh import SHARD_AXIS
+from myscaledb_tpu.ops.hash import hash32
+
+
+def _dest_of(key: jnp.ndarray, nsh: int) -> jnp.ndarray:
+    return (hash32(key) % jnp.uint32(nsh)).astype(jnp.int32)
+
+
+def shuffle_by_key(mesh: Mesh, key, arrays: Sequence, valid=None,
+                   axis: str = SHARD_AXIS, cap: int | None = None):
+    """Repartition rows so equal keys colocate: row -> shard hash(key)%nsh.
+
+    key: (n,) row-sharded integer key; arrays: additional row-sharded columns
+    moved along with it; valid: optional row validity (padding rows excluded).
+    cap: bucket capacity override (static). If None, a worst-case static cap
+    of n_local is used — correct for any skew; pass a tighter cap (e.g. from
+    sampled statistics) to cut exchange volume.
+
+    Returns (key_out, arrays_out, valid_out): per-shard (nsh*cap,) arrays
+    with valid_out marking real rows.
+    """
+    nsh = mesh.shape[axis]
+    n = key.shape[0]
+    assert n % nsh == 0
+    n_loc = n // nsh
+    cap = int(cap or n_loc)
+    arrays = tuple(arrays)
+
+    in_specs = (P(axis),) + tuple(P(axis) for _ in arrays) + \
+        ((P(axis),) if valid is not None else ())
+    out_specs = (P(axis), tuple(P(axis) for _ in arrays), P(axis))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=out_specs, check_vma=False)
+    def step(key_loc, *rest):
+        cols = rest[:len(arrays)]
+        vmask = rest[len(arrays)] if valid is not None else \
+            jnp.ones(n_loc, dtype=bool)
+        dest = jnp.where(vmask, _dest_of(key_loc, nsh), nsh)   # invalid -> drop
+        order = jnp.argsort(dest, stable=True)                 # group by dest
+        sdest = dest[order]
+        counts = jnp.zeros(nsh + 1, dtype=jnp.int32).at[sdest].add(1)
+        starts = jnp.concatenate([jnp.zeros(1, dtype=jnp.int32),
+                                  jnp.cumsum(counts[:-1],
+                                             dtype=jnp.int32)])[:nsh + 1]
+        within = jnp.arange(n_loc, dtype=jnp.int32) - starts[
+            jnp.clip(sdest, 0, nsh)]
+        # pack into (nsh, cap) buffers; overflow beyond cap dropped (caller
+        # guarantees cap large enough — default n_loc cannot overflow)
+        slot = jnp.where(jnp.logical_and(sdest < nsh, within < cap),
+                         sdest * cap + within, nsh * cap)
+        def pack(col):
+            buf = jnp.zeros((nsh * cap,), dtype=col.dtype)
+            return buf.at[slot].set(col[order], mode="drop").reshape(nsh, cap)
+        key_buf = pack(key_loc)
+        col_bufs = [pack(c) for c in cols]
+        vbuf = jnp.zeros((nsh * cap,), dtype=bool).at[slot].set(
+            True, mode="drop").reshape(nsh, cap)
+        # exchange: shard p sends buf[j] to shard j
+        key_rx = lax.all_to_all(key_buf, axis, 0, 0, tiled=True)
+        cols_rx = tuple(lax.all_to_all(b, axis, 0, 0, tiled=True)
+                        for b in col_bufs)
+        v_rx = lax.all_to_all(vbuf, axis, 0, 0, tiled=True)
+        return key_rx.reshape(-1), tuple(c.reshape(-1) for c in cols_rx), \
+            v_rx.reshape(-1)
+
+    args = (key,) + arrays + ((valid,) if valid is not None else ())
+    return step(*args)
+
+
+def sharded_shuffle_aggregate(mesh: Mesh, key, mask, args, fns: tuple,
+                              axis: str = SHARD_AXIS,
+                              capacity_hint: int = 1 << 16):
+    """High-cardinality distributed GROUP BY: repartition rows by key hash,
+    then aggregate fully locally per shard (each key on one shard only).
+
+    Returns per-shard padded results gathered to the host:
+    (keys (m,), states tuple of (m,) arrays, counts (m,)) as numpy — the
+    initiator-side merge is a concat, not a combine (keys are disjoint).
+    """
+    import numpy as np
+    from myscaledb_tpu.ops.hashtable import build_group_ids, INT32_MAX
+    from myscaledb_tpu.ops.aggregate import partial_aggregate, finalize
+
+    key_rx, args_rx, valid_rx = shuffle_by_key(mesh, key, args, valid=mask,
+                                               axis=axis)
+    # local aggregation per shard runs under plain jit over the resharded
+    # arrays (each shard's rows are independent); host assembles results
+    nsh = mesh.shape[axis]
+    m = key_rx.shape[0] // nsh
+    out_keys, out_states, out_counts = [], [], []
+    key_np = np.asarray(key_rx).reshape(nsh, m)
+    valid_np = np.asarray(valid_rx).reshape(nsh, m)
+    args_np = [np.asarray(a).reshape(nsh, m) for a in args_rx]
+    for p in range(nsh):
+        vm = valid_np[p]
+        if not vm.any():
+            continue
+        kk = jnp.asarray(key_np[p])
+        _, gid, cap = build_group_ids((kk,), mask=jnp.asarray(vm),
+                                      num_groups_hint=capacity_hint)
+        gid = jnp.where(gid == INT32_MAX, 0, gid)
+        states, gc = partial_aggregate(
+            gid, jnp.asarray(vm),
+            tuple(jnp.asarray(a[p]) for a in args_np), fns, cap)
+        outs = finalize(states, gc, fns)
+        gc_np = np.asarray(gc)
+        present = np.flatnonzero(gc_np > 0)
+        rep = np.zeros(cap, dtype=np.int64)
+        gid_np = np.asarray(gid)
+        first = {}
+        for i in np.flatnonzero(vm):
+            g = gid_np[i]
+            if g not in first:
+                first[g] = i
+        out_keys.append(np.array([key_np[p][first[g]] for g in present]))
+        out_states.append([o[present] for o in outs])
+        out_counts.append(gc_np[present])
+    if not out_keys:
+        return (np.zeros(0, dtype=np.asarray(key_rx).dtype),
+                [np.zeros(0)] * len(fns), np.zeros(0, dtype=np.int64))
+    keys = np.concatenate(out_keys)
+    states = [np.concatenate([s[i] for s in out_states])
+              for i in range(len(fns))]
+    counts = np.concatenate(out_counts)
+    return keys, states, counts

@@ -1,0 +1,65 @@
+"""Ragged all-to-all shuffle tests on the virtual mesh: colocation
+invariant, no row loss, validity padding, shuffle-aggregate equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.parallel.mesh import make_mesh, shard_rows
+from myscaledb_tpu.parallel.shuffle import shuffle_by_key, sharded_shuffle_aggregate
+from myscaledb_tpu.ops.hash import np_hash32
+
+
+def test_shuffle_preserves_rows_and_colocates(rng):
+    mesh = make_mesh(8)
+    n = 8 * 256
+    key = rng.integers(0, 1000, n).astype(np.int32)
+    val = rng.integers(0, 10**6, n).astype(np.int64)
+    k_rx, (v_rx,), valid = shuffle_by_key(
+        mesh, shard_rows(mesh, jnp.asarray(key)),
+        (shard_rows(mesh, jnp.asarray(val)),))
+    k_np = np.asarray(k_rx)
+    v_np = np.asarray(v_rx)
+    ok = np.asarray(valid)
+    # no rows lost, payload still attached to its key
+    got = sorted(zip(k_np[ok].tolist(), v_np[ok].tolist()))
+    want = sorted(zip(key.tolist(), val.tolist()))
+    assert got == want
+    # colocation: every key's rows land on the shard hash(key) % 8
+    nsh = 8
+    per_shard = len(k_np) // nsh
+    for i in np.flatnonzero(ok):
+        shard = i // per_shard
+        assert np_hash32(np.uint32(k_np[i])) % nsh == shard
+
+
+def test_shuffle_respects_input_validity(rng):
+    mesh = make_mesh(4)
+    n = 4 * 64
+    key = rng.integers(0, 50, n).astype(np.int32)
+    val = np.arange(n, dtype=np.int64)
+    mask = rng.random(n) < 0.5
+    k_rx, (v_rx,), valid = shuffle_by_key(
+        mesh, shard_rows(mesh, jnp.asarray(key)),
+        (shard_rows(mesh, jnp.asarray(val)),),
+        valid=shard_rows(mesh, jnp.asarray(mask)))
+    ok = np.asarray(valid)
+    assert ok.sum() == mask.sum()
+    got = sorted(np.asarray(v_rx)[ok].tolist())
+    assert got == sorted(val[mask].tolist())
+
+
+def test_shuffle_aggregate_matches_local(rng):
+    mesh = make_mesh(8)
+    n = 8 * 500
+    key = rng.integers(0, 200, n).astype(np.int32)
+    val = rng.integers(-100, 100, n).astype(np.int64)
+    mask = rng.random(n) < 0.9
+    keys, (sums,), counts = sharded_shuffle_aggregate(
+        mesh, shard_rows(mesh, jnp.asarray(key)),
+        shard_rows(mesh, jnp.asarray(mask)),
+        (shard_rows(mesh, jnp.asarray(val)),), ("sum",))
+    got = dict(zip(keys.tolist(), sums.tolist()))
+    for kk in set(key[mask].tolist()):
+        sel = (key == kk) & mask
+        assert got[kk] == val[sel].sum(), kk
+    assert len(got) == len(set(key[mask].tolist()))
