@@ -128,7 +128,7 @@ def bench_config2():
 def bench_config3():
     import jax
     import jax.numpy as jnp
-    from jax import lax
+    from myscaledb_tpu.ops.sort import _topn_single_segmented, _ascending_code
 
     n, limit = 100_000_000, 100
     key = jax.random.PRNGKey(2)
@@ -136,11 +136,9 @@ def bench_config3():
     jax.block_until_ready(v)
 
     def body(v, acc):
-        code = (v + acc * 1e-30).view(jnp.uint32)
-        code = jnp.where((code >> 31) == 0, code | jnp.uint32(0x80000000),
-                         ~code)
-        vals, idx = lax.top_k(code, limit)     # ORDER BY v DESC LIMIT 100
-        return vals.astype(jnp.float32).sum() * 1e-9
+        code = _ascending_code(v + acc * 1e-30)
+        idx = _topn_single_segmented(code, limit)  # ORDER BY v DESC LIMIT 100
+        return idx.astype(jnp.float32).sum() * 1e-9
 
     dt = _timed_repeat(body, v, iters=8)
     rows_per_sec = n / dt

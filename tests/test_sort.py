@@ -74,3 +74,26 @@ def test_topn_multikey_fallback(rng):
     top = np.asarray(topn_permutation(keys, 10, 200))
     full = np.asarray(sort_permutation(keys))[:10]
     np.testing.assert_array_equal(top, full)
+
+
+def test_topn_segmented_matches_flat(rng):
+    from myscaledb_tpu.ops.sort import (_topn_single, _topn_single_segmented,
+                                        _ascending_code)
+    v = rng.standard_normal(100000).astype(np.float32)
+    code = _ascending_code(jnp.asarray(v))
+    flat = np.asarray(_topn_single(~code, 50))
+    seg = np.asarray(_topn_single_segmented(~code, 50))
+    np.testing.assert_array_equal(seg, flat)
+
+
+def test_topn_segmented_ties_and_padding():
+    from myscaledb_tpu.ops.sort import _topn_single_segmented, _ascending_code
+    # 1000 rows (not divisible by 128), heavy duplicates
+    v = np.zeros(1000, dtype=np.float32)
+    v[500:] = 1.0
+    code = _ascending_code(jnp.asarray(v))     # ascending order: zeros first
+    got = np.asarray(_topn_single_segmented(~code, 20))
+    np.testing.assert_array_equal(got, np.arange(20))   # ties -> lowest ids
+    # descending: the 1.0 rows first, ids ascending
+    got = np.asarray(_topn_single_segmented(code, 20))
+    np.testing.assert_array_equal(got, np.arange(500, 520))
