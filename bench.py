@@ -96,7 +96,7 @@ def bench_config1():
 def bench_config2():
     import jax
     import jax.numpy as jnp
-    from myscaledb_tpu.ops.aggregate import partial_aggregate
+    from myscaledb_tpu.ops.aggregate import partial_aggregate_matmul
 
     n, G = 100_000_000, 256
     key = jax.random.PRNGKey(1)
@@ -108,7 +108,8 @@ def bench_config2():
 
     def body(gid, vals, acc):
         mask = vals > jnp.int32(-500) + acc.astype(jnp.int32) * 0  # ~75% pass
-        states, gc = partial_aggregate(gid, mask, (vals, vals, vals), fns, G)
+        states, gc = partial_aggregate_matmul(gid, mask, (vals, vals, vals),
+                                              fns, G)
         return (states[0].astype(jnp.float32).sum() +
                 gc.astype(jnp.float32).sum() * 0)
 

@@ -53,6 +53,63 @@ def _minmax_identity(d, is_min: bool):
     return jnp.array(info.max if is_min else info.min, dtype=d)
 
 
+def _matmul_kind(fn: str, arg) -> str | None:
+    """Matmul-histogram eligibility of one aggregate (None = scatter)."""
+    if fn == "count":
+        return "count"
+    if fn not in ("sum", "avg"):
+        return None
+    d = jnp.dtype(arg.dtype)
+    if d.kind == "f":
+        return "float"
+    if d.kind == "b":
+        return "int"
+    if d.kind == "i" and d.itemsize <= 4:
+        return "int"          # int64/uint need the wide path: scatter
+    return None
+
+
+@partial(jax.jit, static_argnames=("num_groups", "fns"))
+def partial_aggregate_matmul(gid, mask, args, fns: tuple, num_groups: int,
+                             arg_valids=None):
+    """partial_aggregate with sum/count/avg routed through the MXU one-hot
+    histogram (14x over scatter on TPU — BENCH_NOTES.md); min/max/any keep
+    the scatter path.  Bit-identical integer results; float sums differ only
+    in accumulation order (unspecified, as in the reference's parallel
+    aggregation)."""
+    from myscaledb_tpu.ops.aggregate_matmul import matmul_group_aggregate
+    kinds, mm_args, mm_valids, mm_slots = [], [], [], []
+    for i, (fn, a) in enumerate(zip(fns, args)):
+        k = _matmul_kind(fn, a)
+        if k is not None:
+            kinds.append(k)
+            mm_args.append(a if k != "count" else jnp.zeros_like(gid))
+            mm_valids.append(None if arg_valids is None else arg_valids[i])
+            mm_slots.append(i)
+    scatter_idx = [i for i in range(len(fns)) if i not in mm_slots]
+
+    states: list = [None] * len(fns)
+    gc = None
+    if mm_slots:
+        mm_states, gc, mm_counts = matmul_group_aggregate(
+            gid, mask, tuple(mm_args), tuple(kinds), num_groups,
+            tuple(mm_valids))
+        for slot, st, cnt in zip(mm_slots, mm_states, mm_counts):
+            states[slot] = (st, cnt) if fns[slot] == "avg" else st
+    if scatter_idx or gc is None:
+        sub_fns = tuple(fns[i] for i in scatter_idx)
+        sub_args = tuple(args[i] for i in scatter_idx)
+        sub_valids = None if arg_valids is None else tuple(
+            arg_valids[i] for i in scatter_idx)
+        sc_states, gc2 = partial_aggregate(gid, mask, sub_args, sub_fns,
+                                           num_groups, sub_valids)
+        if gc is None:
+            gc = gc2
+        for slot, st in zip(scatter_idx, sc_states):
+            states[slot] = st
+    return tuple(states), gc
+
+
 @partial(jax.jit, static_argnames=("num_groups", "fns"))
 def partial_aggregate(gid, mask, args, fns: tuple, num_groups: int,
                       arg_valids=None):

@@ -1,0 +1,163 @@
+"""MXU histogramming: grouped sums/counts as factorized one-hot matmuls.
+
+XLA's scatter-add on TPU runs ~100x off roofline (113 ms for 100M rows into
+256 bins — BENCH_NOTES.md).  This module computes the same partial states
+with matrix multiplies: factorize group id g = hi * 128 + lo, build the two
+small one-hots, and contract
+
+    out[f, hi, lo] = sum_rows feats[r, f] * oh_hi[r, hi] * oh_lo[r, lo]
+
+as one (F*nhi, B) @ (B, 128) matmul per row block — measured 8 ms for 100M
+rows (14x over scatter), MXU-bound.
+
+Exact integer sums: int values are offset to uint32 and split into six
+base-64 limbs; with 2^18-row blocks each f32 partial is integer-exact
+(B * 63 < 2^24), block partials accumulate in int64, and the final sum is
+sum_j 64^j * limb_j - 2^31 * count.  Float sums accumulate f32 partials
+(float accumulation order is unspecified across strategies, same as the
+reference's parallel aggregation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BLOCK = 1 << 18          # rows per matmul block: 2^18 * 63 < 2^24 (exactness)
+N_LIMBS = 6              # base-64 limbs covering uint32
+LO = 128                 # lane-width factor of the group id
+
+
+@partial(jax.jit, static_argnames=("num_groups", "kinds"))
+def matmul_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
+                           arg_valids=None):
+    """Grouped sums/counts via one-hot matmuls.
+
+    kinds: per-arg "int" (exact int64 sum) | "float" (f32 sum) | "count".
+    Returns (states, group_count): states[i] is int64 (G,) for int/count,
+    f32 (G,) for float; group_count int64 (G,) counts mask-selected rows.
+    """
+    n = gid.shape[0]
+    G_pad = -(-num_groups // LO) * LO
+    nhi = G_pad // LO
+    block = 128
+    while block < min(n, BLOCK):
+        block *= 2
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        gid = jnp.pad(gid, (0, n_pad - n))
+        mask = jnp.pad(mask, (0, n_pad - n), constant_values=False)
+        args = tuple(jnp.pad(a, (0, n_pad - n)) for a in args)
+        if arg_valids is not None:
+            arg_valids = tuple(
+                jnp.pad(v, (0, n_pad - n), constant_values=False)
+                if v is not None else None for v in arg_valids)
+    nb = n_pad // block
+
+    # feature layout: [global_count] + per-arg features
+    # int arg  -> 6 limb rows (+1 count row when it has its own validity)
+    # float arg-> 1 value row (+1 count row when it has its own validity)
+    feat_plan = []      # (arg_idx, kind, n_rows, has_own_valid)
+    for i, kind in enumerate(kinds):
+        own_valid = arg_valids is not None and arg_valids[i] is not None
+        if kind == "int":
+            feat_plan.append((i, "int", N_LIMBS + 1, own_valid))
+        elif kind == "float":
+            feat_plan.append((i, "float", 2, own_valid))
+        else:   # count
+            feat_plan.append((i, "count", 1, own_valid))
+    F = 1 + sum(p[2] for p in feat_plan)
+    int_rows = F           # all partial rows are integer-exact except floats
+    # identify which feature rows are float-valued
+    float_rows = []
+    row = 1
+    for i, kind, nrows, own in feat_plan:
+        if kind == "float":
+            float_rows.append(row)
+        row += nrows
+
+    gb = gid.reshape(nb, block)
+    mb = mask.reshape(nb, block)
+    ab = tuple(a.reshape(nb, block) for a in args)
+    vb = tuple(v.reshape(nb, block) if v is not None else None
+               for v in (arg_valids or (None,) * len(args)))
+
+    lo_iota = lax.broadcasted_iota(jnp.int32, (block, LO), 1)
+    float_row_mask = np.zeros((F, 1), dtype=bool)
+    for r in float_rows:
+        float_row_mask[r] = True
+    float_row_mask = jnp.asarray(float_row_mask)
+
+    def block_features(bi):
+        g = gb[bi]
+        m = mb[bi]
+        rows = [m.astype(jnp.float32)]                 # global count row
+        for i, kind, nrows, own in feat_plan:
+            am = m if vb[i] is None else jnp.logical_and(m, vb[i][bi])
+            amf = am.astype(jnp.float32)
+            if kind == "int":
+                u = (ab[i][bi].astype(jnp.int64) +
+                     jnp.int64(2 ** 31)).astype(jnp.uint32)
+                for j in range(N_LIMBS):
+                    limb = ((u >> jnp.uint32(6 * j)) &
+                            jnp.uint32(63)).astype(jnp.float32)
+                    rows.append(limb * amf)
+                rows.append(amf)                       # per-arg count
+            elif kind == "float":
+                rows.append(ab[i][bi].astype(jnp.float32) * amf)
+                rows.append(amf)
+            else:
+                rows.append(amf)
+        return jnp.stack(rows, axis=1), g, m           # (BLOCK, F)
+
+    def body(carry, bi):
+        acc_i, acc_f = carry
+        feats, g, m = block_features(bi)
+        oh_lo = ((g & (LO - 1))[:, None] == lo_iota).astype(jnp.float32)
+        hi = g >> 7
+        parts = []
+        # one matmul per hi bucket keeps the one-hot fused into the dot
+        # (a (B, F*nhi) reshape between the mul and the dot would force it
+        # to materialize in HBM — BENCH_NOTES.md)
+        for h in range(nhi):
+            sel = (hi == h).astype(jnp.float32)        # (BLOCK,)
+            lhs = feats * sel[:, None]                 # (block, F)
+            parts.append(jnp.dot(lhs.T, oh_lo,
+                                 preferred_element_type=jnp.float32))
+        part = jnp.concatenate(parts, axis=-1)         # (F, nhi*LO)
+        exact = jnp.where(float_row_mask, 0.0, part)
+        acc_i = acc_i + jnp.round(exact).astype(jnp.int64)
+        acc_f = acc_f + part
+        return (acc_i, acc_f), None
+
+    init = (jnp.zeros((F, G_pad), dtype=jnp.int64),
+            jnp.zeros((F, G_pad), dtype=jnp.float32))
+    (acc_i, acc_f), _ = lax.scan(body, init, jnp.arange(nb))
+
+    group_count = acc_i[0, :num_groups]
+    states = []
+    arg_counts = []
+    row = 1
+    for i, kind, nrows, own in feat_plan:
+        if kind == "int":
+            total = jnp.zeros(num_groups, dtype=jnp.int64)
+            for j in range(N_LIMBS):
+                total = total + (acc_i[row + j, :num_groups] <<
+                                 jnp.int64(6 * j))
+            cnt = acc_i[row + N_LIMBS, :num_groups]
+            states.append(total - (cnt << jnp.int64(31)))
+            arg_counts.append(cnt)
+            row += N_LIMBS + 1
+        elif kind == "float":
+            states.append(acc_f[row, :num_groups])
+            arg_counts.append(acc_i[row + 1, :num_groups])
+            row += 2
+        else:
+            states.append(acc_i[row, :num_groups])
+            arg_counts.append(acc_i[row, :num_groups])
+            row += 1
+    return tuple(states), group_count, tuple(arg_counts)

@@ -1,0 +1,172 @@
+"""Window functions over sorted partitions (reference analog:
+src/Processors/Transforms/WindowTransform.cpp).
+
+Everything reduces to one sorted layout: rows ordered by (partition id,
+ORDER BY keys, row id).  On that layout every window quantity is a
+segmented scan/cumsum with static shapes:
+
+  row_number   position - partition_start + 1
+  rank         peer_start - partition_start + 1
+  dense_rank   peer_index - peer_index_at_partition_start + 1
+  sum/count/avg/min/max without ORDER BY: whole-partition aggregate,
+               broadcast back to rows
+  with ORDER BY: running aggregate over the RANGE frame (unbounded preceding
+               .. current row INCLUDING peers — ClickHouse's default frame):
+               cumulative value at the END of the row's peer group
+  lag/lead     shifted gather guarded by partition boundaries
+
+Results are scattered back to original row order through the permutation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _segment_starts(seg_first: jnp.ndarray) -> jnp.ndarray:
+    """seg_first: bool (m,), True at the first row of each segment.
+    Returns (m,) index of the segment's first row for every row."""
+    m = seg_first.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    marked = jnp.where(seg_first, idx, -1)
+    return lax.cummax(marked)
+
+
+def _rev_cummin(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.flip(lax.cummin(jnp.flip(x)))
+
+
+class WindowLayout:
+    """Sorted layout shared by all window functions of one OVER clause."""
+
+    def __init__(self, part_gid, order_operands, n: int):
+        """part_gid: (n,) int32 partition id (0 if no PARTITION BY);
+        order_operands: list of ascending-encoded key arrays (may be [])."""
+        iota = jnp.arange(n, dtype=jnp.int32)
+        ops = [part_gid.astype(jnp.int32)] + list(order_operands) + [iota]
+        res = lax.sort(tuple(ops), dimension=0, num_keys=len(ops))
+        self.perm = res[-1]                       # sorted -> original row
+        self.gid_s = res[0]
+        self.order_s = res[1:-1]
+        self.n = n
+        self.part_first = jnp.concatenate(
+            [jnp.ones(1, dtype=bool), self.gid_s[1:] != self.gid_s[:-1]])
+        peer_diff = self.part_first
+        for o in self.order_s:
+            peer_diff = jnp.logical_or(
+                peer_diff, jnp.concatenate([jnp.ones(1, dtype=bool),
+                                            o[1:] != o[:-1]]))
+        self.peer_first = peer_diff
+        self.part_start = _segment_starts(self.part_first)
+        self.peer_start = _segment_starts(self.peer_first)
+        self.peer_end = _rev_cummin(jnp.where(
+            jnp.concatenate([self.peer_first[1:], jnp.ones(1, dtype=bool)]),
+            jnp.arange(n, dtype=jnp.int32), n))
+        self.has_order = len(order_operands) > 0
+
+    def unsort(self, vals_sorted: jnp.ndarray) -> jnp.ndarray:
+        """Scatter a sorted-layout result back to original row order."""
+        out = jnp.zeros_like(vals_sorted)
+        return out.at[self.perm].set(vals_sorted)
+
+    # -- ranking ------------------------------------------------------------
+
+    def row_number(self):
+        pos = jnp.arange(self.n, dtype=jnp.int64)
+        return self.unsort(pos - self.part_start.astype(jnp.int64) + 1)
+
+    def rank(self):
+        r = (self.peer_start - self.part_start).astype(jnp.int64) + 1
+        return self.unsort(r)
+
+    def dense_rank(self):
+        peer_idx = jnp.cumsum(self.peer_first.astype(jnp.int64)) - 1
+        first_peer = peer_idx[self.part_start]
+        return self.unsort(peer_idx - first_peer + 1)
+
+    # -- aggregates ---------------------------------------------------------
+
+    def agg(self, fn: str, values: jnp.ndarray):
+        """sum/count/avg/min/max over the default frame."""
+        v_s = values[self.perm]
+        if fn == "count":
+            v_s = jnp.ones(self.n, dtype=jnp.int64)
+        if self.has_order:
+            out_s = self._running(fn, v_s)
+        else:
+            out_s = self._whole_partition(fn, v_s)
+        return self.unsort(out_s)
+
+    def _whole_partition(self, fn, v_s):
+        if fn in ("sum", "count", "avg"):
+            dt = jnp.int64 if jnp.issubdtype(v_s.dtype, jnp.integer) or \
+                v_s.dtype == jnp.bool_ else jnp.float32
+            cum = jnp.cumsum(v_s.astype(dt))
+            base = jnp.where(self.part_start > 0,
+                             cum[jnp.maximum(self.part_start - 1, 0)], 0)
+            part_end = _rev_cummin(jnp.where(
+                jnp.concatenate([self.part_first[1:],
+                                 jnp.ones(1, dtype=bool)]),
+                jnp.arange(self.n, dtype=jnp.int32), self.n))
+            total = cum[part_end] - base
+            if fn == "avg":
+                cnt = (part_end - self.part_start + 1).astype(jnp.float32)
+                return total.astype(jnp.float32) / cnt
+            return total
+        if fn in ("min", "max"):
+            fwd = _segmented_scan(v_s, self.part_first, fn)
+            part_end = _rev_cummin(jnp.where(
+                jnp.concatenate([self.part_first[1:],
+                                 jnp.ones(1, dtype=bool)]),
+                jnp.arange(self.n, dtype=jnp.int32), self.n))
+            return fwd[part_end]
+        raise ValueError(fn)
+
+    def _running(self, fn, v_s):
+        if fn in ("sum", "count", "avg"):
+            dt = jnp.int64 if jnp.issubdtype(v_s.dtype, jnp.integer) or \
+                v_s.dtype == jnp.bool_ else jnp.float32
+            cum = jnp.cumsum(v_s.astype(dt))
+            base = jnp.where(self.part_start > 0,
+                             cum[jnp.maximum(self.part_start - 1, 0)], 0)
+            run = cum[self.peer_end] - base      # RANGE frame: incl. peers
+            if fn == "avg":
+                cnt = (self.peer_end - self.part_start + 1).astype(jnp.float32)
+                return run.astype(jnp.float32) / cnt
+            return run
+        if fn in ("min", "max"):
+            fwd = _segmented_scan(v_s, self.part_first, fn)
+            return fwd[self.peer_end]
+        raise ValueError(fn)
+
+    # -- shifts -------------------------------------------------------------
+
+    def shift(self, values, offset: int, default, lead: bool):
+        v_s = values[self.perm]
+        off = offset if lead else -offset
+        idx = jnp.arange(self.n, dtype=jnp.int32) + off
+        ok = jnp.logical_and(idx >= 0, idx < self.n)
+        safe = jnp.clip(idx, 0, self.n - 1)
+        same_part = jnp.logical_and(ok, self.gid_s[safe] == self.gid_s)
+        dv = jnp.asarray(default, dtype=v_s.dtype)
+        out_s = jnp.where(same_part, v_s[safe], dv)
+        return self.unsort(out_s), self.unsort(
+            same_part.astype(jnp.int32)).astype(bool)
+
+
+def _segmented_scan(v, seg_first, fn):
+    """Segment-resetting cummin/cummax via an associative scan on
+    (flag, value) pairs."""
+    neutral = None
+    op = jnp.minimum if fn == "min" else jnp.maximum
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return jnp.logical_or(fb, fa), jnp.where(fb, vb, op(va, vb))
+
+    flags, vals = lax.associative_scan(combine, (seg_first, v))
+    return vals

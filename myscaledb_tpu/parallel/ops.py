@@ -31,7 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from myscaledb_tpu.parallel.mesh import SHARD_AXIS
 from myscaledb_tpu.ops.vector import _distance_scan_impl, INVALID_ID
-from myscaledb_tpu.ops.aggregate import partial_aggregate
+from myscaledb_tpu.ops.aggregate import partial_aggregate_matmul
 from myscaledb_tpu.ops.sort import SortKey, encode_sort_key
 
 
@@ -107,8 +107,8 @@ def sharded_group_aggregate(mesh: Mesh, gid, mask, args, fns: tuple,
     def step(gid_loc, mask_loc, *rest):
         args_loc = rest[:n_args]
         valids_loc = rest[n_args:] if has_valids else None
-        states, gc = partial_aggregate(gid_loc, mask_loc, args_loc, fns,
-                                       num_groups, valids_loc)
+        states, gc = partial_aggregate_matmul(gid_loc, mask_loc, args_loc,
+                                              fns, num_groups, valids_loc)
         gc_tot = lax.psum(gc, axis)
         merged = []
         for fn, s in zip(fns, states):

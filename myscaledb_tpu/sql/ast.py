@@ -67,6 +67,15 @@ class FuncCall(Expr):
 
 
 @dataclass
+class WindowCall(Expr):
+    func: "FuncCall"
+    partition_by: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)   # list[OrderItem]
+    def __repr__(self):
+        return f"{self.func!r} OVER(...)"
+
+
+@dataclass
 class InList(Expr):
     expr: Expr
     items: list
@@ -139,6 +148,12 @@ def walk(e: Expr):
     elif isinstance(e, FuncCall):
         for a in e.args:
             yield from walk(a)
+    elif isinstance(e, WindowCall):
+        yield from walk(e.func)
+        for p in e.partition_by:
+            yield from walk(p)
+        for o in e.order_by:
+            yield from walk(o.expr)
     elif isinstance(e, InList):
         yield from walk(e.expr)
     elif isinstance(e, Between):

@@ -33,7 +33,8 @@ from myscaledb_tpu.exec.expr import (Env, Value, eval_expr, as_bool_mask,
                                      EvalError, _dict_map)
 from myscaledb_tpu.ops.vector import (distance_scan, rowwise_distance,
                                       INVALID_ID)
-from myscaledb_tpu.ops.aggregate import partial_aggregate, finalize
+from myscaledb_tpu.ops.aggregate import (partial_aggregate,
+                                         partial_aggregate_matmul, finalize)
 from myscaledb_tpu.ops.hashtable import build_group_ids, INT32_MAX
 from myscaledb_tpu.ops.hash import float_bits_key
 from myscaledb_tpu.ops.sort import SortKey, sort_permutation, topn_permutation
@@ -549,10 +550,10 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
         scan_exprs.append(q.having)
     for e in scan_exprs:
         e = _expand_item_aliases(e, alias_exprs, table)
-        for node in walk(e):
+        for node in walk_outside_windows(e):
             if isinstance(node, FuncCall) and node.name.lower() in AGG_NAMES:
                 for inner in node.args:
-                    for sub in walk(inner):
+                    for sub in walk_outside_windows(inner):
                         if isinstance(sub, FuncCall) and \
                                 sub.name.lower() in AGG_NAMES:
                             raise ExecError("nested aggregate functions")
@@ -613,8 +614,9 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
                                              axis=table.mesh_axis,
                                              arg_valids=av)
     else:
-        states, gc = partial_aggregate(gid, m, tuple(args), tuple(fns), G,
-                                       tuple(arg_valids))
+        states, gc = partial_aggregate_matmul(gid, m, tuple(args),
+                                              tuple(fns), G,
+                                              tuple(arg_valids))
     outs = finalize(states, gc, tuple(fns))
     gc_np = np.asarray(gc)
     present = np.flatnonzero(gc_np > 0)
@@ -940,7 +942,7 @@ def execute_select(session, q: SelectQuery) -> Table:
     if not has_aggs:
         for it in q.items + [SelectItem(o.expr) for o in q.order_by]:
             e = _expand_item_aliases(it.expr, alias_exprs, table)
-            for node in walk(e):
+            for node in walk_outside_windows(e):
                 if isinstance(node, FuncCall) and node.name.lower() in AGG_NAMES:
                     has_aggs = True
     if has_aggs:
@@ -981,6 +983,10 @@ def execute_select(session, q: SelectQuery) -> Table:
                     new_env.extra[vs.alias] = Value(dist)
             env = new_env
             mask = None
+
+    # 4c. window functions: computed into extra columns before projection
+    _compute_windows(items + [SelectItem(o.expr) for o in order_by], env,
+                     table, alias_exprs, session)
 
     # 5. projection (before sort: aliases must exist as columns for ORDER BY)
     out_cols, out_order = _project(q, items, env, table, alias_exprs,
@@ -1238,6 +1244,110 @@ def explain_select(session, q: SelectQuery, depth: int = 0) -> list[str]:
                 desc += f" [distributed over {table.mesh.devices.size} shards]"
         add(desc)
     return steps
+
+
+WINDOW_FNS = {"row_number", "rank", "dense_rank", "sum", "count", "avg",
+              "min", "max", "lag", "lead"}
+
+
+def walk_outside_windows(e):
+    """walk() that does NOT descend into OVER(...) calls — sum(x) OVER ()
+    is a window, not an aggregate."""
+    from myscaledb_tpu.sql.ast import WindowCall
+    if isinstance(e, WindowCall):
+        return
+    yield e
+    if isinstance(e, BinOp):
+        yield from walk_outside_windows(e.left)
+        yield from walk_outside_windows(e.right)
+    elif isinstance(e, UnOp):
+        yield from walk_outside_windows(e.operand)
+    elif isinstance(e, FuncCall):
+        for a in e.args:
+            yield from walk_outside_windows(a)
+    elif isinstance(e, InList):
+        yield from walk_outside_windows(e.expr)
+    elif isinstance(e, Between):
+        yield from walk_outside_windows(e.expr)
+        yield from walk_outside_windows(e.low)
+        yield from walk_outside_windows(e.high)
+
+
+def _compute_windows(items, env: Env, table: Table, alias_exprs, session):
+    """Evaluate every OVER(...) call into env.extra columns (reference:
+    WindowTransform runs between aggregation and projection)."""
+    from myscaledb_tpu.sql.ast import WindowCall
+    from myscaledb_tpu.ops.window import WindowLayout
+    from myscaledb_tpu.ops.sort import encode_sort_key
+
+    wcs = {}
+    for it in items:
+        for node in walk(it.expr):
+            if isinstance(node, WindowCall):
+                wcs[render(node)] = node
+    if not wcs:
+        return
+    n = table.n_rows
+    layouts: dict[str, WindowLayout] = {}
+    for r, wc in wcs.items():
+        fn = wc.func.name.lower()
+        if fn not in WINDOW_FNS:
+            raise ExecError(f"unsupported window function {wc.func.name!r}")
+        lkey = (tuple(render(p) for p in wc.partition_by),
+                tuple((render(o.expr), o.ascending) for o in wc.order_by))
+        layout = layouts.get(lkey)
+        if layout is None:
+            if wc.partition_by:
+                kv = [eval_expr(_expand_item_aliases(p, alias_exprs, table),
+                                env) for p in wc.partition_by]
+                gid, _, _ = _group_ids(kv, n, None,
+                                       session.settings.group_by_capacity_hint)
+            else:
+                gid = jnp.zeros(n, dtype=jnp.int32)
+            operands = []
+            for o in wc.order_by:
+                v = eval_expr(_expand_item_aliases(o.expr, alias_exprs,
+                                                   table), env)
+                nl = o.nulls_last if o.nulls_last is not None else o.ascending
+                sk = _sort_key_from_value(v, o.ascending, nl, n)
+                operands.extend(encode_sort_key(sk))
+            layout = WindowLayout(gid, operands, n)
+            layouts[lkey] = layout
+        if fn in ("row_number", "rank", "dense_rank"):
+            out = getattr(layout, fn)()
+            env.extra[r] = Value(out)
+        elif fn in ("lag", "lead"):
+            args = wc.func.args
+            if not args:
+                raise ExecError(f"{fn} requires a column argument")
+            v = eval_expr(_expand_item_aliases(args[0], alias_exprs, table),
+                          env)
+            data = v.data
+            if v.is_scalar:
+                data = jnp.full((n,), jnp.asarray(data))
+            offset = int(args[1].value) if len(args) > 1 else 1
+            default = args[2].value if len(args) > 2 else None
+            out, ok = layout.shift(data, offset,
+                                   default if default is not None else 0,
+                                   lead=(fn == "lead"))
+            valid = None if default is not None else ok
+            if v.valid is not None:
+                shifted_valid, _ = layout.shift(v.valid, offset, True,
+                                                lead=(fn == "lead"))
+                valid = shifted_valid if valid is None else \
+                    jnp.logical_and(valid, shifted_valid)
+            env.extra[r] = Value(out, valid, v.dictionary)
+        else:
+            args = wc.func.args
+            if fn == "count" and (not args or isinstance(args[0], Star)):
+                data = jnp.ones(n, dtype=jnp.int64)
+            else:
+                v = eval_expr(_expand_item_aliases(args[0], alias_exprs,
+                                                   table), env)
+                data = v.data
+                if v.is_scalar:
+                    data = jnp.full((n,), jnp.asarray(data))
+            env.extra[r] = Value(layout.agg(fn, data))
 
 
 def _distinct_rows(table: Table) -> Table:

@@ -24,8 +24,8 @@ from typing import Optional
 from myscaledb_tpu.sql.lexer import tokenize, unquote_string, Token
 from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
                                    BinOp, UnOp, FuncCall, InList, Between,
-                                   SelectItem, OrderItem, JoinClause,
-                                   SelectQuery, UnionQuery)
+                                   WindowCall, SelectItem, OrderItem,
+                                   JoinClause, SelectQuery, UnionQuery)
 
 KEYWORDS = {
     "SELECT", "FROM", "WHERE", "PREWHERE", "GROUP", "BY", "HAVING", "ORDER",
@@ -33,7 +33,7 @@ KEYWORDS = {
     "ILIKE", "IS", "NULL", "ASC", "DESC", "NULLS", "FIRST", "LAST", "JOIN",
     "INNER", "LEFT", "RIGHT", "FULL", "ANY", "ALL", "ON", "USING", "DISTINCT",
     "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "WITH", "SETTINGS",
-    "SEMI", "ANTI", "CROSS", "OUTER", "GLOBAL", "PREWHERE",
+    "SEMI", "ANTI", "CROSS", "OUTER", "GLOBAL", "PREWHERE", "OVER", "PARTITION",
 }
 
 
@@ -413,6 +413,23 @@ class Parser:
                     self.expect_punct(")")
                     # parameterized call F('params')(args...): params first
                     call = FuncCall(t.text, call.args + args2, distinct)
+                if self.at_kw("OVER"):
+                    self.next()
+                    self.expect_punct("(")
+                    partition, order = [], []
+                    if self.take_kw("PARTITION"):
+                        self.expect_kw("BY")
+                        partition.append(self.parse_expr())
+                        while self.take_punct(","):
+                            partition.append(self.parse_expr())
+                    if self.at_kw("ORDER"):
+                        self.next()
+                        self.expect_kw("BY")
+                        order.append(self.parse_order_item())
+                        while self.take_punct(","):
+                            order.append(self.parse_order_item())
+                    self.expect_punct(")")
+                    return WindowCall(call, partition, order)
                 return call
             # tuple element access "dist.1": the lexer fuses ".1" into a
             # number token; detect by adjacency (no whitespace between)

@@ -6,7 +6,8 @@ and for structural equality between, e.g., an ORDER BY key and a SELECT item.
 from __future__ import annotations
 
 from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
-                                   BinOp, UnOp, FuncCall, InList, Between)
+                                   BinOp, UnOp, FuncCall, InList, Between,
+                                   WindowCall)
 
 
 def _num(v) -> str:
@@ -53,6 +54,16 @@ def render(e: Expr) -> str:
     if isinstance(e, Between):
         op = "NOT BETWEEN" if e.negated else "BETWEEN"
         return f"{render(e.expr)} {op} {render(e.low)} AND {render(e.high)}"
+    if isinstance(e, WindowCall):
+        parts = []
+        if e.partition_by:
+            parts.append("PARTITION BY " + ", ".join(render(p)
+                                                     for p in e.partition_by))
+        if e.order_by:
+            parts.append("ORDER BY " + ", ".join(
+                render(o.expr) + ("" if o.ascending else " DESC")
+                for o in e.order_by))
+        return f"{render(e.func)} OVER ({' '.join(parts)})"
     return repr(e)
 
 
