@@ -158,7 +158,7 @@ def bench_config4():
     import jax.numpy as jnp
     from myscaledb_tpu.ops.hashtable import ht_insert, _ht_lookup_impl
 
-    n_fact, n_dim = 200_000_000, 1_000_000
+    n_fact, n_dim = 100_000_000, 1_000_000
     cap = 1 << 21
     key = jax.random.PRNGKey(3)
     k1, k2 = jax.random.split(key)

@@ -37,6 +37,12 @@ class Settings:
     group_by_capacity_hint: int = 1 << 16
     # LIMIT pushdown of top-k into the distance scan (ref: TreeRewriter.cpp:1671)
     max_search_top_k: int = 1 << 20
+    # result cache (reference: src/Interpreters/Cache/QueryCache.h)
+    use_query_cache: bool = False
+    query_cache_max_entries: int = 128
+    # quotas / limits (reference: SizeLimits.h, ExecutionSpeedLimits.h)
+    max_result_rows: int = 0          # 0 = unlimited
+    max_execution_time: float = 0.0   # seconds; checked post-execution
 
     def copy(self, **kw) -> "Settings":
         return replace(self, **kw)

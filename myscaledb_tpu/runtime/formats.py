@@ -1,0 +1,95 @@
+"""File formats: CSV/TSV/JSONEachRow import + export (reference: 142
+registered formats, src/Formats/registerFormats.cpp — the interchange subset).
+
+CSV parsing uses the native C++ typed column parsers when built
+(simple files: no embedded quotes); the Python csv module handles the rest.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import os
+
+import numpy as np
+
+from myscaledb_tpu.core.types import DataType, physical_dtype
+from myscaledb_tpu.core.table import Table
+from myscaledb_tpu import native
+
+
+def _convert_column(strings: list, dtype: DataType, name: str) -> np.ndarray:
+    if dtype is DataType.STRING:
+        return np.asarray(strings, dtype=object)
+    if dtype is DataType.FLOAT32_VECTOR:
+        return np.asarray([json.loads(s) for s in strings], dtype=np.float32)
+    if dtype.is_integer:
+        out = native.parse_int64(strings) if native.available() else None
+        if out is None:
+            out = np.asarray([int(s) for s in strings], dtype=np.int64)
+        return out.astype(physical_dtype(dtype))
+    if dtype.is_float:
+        out = native.parse_float32(strings) if native.available() else None
+        if out is None:
+            out = np.asarray([float(s) for s in strings], dtype=np.float64)
+        return out.astype(physical_dtype(dtype))
+    if dtype is DataType.BOOL:
+        return np.asarray([s.lower() in ("1", "true") for s in strings])
+    raise ValueError(f"cannot parse column {name!r} as {dtype}")
+
+
+def read_csv(path: str, schema: list, delimiter: str = ",",
+             has_header: bool | None = None) -> Table:
+    """schema: list of (name, DataType)."""
+    with open(path, newline="") as f:
+        sample = f.read(4096)
+        f.seek(0)
+        rows = list(csv.reader(f, delimiter=delimiter))
+    if not rows:
+        return Table([])
+    names = [n for n, _ in schema]
+    if has_header is None:
+        has_header = rows[0] == names or all(
+            c.strip() and not c.strip().lstrip("+-").replace(".", "")
+            .isdigit() for c in rows[0][:1]) and rows[0][0] == names[0]
+    if has_header:
+        rows = rows[1:]
+    cols = {}
+    for i, (name, dtype) in enumerate(schema):
+        cols[name] = _convert_column([r[i] for r in rows], dtype, name)
+    return Table.from_dict(cols, dtypes={n: d for n, d in schema})
+
+
+def write_csv(table: Table, path: str, delimiter: str = ",",
+              header: bool = True) -> int:
+    names = [n for n in table.column_names if not n.startswith("__")]
+    pycols = {n: table[n].to_python() for n in names}
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f, delimiter=delimiter)
+        if header:
+            w.writerow(names)
+        for i in range(table.n_rows):
+            w.writerow([_cell(pycols[n][i]) for n in names])
+    return table.n_rows
+
+
+def _cell(v):
+    if isinstance(v, (list, np.ndarray)):
+        return json.dumps([float(x) for x in v])
+    return "" if v is None else v
+
+
+def read_jsoneachrow(path: str, schema: list) -> Table:
+    with open(path) as f:
+        docs = [json.loads(line) for line in f if line.strip()]
+    cols = {}
+    for name, dtype in schema:
+        vals = [d.get(name) for d in docs]
+        if dtype is DataType.STRING:
+            cols[name] = np.asarray(vals, dtype=object)
+        elif dtype is DataType.FLOAT32_VECTOR:
+            cols[name] = np.asarray(vals, dtype=np.float32)
+        else:
+            cols[name] = np.asarray(vals).astype(physical_dtype(dtype))
+    return Table.from_dict(cols, dtypes={n: d for n, d in schema})

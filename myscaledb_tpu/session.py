@@ -21,6 +21,13 @@ class Session:
         self.tables: dict[str, Table] = {}
         self.table_settings: dict[str, "TableSettings"] = {}
         self.query_log = deque(maxlen=10_000)
+        self._mutation_epoch = 0
+        self._query_cache = {}
+
+    def bump_epoch(self) -> None:
+        """Any DDL/DML invalidates cached query results."""
+        self._mutation_epoch += 1
+        self._query_cache.clear()
 
     def get_table(self, name: str) -> Table:
         """Resolve a table name: registered tables first, then virtual
@@ -39,6 +46,41 @@ class Session:
         self.tables[name] = table
         if settings is not None:
             self.table_settings[name] = settings
+        self.bump_epoch()
+
+    def import_file(self, table_name: str, path: str, format: str = "CSV",
+                    **kw) -> int:
+        """Load CSV/TSV/JSONEachRow into an existing table (schema from the
+        table definition); returns rows inserted."""
+        from myscaledb_tpu.runtime import formats
+        from myscaledb_tpu.core.table import concat_tables
+        t = self.tables[table_name]
+        schema = [(f.name, f.dtype) for f in t.schema()
+                  if not f.name.startswith("__")]
+        fmt = format.upper()
+        if fmt in ("CSV", "TSV"):
+            new = formats.read_csv(path, schema,
+                                   delimiter="\t" if fmt == "TSV" else ",",
+                                   **kw)
+        elif fmt == "JSONEACHROW":
+            new = formats.read_jsoneachrow(path, schema)
+        else:
+            raise ValueError(f"unsupported import format {format!r}")
+        merged = new if t.n_rows == 0 else concat_tables(
+            [t, new.select(t.column_names)])
+        merged.name = table_name
+        self.tables[table_name] = merged
+        self.bump_epoch()
+        return new.n_rows
+
+    def export_file(self, query: str, path: str, format: str = "CSV") -> int:
+        from myscaledb_tpu.runtime import formats
+        result = self.sql(query)
+        fmt = format.upper()
+        if fmt in ("CSV", "TSV"):
+            return formats.write_csv(result, path,
+                                     delimiter="\t" if fmt == "TSV" else ",")
+        raise ValueError(f"unsupported export format {format!r}")
 
     def create_table(self, name: str, data: dict, dtypes=None,
                      settings=None) -> Table:

@@ -37,6 +37,7 @@ def execute_query(session, sql: str, params=None) -> Table:
                 with span("ddl", query=sql[:200]):
                     result = execute_statement(session, stmt)
                 entry["status"] = "QueryFinish"
+                session.bump_epoch()
                 return result
             except Exception as e:
                 entry["status"] = "ExceptionWhileProcessing"
@@ -64,6 +65,19 @@ def execute_query(session, sql: str, params=None) -> Table:
     t0 = time.perf_counter()
     entry = {"query": sql, "event_time": time.time(), "duration_ms": 0.0,
              "result_rows": 0, "status": "QueryStart", "error": ""}
+    settings = session.settings
+    cache_key = None
+    if settings.use_query_cache:
+        cache_key = (sql, session._mutation_epoch)
+        hit = session._query_cache.get(cache_key)
+        if hit is not None:
+            M.increment("QueryCacheHits")
+            entry["status"] = "QueryFinish"
+            entry["result_rows"] = hit.n_rows
+            entry["duration_ms"] = (time.perf_counter() - t0) * 1e3
+            session.query_log.append(entry)
+            return hit
+        M.increment("QueryCacheMisses")
     try:
         with span("query", query=sql[:200]):
             q = parse_sql(sql)
@@ -71,6 +85,19 @@ def execute_query(session, sql: str, params=None) -> Table:
         entry["result_rows"] = result.n_rows
         entry["status"] = "QueryFinish"
         M.increment(M.RESULT_ROWS, result.n_rows)
+        if settings.max_result_rows and result.n_rows > settings.max_result_rows:
+            raise RuntimeError(
+                f"result rows {result.n_rows} exceed max_result_rows "
+                f"{settings.max_result_rows}")
+        dt = time.perf_counter() - t0
+        if settings.max_execution_time and dt > settings.max_execution_time:
+            raise RuntimeError(
+                f"query took {dt:.3f}s, over max_execution_time "
+                f"{settings.max_execution_time}s")
+        if cache_key is not None:
+            if len(session._query_cache) >= settings.query_cache_max_entries:
+                session._query_cache.pop(next(iter(session._query_cache)))
+            session._query_cache[cache_key] = result
         return result
     except Exception as e:
         entry["status"] = "ExceptionWhileProcessing"

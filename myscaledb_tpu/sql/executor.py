@@ -258,7 +258,10 @@ def _get_text_index(session, table: Table, col: str):
     key = (table.name, col, table.n_rows)
     if key not in cache:
         docs = table[col].to_python()
-        cache[key] = BM25Index(docs)
+        doc_valid = None
+        if is_distributed(table) and ROW_VALID in table:
+            doc_valid = np.asarray(table[ROW_VALID].data)
+        cache[key] = BM25Index(docs, doc_valid=doc_valid)
     return cache[key]
 
 
@@ -1325,8 +1328,15 @@ def _compute_windows(items, env: Env, table: Table, alias_exprs, session):
             data = v.data
             if v.is_scalar:
                 data = jnp.full((n,), jnp.asarray(data))
-            offset = int(args[1].value) if len(args) > 1 else 1
-            default = args[2].value if len(args) > 2 else None
+            def _const(e):
+                if isinstance(e, Literal):
+                    return e.value
+                if isinstance(e, UnOp) and e.op == "-" and \
+                        isinstance(e.operand, Literal):
+                    return -e.operand.value
+                raise ExecError("lag/lead offset/default must be literals")
+            offset = int(_const(args[1])) if len(args) > 1 else 1
+            default = _const(args[2]) if len(args) > 2 else None
             out, ok = layout.shift(data, offset,
                                    default if default is not None else 0,
                                    lead=(fn == "lead"))

@@ -89,4 +89,13 @@ def substitute(e: Expr, mapping: dict) -> Expr:
         return Between(substitute(e.expr, mapping),
                        substitute(e.low, mapping),
                        substitute(e.high, mapping), e.negated)
+    if isinstance(e, WindowCall):
+        from myscaledb_tpu.sql.ast import OrderItem
+        return WindowCall(
+            FuncCall(e.func.name,
+                     [substitute(a, mapping) for a in e.func.args],
+                     e.func.distinct),
+            [substitute(p, mapping) for p in e.partition_by],
+            [OrderItem(substitute(o.expr, mapping), o.ascending,
+                       o.nulls_last) for o in e.order_by])
     return e

@@ -41,10 +41,16 @@ def tokenize(text: str) -> list[str]:
 
 
 class BM25Index:
-    """Inverted index over a list of documents."""
+    """Inverted index over a list of documents.
 
-    def __init__(self, docs: list[Optional[str]]):
+    doc_valid: optional bool mask — invalid docs (e.g. a distributed table's
+    padding rows) keep their doc-id slot but are excluded from n_docs /
+    avg_len statistics so scores match the undistributed table exactly."""
+
+    def __init__(self, docs: list[Optional[str]], doc_valid=None):
         self.n_docs = len(docs)
+        if doc_valid is not None:
+            docs = [d if ok else None for d, ok in zip(docs, doc_valid)]
         from myscaledb_tpu import native
         tok = native.tokenize_corpus(docs) if native.available() else None
         if tok is not None:
@@ -104,14 +110,20 @@ class BM25Index:
                     count=len(items)))
                 self.df[tid] = len(items)
         self.doc_len = jnp.asarray(doc_len)
-        self.avg_len = float(doc_len.mean()) if self.n_docs else 0.0
+        if doc_valid is not None:
+            nvalid = int(np.asarray(doc_valid).sum())
+            self.stat_docs = nvalid
+            self.avg_len = float(doc_len.sum() / nvalid) if nvalid else 0.0
+        else:
+            self.stat_docs = self.n_docs
+            self.avg_len = float(doc_len.mean()) if self.n_docs else 0.0
         self.total_tokens = int(doc_len.sum())
 
     # -- statistics (the BM25InfoInDataParts surface: mergeable across
     #    shards by summing df and token counts) ----------------------------
 
     def stats(self) -> dict:
-        return {"n_docs": self.n_docs, "total_tokens": self.total_tokens,
+        return {"n_docs": self.stat_docs, "total_tokens": self.total_tokens,
                 "vocab_size": len(self.vocab)}
 
     def term_df(self, term: str) -> int:
@@ -129,7 +141,7 @@ class BM25Index:
         (n_docs, df per term) for distributed global scoring.
         """
         terms = tokenize(query)
-        n = global_stats["n_docs"] if global_stats else self.n_docs
+        n = global_stats["n_docs"] if global_stats else self.stat_docs
         out = jnp.zeros(self.n_docs, dtype=jnp.float32)
         if not terms or self.n_docs == 0:
             return out

@@ -1,0 +1,58 @@
+"""CSV/TSV/JSONEachRow import-export, query cache, execution limits."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+
+def test_csv_roundtrip(tmp_path):
+    s = connect()
+    s.sql("CREATE TABLE t(a Int64, b String, v Array(Float32, 2))")
+    p = tmp_path / "in.csv"
+    p.write_text('a,b,v\n1,hello,"[1.0, 2.0]"\n2,wo rld,"[3.0, 4.0]"\n')
+    assert s.import_file("t", str(p)) == 2
+    assert s.sql("SELECT b FROM t WHERE a = 2").to_rows() == [("wo rld",)]
+    out = tmp_path / "out.csv"
+    s.export_file("SELECT a, b FROM t ORDER BY a", str(out))
+    assert out.read_text().splitlines()[1] == "1,hello"
+
+
+def test_tsv_and_jsoneachrow(tmp_path):
+    s = connect()
+    s.sql("CREATE TABLE t(a Int64, b String)")
+    p = tmp_path / "in.tsv"
+    p.write_text("a\tb\n5\tx\n")
+    assert s.import_file("t", str(p), format="TSV") == 1
+    j = tmp_path / "in.jsonl"
+    j.write_text('{"a": 7, "b": "y"}\n{"a": 8, "b": "z"}\n')
+    assert s.import_file("t", str(j), format="JSONEachRow") == 2
+    assert s.sql("SELECT sum(a) FROM t").to_rows() == [(20,)]
+
+
+def test_query_cache_hit_and_invalidation():
+    from myscaledb_tpu.runtime import metrics as M
+    s = connect()
+    s.settings.use_query_cache = True
+    s.sql("CREATE TABLE t(a Int64)")
+    s.sql("INSERT INTO t VALUES (1), (2)")
+    before = M.events_snapshot().get("QueryCacheHits", 0)
+    r1 = s.sql("SELECT sum(a) FROM t")
+    r2 = s.sql("SELECT sum(a) FROM t")
+    assert M.events_snapshot().get("QueryCacheHits", 0) == before + 1
+    assert r2.to_rows() == [(3,)]
+    s.sql("INSERT INTO t VALUES (10)")     # invalidates
+    assert s.sql("SELECT sum(a) FROM t").to_rows() == [(13,)]
+
+
+def test_max_result_rows():
+    s = connect()
+    s.sql("CREATE TABLE t(a Int64)")
+    s.sql("INSERT INTO t VALUES (1), (2), (3)")
+    s.settings.max_result_rows = 2
+    with pytest.raises(RuntimeError, match="max_result_rows"):
+        s.sql("SELECT a FROM t")
+    assert s.sql("SELECT a FROM t LIMIT 2").n_rows == 2

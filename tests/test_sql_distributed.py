@@ -63,3 +63,29 @@ def test_padding_rows_never_leak(rng):
     q = "SELECT id FROM t ORDER BY id"
     assert dist.sql_tsv(q) == local.sql_tsv(q)
     assert len(dist.sql("SELECT id FROM t").to_rows()) == 7
+
+
+def test_distributed_text_and_hybrid_match_local(rng):
+    from myscaledb_tpu.parallel.mesh import make_mesh
+    words = ["alpha beta", "beta gamma", "gamma delta", "alpha", "delta",
+             "beta", "epsilon", "alpha gamma delta", "zeta beta", ""]
+    n = 37    # not divisible by 8: padding rows must not skew BM25 stats
+    docs = [words[i % len(words)] for i in range(n)]
+    data = {
+        "id": np.arange(n, dtype=np.int64),
+        "body": docs,
+        "emb": rng.standard_normal((n, 8)).astype(np.float32),
+    }
+    local = connect()
+    local.create_table("t", {k: (v.copy() if hasattr(v, "copy") else list(v))
+                             for k, v in data.items()})
+    dist = connect()
+    dist.create_table("t", data)
+    dist.distribute("t", make_mesh(8))
+    q1 = ("SELECT id, TextSearch(body, 'beta gamma') AS s FROM t "
+          "ORDER BY s DESC LIMIT 6")
+    assert dist.sql_tsv(q1) == local.sql_tsv(q1)
+    qv = ", ".join(["0.2"] * 8)
+    q2 = (f"SELECT id, HybridSearch('fusion_type=rsf')(emb, body, [{qv}], "
+          "'alpha delta') AS sc FROM t ORDER BY sc DESC LIMIT 5")
+    assert dist.sql_tsv(q2) == local.sql_tsv(q2)

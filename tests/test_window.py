@@ -1,0 +1,88 @@
+"""Window functions: ranking, running/partition aggregates (RANGE frame with
+peers), lag/lead — vs hand-computed oracles."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+
+@pytest.fixture
+def wsess():
+    s = connect()
+    s.create_table("t", {
+        "dept": ["a", "a", "a", "b", "b", "c"],
+        "emp": np.arange(6, dtype=np.int64),
+        "salary": np.array([100, 200, 200, 50, 70, 90], dtype=np.int64),
+    })
+    return s
+
+
+def test_ranking(wsess):
+    r = wsess.sql(
+        "SELECT dept, emp, row_number() OVER (PARTITION BY dept ORDER BY "
+        "salary DESC) AS rn, rank() OVER (PARTITION BY dept ORDER BY salary "
+        "DESC) AS rk, dense_rank() OVER (PARTITION BY dept ORDER BY salary "
+        "DESC) AS dr FROM t ORDER BY dept, salary DESC, emp")
+    rows = r.to_rows()
+    assert rows == [
+        ("a", 1, 1, 1, 1), ("a", 2, 2, 1, 1), ("a", 0, 3, 3, 2),
+        ("b", 4, 1, 1, 1), ("b", 3, 2, 2, 2), ("c", 5, 1, 1, 1)]
+
+
+def test_running_and_total(wsess):
+    r = wsess.sql("SELECT emp, sum(salary) OVER (PARTITION BY dept ORDER BY "
+                  "emp) AS run, sum(salary) OVER (PARTITION BY dept) AS tot "
+                  "FROM t ORDER BY emp")
+    d = r.to_pydict()
+    assert d["run"] == [100, 300, 500, 50, 120, 90]
+    assert d["tot"] == [500, 500, 500, 120, 120, 90]
+
+
+def test_range_frame_includes_peers(wsess):
+    r = wsess.sql("SELECT emp, sum(salary) OVER (ORDER BY salary) AS r "
+                  "FROM t ORDER BY emp")
+    # salary 200 appears twice: both rows see 310 + 200 + 200 = 710
+    assert r.to_pydict()["r"] == [310, 710, 710, 50, 120, 210]
+
+
+def test_lag_lead(wsess):
+    r = wsess.sql("SELECT emp, lag(salary) OVER (ORDER BY emp) AS prev, "
+                  "lead(salary, 1, -1) OVER (ORDER BY emp) AS nxt "
+                  "FROM t ORDER BY emp")
+    d = r.to_pydict()
+    assert d["prev"] == [None, 100, 200, 200, 50, 70]
+    assert d["nxt"] == [200, 200, 50, 70, 90, -1]
+
+
+def test_window_min_max_count(wsess):
+    r = wsess.sql("SELECT emp, min(salary) OVER (PARTITION BY dept) AS lo, "
+                  "max(salary) OVER (PARTITION BY dept ORDER BY emp) AS hi, "
+                  "count(*) OVER (PARTITION BY dept) AS c FROM t ORDER BY emp")
+    d = r.to_pydict()
+    assert d["lo"] == [100, 100, 100, 50, 50, 90]
+    assert d["hi"] == [100, 200, 200, 50, 70, 90]   # running max
+    assert d["c"] == [3, 3, 3, 2, 2, 1]
+
+
+def test_window_avg(wsess):
+    r = wsess.sql("SELECT emp, avg(salary) OVER (PARTITION BY dept) AS a "
+                  "FROM t WHERE dept = 'b' ORDER BY emp")
+    np.testing.assert_allclose(r.to_pydict()["a"], [60.0, 60.0])
+
+
+def test_window_after_where(wsess):
+    r = wsess.sql("SELECT emp, row_number() OVER (ORDER BY salary DESC) AS rn "
+                  "FROM t WHERE salary >= 90 ORDER BY rn")
+    d = r.to_pydict()
+    assert d["emp"] == [1, 2, 0, 5]
+
+
+def test_window_mixed_with_plain_agg_rejected(wsess):
+    # windows + GROUP BY in one query work when window refs group results
+    r = wsess.sql("SELECT dept, sum(salary) AS s, "
+                  "rank() OVER (ORDER BY sum(salary) DESC) AS rk "
+                  "FROM t GROUP BY dept ORDER BY dept")
+    d = r.to_pydict()
+    assert d["s"] == [500, 120, 90]
+    assert d["rk"] == [1, 2, 3]
