@@ -77,7 +77,7 @@ def bench_config1():
     def body(x, q, meta, sqn, acc):
         mask = meta < jnp.int32(50)
         dd, ii = _distance_scan_oneshot_impl(x, q + acc * 1e-30, mask, sqn,
-                                             "L2", k, True, 16)
+                                             "L2", k, True, 16, "high")
         return jnp.sum(dd) + jnp.float32(0) * jnp.sum(ii).astype(jnp.float32)
 
     dt = _timed_repeat(body, x, q, meta, sqn)

@@ -26,6 +26,8 @@ class Settings:
     """Per-session / per-query settings."""
     max_block_size: int = 65536          # rows per streamed block (ref: 65409)
     vector_scan_block_rows: int = 32768  # X-tile rows in the distance scan
+    vector_stage1_precision: str = "high"   # selection matmul: default|high|highest
+    vector_rescore_margin: int = 16
     max_threads: int = 0                 # 0 = all local devices
     # vector search (reference: src/Core/Settings.h:918-921)
     enable_brute_force_vector_search: bool = True

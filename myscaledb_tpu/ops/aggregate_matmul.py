@@ -42,6 +42,11 @@ def matmul_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
     f32 (G,) for float; group_count int64 (G,) counts mask-selected rows.
     """
     n = gid.shape[0]
+    if n == 0:
+        zi = jnp.zeros(num_groups, dtype=jnp.int64)
+        zf = jnp.zeros(num_groups, dtype=jnp.float32)
+        states = tuple(zf if k == "float" else zi for k in kinds)
+        return states, zi, tuple(zi for _ in kinds)
     G_pad = -(-num_groups // LO) * LO
     nhi = G_pad // LO
     block = 128

@@ -121,35 +121,57 @@ def ht_insert(key_cols, mask, capacity: int, max_probes: int = 256):
     return HashTable(slot_keys, slot_row, int(capacity)), assigned, ok
 
 
+PROBE_CHUNK = 1 << 22   # probe rows per scan step: bounds while_loop carries
+
+
 @partial(jax.jit, static_argnames=("capacity", "max_probes"))
 def _ht_lookup_impl(slot_keys, slot_row, probe_cols, mask,
                     capacity: int, max_probes: int):
     probe_cols = tuple(jnp.asarray(c) for c in probe_cols)
     n = probe_cols[0].shape[0]
     cmask = capacity - 1
-    cur0 = (_key_hash(probe_cols) & jnp.uint32(cmask)).astype(jnp.int32)
 
-    def cond(state):
-        _, searching, _, probes = state
-        return jnp.logical_and(jnp.any(searching), probes < max_probes)
+    chunk = 128
+    while chunk < min(n, PROBE_CHUNK):
+        chunk *= 2
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        probe_cols = tuple(jnp.pad(c, (0, n_pad - n)) for c in probe_cols)
+        mask = jnp.pad(jnp.asarray(mask, dtype=bool), (0, n_pad - n),
+                       constant_values=False)
+    nc = n_pad // chunk
+    pc_r = tuple(c.reshape(nc, chunk) for c in probe_cols)
+    mask_r = jnp.asarray(mask, dtype=bool).reshape(nc, chunk)
 
-    def body(state):
-        cur, searching, found_slot, probes = state
-        occupied = slot_row[cur] != INT32_MAX
-        match = occupied
-        for sk, pc in zip(slot_keys, probe_cols):
-            match = jnp.logical_and(match, sk[cur] == pc)
-        hit = jnp.logical_and(searching, match)
-        found_slot = jnp.where(hit, cur, found_slot)
-        miss_empty = jnp.logical_and(searching, jnp.logical_not(occupied))
-        searching = jnp.logical_and(
-            searching, jnp.logical_not(jnp.logical_or(hit, miss_empty)))
-        cur = jnp.where(searching, (cur + 1) & cmask, cur)
-        return cur, searching, found_slot, probes + 1
+    def one_chunk(_, ci):
+        cols = tuple(c[ci] for c in pc_r)
+        cur0 = (_key_hash(cols) & jnp.uint32(cmask)).astype(jnp.int32)
 
-    init = (cur0, jnp.asarray(mask, dtype=bool),
-            jnp.full(n, INT32_MAX, dtype=jnp.int32), jnp.int32(0))
-    _, _, found_slot, _ = lax.while_loop(cond, body, init)
+        def cond(state):
+            _, searching, _, probes = state
+            return jnp.logical_and(jnp.any(searching), probes < max_probes)
+
+        def body(state):
+            cur, searching, found_slot, probes = state
+            occupied = slot_row[cur] != INT32_MAX
+            match = occupied
+            for sk, pcol in zip(slot_keys, cols):
+                match = jnp.logical_and(match, sk[cur] == pcol)
+            hit = jnp.logical_and(searching, match)
+            found_slot = jnp.where(hit, cur, found_slot)
+            miss_empty = jnp.logical_and(searching, jnp.logical_not(occupied))
+            searching = jnp.logical_and(
+                searching, jnp.logical_not(jnp.logical_or(hit, miss_empty)))
+            cur = jnp.where(searching, (cur + 1) & cmask, cur)
+            return cur, searching, found_slot, probes + 1
+
+        init = (cur0, mask_r[ci],
+                jnp.full(chunk, INT32_MAX, dtype=jnp.int32), jnp.int32(0))
+        _, _, found_slot, _ = lax.while_loop(cond, body, init)
+        return None, found_slot
+
+    _, found_chunks = lax.scan(one_chunk, None, jnp.arange(nc))
+    found_slot = found_chunks.reshape(-1)[:n]
     return found_slot, found_slot != INT32_MAX
 
 

@@ -103,7 +103,8 @@ def _topn_single_segmented(code_desc, k: int):
     """Exact top-k via per-segment max prefilter: 65x faster than flat
     lax.top_k on 100M rows (the k best elements lie in the k best segments
     by (max, segid) — same argument as the vector scan's segment-min
-    prefilter; candidate ties resolved by an (code, id) sort)."""
+    prefilter, applied hierarchically: above 2^17 segments, a second
+    seg-max level prunes the segment array itself first)."""
     n = code_desc.shape[0]
     n_pad = -(-n // _SEG) * _SEG
     if n_pad != n:
@@ -112,13 +113,33 @@ def _topn_single_segmented(code_desc, k: int):
     sr = code_desc.reshape(nseg, _SEG)
     segmax = jnp.max(sr, axis=-1)
     kseg = min(k, nseg)
-    _, segidx = lax.top_k(segmax, kseg)       # ties -> lowest segment id
-    cand = sr[segidx].reshape(-1)             # (kseg * SEG,)
+
+    if nseg >= (1 << 17) and kseg * _SEG <= nseg:
+        # level-2 prune: top-kseg super-segments by max contain every
+        # top-kseg segment (ties -> lowest id, positions stay id-ordered).
+        # The (small) segment array is promoted to int64+1 so padded slots
+        # (value 0) can never tie with a real all-worst segment.
+        sm64 = segmax.astype(jnp.int64) + 1
+        n2_pad = -(-nseg // _SEG) * _SEG
+        sm = jnp.pad(sm64, (0, n2_pad - nseg)) if n2_pad != nseg else sm64
+        sm2 = sm.reshape(n2_pad // _SEG, _SEG)
+        _, supidx = lax.top_k(jnp.max(sm2, axis=-1), kseg)
+        supidx = jnp.sort(supidx)
+        seg_cand = sm2[supidx].reshape(-1)            # (kseg*_SEG,)
+        seg_base = (supidx[:, None].astype(jnp.int32) * _SEG +
+                    jax.lax.broadcasted_iota(jnp.int32, (1, _SEG), 1)
+                    ).reshape(-1)
+        _, p2 = lax.top_k(seg_cand, kseg)             # ties -> lowest index
+        segidx = seg_base[p2]
+    else:
+        _, segidx = lax.top_k(segmax, kseg)           # ties -> lowest seg id
+
+    segidx = jnp.sort(segidx)    # candidate order == id order (tie rule)
+    cand = sr[segidx].reshape(-1)                     # (kseg * SEG,)
     cid = (segidx[:, None].astype(jnp.int32) * _SEG +
            jax.lax.broadcasted_iota(jnp.int32, (1, _SEG), 1)).reshape(-1)
-    # exact order: ascending (~code, id); padding (code 0) sorts last
-    cs, ci = lax.sort((~cand, cid), num_keys=2)
-    return ci[:k]
+    _, pos = lax.top_k(cand, k)
+    return cid[pos]
 
 
 def topn_permutation(keys: Sequence[SortKey], k: int, n: int) -> jnp.ndarray:

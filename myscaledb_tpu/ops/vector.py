@@ -72,9 +72,17 @@ ONESHOT_BYTES = 512 * 1024 * 1024
 SEG = 128   # segment width for the min-prefilter (one lane row)
 
 
-def _stage1_scores(xt, q, sqn_t, metric, q_aux):
-    """Selection scores for a row block: one MXU matmul + decomposition."""
-    dot = jnp.dot(q, xt.T, precision=lax.Precision.HIGHEST)   # (nq, b)
+_PRECISIONS = {"default": lax.Precision.DEFAULT, "high": lax.Precision.HIGH,
+               "highest": lax.Precision.HIGHEST}
+
+
+def _stage1_scores(xt, q, sqn_t, metric, q_aux, precision="high"):
+    """Selection scores for a row block: one MXU matmul + decomposition.
+
+    Stage-1 only SELECTS candidates (stage 2 rescores exactly), so the matmul
+    defaults to HIGH (bf16x3, ~f32-quality, half the passes of HIGHEST);
+    the rescore margin absorbs selection noise at the k-boundary."""
+    dot = jnp.dot(q, xt.T, precision=_PRECISIONS[precision])   # (nq, b)
     if metric == "L2":
         return sqn_t[None, :] - 2.0 * dot + q_aux[:, None]
     if metric == "Cosine":
@@ -100,9 +108,10 @@ def _rescore(x, q, cs, ci, metric, k):
 
 
 @partial(jax.jit,
-         static_argnames=("metric", "k", "has_mask", "margin"))
+         static_argnames=("metric", "k", "has_mask", "margin", "precision"))
 def _distance_scan_oneshot_impl(x, q, mask, x_sqnorm, metric: str, k: int,
-                                has_mask: bool, margin: int = 16):
+                                has_mask: bool, margin: int = 16,
+                                precision: str = "high"):
     """One-shot path: materialize the (nq, n) selection-score matrix, prune
     with per-segment minima (exact: the top-s segments by (min, segid)
     contain every top-s element — see tests), then sort candidates by
@@ -121,7 +130,7 @@ def _distance_scan_oneshot_impl(x, q, mask, x_sqnorm, metric: str, k: int,
     else:
         q_aux = jnp.zeros((nq,), dtype=jnp.float32)
 
-    s = _stage1_scores(x, q, x_sqnorm, metric, q_aux)       # (nq, n)
+    s = _stage1_scores(x, q, x_sqnorm, metric, q_aux, precision)  # (nq, n)
     if has_mask:
         s = jnp.where(mask[None, :], s, POS_INF)
     if n_pad != n:
@@ -134,22 +143,28 @@ def _distance_scan_oneshot_impl(x, q, mask, x_sqnorm, metric: str, k: int,
     kseg = min(ksel, nseg)
     segmin = jnp.min(sr, axis=-1)                            # (nq, nseg)
     _, segidx = lax.top_k(-segmin, kseg)   # ties -> lowest segment id
+    # candidates laid out in ascending-segment (== ascending-id) order, so
+    # top_k's lowest-index tie rule IS the ascending-id tie rule — avoids a
+    # full (score, id) variadic sort over the candidate set (slow on TPU)
+    segidx = jnp.sort(segidx, axis=-1)
     cand = jnp.take_along_axis(sr, segidx[:, :, None], axis=1)
     cand = cand.reshape(nq, kseg * SEG)
     cid = (segidx[:, :, None].astype(jnp.int32) * SEG +
            jax.lax.broadcasted_iota(jnp.int32, (1, 1, SEG), 2)
            ).reshape(nq, kseg * SEG)
-    cid = jnp.where(jnp.isposinf(cand), INVALID_ID, cid)
-    # exact (score, id) order for the candidate cut
-    cs, ci = lax.sort((cand, cid), dimension=-1, num_keys=2)
-    cs, ci = cs[:, :ksel], ci[:, :ksel]
+    neg, pos = lax.top_k(-cand, min(ksel, kseg * SEG))
+    cs = -neg
+    ci = jnp.take_along_axis(cid, pos, axis=1)
+    ci = jnp.where(jnp.isposinf(cs), INVALID_ID, ci)
     return _rescore(x, q, cs, ci, metric, k)
 
 
 @partial(jax.jit,
-         static_argnames=("metric", "k", "block_rows", "has_mask", "margin"))
+         static_argnames=("metric", "k", "block_rows", "has_mask", "margin",
+                          "precision"))
 def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
-                        block_rows: int, has_mask: bool, margin: int = 16):
+                        block_rows: int, has_mask: bool, margin: int = 16,
+                        precision: str = "high"):
     n, d = x.shape
     nq = q.shape[0]
     b = min(block_rows, max(8, n))
@@ -176,7 +191,7 @@ def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
     def score_block(bi):
         """Stage-1 selection score (decomposition; one MXU matmul)."""
         xt = xb[bi]                                            # (b, d)
-        dot = jnp.dot(q, xt.T, precision=lax.Precision.HIGHEST)  # (nq, b)
+        dot = jnp.dot(q, xt.T, precision=_PRECISIONS[precision])  # (nq, b)
         if metric == "L2":
             s = nb_sq[bi][None, :] - 2.0 * dot + q_sq[:, None]
         elif metric == "Cosine":
@@ -208,7 +223,8 @@ def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
 
 
 def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
-                  block_rows: int = 32768, x_sqnorm=None, margin: int = 16):
+                  block_rows: int = 32768, x_sqnorm=None, margin: int = 16,
+                  stage1_precision: str = "high"):
     """Exact top-k nearest scan of queries ``q`` (nq, d) over rows of ``x``
     (n, d), under an optional boolean predicate ``mask`` (n,).
 
@@ -235,9 +251,10 @@ def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
     if nq * n * 4 <= ONESHOT_BYTES:
         return _distance_scan_oneshot_impl(x, q, mask, _as_f32(x_sqnorm),
                                            metric, int(k), has_mask,
-                                           int(margin))
+                                           int(margin), stage1_precision)
     return _distance_scan_impl(x, q, mask, _as_f32(x_sqnorm), metric, int(k),
-                               int(block_rows), has_mask, int(margin))
+                               int(block_rows), has_mask, int(margin),
+                               stage1_precision)
 
 
 def rowwise_distance(x, q, metric: str = "L2") -> jnp.ndarray:

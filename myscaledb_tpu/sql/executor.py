@@ -842,7 +842,9 @@ def execute_select(session, q: SelectQuery) -> Table:
         else:
             d, ids = distance_scan(
                 x, jnp.asarray(vs.qvec), metric=vs.metric, k=vs.k, mask=mask,
-                block_rows=settings.vector_scan_block_rows)
+                block_rows=settings.vector_scan_block_rows,
+                margin=settings.vector_rescore_margin,
+                stage1_precision=settings.vector_stage1_precision)
         table, env, extra_cols = _materialize_topk(table, vs, d, ids,
                                                    tuple_groups)
         _vs_cm.__exit__(None, None, None)
