@@ -160,6 +160,62 @@ def _distance_scan_oneshot_impl(x, q, mask, x_sqnorm, metric: str, k: int,
 
 
 @partial(jax.jit,
+         static_argnames=("metric", "k", "has_mask", "margin", "interpret"))
+def _distance_scan_pallas(x, q, mask, x_sqnorm, metric: str, k: int,
+                          has_mask: bool, margin: int = 16,
+                          interpret: bool = False):
+    """Pallas-fused path: the kernel computes per-segment score minima with
+    x read from HBM exactly once; candidate segments are then gathered and
+    rescored with the exact direct formula (the candidate set strictly
+    contains the XLA path's, so selection is at least as safe)."""
+    from myscaledb_tpu.ops.pallas.distance import fused_segmin_scores
+    n, d = x.shape
+    nq = q.shape[0]
+    ksel = min(k + margin, n)
+
+    if metric == "Cosine":
+        q_norm = jnp.sqrt(jnp.sum(q * q, axis=1))
+        q_aux = jnp.where(q_norm > 0.0, 1.0 / q_norm, 0.0)
+    elif metric == "L2":
+        q_aux = jnp.sum(q * q, axis=1)
+    else:
+        q_aux = jnp.zeros((nq,), dtype=jnp.float32)
+
+    mask_f = mask.astype(jnp.float32) if has_mask else \
+        jnp.ones((0,), dtype=jnp.float32)
+    segmins = fused_segmin_scores(x, q, x_sqnorm, q_aux, mask_f, metric,
+                                  has_mask, interpret)     # (nq, nseg)
+    nseg = segmins.shape[1]
+    kseg = min(ksel, nseg)
+    _, segidx = lax.top_k(-segmins, kseg)      # ties -> lowest segment id
+    segidx = jnp.sort(segidx, axis=-1)         # candidate order == id order
+    cid = (segidx[:, :, None].astype(jnp.int32) * SEG +
+           jax.lax.broadcasted_iota(jnp.int32, (1, 1, SEG), 2)
+           ).reshape(nq, kseg * SEG)
+    valid = cid < n
+    safe = jnp.where(valid, cid, 0)
+    if has_mask:
+        valid = jnp.logical_and(valid, mask[safe])
+    xc = x[safe]                                # (nq, kseg*SEG, d)
+    ex = exact_distance(xc, q[:, None, :], metric)
+    score = jnp.where(valid, -ex if metric == "IP" else ex, POS_INF)
+    neg, pos = lax.top_k(-score, min(k, score.shape[-1]))
+    fs = -neg
+    fi = jnp.take_along_axis(cid, pos, axis=1)
+    fi = jnp.where(jnp.isposinf(fs), INVALID_ID, fi)
+    dist = jnp.where(jnp.isposinf(fs),
+                     jnp.float32(-jnp.inf if metric == "IP" else jnp.inf),
+                     -fs if metric == "IP" else fs)
+    if dist.shape[-1] < k:   # tiny tables: pad to k
+        padw = k - dist.shape[-1]
+        dist = jnp.pad(dist, ((0, 0), (0, padw)),
+                       constant_values=(-jnp.inf if metric == "IP"
+                                        else jnp.inf))
+        fi = jnp.pad(fi, ((0, 0), (0, padw)), constant_values=INVALID_ID)
+    return dist, fi
+
+
+@partial(jax.jit,
          static_argnames=("metric", "k", "block_rows", "has_mask", "margin",
                           "precision"))
 def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
@@ -224,7 +280,7 @@ def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
 
 def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
                   block_rows: int = 32768, x_sqnorm=None, margin: int = 16,
-                  stage1_precision: str = "high"):
+                  stage1_precision: str = "high", use_pallas: bool = None):
     """Exact top-k nearest scan of queries ``q`` (nq, d) over rows of ``x``
     (n, d), under an optional boolean predicate ``mask`` (n,).
 
@@ -248,6 +304,13 @@ def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
         mask = jnp.asarray(mask, dtype=bool)
     n = x.shape[0]
     nq = q.shape[0]
+    if use_pallas is None:
+        from myscaledb_tpu.ops.pallas.distance import pallas_supported
+        use_pallas = pallas_supported(x.shape[1]) and n >= (1 << 16) \
+            and (k + margin) * SEG <= max(n, SEG)
+    if use_pallas:
+        return _distance_scan_pallas(x, q, mask, _as_f32(x_sqnorm), metric,
+                                     int(k), has_mask, int(margin))
     if nq * n * 4 <= ONESHOT_BYTES:
         return _distance_scan_oneshot_impl(x, q, mask, _as_f32(x_sqnorm),
                                            metric, int(k), has_mask,

@@ -111,7 +111,10 @@ def analyze_vector_search(q: SelectQuery, session, table: Table,
     if not isinstance(vec_arg, VectorLiteral):
         raise ExecError(f"{call.name}: second argument must be a vector literal")
     col = col_arg.name
-    if col not in table or not table[col].dtype.is_vector:
+    if col not in table:
+        # reference wording: "There is no column 'x'." (00007 golden)
+        raise ExecError(f"There is no column {col!r}")
+    if not table[col].dtype.is_vector:
         raise ExecError(f"{call.name}: {col!r} is not a vector column of the table")
     is_batch = call.name.lower() == "batch_distance"
     qv = np.asarray(vec_arg.values, dtype=np.float32)
@@ -750,8 +753,23 @@ def execute_any(session, q) -> Table:
     return execute_select(session, q)
 
 
+def _expand_order_tuples(order_by):
+    """ORDER BY (a, b) — tuple syntax — expands to ORDER BY a, b."""
+    out = []
+    for o in order_by:
+        if isinstance(o.expr, FuncCall) and o.expr.name == "tuple":
+            for sub in o.expr.args:
+                out.append(OrderItem(sub, o.ascending, o.nulls_last))
+        else:
+            out.append(o)
+    return out
+
+
 def execute_select(session, q: SelectQuery) -> Table:
     settings = session.settings
+    if q.order_by:
+        q = SelectQuery(**{**vars(q),
+                           "order_by": _expand_order_tuples(q.order_by)})
     # 0. CTEs: materialize into temporarily-registered tables
     if q.ctes:
         saved = {}

@@ -160,3 +160,30 @@ def test_limit_exceeds_matching_rows(vsess):
         "SELECT id, distance(vector, [0.1, 0.1, 0.1]) AS d FROM test_vector "
         "WHERE id < 2 ORDER BY d LIMIT 10")
     assert len(tsv.splitlines()) == 2
+
+
+def test_golden_00003_prewhere_or_tuple_order(vsess):
+    tsv = vsess.sql_tsv(
+        "SELECT id, vector, distance(vector, [1.0, 1.0, 1.0]) as d "
+        "FROM test_vector prewhere id < 10 or id > 60 "
+        "ORDER BY (d, id) limit 20")
+    lines = tsv.splitlines()
+    assert lines[0] == "1\t[1,1,1]\t0"
+    assert lines[1] == "0\t[0,0,0]\t3"
+    assert lines[2] == "2\t[2,2,2]\t3"          # tie at d=3 -> id asc
+    assert lines[10] == "61\t[61,61,61]\t10800"
+    assert len(lines) == 20
+
+
+def test_golden_00004_filter_by_distance(vsess):
+    tsv = vsess.sql_tsv(
+        "SELECT id, vector, distance(vector, [0.1, 0.1, 0.1]) as d "
+        "FROM test_vector where d < 10 order by d limit 10")
+    assert tsv.splitlines() == ["0\t[0,0,0]\t0.030000001",
+                                "1\t[1,1,1]\t2.4299998"]
+
+
+def test_golden_00007_wrong_column(vsess):
+    with pytest.raises(Exception, match="There is no column"):
+        vsess.sql("SELECT id, distance(vectore, [0.1, 0.1, 0.1]) as d "
+                  "FROM test_vector order by d limit 10")

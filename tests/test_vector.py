@@ -160,3 +160,31 @@ def test_oneshot_vs_scan_path_equal(rng):
     d2, i2 = _distance_scan_impl(x, q, mask, sqn, "L2", k, 512, True, 16)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_pallas_path_interpret_matches_oracle(rng):
+    """Pallas kernel path in interpreter mode (CPU) vs oracle."""
+    from myscaledb_tpu.ops.vector import _distance_scan_pallas
+    n, d, nq, k = 4096, 128, 3, 7
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    mask = rng.random(n) < 0.5
+    sqn = (x * x).sum(1)
+    for metric in ("L2", "Cosine", "IP"):
+        dd, ii = _distance_scan_pallas(
+            jnp.asarray(x), jnp.asarray(q), jnp.asarray(mask),
+            jnp.asarray(sqn), metric, k, True, 16, interpret=True)
+        od, oi = oracle_topk(x, q, metric, k, mask)
+        np.testing.assert_array_equal(np.asarray(ii), oi, err_msg=metric)
+        np.testing.assert_allclose(np.asarray(dd), od, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_path_interpret_ties(rng):
+    from myscaledb_tpu.ops.vector import _distance_scan_pallas
+    x = np.zeros((2048, 128), dtype=np.float32)
+    x[:, 0] = 7.0
+    q = np.zeros((1, 128), dtype=np.float32)
+    dd, ii = _distance_scan_pallas(
+        jnp.asarray(x), jnp.asarray(q), jnp.zeros(0, dtype=bool),
+        jnp.asarray((x * x).sum(1)), "L2", 5, False, 16, interpret=True)
+    assert ii[0].tolist() == [0, 1, 2, 3, 4]
