@@ -158,7 +158,7 @@ def bench_config4():
     import jax.numpy as jnp
     from myscaledb_tpu.ops.hashtable import ht_insert, _ht_lookup_impl
 
-    n_fact, n_dim = 100_000_000, 1_000_000
+    n_fact, n_dim = 50_000_000, 1_000_000
     cap = 1 << 21
     key = jax.random.PRNGKey(3)
     k1, k2 = jax.random.split(key)
@@ -200,7 +200,12 @@ def main():
                4: bench_config4}
     configs = sorted(benches) if args.all else [args.config]
     for c in configs:
-        result, note = benches[c]()
+        try:
+            result, note = benches[c]()
+        except Exception as e:
+            print(f"# config {c} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
         print(json.dumps(result))
         print(f"# config {c}: {note}", file=sys.stderr)
 
