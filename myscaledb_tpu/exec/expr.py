@@ -319,6 +319,176 @@ def _f_tuple(args, env):
     raise EvalError("tuple values are only supported in comparisons")
 
 
+# -- math ---------------------------------------------------------------
+
+for _name, _fn in [("sin", jnp.sin), ("cos", jnp.cos), ("tan", jnp.tan),
+                   ("asin", jnp.arcsin), ("acos", jnp.arccos),
+                   ("atan", jnp.arctan), ("sinh", jnp.sinh),
+                   ("cosh", jnp.cosh), ("tanh", jnp.tanh),
+                   ("exp2", jnp.exp2), ("log2", jnp.log2),
+                   ("log10", jnp.log10), ("cbrt", jnp.cbrt),
+                   ("sign", jnp.sign), ("erf", None)]:
+    def _make(fn, name):
+        def impl(args, env):
+            x = _numeric(args[0], env.n_rows)
+            if name == "sign":
+                return Value(fn(x), args[0].valid)
+            return Value(fn(x.astype(jnp.float32)), args[0].valid)
+        return impl
+    if _fn is not None:
+        _FUNCS[_name] = _make(_fn, _name)
+
+@func("pi")
+def _f_pi(args, env):
+    import math
+    return Value(jnp.asarray(math.pi), is_scalar=True, py=math.pi)
+
+@func("sqr")
+def _f_sqr(args, env):
+    x = _numeric(args[0], env.n_rows)
+    return Value(x * x, args[0].valid)
+
+
+# -- string functions (evaluated on the dictionary, one gather per row) --
+
+def _dict_transform(v: Value, fn) -> Value:
+    """Apply a python string->string fn over dictionary values; returns a
+    STRING Value with a fresh dictionary."""
+    if v.dictionary is None:
+        if isinstance(v.py, str):
+            return Value(None, is_scalar=True, py=fn(v.py))
+        raise EvalError("expected a string column")
+    newdict = StringDictionary([fn(s) for s in v.dictionary.values])
+    return Value(v.data, v.valid, newdict)
+
+
+from myscaledb_tpu.core.dictionary import StringDictionary  # noqa: E402
+
+@func("lowerUTF8")
+def _f_lower_utf8(args, env):
+    return _dict_transform(args[0], str.lower)
+
+_FUNCS["lower"] = _f_lower_utf8
+_FUNCS["upper"] = lambda args, env: _dict_transform(args[0], str.upper)
+_FUNCS["upperutf8"] = _FUNCS["upper"]
+_FUNCS["trim"] = lambda args, env: _dict_transform(args[0], str.strip)
+_FUNCS["reverse"] = lambda args, env: _dict_transform(args[0],
+                                                      lambda s: s[::-1])
+
+@func("substring", "substr")
+def _f_substring(args, env):
+    v = args[0]
+    start = int(args[1].py)          # 1-based like ClickHouse
+    length = int(args[2].py) if len(args) > 2 else None
+    def cut(s):
+        i = start - 1 if start > 0 else len(s) + start
+        return s[i:i + length] if length is not None else s[i:]
+    return _dict_transform(v, cut)
+
+@func("concat")
+def _f_concat(args, env):
+    # string-literal suffix/prefix concat over a dictionary column; full
+    # column-column concat would need id-pair dictionaries (later)
+    col = None
+    parts = []
+    for a in args:
+        if a.dictionary is not None:
+            if col is not None:
+                raise EvalError("concat of two string columns not supported")
+            col = a
+            parts.append(None)
+        else:
+            parts.append(str(a.py))
+    if col is None:
+        return Value(None, is_scalar=True,
+                     py="".join(p for p in parts if p is not None))
+    def join(s):
+        return "".join(s if p is None else p for p in parts)
+    return _dict_transform(col, join)
+
+@func("startsWith")
+def _f_startswith(args, env):
+    v, pat = args[0], args[1]
+    lut = np.array([s.startswith(pat.py) for s in v.dictionary.values]
+                   or [False], dtype=bool)
+    return Value(_dict_map(v, lut), v.valid)
+
+@func("endsWith")
+def _f_endswith(args, env):
+    v, pat = args[0], args[1]
+    lut = np.array([s.endswith(pat.py) for s in v.dictionary.values]
+                   or [False], dtype=bool)
+    return Value(_dict_map(v, lut), v.valid)
+
+@func("position")
+def _f_position(args, env):
+    v, pat = args[0], args[1]
+    lut = np.array([s.find(pat.py) + 1 for s in v.dictionary.values]
+                   or [0], dtype=np.int64)
+    return Value(_dict_map(v, lut), v.valid)
+
+@func("empty")
+def _f_empty(args, env):
+    v = args[0]
+    lut = np.array([len(s) == 0 for s in v.dictionary.values] or [True],
+                   dtype=bool)
+    return Value(_dict_map(v, lut), v.valid)
+
+@func("match")
+def _f_match(args, env):
+    v, pat = args[0], args[1]
+    rx = re.compile(pat.py)
+    lut = np.array([bool(rx.search(s)) for s in v.dictionary.values]
+                   or [False], dtype=bool)
+    return Value(_dict_map(v, lut), v.valid)
+
+
+# -- date/time (Date = days since epoch, DateTime = unix seconds) --------
+
+@func("toYear")
+def _f_toyear(args, env):
+    return _date_part(args[0], env, "year")
+
+@func("toMonth")
+def _f_tomonth(args, env):
+    return _date_part(args[0], env, "month")
+
+@func("toDayOfMonth")
+def _f_today(args, env):
+    return _date_part(args[0], env, "day")
+
+@func("toHour")
+def _f_tohour(args, env):
+    d = _numeric(args[0], env.n_rows).astype(jnp.int64)
+    return Value(((d % 86400) // 3600).astype(jnp.int32), args[0].valid)
+
+@func("toDate")
+def _f_todate(args, env):
+    d = _numeric(args[0], env.n_rows).astype(jnp.int64)
+    return Value((d // 86400).astype(jnp.int32), args[0].valid)
+
+
+def _date_part(v: Value, env, part: str) -> Value:
+    """Convert days/seconds-since-epoch to calendar parts via a host-side
+    numpy datetime conversion mapped back to the device (exact, no device
+    calendar math)."""
+    arr = np.asarray(v.data)
+    if arr.dtype.kind in "iu" and arr.size and arr.max(initial=0) > 10 ** 7:
+        dt = arr.astype("datetime64[s]")
+    else:
+        dt = arr.astype("datetime64[D]")
+    years = dt.astype("datetime64[Y]").astype(np.int64) + 1970
+    if part == "year":
+        out = years
+    elif part == "month":
+        out = dt.astype("datetime64[M]").astype(np.int64) % 12 + 1
+    else:
+        out = (dt.astype("datetime64[D]") -
+               dt.astype("datetime64[M]").astype("datetime64[D]")
+               ).astype(np.int64) + 1
+    return Value(jnp.asarray(out.astype(np.int32)), v.valid)
+
+
 # ---------------------------------------------------------------------------
 # core evaluation
 

@@ -2,15 +2,15 @@
 
 Stage 1 of the exact two-stage scan computes selection scores (one MXU
 matmul per tile) and reduces them to per-128-lane segment minima.  The pure
-XLA one-shot path materializes the (nq, n) score matrix in HBM (2 x 40 MB of
-extra traffic for 1M rows at nq=10); this kernel keeps score tiles in VMEM —
-each x tile is read once from HBM and only the (nq, n/128) segment minima
-are written back.
+XLA one-shot path materializes the (nq, n) score matrix in HBM (~0.9 ms of
+extra traffic/fusion loss for 1M rows at nq=10 — /tmp diag10); this kernel
+keeps score tiles in VMEM: each x tile is read from HBM once and only the
+segment minima are written back.
 
-Layout: grid over row tiles (TILE_N rows); the query block (nq_pad, d) stays
-resident in VMEM across the whole grid.  Output block (nq_pad, TILE_N/128)
-per tile.  Top-k over segment minima, candidate gather, and the exact
-rescore reuse the XLA machinery in ops/vector.py.
+Tiling: queries padded to 128 sublanes (M<=128 is one MXU pass — free);
+output written transposed as (nseg, 128) blocks so the lane dimension is
+fully utilized.  TILE_N=4096 rows/tile keeps double-buffered x tiles + the
+score tile within VMEM.
 """
 
 from __future__ import annotations
@@ -23,7 +23,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SEG = 128
-TILE_N = 1024         # rows per grid step (8 segments)
+TILE_N = 4096         # rows per grid step (32 segments)
+NQ_PAD = 128
 
 
 def _kernel(metric: str, has_mask: bool):
@@ -33,25 +34,24 @@ def _kernel(metric: str, has_mask: bool):
         else:
             x_ref, q_ref, sqn_ref, qaux_ref, out_ref = refs
         xt = x_ref[...]                       # (TILE_N, d)
-        q = q_ref[...]                        # (nq_pad, d)
+        q = q_ref[...]                        # (NQ_PAD, d)
         dot = jax.lax.dot_general(
             q, xt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (nq_pad, TILE_N)
+            preferred_element_type=jnp.float32)          # (NQ_PAD, TILE_N)
         sqn = sqn_ref[...]                    # (1, TILE_N)
-        qaux = qaux_ref[...]                  # (nq_pad, 1)
+        qaux = qaux_ref[...]                  # (NQ_PAD, 1)
         if metric == "L2":
             s = sqn - 2.0 * dot + qaux
         elif metric == "Cosine":
-            rnorm = jnp.where(sqn > 0.0, jax.lax.rsqrt(jnp.maximum(sqn, 1e-30)),
-                              0.0)
+            rnorm = jnp.where(sqn > 0.0,
+                              jax.lax.rsqrt(jnp.maximum(sqn, 1e-30)), 0.0)
             s = 1.0 - dot * rnorm * qaux
         else:                                 # IP
             s = -dot
         if has_mask:
             s = jnp.where(mask_ref[...] != 0, s, jnp.inf)
-        nq_pad = s.shape[0]
-        sr = s.reshape(nq_pad, TILE_N // SEG, SEG)
-        out_ref[...] = jnp.min(sr, axis=-1)
+        sr = s.reshape(NQ_PAD, TILE_N // SEG, SEG)
+        out_ref[...] = jnp.min(sr, axis=-1).T     # (TILE_N//SEG, NQ_PAD)
     return kernel
 
 
@@ -61,13 +61,13 @@ def fused_segmin_scores(x, q, sqn, q_aux, mask, metric: str, has_mask: bool,
                         interpret: bool = False):
     """Returns (nq, n_pad/SEG) segment minima of the selection scores.
 
-    x (n, d) f32; q (nq, d) f32; sqn (n,) f32; q_aux (nq,) f32;
-    mask (n,) f32 (1.0 = selected) when has_mask.
-    n is padded to TILE_N internally (padding scores = +inf via sqn trick).
+    x (n, d) f32; q (nq, d) f32 with nq <= 128; sqn (n,) f32; q_aux (nq,)
+    f32; mask (n,) f32 (1.0 = selected) when has_mask.  Rows beyond n are
+    masked out (padding scores = +inf).
     """
     n, d = x.shape
     nq = q.shape[0]
-    nq_pad = max(8, -(-nq // 8) * 8)
+    assert nq <= NQ_PAD, "pallas path currently handles nq <= 128"
     n_pad = -(-n // TILE_N) * TILE_N
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
@@ -75,18 +75,18 @@ def fused_segmin_scores(x, q, sqn, q_aux, mask, metric: str, has_mask: bool,
         mask_full = mask if has_mask else jnp.ones(n, dtype=jnp.float32)
         mask = jnp.pad(mask_full, (0, n_pad - n))
         has_mask = True
-    if nq_pad != nq:
-        q = jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
-        q_aux = jnp.pad(q_aux, (0, nq_pad - nq))
+    if nq != NQ_PAD:
+        q = jnp.pad(q, ((0, NQ_PAD - nq), (0, 0)))
+        q_aux = jnp.pad(q_aux, (0, NQ_PAD - nq))
     nb = n_pad // TILE_N
     sqn2 = sqn.reshape(1, n_pad)
-    qaux2 = q_aux.reshape(nq_pad, 1)
+    qaux2 = q_aux.reshape(NQ_PAD, 1)
 
     in_specs = [
         pl.BlockSpec((TILE_N, d), lambda i: (i, 0)),
-        pl.BlockSpec((nq_pad, d), lambda i: (0, 0)),
+        pl.BlockSpec((NQ_PAD, d), lambda i: (0, 0)),
         pl.BlockSpec((1, TILE_N), lambda i: (0, i)),
-        pl.BlockSpec((nq_pad, 1), lambda i: (0, 0)),
+        pl.BlockSpec((NQ_PAD, 1), lambda i: (0, 0)),
     ]
     args = [x, q, sqn2, qaux2]
     if has_mask:
@@ -95,20 +95,22 @@ def fused_segmin_scores(x, q, sqn, q_aux, mask, metric: str, has_mask: bool,
 
     out = pl.pallas_call(
         _kernel(metric, has_mask),
-        out_shape=jax.ShapeDtypeStruct((nq_pad, n_pad // SEG), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad // SEG, NQ_PAD), jnp.float32),
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((nq_pad, TILE_N // SEG), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((TILE_N // SEG, NQ_PAD), lambda i: (i, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*args)
-    return out[:nq]
+    return out.T[:nq]
 
 
-def pallas_supported(d: int) -> bool:
-    """The kernel needs a TPU backend and a lane-aligned feature dim."""
+def pallas_supported(d: int, nq: int = 1) -> bool:
+    """The kernel needs a TPU backend, a lane-aligned feature dim, and a
+    query batch that fits the padded sublane block."""
     try:
-        return jax.default_backend() == "tpu" and d % 128 == 0
+        return (jax.default_backend() == "tpu" and d % 128 == 0
+                and nq <= NQ_PAD)
     except Exception:
         return False

@@ -306,7 +306,7 @@ def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
     nq = q.shape[0]
     if use_pallas is None:
         from myscaledb_tpu.ops.pallas.distance import pallas_supported
-        use_pallas = pallas_supported(x.shape[1]) and n >= (1 << 16) \
+        use_pallas = pallas_supported(x.shape[1], nq) and n >= (1 << 16) \
             and (k + margin) * SEG <= max(n, SEG)
     if use_pallas:
         return _distance_scan_pallas(x, q, mask, _as_f32(x_sqnorm), metric,

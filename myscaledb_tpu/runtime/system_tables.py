@@ -18,12 +18,18 @@ from myscaledb_tpu.runtime import tracing
 SYSTEM_TABLES = ("system.one", "system.tables", "system.columns",
                  "system.settings", "system.events", "system.metrics",
                  "system.timings", "system.query_log", "system.span_log",
-                 "system.vector_indices")
+                 "system.vector_indices", "system.numbers")
 
 
 def build_system_table(session, name: str) -> Table:
     if name == "system.one":
         return Table.from_dict({"dummy": np.zeros(1, dtype=np.uint8)})
+
+    if name == "system.numbers":
+        # bounded materialization (the reference streams unbounded; use
+        # numbers(N) for explicit ranges)
+        return Table.from_dict({"number": np.arange(1 << 16,
+                                                    dtype=np.uint64)})
 
     if name == "system.tables":
         names, rows, ncols, dist = [], [], [], []

@@ -135,6 +135,7 @@ class SelectQuery:
     offset: int = 0
     limit_by: Optional[tuple] = None    # (n, [exprs])
     subquery: Optional["SelectQuery"] = None  # FROM (SELECT ...)
+    table_function: Optional[tuple] = None    # ("numbers", (start?, n))
 
 
 def walk(e: Expr):

@@ -753,6 +753,46 @@ def execute_any(session, q) -> Table:
     return execute_select(session, q)
 
 
+def _zonemap_possible_blocks(table: Table, conjuncts) -> Optional[int]:
+    """Per-block min/max pruning (reference: KeyCondition RPN over zone maps,
+    src/Storages/MergeTree/KeyCondition.h).  Returns the number of blocks
+    that can possibly satisfy the ANDed comparisons, or None when no term is
+    prunable.  Zero means the whole scan is provably empty."""
+    possible = None
+    for term in conjuncts:
+        if not (isinstance(term, BinOp) and
+                term.op in ("=", "<", "<=", ">", ">=")):
+            continue
+        lhs, rhs, op = term.left, term.right, term.op
+        if isinstance(rhs, Ident) and isinstance(lhs, Literal):
+            lhs, rhs = rhs, lhs
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+        if not (isinstance(lhs, Ident) and isinstance(rhs, Literal)
+                and isinstance(rhs.value, (int, float))):
+            continue
+        name = lhs.qualified if lhs.table else lhs.name
+        if name not in table:
+            continue
+        zm = table[name].zonemap
+        if zm is None:
+            continue
+        lit = rhs.value
+        if op == "=":
+            ok = (zm.mins <= lit) & (zm.maxs >= lit)
+        elif op == "<":
+            ok = zm.mins < lit
+        elif op == "<=":
+            ok = zm.mins <= lit
+        elif op == ">":
+            ok = zm.maxs > lit
+        else:
+            ok = zm.maxs >= lit
+        possible = ok if possible is None else (possible & ok)
+    if possible is None:
+        return None
+    return int(possible.sum())
+
+
 def _expand_order_tuples(order_by):
     """ORDER BY (a, b) — tuple syntax — expands to ORDER BY a, b."""
     out = []
@@ -788,7 +828,17 @@ def execute_select(session, q: SelectQuery) -> Table:
                 else:
                     session.tables[name] = old
     # 1. source
-    if q.subquery is not None:
+    if getattr(q, "table_function", None) is not None:
+        kind, params = q.table_function
+        if kind == "numbers":
+            a, b = params
+            start, count = (0, a) if b is None else (a, b)
+            base = Table([Column.from_numpy(
+                "number", np.arange(start, start + count, dtype=np.uint64),
+                build_zonemap=False)])
+        else:
+            raise ExecError(f"unknown table function {kind!r}")
+    elif q.subquery is not None:
         base = execute_any(session, q.subquery)
     elif q.table is not None:
         try:
@@ -835,6 +885,18 @@ def execute_select(session, q: SelectQuery) -> Table:
     post_terms = [c for c in conjuncts if refs_dist(c)]
     pre_expr = _conjoin([_expand_item_aliases(c, alias_exprs, table)
                          for c in pre_terms])
+    # zone-map pruning: if min/max stats prove the filter empty, short-cut
+    # the whole scan (KeyCondition analog)
+    if pre_terms and not is_distributed(table):
+        nblocks = _zonemap_possible_blocks(
+            table, [_expand_item_aliases(c, alias_exprs, table)
+                    for c in pre_terms])
+        if nblocks == 0:
+            M.increment("ZonemapPrunedScans")
+            table = table.head(0)
+            env = Env(table, alias_prefixes)
+            pre_terms, post_terms = [], []
+            pre_expr = None
     mask = None
     if pre_expr is not None:
         mask = as_bool_mask(eval_expr(pre_expr, env), table.n_rows)
@@ -852,7 +914,10 @@ def execute_select(session, q: SelectQuery) -> Table:
         _vs_cm.__enter__()
         _vs_ok = False
         x = table[vs.col].data
-        if is_distributed(table):
+        if table.n_rows == 0:
+            d = jnp.zeros((vs.qvec.shape[0], 0), dtype=jnp.float32)
+            ids = jnp.zeros((vs.qvec.shape[0], 0), dtype=jnp.int32)
+        elif is_distributed(table):
             d, ids = sharded_distance_topk(
                 table.mesh, x, jnp.asarray(vs.qvec), vs.metric, vs.k,
                 mask=mask, block_rows=settings.vector_scan_block_rows,

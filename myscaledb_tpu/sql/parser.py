@@ -123,7 +123,18 @@ class Parser:
         q = SelectQuery(items=items, distinct=distinct, ctes=ctes)
 
         if self.take_kw("FROM"):
-            if self.take_punct("("):
+            # table function: numbers(N)
+            if self.peek().kind == "ident" and \
+                    self.peek().text.lower() == "numbers" and \
+                    self.peek(1).text == "(":
+                self.next(); self.next()
+                n0 = self.parse_int()
+                n1 = None
+                if self.take_punct(","):
+                    n1 = self.parse_int()
+                self.expect_punct(")")
+                q.table_function = ("numbers", (n0, n1))
+            elif self.take_punct("("):
                 q.subquery = self.parse_select()
                 self.expect_punct(")")
                 if self.take_kw("AS"):

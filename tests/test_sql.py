@@ -219,3 +219,52 @@ def test_error_unknown_column(sess):
 def test_error_unknown_table(sess):
     with pytest.raises(Exception, match="unknown table"):
         sess.sql("SELECT 1 FROM missing")
+
+
+def test_numbers_table_function():
+    s = connect()
+    assert s.sql("SELECT count(*), sum(number) FROM numbers(100)"
+                 ).to_rows() == [(100, 4950)]
+    assert s.sql("SELECT number FROM numbers(5, 3)").to_pydict()["number"] \
+        == [5, 6, 7]
+
+
+def test_string_functions():
+    s = connect()
+    s.create_table("t", {"s": ["Hello", "WORLD", "", "tpu-db"]})
+    assert s.sql("SELECT lower(s) FROM t").to_pydict()["lower(s)"] == \
+        ["hello", "world", "", "tpu-db"]
+    assert s.sql("SELECT count(*) FROM t WHERE startsWith(s, 'H')"
+                 ).to_rows() == [(1,)]
+    assert s.sql("SELECT substring(s, 2, 3) FROM t").to_pydict()[
+        "substring(s, 2, 3)"][0] == "ell"
+    assert s.sql("SELECT concat('a', s, 'z') FROM t").to_rows()[2][0] == "az"
+    assert s.sql("SELECT count(*) FROM t WHERE match(s, '^[A-Z]+$')"
+                 ).to_rows() == [(1,)]
+
+
+def test_date_functions():
+    import numpy as np
+    s = connect()
+    s.create_table("t", {"ts": np.array([1700000000], dtype=np.int64)})
+    assert s.sql("SELECT toYear(ts), toMonth(ts), toDayOfMonth(ts), "
+                 "toHour(ts) FROM t").to_rows() == [(2023, 11, 14, 22)]
+
+
+def test_zonemap_pruning_shortcut():
+    from myscaledb_tpu.runtime import metrics as M
+    s = connect()
+    s.create_table("t", {"a": np.arange(1000, dtype=np.int64),
+                         "b": np.arange(1000, dtype=np.int64) * 2})
+    before = M.events_snapshot().get("ZonemapPrunedScans", 0)
+    # a is in [0, 999]: a > 5000 is provably empty from zone maps
+    assert s.sql("SELECT a, b FROM t WHERE a > 5000").n_rows == 0
+    assert M.events_snapshot().get("ZonemapPrunedScans", 0) == before + 1
+    # non-prunable predicate still works
+    assert s.sql("SELECT count(*) FROM t WHERE a < 10").to_rows() == [(10,)]
+    # pruned vector search also returns empty cleanly
+    s.create_table("tv", {"id": np.arange(100, dtype=np.int64),
+                          "emb": np.ones((100, 4), dtype=np.float32)})
+    r = s.sql("SELECT id, distance(emb, [1.,1,1,1]) AS d FROM tv "
+              "WHERE id > 100000 ORDER BY d LIMIT 5")
+    assert r.n_rows == 0
