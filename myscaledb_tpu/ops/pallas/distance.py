@@ -93,16 +93,20 @@ def fused_segmin_scores(x, q, sqn, q_aux, mask, metric: str, has_mask: bool,
         in_specs.append(pl.BlockSpec((1, TILE_N), lambda i: (0, i)))
         args.append(mask.astype(jnp.float32).reshape(1, n_pad))
 
-    out = pl.pallas_call(
-        _kernel(metric, has_mask),
-        out_shape=jax.ShapeDtypeStruct((n_pad // SEG, NQ_PAD), jnp.float32),
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((TILE_N // SEG, NQ_PAD), lambda i: (i, 0)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(*args)
+    # the engine enables jax x64 globally; Mosaic rejects stray i64 ops, so
+    # trace the kernel under x32
+    with jax.experimental.disable_x64():
+        out = pl.pallas_call(
+            _kernel(metric, has_mask),
+            out_shape=jax.ShapeDtypeStruct((n_pad // SEG, NQ_PAD),
+                                           jnp.float32),
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((TILE_N // SEG, NQ_PAD), lambda i: (i, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(*args)
     return out.T[:nq]
 
 

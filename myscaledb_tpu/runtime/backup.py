@@ -1,0 +1,57 @@
+"""Backup / restore (reference: src/Backups/BackupsWorker.h — engine-level
+BACKUP TABLE ... TO / RESTORE).  A backup is a directory of TableStore part
+directories plus a manifest carrying table settings and vector-index
+registrations; restore re-registers everything into a session."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+from myscaledb_tpu.config import TableSettings
+from myscaledb_tpu.storage.table_store import TableStore
+from myscaledb_tpu.runtime import metrics as M
+
+
+def backup_session(session, path: str, tables=None) -> dict:
+    """Write the session's tables (all, or the given names) to ``path``."""
+    os.makedirs(path, exist_ok=True)
+    names = list(tables) if tables else [
+        n for n in session.tables if not n.startswith("system.")]
+    manifest = {"tables": [], "vector_indices":
+                getattr(session, "vector_indices", [])}
+    for name in names:
+        t = session.tables[name]
+        if getattr(t, "mesh", None) is not None:
+            raise ValueError(f"cannot back up distributed table {name!r}; "
+                             "back up before distribute()")
+        store = TableStore(os.path.join(path, name))
+        store.insert(t)
+        ts = session.table_settings.get(name)
+        manifest["tables"].append({
+            "name": name, "rows": t.n_rows,
+            "settings": asdict(ts) if ts else None})
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    M.increment("BackupsCreated")
+    return manifest
+
+
+def restore_session(session, path: str) -> list:
+    """Load a backup into the session; returns restored table names."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    restored = []
+    for entry in manifest["tables"]:
+        name = entry["name"]
+        t = TableStore(os.path.join(path, name)).load()
+        settings = None
+        if entry.get("settings"):
+            settings = TableSettings(**entry["settings"])
+        session.register(name, t, settings)
+        restored.append(name)
+    if manifest.get("vector_indices"):
+        session.vector_indices = list(manifest["vector_indices"])
+    M.increment("BackupsRestored")
+    return restored

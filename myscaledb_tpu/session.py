@@ -73,6 +73,14 @@ class Session:
         self.bump_epoch()
         return new.n_rows
 
+    def backup(self, path: str, tables=None) -> dict:
+        from myscaledb_tpu.runtime.backup import backup_session
+        return backup_session(self, path, tables)
+
+    def restore(self, path: str) -> list:
+        from myscaledb_tpu.runtime.backup import restore_session
+        return restore_session(self, path)
+
     def export_file(self, query: str, path: str, format: str = "CSV") -> int:
         from myscaledb_tpu.runtime import formats
         result = self.sql(query)

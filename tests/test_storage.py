@@ -144,3 +144,24 @@ def test_string_dictionary_merge_across_parts(tmp_path):
     s = connect()
     s.register("t", loaded)
     assert s.sql("SELECT sum(v) FROM t WHERE s = 'b'").to_rows()[0][0] == 7
+
+
+def test_session_backup_restore(tmp_path, rng):
+    from myscaledb_tpu import connect
+    from myscaledb_tpu.config import TableSettings
+    s = connect()
+    s.create_table("a", {"x": np.arange(50, dtype=np.int64),
+                         "s": [f"v{i%5}" for i in range(50)]})
+    s.create_table("b", {"emb": rng.standard_normal((20, 4)).astype(np.float32),
+                         "id": np.arange(20, dtype=np.int64)},
+                   settings=TableSettings(float_vector_search_metric_type="IP"))
+    s.sql("ALTER TABLE b ADD VECTOR INDEX v1 emb TYPE MSTG")
+    want = s.sql_tsv("SELECT s, sum(x) FROM a GROUP BY s ORDER BY s")
+    s.backup(str(tmp_path / "bkp"))
+
+    s2 = connect()
+    restored = s2.restore(str(tmp_path / "bkp"))
+    assert sorted(restored) == ["a", "b"]
+    assert s2.sql_tsv("SELECT s, sum(x) FROM a GROUP BY s ORDER BY s") == want
+    assert s2.table_settings["b"].float_vector_search_metric_type == "IP"
+    assert s2.sql("SELECT count(*) FROM system.vector_indices").to_rows() == [(1,)]
