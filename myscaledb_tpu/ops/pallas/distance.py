@@ -95,7 +95,7 @@ def fused_segmin_scores(x, q, sqn, q_aux, mask, metric: str, has_mask: bool,
 
     # the engine enables jax x64 globally; Mosaic rejects stray i64 ops, so
     # trace the kernel under x32
-    with jax.experimental.disable_x64():
+    with jax.enable_x64(False):
         out = pl.pallas_call(
             _kernel(metric, has_mask),
             out_shape=jax.ShapeDtypeStruct((n_pad // SEG, NQ_PAD),

@@ -18,7 +18,8 @@ from myscaledb_tpu.runtime import tracing
 SYSTEM_TABLES = ("system.one", "system.tables", "system.columns",
                  "system.settings", "system.events", "system.metrics",
                  "system.timings", "system.query_log", "system.span_log",
-                 "system.vector_indices", "system.numbers")
+                 "system.vector_indices", "system.numbers",
+                 "system.functions")
 
 
 def build_system_table(session, name: str) -> Table:
@@ -89,6 +90,24 @@ def build_system_table(session, name: str) -> Table:
             "type": [i["type"] for i in idxs],
             "status": [i["status"] for i in idxs],
         })
+
+    if name == "system.functions":
+        from myscaledb_tpu.exec.expr import _FUNCS
+        scalar = sorted(_FUNCS.keys())
+        aggs = ["count", "sum", "min", "max", "avg", "any", "uniqExact",
+                "argMin", "argMax", "countIf", "sumIf", "minIf", "maxIf",
+                "avgIf", "quantile", "median"]
+        wins = ["row_number", "rank", "dense_rank", "lag", "lead"]
+        search = ["distance", "batch_distance", "L2Distance",
+                  "cosineDistance", "dotProduct", "TextSearch",
+                  "HybridSearch"]
+        names = ([(f, "scalar") for f in scalar] +
+                 [(f, "aggregate") for f in aggs] +
+                 [(f, "window") for f in wins] +
+                 [(f, "search") for f in search])
+        return Table.from_dict({
+            "name": [n_ for n_, _ in names],
+            "kind": [k_ for _, k_ in names]})
 
     if name == "system.query_log":
         entries = list(session.query_log)

@@ -47,8 +47,11 @@ from myscaledb_tpu.runtime import metrics as M
 from myscaledb_tpu.runtime.tracing import span
 
 AGG_NAMES = {"count", "sum", "min", "max", "avg", "any", "uniqexact",
-             "argmin", "argmax"}
-SPECIAL_AGGS = {"uniqexact", "argmin", "argmax"}
+             "argmin", "argmax", "countif", "sumif", "minif", "maxif",
+             "avgif", "quantile", "median"}
+SPECIAL_AGGS = {"uniqexact", "argmin", "argmax", "quantile", "median"}
+IF_COMBINATORS = {"countif": "count", "sumif": "sum", "minif": "min",
+                  "maxif": "max", "avgif": "avg"}
 DIST_FNS = {"distance", "batch_distance", "l2distance", "cosinedistance",
             "dotproduct"}
 TEXT_FNS = {"textsearch", "hybridsearch"}
@@ -570,17 +573,50 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     normal_order: list[str] = []
     for r, call in agg_calls.items():
         name = call.name.lower()
+        if name in IF_COMBINATORS:
+            # xIf(args..., cond): fold the condition into the arg validity
+            # (reference: AggregateFunctionIf combinator)
+            base = IF_COMBINATORS[name]
+            if not call.args:
+                raise ExecError(f"{call.name} requires a condition argument")
+            cond_v = eval_expr(_expand_item_aliases(call.args[-1], alias_exprs,
+                                                    table), env)
+            cond = as_bool_mask(cond_v, n)
+            normal_order.append(r)
+            if base == "count" and len(call.args) == 1:
+                fns.append("count")
+                args.append(jnp.zeros(n, dtype=jnp.int32))
+                arg_valids.append(cond)
+                continue
+            v = eval_expr(_expand_item_aliases(call.args[0], alias_exprs,
+                                               table), env)
+            data = v.data
+            if v.is_scalar:
+                data = jnp.full((n,), jnp.asarray(data))
+            valid = cond if v.valid is None else jnp.logical_and(cond, v.valid)
+            fns.append(base)
+            args.append(data)
+            arg_valids.append(valid)
+            continue
         if name in SPECIAL_AGGS:
             if is_distributed(table):
                 raise ExecError(f"{call.name} over distributed tables is not "
                                 "supported yet")
+            params = None
+            cargs = list(call.args)
+            if name == "quantile" and len(cargs) == 2 and \
+                    isinstance(cargs[0], Literal):
+                params = float(cargs[0].value)   # quantile(0.9)(x)
+                cargs = cargs[1:]
+            if name == "median":
+                params = 0.5
             vals = [eval_expr(_expand_item_aliases(a, alias_exprs, table), env)
-                    for a in call.args]
-            if name == "uniqexact" and len(vals) != 1:
-                raise ExecError("uniqExact expects one argument")
+                    for a in cargs]
+            if name in ("uniqexact", "quantile", "median") and len(vals) != 1:
+                raise ExecError(f"{call.name} expects one argument")
             if name in ("argmin", "argmax") and len(vals) != 2:
                 raise ExecError(f"{call.name} expects (result, order) arguments")
-            special[r] = (name, vals)
+            special[r] = (name, vals, params)
             continue
         normal_order.append(r)
         if name == "count" and (not call.args or isinstance(call.args[0], Star)):
@@ -652,8 +688,8 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
         col = Column.from_numpy(name, arr, build_zonemap=False)
         cols.append(col)
         mapping[name] = name
-    for r, (kind, vals) in special.items():
-        col = _special_aggregate(kind, vals, gid, m, G, present, n)
+    for r, (kind, vals, sparams) in special.items():
+        col = _special_aggregate(kind, vals, gid, m, G, present, n, sparams)
         col = Column(Field(r, col.dtype, col.field.nullable,
                            col.field.vector_dim),
                      col.data, col.valid, col.dictionary)
@@ -663,7 +699,8 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     return agg_table, mapping
 
 
-def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int):
+def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
+                       params=None):
     """uniqExact / argMin / argMax — computed outside the mergeable-state
     pipeline (reference: these have dedicated state classes in
     src/AggregateFunctions/AggregateFunctionUniq.h / ...ArgMinMax.h)."""
@@ -671,6 +708,24 @@ def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int):
     OOB = jnp.int32(G)
     tgt = jnp.where(m, gid, OOB)
     present_dev = jnp.asarray(present)
+    if kind in ("quantile", "median"):
+        # exact quantile via per-group sorted layout (reference default is
+        # sampling-based quantile; exact matches quantileExact)
+        level = params if params is not None else 0.5
+        v = vals[0]
+        data = v.data
+        if v.is_scalar:
+            data = jnp.full((n,), jnp.asarray(data))
+        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
+        gid_np = np.asarray(jnp.where(vm, gid, OOB))
+        data_np = np.asarray(data)
+        out = np.full(len(present), np.nan)
+        for i, g in enumerate(present):
+            sel = data_np[gid_np == g]
+            if len(sel):
+                out[i] = np.quantile(sel.astype(np.float64), level,
+                                     method="inverted_cdf")
+        return Column.from_numpy("x", out, build_zonemap=False)
     if kind == "uniqexact":
         v = vals[0]
         data = v.data

@@ -1,0 +1,107 @@
+"""Property-based mini-fuzzer (reference analog: src/Client/QueryFuzzer.cpp
++ SQLancer): random filter/aggregate/order queries checked against a numpy
+oracle built from the same random seed."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+N = 400
+COLS = ["a", "b", "f", "s"]
+CMPS = ["<", "<=", ">", ">=", "=", "!="]
+
+
+def make_session(rng):
+    s = connect()
+    data = {
+        "a": rng.integers(-20, 20, N).astype(np.int64),
+        "b": rng.integers(0, 5, N).astype(np.int32),
+        "f": (rng.standard_normal(N) * 10).round(2).astype(np.float32),
+        "s": rng.choice(["x", "y", "zz"], N),
+    }
+    s.create_table("t", {k: v.copy() for k, v in data.items()})
+    return s, data
+
+
+def random_predicate(rng):
+    """Returns (sql_fragment, numpy_mask_fn)."""
+    col = rng.choice(["a", "b", "f"])
+    op = rng.choice(CMPS)
+    lit = int(rng.integers(-15, 15))
+    frag = f"{col} {op} {lit}"
+    import operator
+    pyop = {"<": operator.lt, "<=": operator.le, ">": operator.gt,
+            ">=": operator.ge, "=": operator.eq, "!=": operator.ne}[op]
+    return frag, lambda d: pyop(d[col], lit)
+
+
+def test_fuzz_filters(rng):
+    s, data = make_session(rng)
+    for trial in range(25):
+        frags, masks = zip(*(random_predicate(rng) for _ in range(
+            int(rng.integers(1, 4)))))
+        joiner = " AND " if rng.random() < 0.5 else " OR "
+        sql = joiner.join(frags)
+        got = s.sql(f"SELECT count(*) FROM t WHERE {sql}").to_rows()[0][0]
+        import functools
+        if joiner == " AND ":
+            m = functools.reduce(lambda x, y: x & y,
+                                 [mk(data) for mk in masks])
+        else:
+            m = functools.reduce(lambda x, y: x | y,
+                                 [mk(data) for mk in masks])
+        assert got == int(m.sum()), sql
+
+
+def test_fuzz_group_aggregates(rng):
+    s, data = make_session(rng)
+    for trial in range(15):
+        frag, mk = random_predicate(rng)
+        key = rng.choice(["b", "s"])
+        r = s.sql(f"SELECT {key}, count(*) AS c, sum(a) AS sa FROM t "
+                  f"WHERE {frag} GROUP BY {key} ORDER BY {key}")
+        d = r.to_pydict()
+        m = mk(data)
+        for i, kk in enumerate(d[key]):
+            sel = m & (data[key] == kk)
+            assert d["c"][i] == int(sel.sum()), (frag, key, kk)
+            assert d["sa"][i] == int(data["a"][sel].sum()), (frag, key, kk)
+
+
+def test_fuzz_order_limit(rng):
+    s, data = make_session(rng)
+    for trial in range(15):
+        col = rng.choice(["a", "f"])
+        desc = bool(rng.random() < 0.5)
+        lim = int(rng.integers(1, 30))
+        r = s.sql(f"SELECT a, f FROM t ORDER BY {col} "
+                  f"{'DESC' if desc else 'ASC'}, a, f LIMIT {lim}")
+        got = r.to_pydict()[col]
+        v = np.sort(data[col].astype(np.float64))
+        want = v[::-1][:lim] if desc else v[:lim]
+        np.testing.assert_allclose(np.asarray(got, dtype=np.float64), want,
+                                   rtol=1e-6)
+
+
+def test_fuzz_vector_topk(rng):
+    s = connect()
+    d = 16
+    x = rng.standard_normal((N, d)).astype(np.float32)
+    meta = rng.integers(0, 10, N).astype(np.int32)
+    s.create_table("v", {"id": np.arange(N, dtype=np.int64),
+                         "m": meta, "emb": x})
+    for trial in range(10):
+        q = rng.standard_normal(d).astype(np.float32)
+        thr = int(rng.integers(1, 10))
+        k = int(rng.integers(1, 12))
+        qs = ", ".join(f"{val:.4f}" for val in q)
+        r = s.sql(f"SELECT id FROM v WHERE m < {thr} ORDER BY "
+                  f"distance(emb, [{qs}]) LIMIT {k}")
+        got = r.to_pydict()["id"]
+        qf = np.asarray([float(f"{val:.4f}") for val in q], dtype=np.float32)
+        dist = ((x - qf) ** 2).sum(1)
+        dist = np.where(meta < thr, dist, np.inf)
+        want = np.argsort(dist, kind="stable")[:k]
+        want = want[np.isfinite(dist[want])]
+        assert got == want.tolist(), trial

@@ -122,3 +122,31 @@ def test_explain_union(sess):
     out = sess.sql("EXPLAIN SELECT k FROM t UNION ALL SELECT k FROM t")
     lines = out.to_pydict()["explain"]
     assert lines[0] == "Union branch 0"
+
+
+def test_if_combinators(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, countIf(v > 10) AS c, sumIf(v, v > 10) AS s "
+                 "FROM t GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for i, kk in enumerate(d["k"]):
+        sel = (k == kk) & (v > 10)
+        assert d["c"][i] == sel.sum()
+        assert d["s"][i] == v[sel].sum()
+
+
+def test_quantile_median(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, median(v) AS m, quantile(0.9)(v) AS q "
+                 "FROM t GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for i, kk in enumerate(d["k"]):
+        sel = v[k == kk].astype(np.float64)
+        assert d["m"][i] == np.quantile(sel, 0.5, method="inverted_cdf")
+        assert d["q"][i] == np.quantile(sel, 0.9, method="inverted_cdf")
+
+
+def test_system_functions_listing(sess):
+    names = sess.sql("SELECT name FROM system.functions WHERE kind = 'search'"
+                     ).to_pydict()["name"]
+    assert "HybridSearch" in names and "distance" in names
