@@ -599,9 +599,6 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
             arg_valids.append(valid)
             continue
         if name in SPECIAL_AGGS:
-            if is_distributed(table):
-                raise ExecError(f"{call.name} over distributed tables is not "
-                                "supported yet")
             params = None
             cargs = list(call.args)
             if name == "quantile" and len(cargs) == 2 and \

@@ -89,3 +89,10 @@ def test_distributed_text_and_hybrid_match_local(rng):
     q2 = (f"SELECT id, HybridSearch('fusion_type=rsf')(emb, body, [{qv}], "
           "'alpha delta') AS sc FROM t ORDER BY sc DESC LIMIT 5")
     assert dist.sql_tsv(q2) == local.sql_tsv(q2)
+
+
+def test_distributed_special_aggregates(rng):
+    local, dist = make_sessions(rng)
+    q = ("SELECT k, uniqExact(v) AS u, argMin(id, v) AS lo, "
+         "median(v) AS m FROM t GROUP BY k ORDER BY k")
+    assert dist.sql_tsv(q) == local.sql_tsv(q)
