@@ -41,6 +41,22 @@ def _merge_minscore_topk(s, i, k):
     return ss[..., :k], ii[..., :k]
 
 
+def _butterfly_topk(s, ids, k: int, nsh: int, axis: str):
+    """Tree-reduced top-k merge over ICI: log2(nsh) ppermute rounds with XOR
+    partners; after the last round every shard holds the global top-k (the
+    north star's distributed top-k tree, replacing the all_gather fan-in —
+    O(k log P) exchanged per shard instead of O(k P))."""
+    rounds = (nsh - 1).bit_length()
+    for r in range(rounds):
+        h = 1 << r
+        perm = [(i, i ^ h) for i in range(nsh)]
+        ps = lax.ppermute(s, axis, perm=perm)
+        pi = lax.ppermute(ids, axis, perm=perm)
+        s, ids = _merge_minscore_topk(jnp.concatenate([s, ps], axis=-1),
+                                      jnp.concatenate([ids, pi], axis=-1), k)
+    return s, ids
+
+
 def sharded_distance_topk(mesh: Mesh, x, q, metric: str = "L2", k: int = 10,
                           mask=None, block_rows: int = 32768,
                           axis: str = SHARD_AXIS):
@@ -74,11 +90,14 @@ def sharded_distance_topk(mesh: Mesh, x, q, metric: str = "L2", k: int = 10,
                       -dloc if metric == "IP" else dloc)
         p = lax.axis_index(axis).astype(jnp.int32)
         gids = jnp.where(iloc == INVALID_ID, INVALID_ID, iloc + p * n_loc)
-        all_s = lax.all_gather(s, axis)          # (nsh, nq, k)
-        all_i = lax.all_gather(gids, axis)
-        all_s = jnp.moveaxis(all_s, 0, 1).reshape(s.shape[0], nsh * k)
-        all_i = jnp.moveaxis(all_i, 0, 1).reshape(s.shape[0], nsh * k)
-        ms, mi = _merge_minscore_topk(all_s, all_i, k)
+        if nsh & (nsh - 1) == 0 and nsh >= 4:
+            ms, mi = _butterfly_topk(s, gids, k, nsh, axis)
+        else:
+            all_s = lax.all_gather(s, axis)          # (nsh, nq, k)
+            all_i = lax.all_gather(gids, axis)
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(s.shape[0], nsh * k)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(s.shape[0], nsh * k)
+            ms, mi = _merge_minscore_topk(all_s, all_i, k)
         md = jnp.where(jnp.isposinf(ms),
                        jnp.float32(-jnp.inf if metric == "IP" else jnp.inf),
                        -ms if metric == "IP" else ms)
