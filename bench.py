@@ -156,10 +156,9 @@ def bench_config3():
 def bench_config4():
     import jax
     import jax.numpy as jnp
-    from myscaledb_tpu.ops.hashtable import ht_insert, _ht_lookup_impl
+    from myscaledb_tpu.ops.join import try_build_direct, probe_direct
 
-    n_fact, n_dim = 50_000_000, 1_000_000
-    cap = 1 << 21
+    n_fact, n_dim = 100_000_000, 1_000_000
     key = jax.random.PRNGKey(3)
     k1, k2 = jax.random.split(key)
     dim_keys = jnp.arange(n_dim, dtype=jnp.int32)
@@ -168,18 +167,17 @@ def bench_config4():
     fact_keys = (u * u * n_dim).astype(jnp.int32)
     jax.block_until_ready((dim_keys, fact_keys))
 
-    table, _, ok = ht_insert((dim_keys,), jnp.ones(n_dim, dtype=bool), cap)
-    jax.block_until_ready(table.slot_row)
-    assert bool(ok)
+    table = try_build_direct((dim_keys,))
+    assert table is not None
+    jax.block_until_ready(table.lookup)
 
-    def body(slot_keys, slot_row, fact_keys, acc):
+    def body(lookup, fact_keys, acc):
+        from myscaledb_tpu.ops.join import DirectTable
         probe = fact_keys + acc.astype(jnp.int32) * 0
-        slot, found = _ht_lookup_impl(slot_keys, slot_row, (probe,),
-                                      jnp.ones(n_fact, dtype=bool), cap, 256)
-        return found.sum().astype(jnp.float32) * 1e-9
+        res = probe_direct(DirectTable(lookup, 0), (probe,))
+        return res.found.sum().astype(jnp.float32) * 1e-9
 
-    dt = _timed_repeat(body, table.slot_keys, table.slot_row, fact_keys,
-                       iters=4)
+    dt = _timed_repeat(body, table.lookup, fact_keys, iters=8)
     rows_per_sec = n_fact / dt
     dev = jax.devices()[0]
     sol = hbm_gbps_for_device(dev) / 8   # probe row: key read + slot gather

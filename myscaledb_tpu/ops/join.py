@@ -44,7 +44,61 @@ def probe_join_table(table: HashTable, probe_keys, probe_mask=None) -> JoinResul
     return JoinResult(build_row, found)
 
 
+class DirectTable(NamedTuple):
+    """Dense-key join table: build row per key via one gather (reference
+    analog: DirectJoin, src/Interpreters/DirectJoin.h — O(1) probes, no
+    probe loop).  Duplicate build keys: lowest row id wins (ANY)."""
+    lookup: jnp.ndarray       # (range,) int32 build row, INT32_MAX = absent
+    lo: int
+
+
+def try_build_direct(build_keys, build_mask=None,
+                     max_range_factor: int = 8):
+    """Build a DirectTable when the (single, integer) build key occupies a
+    dense range; returns None otherwise."""
+    if len(build_keys) != 1:
+        return None
+    k = jnp.asarray(build_keys[0])
+    if not jnp.issubdtype(k.dtype, jnp.integer):
+        return None
+    n = k.shape[0]
+    if n == 0:
+        return None
+    if build_mask is not None:
+        m = jnp.asarray(build_mask, dtype=bool)
+        big = jnp.iinfo(k.dtype).max
+        lo = int(jnp.min(jnp.where(m, k, big)))
+        hi = int(jnp.max(jnp.where(m, k, jnp.iinfo(k.dtype).min)))
+    else:
+        lo, hi = int(jnp.min(k)), int(jnp.max(k))
+    rng = hi - lo + 1
+    if rng <= 0 or rng > max(max_range_factor * n, 1 << 16):
+        return None
+    rows = jnp.arange(n, dtype=jnp.int32)
+    tgt = (k - lo).astype(jnp.int32)
+    if build_mask is not None:
+        tgt = jnp.where(m, tgt, rng)
+    lookup = jnp.full(rng, INT32_MAX, dtype=jnp.int32).at[tgt].min(
+        rows, mode="drop")
+    return DirectTable(lookup, lo)
+
+
+def probe_direct(table: DirectTable, probe_keys, probe_mask=None) -> JoinResult:
+    k = jnp.asarray(probe_keys[0])
+    idx = k.astype(jnp.int64) - table.lo
+    in_range = jnp.logical_and(idx >= 0, idx < table.lookup.shape[0])
+    if probe_mask is not None:
+        in_range = jnp.logical_and(in_range, jnp.asarray(probe_mask,
+                                                         dtype=bool))
+    safe = jnp.where(in_range, idx, 0).astype(jnp.int32)
+    row = jnp.where(in_range, table.lookup[safe], INT32_MAX)
+    return JoinResult(row, row != INT32_MAX)
+
+
 def hash_join_any(build_keys, probe_keys, build_mask=None, probe_mask=None) -> JoinResult:
+    direct = try_build_direct(build_keys, build_mask)
+    if direct is not None:
+        return probe_direct(direct, probe_keys, probe_mask)
     table = build_join_table(build_keys, build_mask)
     return probe_join_table(table, probe_keys, probe_mask)
 

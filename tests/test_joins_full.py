@@ -90,3 +90,30 @@ def test_join_then_aggregate(jsess):
 def test_empty_match_all_join(jsess):
     r = jsess.sql("SELECT count(*) FROM l INNER JOIN r ON l.lv = r.rv")
     assert r.to_rows()[0][0] == 0
+
+
+def test_direct_join_path_equals_hash(rng):
+    """Dense build keys trigger the DirectJoin fast path; results must match
+    the generic hash path exactly."""
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.join import (hash_join_any, try_build_direct,
+                                        build_join_table, probe_join_table)
+    build = np.arange(1000, dtype=np.int32)
+    rng.shuffle(build)
+    probe = rng.integers(-100, 1200, 5000).astype(np.int32)
+    direct = try_build_direct((jnp.asarray(build),))
+    assert direct is not None
+    r1 = hash_join_any((jnp.asarray(build),), (jnp.asarray(probe),))
+    table = build_join_table((jnp.asarray(build),))
+    r2 = probe_join_table(table, (jnp.asarray(probe),))
+    np.testing.assert_array_equal(np.asarray(r1.found), np.asarray(r2.found))
+    f = np.asarray(r1.found)
+    np.testing.assert_array_equal(np.asarray(r1.build_row)[f],
+                                  np.asarray(r2.build_row)[f])
+
+
+def test_direct_join_sparse_keys_fall_back(rng):
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.join import try_build_direct
+    sparse = (rng.integers(0, 2**30, 100)).astype(np.int64)
+    assert try_build_direct((jnp.asarray(sparse),)) is None
