@@ -45,6 +45,7 @@ class Settings:
     # quotas / limits (reference: SizeLimits.h, ExecutionSpeedLimits.h)
     max_result_rows: int = 0          # 0 = unlimited
     max_execution_time: float = 0.0   # seconds; checked post-execution
+    readonly: int = 0                 # 1 = reject DDL/DML (reference semantics)
 
     def copy(self, **kw) -> "Settings":
         return replace(self, **kw)

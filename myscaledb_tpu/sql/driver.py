@@ -26,9 +26,14 @@ def execute_query(session, sql: str, params=None) -> Table:
     sql = stripped
     upper = stripped.upper()
     if any(upper.startswith(kw) for kw in DDL_KEYWORDS):
-        from myscaledb_tpu.sql.ddl import DDLParser, execute_statement
+        from myscaledb_tpu.sql.ddl import DDLParser, execute_statement, \
+            SetStatement, ShowTables, DescribeTable
         stmt = DDLParser(stripped).parse_statement()
         if stmt is not None:
+            if session.settings.readonly and not isinstance(
+                    stmt, (SetStatement, ShowTables, DescribeTable)):
+                raise PermissionError(
+                    "Cannot execute query in readonly mode")
             t0 = time.perf_counter()
             entry = {"query": sql, "event_time": time.time(),
                      "duration_ms": 0.0, "result_rows": 0,

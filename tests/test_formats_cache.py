@@ -56,3 +56,19 @@ def test_max_result_rows():
     with pytest.raises(RuntimeError, match="max_result_rows"):
         s.sql("SELECT a FROM t")
     assert s.sql("SELECT a FROM t LIMIT 2").n_rows == 2
+
+
+def test_readonly_mode():
+    s = connect()
+    s.sql("CREATE TABLE t(a Int64)")
+    s.sql("INSERT INTO t VALUES (1)")
+    s.settings.readonly = 1
+    with pytest.raises(PermissionError, match="readonly"):
+        s.sql("INSERT INTO t VALUES (2)")
+    with pytest.raises(PermissionError, match="readonly"):
+        s.sql("DROP TABLE t")
+    # SELECT, SHOW, SET still allowed
+    assert s.sql("SELECT count(*) FROM t").to_rows() == [(1,)]
+    s.sql("SET readonly = 0")
+    s.sql("INSERT INTO t VALUES (2)")
+    assert s.sql("SELECT count(*) FROM t").to_rows() == [(2,)]
