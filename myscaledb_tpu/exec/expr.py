@@ -28,7 +28,8 @@ from myscaledb_tpu.core.types import DataType
 from myscaledb_tpu.core.table import Table, Column
 from myscaledb_tpu.core.dictionary import StringDictionary
 from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
-                                   BinOp, UnOp, FuncCall, InList, Between)
+                                   BinOp, UnOp, FuncCall, InList, Between,
+                                   InSubquery)
 
 
 class EvalError(ValueError):
@@ -626,6 +627,34 @@ def eval_expr(e: Expr, env: Env) -> Value:
         if e.op in ("+", "-", "*", "/", "%"):
             return _arith(e.op, a, b, env)
         return _compare(e.op, a, b, env)
+    if isinstance(e, InSubquery):
+        runner = getattr(env, "subquery_runner", None)
+        if runner is None:
+            raise EvalError("IN (subquery) not available in this context")
+        sub_table = runner(e.query)
+        col = next(iter(sub_table.columns.values()), None)
+        v = eval_expr(e.expr, env)
+        if col is None or sub_table.n_rows == 0:
+            base = jnp.zeros(env.n_rows, dtype=bool)
+            return Value(jnp.logical_not(base) if e.negated else base)
+        if v.dictionary is not None or col.dictionary is not None:
+            if v.dictionary is None or col.dictionary is None:
+                raise EvalError("IN type mismatch: string vs numeric")
+            remap = np.array([v.dictionary.encode_one(s)
+                              for s in col.dictionary.values] or [-2],
+                             dtype=np.int32)
+            member_ids = jnp.asarray(np.unique(
+                remap[np.asarray(col.data)]))
+            hit = jnp.isin(v.data, member_ids)
+        else:
+            hit = jnp.isin(v.data, col.data)
+        if v.valid is not None:
+            hit = jnp.logical_and(hit, v.valid)
+        if e.negated:
+            hit = jnp.logical_not(hit)
+            if v.valid is not None:
+                hit = jnp.logical_and(hit, v.valid)
+        return Value(hit)
     if isinstance(e, InList):
         v = eval_expr(e.expr, env)
         hits = None

@@ -94,6 +94,56 @@ def shuffle_by_key(mesh: Mesh, key, arrays: Sequence, valid=None,
     return step(*args)
 
 
+def sharded_shuffle_join_pairs(mesh: Mesh, left_key, right_key,
+                               axis: str = SHARD_AXIS, how: str = "ALL"):
+    """Distributed shuffle join (P6-style repartition): both sides are
+    hash-repartitioned by key so matches colocate, then each shard joins
+    locally.  Returns matched (left_global_row, right_global_row) pairs as
+    numpy arrays — the executor materializes outputs row-wise anyway.
+
+    how: "ALL" (full multiplicity) or "ANY" (lowest right row per left row).
+    """
+    import numpy as np
+    from myscaledb_tpu.ops.join import hash_join_all, hash_join_any
+
+    nsh = mesh.shape[axis]
+    n_l = left_key.shape[0]
+    n_r = right_key.shape[0]
+    lid = jnp.arange(n_l, dtype=jnp.int32)
+    rid = jnp.arange(n_r, dtype=jnp.int32)
+    lk_rx, (lid_rx,), lv_rx = shuffle_by_key(mesh, left_key, (lid,), axis=axis)
+    rk_rx, (rid_rx,), rv_rx = shuffle_by_key(mesh, right_key, (rid,),
+                                             axis=axis)
+    m_l = lk_rx.shape[0] // nsh
+    m_r = rk_rx.shape[0] // nsh
+    out_l, out_r = [], []
+    lk_np = np.asarray(lk_rx).reshape(nsh, m_l)
+    lid_np = np.asarray(lid_rx).reshape(nsh, m_l)
+    lv_np = np.asarray(lv_rx).reshape(nsh, m_l)
+    rk_np = np.asarray(rk_rx).reshape(nsh, m_r)
+    rid_np = np.asarray(rid_rx).reshape(nsh, m_r)
+    rv_np = np.asarray(rv_rx).reshape(nsh, m_r)
+    for p in range(nsh):
+        if not lv_np[p].any() or not rv_np[p].any():
+            continue
+        lsel = np.flatnonzero(lv_np[p])
+        rsel = np.flatnonzero(rv_np[p])
+        lkeys = jnp.asarray(lk_np[p][lsel])
+        rkeys = jnp.asarray(rk_np[p][rsel])
+        if how == "ANY":
+            res = hash_join_any((rkeys,), (lkeys,))
+            f = np.asarray(res.found)
+            out_l.append(lid_np[p][lsel][f])
+            out_r.append(rid_np[p][rsel][np.asarray(res.build_row)[f]])
+        else:
+            exp = hash_join_all((rkeys,), (lkeys,))
+            out_l.append(lid_np[p][lsel][np.asarray(exp.probe_idx)])
+            out_r.append(rid_np[p][rsel][np.asarray(exp.build_idx)])
+    if not out_l:
+        return (np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32))
+    return np.concatenate(out_l), np.concatenate(out_r)
+
+
 def sharded_shuffle_aggregate(mesh: Mesh, key, mask, args, fns: tuple,
                               axis: str = SHARD_AXIS,
                               capacity_hint: int = 1 << 16):

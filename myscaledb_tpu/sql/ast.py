@@ -83,6 +83,15 @@ class InList(Expr):
 
 
 @dataclass
+class InSubquery(Expr):
+    expr: Expr
+    query: object          # SelectQuery | UnionQuery
+    negated: bool = False
+    def __repr__(self):
+        return f"{self.expr!r} IN (subquery)"
+
+
+@dataclass
 class Between(Expr):
     expr: Expr
     low: Expr
@@ -155,6 +164,8 @@ def walk(e: Expr):
             yield from walk(p)
         for o in e.order_by:
             yield from walk(o.expr)
+    elif isinstance(e, InSubquery):
+        yield from walk(e.expr)
     elif isinstance(e, InList):
         yield from walk(e.expr)
     elif isinstance(e, Between):

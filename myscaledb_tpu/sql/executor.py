@@ -908,6 +908,7 @@ def execute_select(session, q: SelectQuery) -> Table:
         table = apply_join(session, table, jc, alias_prefixes)
 
     env = Env(table, alias_prefixes)
+    env.subquery_runner = lambda sub: execute_any(session, sub)
     alias_exprs = {it.alias: it.expr for it in q.items if it.alias}
     tuple_groups: dict[str, list] = {}
 

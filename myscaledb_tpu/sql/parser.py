@@ -24,8 +24,9 @@ from typing import Optional
 from myscaledb_tpu.sql.lexer import tokenize, unquote_string, Token
 from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
                                    BinOp, UnOp, FuncCall, InList, Between,
-                                   WindowCall, SelectItem, OrderItem,
-                                   JoinClause, SelectQuery, UnionQuery)
+                                   InSubquery, WindowCall, SelectItem,
+                                   OrderItem, JoinClause, SelectQuery,
+                                   UnionQuery)
 
 KEYWORDS = {
     "SELECT", "FROM", "WHERE", "PREWHERE", "GROUP", "BY", "HAVING", "ORDER",
@@ -317,6 +318,11 @@ class Parser:
                 neg = True
             if self.take_kw("IN"):
                 self.expect_punct("(")
+                if self.at_kw("SELECT", "WITH"):
+                    sub = self.parse_select_or_union()
+                    self.expect_punct(")")
+                    e = InSubquery(e, sub, neg)
+                    continue
                 items = [self.parse_expr()]
                 while self.take_punct(","):
                     items.append(self.parse_expr())

@@ -63,3 +63,35 @@ def test_shuffle_aggregate_matches_local(rng):
         sel = (key == kk) & mask
         assert got[kk] == val[sel].sum(), kk
     assert len(got) == len(set(key[mask].tolist()))
+
+
+def test_shuffle_join_pairs_matches_oracle(rng):
+    from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_pairs
+    mesh = make_mesh(8)
+    nl, nr = 8 * 200, 8 * 50
+    lk = rng.integers(0, 120, nl).astype(np.int32)
+    rk = rng.integers(0, 120, nr).astype(np.int32)
+    gl, gr = sharded_shuffle_join_pairs(
+        mesh, shard_rows(mesh, jnp.asarray(lk)),
+        shard_rows(mesh, jnp.asarray(rk)))
+    got = sorted(zip(gl.tolist(), gr.tolist()))
+    want = sorted((i, j) for i in range(nl) for j in range(nr)
+                  if lk[i] == rk[j])
+    assert got == want
+
+
+def test_shuffle_join_any(rng):
+    from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_pairs
+    mesh = make_mesh(4)
+    nl, nr = 4 * 100, 4 * 100
+    lk = rng.integers(0, 60, nl).astype(np.int32)
+    rk = rng.integers(0, 60, nr).astype(np.int32)
+    gl, gr = sharded_shuffle_join_pairs(
+        mesh, shard_rows(mesh, jnp.asarray(lk)),
+        shard_rows(mesh, jnp.asarray(rk)), how="ANY")
+    pair = dict(zip(gl.tolist(), gr.tolist()))
+    assert len(pair) == len(gl)                  # one match per left row
+    for i, j in pair.items():
+        assert lk[i] == rk[j]
+        # ANY = lowest right row id with this key
+        assert j == min(np.flatnonzero(rk == lk[i]))

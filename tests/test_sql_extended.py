@@ -150,3 +150,15 @@ def test_system_functions_listing(sess):
     names = sess.sql("SELECT name FROM system.functions WHERE kind = 'search'"
                      ).to_pydict()["name"]
     assert "HybridSearch" in names and "distance" in names
+
+
+def test_in_subquery(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT count(*) FROM t WHERE k IN "
+                 "(SELECT DISTINCT k FROM t WHERE v > 15)")
+    hot = set(k[v > 15].tolist())
+    assert r.to_rows()[0][0] == int(np.isin(k, list(hot)).sum())
+    r2 = sess.sql("SELECT count(*) FROM t WHERE s NOT IN "
+                  "(SELECT s FROM t WHERE v = 0)")
+    zs = set(st[v == 0].tolist())
+    assert r2.to_rows()[0][0] == int((~np.isin(st, list(zs))).sum())
