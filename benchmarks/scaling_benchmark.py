@@ -1,0 +1,91 @@
+"""Scaling-efficiency harness (BASELINE metric: rows/s efficiency from
+1 chip -> N).  Runs the distributed operators at every power-of-two mesh
+size available and reports per-size throughput + efficiency vs 1 shard.
+
+On the single-chip CI environment this measures virtual-device overheads
+(set XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu);
+on a real pod slice it measures the true 1 -> N curve.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-per-shard", type=int, default=1 << 18)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=10)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--groups", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.parallel.mesh import make_mesh, shard_rows
+    from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
+                                            sharded_group_aggregate)
+
+    n_dev = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    results = []
+    base_scan = base_agg = None
+    for nsh in sizes:
+        mesh = make_mesh(nsh)
+        n = nsh * args.rows_per_shard
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        x = shard_rows(mesh, jax.random.normal(k1, (n, args.dim),
+                                               dtype=jnp.float32))
+        q = jax.random.normal(k2, (args.queries, args.dim),
+                              dtype=jnp.float32)
+        gid = shard_rows(mesh, jax.random.randint(k3, (n,), 0, args.groups,
+                                                  dtype=jnp.int32))
+        vals = shard_rows(mesh, jax.random.randint(k4, (n,), -100, 100,
+                                                   dtype=jnp.int32))
+        mask = shard_rows(mesh, jnp.ones(n, dtype=bool))
+        jax.block_until_ready((x, q, gid, vals))
+
+        def run_scan():
+            return sharded_distance_topk(mesh, x, q, "L2", args.k)
+
+        def run_agg():
+            return sharded_group_aggregate(mesh, gid, mask, (vals,),
+                                           ("sum",), args.groups)
+
+        out = run_scan(); jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = run_scan()
+        jax.block_until_ready(out)
+        scan_dt = (time.perf_counter() - t0) / args.iters
+
+        out = run_agg(); jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = run_agg()
+        jax.block_until_ready(out)
+        agg_dt = (time.perf_counter() - t0) / args.iters
+
+        scan_rps = n / scan_dt
+        agg_rps = n / agg_dt
+        if nsh == 1:
+            base_scan, base_agg = scan_rps, agg_rps
+        results.append({
+            "shards": nsh, "rows": n,
+            "scan_rows_per_s": round(scan_rps, 1),
+            "agg_rows_per_s": round(agg_rps, 1),
+            "scan_efficiency": round(scan_rps / (base_scan * nsh), 4),
+            "agg_efficiency": round(agg_rps / (base_agg * nsh), 4),
+        })
+    print(json.dumps({"devices": n_dev,
+                      "backend": jax.default_backend(),
+                      "scaling": results}))
+
+
+if __name__ == "__main__":
+    main()
