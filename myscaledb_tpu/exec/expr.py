@@ -315,6 +315,36 @@ def _f_length(args, env):
     return Value(_dict_map(v, lut), v.valid)
 
 
+@func("coalesce", "ifNull")
+def _f_coalesce(args, env):
+    out = args[0]
+    for nxt in args[1:]:
+        if out.valid is None:
+            break
+        a = out.data
+        if out.is_scalar:
+            a = jnp.full((env.n_rows,), jnp.asarray(a))
+        b = nxt.data
+        if nxt.is_scalar:
+            b = jnp.full((env.n_rows,), jnp.asarray(b)).astype(a.dtype)
+        data = jnp.where(out.valid, a, b)
+        valid = None if nxt.valid is None else \
+            jnp.logical_or(out.valid, nxt.valid)
+        out = Value(data, valid, out.dictionary)
+    return out
+
+@func("nullIf")
+def _f_nullif(args, env):
+    a, b = args[0], args[1]
+    eq = as_bool_mask(_compare("=", a, b, env), env.n_rows)
+    data = a.data
+    if a.is_scalar:
+        data = jnp.full((env.n_rows,), jnp.asarray(data))
+    valid = jnp.logical_not(eq)
+    if a.valid is not None:
+        valid = jnp.logical_and(valid, a.valid)
+    return Value(data, valid, a.dictionary)
+
 @func("tuple")
 def _f_tuple(args, env):
     raise EvalError("tuple values are only supported in comparisons")

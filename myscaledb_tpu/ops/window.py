@@ -142,6 +142,28 @@ class WindowLayout:
             return fwd[self.peer_end]
         raise ValueError(fn)
 
+    def first_value(self, values):
+        v_s = values[self.perm]
+        return self.unsort(v_s[self.part_start])
+
+    def last_value(self, values):
+        v_s = values[self.perm]
+        if self.has_order:
+            return self.unsort(v_s[self.peer_end])    # default frame
+        part_end = _rev_cummin(jnp.where(
+            jnp.concatenate([self.part_first[1:], jnp.ones(1, dtype=bool)]),
+            jnp.arange(self.n, dtype=jnp.int32), self.n))
+        return self.unsort(v_s[part_end])
+
+    def ntile(self, buckets: int):
+        pos = jnp.arange(self.n, dtype=jnp.int64) - \
+            self.part_start.astype(jnp.int64)
+        part_end = _rev_cummin(jnp.where(
+            jnp.concatenate([self.part_first[1:], jnp.ones(1, dtype=bool)]),
+            jnp.arange(self.n, dtype=jnp.int32), self.n))
+        cnt = (part_end - self.part_start + 1).astype(jnp.int64)
+        return self.unsort(pos * buckets // cnt + 1)
+
     # -- shifts -------------------------------------------------------------
 
     def shift(self, values, offset: int, default, lead: bool):

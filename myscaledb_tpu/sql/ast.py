@@ -145,6 +145,7 @@ class SelectQuery:
     limit_by: Optional[tuple] = None    # (n, [exprs])
     subquery: Optional["SelectQuery"] = None  # FROM (SELECT ...)
     table_function: Optional[tuple] = None    # ("numbers", (start?, n))
+    settings: dict = field(default_factory=dict)   # SETTINGS k=v suffix
 
 
 def walk(e: Expr):

@@ -859,6 +859,18 @@ def _expand_order_tuples(order_by):
 
 def execute_select(session, q: SelectQuery) -> Table:
     settings = session.settings
+    if getattr(q, "settings", None):
+        # per-query SETTINGS overrides (reference: query-level Settings)
+        settings = settings.copy()
+        for k_, v_ in q.settings.items():
+            if hasattr(settings, k_):
+                cur = getattr(settings, k_)
+                if isinstance(cur, bool):
+                    v_ = bool(int(v_)) if not isinstance(v_, str) else \
+                        v_.lower() in ("1", "true")
+                elif isinstance(cur, int) and not isinstance(v_, str):
+                    v_ = int(v_)
+                setattr(settings, k_, v_)
     if q.order_by:
         q = SelectQuery(**{**vars(q),
                            "order_by": _expand_order_tuples(q.order_by)})
@@ -1388,7 +1400,8 @@ def explain_select(session, q: SelectQuery, depth: int = 0) -> list[str]:
 
 
 WINDOW_FNS = {"row_number", "rank", "dense_rank", "sum", "count", "avg",
-              "min", "max", "lag", "lead"}
+              "min", "max", "lag", "lead", "first_value", "last_value",
+              "ntile"}
 
 
 def walk_outside_windows(e):
@@ -1457,6 +1470,16 @@ def _compute_windows(items, env: Env, table: Table, alias_exprs, session):
         if fn in ("row_number", "rank", "dense_rank"):
             out = getattr(layout, fn)()
             env.extra[r] = Value(out)
+        elif fn == "ntile":
+            env.extra[r] = Value(layout.ntile(int(wc.func.args[0].value)))
+        elif fn in ("first_value", "last_value"):
+            v = eval_expr(_expand_item_aliases(wc.func.args[0], alias_exprs,
+                                               table), env)
+            data = v.data
+            if v.is_scalar:
+                data = jnp.full((n,), jnp.asarray(data))
+            out = getattr(layout, fn)(data)
+            env.extra[r] = Value(out, None, v.dictionary)
         elif fn in ("lag", "lead"):
             args = wc.func.args
             if not args:

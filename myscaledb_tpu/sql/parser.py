@@ -192,6 +192,21 @@ class Parser:
                 q.limit = n1
         if self.take_kw("OFFSET"):
             q.offset = self.parse_int()
+        if self.take_kw("SETTINGS"):
+            while True:
+                name = self.next().text
+                self.expect_punct("=")
+                t = self.next()
+                if t.kind == "number":
+                    val = float(t.text) if "." in t.text else int(t.text)
+                elif t.kind == "string":
+                    from myscaledb_tpu.sql.lexer import unquote_string
+                    val = unquote_string(t.text)
+                else:
+                    val = t.text
+                q.settings[name] = val
+                if not self.take_punct(","):
+                    break
         return q
 
     def parse_table_name(self) -> str:

@@ -96,3 +96,20 @@ def test_distributed_special_aggregates(rng):
     q = ("SELECT k, uniqExact(v) AS u, argMin(id, v) AS lo, "
          "median(v) AS m FROM t GROUP BY k ORDER BY k")
     assert dist.sql_tsv(q) == local.sql_tsv(q)
+
+
+def test_distributed_window_functions(rng):
+    local, dist = make_sessions(rng)
+    q = ("SELECT id, row_number() OVER (PARTITION BY k ORDER BY v, id) AS rn,"
+         " sum(v) OVER (PARTITION BY k) AS tot FROM t ORDER BY id LIMIT 40")
+    assert dist.sql_tsv(q) == local.sql_tsv(q)
+
+
+def test_distributed_joins_match_local(rng):
+    local, dist = make_sessions(rng)
+    for s in (local, dist):
+        s.create_table("dim", {"k": np.arange(5, dtype=np.int32),
+                               "name": [f"g{i}" for i in range(5)]})
+    q = ("SELECT name, count(*) AS c FROM t INNER JOIN dim USING (k) "
+         "GROUP BY name ORDER BY name")
+    assert dist.sql_tsv(q) == local.sql_tsv(q)

@@ -86,3 +86,32 @@ def test_window_mixed_with_plain_agg_rejected(wsess):
     d = r.to_pydict()
     assert d["s"] == [500, 120, 90]
     assert d["rk"] == [1, 2, 3]
+
+
+def test_first_last_value_ntile(wsess):
+    r = wsess.sql("SELECT emp, first_value(salary) OVER (PARTITION BY dept "
+                  "ORDER BY salary) AS fv, last_value(salary) OVER "
+                  "(PARTITION BY dept) AS lv, ntile(2) OVER (PARTITION BY "
+                  "dept ORDER BY emp) AS nt FROM t ORDER BY emp")
+    d = r.to_pydict()
+    assert d["fv"] == [100, 100, 100, 50, 50, 90]
+    assert d["lv"] == [200, 200, 200, 70, 70, 90]  # last row in table order
+    assert d["nt"] == [1, 1, 2, 1, 2, 1]
+
+
+def test_settings_suffix(wsess):
+    # reference golden style: trailing SETTINGS clause accepted per query
+    r = wsess.sql("SELECT count(*) FROM t "
+                  "SETTINGS enable_brute_force_vector_search=1")
+    assert r.to_rows() == [(6,)]
+    # per-query override doesn't leak into the session
+    wsess.sql("SELECT count(*) FROM t SETTINGS max_result_rows=1000")
+    assert wsess.settings.max_result_rows == 0
+
+
+def test_coalesce_nullif(wsess):
+    s = connect()
+    s.sql("CREATE TABLE nn(a Int64, b Int64)")
+    s.sql("INSERT INTO nn VALUES (1, 10), (2, 20)")
+    assert s.sql("SELECT coalesce(nullIf(a, 1), b) AS c FROM nn ORDER BY a"
+                 ).to_pydict()["c"] == [10, 2]
