@@ -365,11 +365,23 @@ def _sort_key_from_value(v: Value, ascending: bool, nulls_last: bool, n: int) ->
 # ---------------------------------------------------------------------------
 # join
 
+def _compact_distributed(table: Table) -> Table:
+    """Joins execute on gathered indices, so padding rows of a distributed
+    table must be dropped first (StorageDistributed never exposes them)."""
+    if is_distributed(table) and ROW_VALID in table:
+        keep = np.flatnonzero(np.asarray(table[ROW_VALID].data))
+        table = Table([c for c in table.columns.values()
+                       if c.name != ROW_VALID], name=table.name).take(keep)
+    return table
+
+
 def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
     try:
         right = session.get_table(jc.table)
     except KeyError:
         raise ExecError(f"unknown join table {jc.table!r}")
+    left = _compact_distributed(left)
+    right = _compact_distributed(right)
     ralias = jc.alias or jc.table
 
     # extract equality key pairs
