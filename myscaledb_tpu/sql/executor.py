@@ -48,8 +48,28 @@ from myscaledb_tpu.runtime.tracing import span
 
 AGG_NAMES = {"count", "sum", "min", "max", "avg", "any", "uniqexact",
              "argmin", "argmax", "countif", "sumif", "minif", "maxif",
-             "avgif", "quantile", "median"}
-SPECIAL_AGGS = {"uniqexact", "argmin", "argmax", "quantile", "median"}
+             "avgif", "quantile", "median",
+             "varpop", "varsamp", "stddevpop", "stddevsamp",
+             "covarpop", "covarsamp", "corr", "anylast",
+             "uniq", "uniqcombined", "uniqhll12", "uniqtheta",
+             "sumdistinct", "avgdistinct", "countdistinct",
+             "groupbitand", "groupbitor", "groupbitxor",
+             "quantileexact", "quantileexactlow"}
+SPECIAL_AGGS = {"uniqexact", "argmin", "argmax", "quantile", "median",
+                "varpop", "varsamp", "stddevpop", "stddevsamp",
+                "covarpop", "covarsamp", "corr", "anylast",
+                "uniq", "uniqcombined", "uniqhll12", "uniqtheta",
+                "sumdistinct", "avgdistinct", "countdistinct",
+                "groupbitand", "groupbitor", "groupbitxor",
+                "quantileexact", "quantileexactlow"}
+# exact-distinct implementations; the reference's uniq/uniqCombined/uniqHLL12
+# are approximate sketches (src/AggregateFunctions/AggregateFunctionUniq.h) —
+# exact counts are a strict-precision superset of that contract.
+UNIQ_KINDS = {"uniq", "uniqexact", "uniqcombined", "uniqhll12", "uniqtheta",
+              "countdistinct"}
+VAR_KINDS = {"varpop", "varsamp", "stddevpop", "stddevsamp"}
+COVAR_KINDS = {"covarpop", "covarsamp", "corr"}
+BIT_KINDS = {"groupbitand", "groupbitor", "groupbitxor"}
 IF_COMBINATORS = {"countif": "count", "sumif": "sum", "minif": "min",
                   "maxif": "max", "avgif": "avg"}
 DIST_FNS = {"distance", "batch_distance", "l2distance", "cosinedistance",
@@ -585,6 +605,11 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     normal_order: list[str] = []
     for r, call in agg_calls.items():
         name = call.name.lower()
+        if call.distinct:
+            # -Distinct combinator (count(DISTINCT x) maps to uniqExact,
+            # reference: count_distinct_implementation setting)
+            name = {"count": "uniqexact", "sum": "sumdistinct",
+                    "avg": "avgdistinct"}.get(name, name)
         if name in IF_COMBINATORS:
             # xIf(args..., cond): fold the condition into the arg validity
             # (reference: AggregateFunctionIf combinator)
@@ -613,18 +638,26 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
         if name in SPECIAL_AGGS:
             params = None
             cargs = list(call.args)
-            if name == "quantile" and len(cargs) == 2 and \
-                    isinstance(cargs[0], Literal):
+            if name in ("quantile", "quantileexact", "quantileexactlow") \
+                    and len(cargs) == 2 and isinstance(cargs[0], Literal):
                 params = float(cargs[0].value)   # quantile(0.9)(x)
                 cargs = cargs[1:]
+            if name in ("quantileexact", "quantileexactlow"):
+                name = "quantile"
             if name == "median":
-                params = 0.5
+                name, params = "quantile", 0.5
+            if name == "countdistinct":
+                name = "uniqexact"
             vals = [eval_expr(_expand_item_aliases(a, alias_exprs, table), env)
                     for a in cargs]
-            if name in ("uniqexact", "quantile", "median") and len(vals) != 1:
+            two_arg = {"argmin", "argmax", "covarpop", "covarsamp", "corr"}
+            if name in two_arg and len(vals) != 2:
+                raise ExecError(f"{call.name} expects two arguments")
+            if name not in two_arg and name not in UNIQ_KINDS \
+                    and len(vals) != 1:
                 raise ExecError(f"{call.name} expects one argument")
-            if name in ("argmin", "argmax") and len(vals) != 2:
-                raise ExecError(f"{call.name} expects (result, order) arguments")
+            if name in UNIQ_KINDS and not vals:
+                raise ExecError(f"{call.name} expects at least one argument")
             special[r] = (name, vals, params)
             continue
         normal_order.append(r)
@@ -735,30 +768,134 @@ def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
                 out[i] = np.quantile(sel.astype(np.float64), level,
                                      method="inverted_cdf")
         return Column.from_numpy("x", out, build_zonemap=False)
-    if kind == "uniqexact":
-        v = vals[0]
+    def _dense(v):
         data = v.data
         if v.is_scalar:
             data = jnp.full((n,), jnp.asarray(data))
-        if v.dictionary is not None:
-            key = data.astype(jnp.int32)
-        elif jnp.issubdtype(data.dtype, jnp.floating):
-            key = float_bits_key(data)
-        else:
-            key = data
-        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
-        _, slot, _cap = build_group_ids((jnp.where(vm, gid, OOB), key),
-                                        mask=vm)
-        # count distinct (gid, value) pairs per group: one hit per unique slot
+        return data
+
+    def _distinct_first_hit(key_vals):
+        """Mask selecting exactly one row per distinct (gid, value…) tuple."""
+        keys, vm = [], m
+        for v in key_vals:
+            data = _dense(v)
+            if v.dictionary is not None:
+                key = data.astype(jnp.int32)
+            elif jnp.issubdtype(data.dtype, jnp.floating):
+                key = float_bits_key(data)
+            else:
+                key = data
+            keys.append(key)
+            if v.valid is not None:
+                vm = jnp.logical_and(vm, v.valid)
+        _, slot, _cap = build_group_ids(
+            tuple([jnp.where(vm, gid, OOB)] + keys), mask=vm)
         srow = jnp.full(_cap, INT32_MAX, dtype=jnp.int32).at[
             jnp.where(vm, slot, _cap)].min(jnp.arange(n, dtype=jnp.int32),
                                            mode="drop")
-        first_hit = jnp.logical_and(vm, srow[jnp.clip(slot, 0, _cap - 1)] ==
-                                    jnp.arange(n, dtype=jnp.int32))
-        counts = jnp.zeros(G, dtype=jnp.int64).at[
-            jnp.where(first_hit, gid, OOB)].add(1, mode="drop")
+        return jnp.logical_and(vm, srow[jnp.clip(slot, 0, _cap - 1)] ==
+                               jnp.arange(n, dtype=jnp.int32))
+
+    def _seg_sum(x, sel, dtype):
+        return jnp.zeros(G, dtype=dtype).at[
+            jnp.where(sel, gid, OOB)].add(x.astype(dtype), mode="drop")
+
+    if kind in UNIQ_KINDS:
+        first_hit = _distinct_first_hit(vals)
+        counts = _seg_sum(jnp.ones(n, dtype=jnp.int64), first_hit, jnp.int64)
         return Column.from_numpy("x", np.asarray(counts)[present],
                                  build_zonemap=False)
+    if kind in ("sumdistinct", "avgdistinct"):
+        first_hit = _distinct_first_hit(vals)
+        data = _dense(vals[0])
+        is_float = jnp.issubdtype(data.dtype, jnp.floating)
+        acc = jnp.float64 if is_float or kind == "avgdistinct" else jnp.int64
+        s = _seg_sum(data, first_hit, acc)
+        if kind == "avgdistinct":
+            cnt = _seg_sum(jnp.ones(n, dtype=jnp.int64), first_hit, jnp.int64)
+            s = s / jnp.maximum(cnt, 1).astype(jnp.float64)
+            s = jnp.where(cnt == 0, jnp.nan, s)
+        return Column.from_numpy("x", np.asarray(s)[present],
+                                 build_zonemap=False)
+    if kind in VAR_KINDS:
+        # naive Σx/Σx² moments in f64, matching the reference's Float64
+        # accumulators (src/AggregateFunctions/AggregateFunctionStatisticsSimple.h)
+        v = vals[0]
+        x = _dense(v)
+        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
+        cnt = _seg_sum(jnp.ones(n, dtype=jnp.int64), vm, jnp.int64)
+        cntf = cnt.astype(jnp.float64)
+        mean = _seg_sum(x, vm, jnp.float64) / jnp.maximum(cntf, 1.0)
+        var = _seg_sum(x.astype(jnp.float64) ** 2, vm, jnp.float64) \
+            / jnp.maximum(cntf, 1.0) - mean * mean
+        var = jnp.maximum(var, 0.0)
+        if kind in ("varsamp", "stddevsamp"):
+            var = jnp.where(cnt > 1, var * cntf / (cntf - 1.0), jnp.nan)
+        var = jnp.where(cnt == 0, jnp.nan, var)
+        if kind.startswith("stddev"):
+            var = jnp.sqrt(var)
+        return Column.from_numpy("x", np.asarray(var)[present],
+                                 build_zonemap=False)
+    if kind in COVAR_KINDS:
+        xv, yv = vals
+        x, y = _dense(xv), _dense(yv)
+        vm = m
+        for v in vals:
+            if v.valid is not None:
+                vm = jnp.logical_and(vm, v.valid)
+        xf, yf = x.astype(jnp.float64), y.astype(jnp.float64)
+        cnt = _seg_sum(jnp.ones(n, dtype=jnp.int64), vm, jnp.int64)
+        cntf = jnp.maximum(cnt.astype(jnp.float64), 1.0)
+        mx = _seg_sum(xf, vm, jnp.float64) / cntf
+        my = _seg_sum(yf, vm, jnp.float64) / cntf
+        cov = _seg_sum(xf * yf, vm, jnp.float64) / cntf - mx * my
+        if kind == "covarsamp":
+            cf = cnt.astype(jnp.float64)
+            cov = jnp.where(cnt > 1, cov * cf / (cf - 1.0), jnp.nan)
+        elif kind == "corr":
+            vx = jnp.maximum(_seg_sum(xf * xf, vm, jnp.float64) / cntf
+                             - mx * mx, 0.0)
+            vy = jnp.maximum(_seg_sum(yf * yf, vm, jnp.float64) / cntf
+                             - my * my, 0.0)
+            cov = cov / jnp.sqrt(vx * vy)
+        cov = jnp.where(cnt == 0, jnp.nan, cov)
+        return Column.from_numpy("x", np.asarray(cov)[present],
+                                 build_zonemap=False)
+    if kind in BIT_KINDS:
+        v = vals[0]
+        data = np.asarray(_dense(v)).astype(np.int64)
+        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
+        gid_np = np.asarray(jnp.where(vm, gid, OOB))
+        op = {"groupbitand": np.bitwise_and, "groupbitor": np.bitwise_or,
+              "groupbitxor": np.bitwise_xor}[kind]
+        ident = np.int64(-1) if kind == "groupbitand" else np.int64(0)
+        out = np.full(len(present), ident)
+        for i, g in enumerate(present):
+            sel = data[gid_np == g]
+            if len(sel):
+                out[i] = op.reduce(sel)
+        return Column.from_numpy("x", out, build_zonemap=False)
+    if kind == "anylast":
+        v = vals[0]
+        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
+        winner = jnp.full(G, -1, dtype=jnp.int32).at[
+            jnp.where(vm, gid, OOB)].max(jnp.arange(n, dtype=jnp.int32),
+                                         mode="drop")
+        wsel = np.asarray(winner)[present]
+        has = wsel >= 0
+        wsel = np.where(has, wsel, 0)
+        rdata = _dense(v)
+        out_data = jnp.take(rdata, jnp.asarray(wsel), axis=0)
+        out_valid = None
+        if v.valid is not None:
+            out_valid = jnp.take(v.valid, jnp.asarray(wsel))
+        if not has.all():
+            hv = jnp.asarray(has)
+            out_valid = hv if out_valid is None \
+                else jnp.logical_and(out_valid, hv)
+        dt = _logical_dtype_of(out_data, v)
+        return Column(Field("x", dt, out_valid is not None), out_data,
+                      out_valid, v.dictionary)
     # argMin / argMax
     res_v, ord_v = vals
     data = ord_v.data

@@ -113,3 +113,11 @@ def test_distributed_joins_match_local(rng):
     q = ("SELECT name, count(*) AS c FROM t INNER JOIN dim USING (k) "
          "GROUP BY name ORDER BY name")
     assert dist.sql_tsv(q) == local.sql_tsv(q)
+
+
+def test_distributed_statistical_aggregates(rng):
+    local, dist = make_sessions(rng)
+    q = ("SELECT k, varPop(v) AS vp, stddevSamp(v) AS ss, corr(v, id) AS c, "
+         "count(DISTINCT v) AS cd, sum(DISTINCT v) AS sd, anyLast(id) AS al "
+         "FROM t GROUP BY k ORDER BY k")
+    assert dist.sql_tsv(q) == local.sql_tsv(q)

@@ -162,3 +162,65 @@ def test_in_subquery(sess):
                   "(SELECT s FROM t WHERE v = 0)")
     zs = set(st[v == 0].tolist())
     assert r2.to_rows()[0][0] == int((~np.isin(st, list(zs))).sum())
+
+
+def test_statistical_aggregates(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, varPop(v) AS vp, varSamp(v) AS vs, "
+                 "stddevPop(v) AS sp, stddevSamp(v) AS ss, "
+                 "corr(v, k + v) AS c FROM t GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for i, kk in enumerate(d["k"]):
+        sel = v[k == kk].astype(np.float64)
+        np.testing.assert_allclose(d["vp"][i], sel.var(), rtol=1e-9)
+        np.testing.assert_allclose(d["vs"][i], sel.var(ddof=1), rtol=1e-9)
+        np.testing.assert_allclose(d["sp"][i], sel.std(), rtol=1e-9)
+        np.testing.assert_allclose(d["ss"][i], sel.std(ddof=1), rtol=1e-9)
+        np.testing.assert_allclose(
+            d["c"][i], np.corrcoef(sel, kk + sel)[0, 1], rtol=1e-9)
+
+
+def test_covariance(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT covarPop(v, v + k) AS cp, covarSamp(v, v + k) AS cs "
+                 "FROM t")
+    row = r.to_rows()[0]
+    x, y = v.astype(np.float64), (v + k).astype(np.float64)
+    np.testing.assert_allclose(row[0], np.cov(x, y, ddof=0)[0, 1], rtol=1e-9)
+    np.testing.assert_allclose(row[1], np.cov(x, y, ddof=1)[0, 1], rtol=1e-9)
+
+
+def test_distinct_combinators_and_uniq(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, count(DISTINCT v) AS cd, sum(DISTINCT v) AS sd, "
+                 "avg(DISTINCT v) AS ad, uniq(v) AS u, uniq(v, s) AS u2 "
+                 "FROM t GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for i, kk in enumerate(d["k"]):
+        vs = set(v[k == kk].tolist())
+        pairs = set(zip(v[k == kk].tolist(), st[k == kk].tolist()))
+        assert d["cd"][i] == len(vs) == d["u"][i]
+        assert d["sd"][i] == sum(vs)
+        np.testing.assert_allclose(d["ad"][i], sum(vs) / len(vs), rtol=1e-12)
+        assert d["u2"][i] == len(pairs)
+
+
+def test_bit_aggregates_and_anylast(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, groupBitAnd(v) AS ba, groupBitOr(v) AS bo, "
+                 "groupBitXor(v) AS bx, anyLast(v) AS al "
+                 "FROM t GROUP BY k ORDER BY k")
+    d = r.to_pydict()
+    for i, kk in enumerate(d["k"]):
+        sel = v[k == kk]
+        assert d["ba"][i] == np.bitwise_and.reduce(sel)
+        assert d["bo"][i] == np.bitwise_or.reduce(sel)
+        assert d["bx"][i] == np.bitwise_xor.reduce(sel)
+        assert d["al"][i] == sel[-1]
+
+
+def test_quantile_exact_alias(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT quantileExact(0.25)(v) AS q FROM t")
+    assert r.to_rows()[0][0] == np.quantile(
+        v.astype(np.float64), 0.25, method="inverted_cdf")
