@@ -138,6 +138,8 @@ class SelectQuery:
     where: Optional[Expr] = None
     prewhere: Optional[Expr] = None
     group_by: list = field(default_factory=list)
+    group_modifier: Optional[str] = None        # "ROLLUP" | "CUBE"
+    with_totals: bool = False
     having: Optional[Expr] = None
     order_by: list = field(default_factory=list)
     limit: Optional[int] = None

@@ -741,6 +741,58 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     return agg_table, mapping
 
 
+def _default_like(ref_col: Column, rows: int) -> Column:
+    """Default-valued key column for rolled-up subtotal rows (the reference
+    fills subtotal key slots with the type default: 0 / '' — RollupTransform
+    src/Processors/Transforms/RollupTransform.cpp)."""
+    if ref_col.dictionary is not None or ref_col.dtype is DataType.STRING:
+        return Column.from_numpy(ref_col.name,
+                                 np.array([""] * rows, dtype=object),
+                                 build_zonemap=False)
+    data = jnp.zeros(rows, dtype=ref_col.data.dtype)
+    return Column(Field(ref_col.name, ref_col.dtype), data)
+
+
+def _expand_group_levels(env, q, mask, session, alias_exprs,
+                         agg_table: Table) -> Table:
+    """GROUP BY … WITH ROLLUP / CUBE: re-aggregate every key-subset level and
+    union the levels, missing key columns default-filled (reference:
+    RollupStep/CubeStep re-aggregate keyed states level by level)."""
+    from dataclasses import replace as dc_replace
+    from itertools import combinations
+    keys = list(q.group_by)
+    idx = list(range(len(keys)))
+    if q.group_modifier == "ROLLUP":
+        subsets = [tuple(range(i)) for i in range(len(keys) - 1, -1, -1)]
+    else:   # CUBE: every proper subset, larger levels first
+        subsets = [s for r in range(len(keys) - 1, -1, -1)
+                   for s in combinations(idx, r)]
+    parts = [agg_table]
+    for sub in subsets:
+        q2 = dc_replace(q, group_by=[keys[i] for i in sub],
+                        group_modifier=None, with_totals=False)
+        sub_table, _ = run_aggregate(env, q2, mask, session, alias_exprs)
+        out = [sub_table[nm] if nm in sub_table
+               else _default_like(agg_table[nm], sub_table.n_rows)
+               for nm in agg_table.column_names]
+        parts.append(Table(out, name=agg_table.name))
+    from myscaledb_tpu.core.table import concat_tables
+    return concat_tables(parts, name=agg_table.name)
+
+
+def _totals_table(env, q, mask, session, alias_exprs,
+                  agg_table: Table) -> Table:
+    """WITH TOTALS: one global-aggregation row, key columns defaulted.
+    Computed over all mask-selected rows (totals_mode=before_having; the
+    reference default after_having_exclusive differs only under HAVING)."""
+    from dataclasses import replace as dc_replace
+    q2 = dc_replace(q, group_by=[], group_modifier=None, with_totals=False)
+    t, _ = run_aggregate(env, q2, mask, session, alias_exprs)
+    out = [t[nm] if nm in t else _default_like(agg_table[nm], t.n_rows)
+           for nm in agg_table.column_names]
+    return Table(out, name="totals")
+
+
 def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
                        params=None):
     """uniqExact / argMin / argMax — computed outside the mergeable-state
@@ -1247,11 +1299,18 @@ def execute_select(session, q: SelectQuery) -> Table:
             for node in walk_outside_windows(e):
                 if isinstance(node, FuncCall) and node.name.lower() in AGG_NAMES:
                     has_aggs = True
+    totals_src = None
     if has_aggs:
         M.increment(M.AGG_ROWS, table.n_rows)
         with span("aggregate", rows=table.n_rows):
             agg_table, mapping = run_aggregate(env, q, mask, session,
                                                alias_exprs)
+        if q.group_modifier and q.group_by:
+            agg_table = _expand_group_levels(env, q, mask, session,
+                                             alias_exprs, agg_table)
+        if q.with_totals:
+            totals_src = _totals_table(env, q, mask, session, alias_exprs,
+                                       agg_table)
         # rewrite remaining clauses against the aggregated table
         table = agg_table
         env = Env(table)
@@ -1358,6 +1417,10 @@ def execute_select(session, q: SelectQuery) -> Table:
     # order output columns as written
     final = proj_table.select(out_order)
     final.tuple_groups = tuple_groups
+    if totals_src is not None:
+        tcols, torder = _project(q, items, Env(totals_src), totals_src,
+                                 alias_exprs, {}, None)
+        final.totals = Table(tcols, name="totals").select(torder)
     return final
 
 

@@ -95,4 +95,9 @@ def format_tsv(table: Table) -> str:
                                  for m in ref)
                 cells.append("(" + inner + ")")
         lines.append("\t".join(cells))
-    return "\n".join(lines)
+    body = "\n".join(lines)
+    totals = getattr(table, "totals", None)
+    if totals is not None and totals.n_rows:
+        # ClickHouse TSV prints the totals row after one empty line
+        body += "\n\n" + format_tsv(totals)
+    return body

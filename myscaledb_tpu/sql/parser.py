@@ -161,9 +161,29 @@ class Parser:
             q.where = self.parse_expr()
         if self.at_kw("GROUP"):
             self.next(); self.expect_kw("BY")
-            q.group_by.append(self.parse_expr())
-            while self.take_punct(","):
+            # GROUP BY ROLLUP(a, b) / CUBE(a, b) function-style
+            if self.at_kw("ROLLUP", "CUBE") and self.peek(1).kind == "punct" \
+                    and self.peek(1).text == "(":
+                q.group_modifier = self.peek().upper
+                self.next(); self.next()
                 q.group_by.append(self.parse_expr())
+                while self.take_punct(","):
+                    q.group_by.append(self.parse_expr())
+                self.expect_punct(")")
+            else:
+                q.group_by.append(self.parse_expr())
+                while self.take_punct(","):
+                    q.group_by.append(self.parse_expr())
+            while self.take_kw("WITH"):
+                if self.take_kw("ROLLUP"):
+                    q.group_modifier = "ROLLUP"
+                elif self.take_kw("CUBE"):
+                    q.group_modifier = "CUBE"
+                elif self.take_kw("TOTALS"):
+                    q.with_totals = True
+                else:
+                    raise ParseError(
+                        "expected ROLLUP, CUBE or TOTALS after WITH")
         if self.take_kw("HAVING"):
             q.having = self.parse_expr()
         if self.at_kw("ORDER"):

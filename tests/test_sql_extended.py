@@ -224,3 +224,37 @@ def test_quantile_exact_alias(sess):
     r = sess.sql("SELECT quantileExact(0.25)(v) AS q FROM t")
     assert r.to_rows()[0][0] == np.quantile(
         v.astype(np.float64), 0.25, method="inverted_cdf")
+
+
+def test_group_by_rollup(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, s, sum(v) AS sv FROM t "
+                 "GROUP BY k, s WITH ROLLUP ORDER BY k, s, sv")
+    rows = r.to_rows()
+    # full level + per-k subtotals (s='') + grand total (k=0, s='')
+    n_k, n_s = len(set(k.tolist())), len(set(st.tolist()))
+    assert len(rows) == n_k * n_s + n_k + 1
+    assert (0, "", int(v.sum())) in rows          # grand total
+    for kk in set(k.tolist()):
+        assert (kk, "", int(v[k == kk].sum())) in rows
+
+
+def test_group_by_cube(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, s, count(*) AS c FROM t "
+                 "GROUP BY CUBE(k, s) ORDER BY k, s, c")
+    rows = set(r.to_rows())
+    assert (0, "", len(k)) in rows                # grand total
+    for ss in set(st.tolist()):
+        assert (0, ss, int((st == ss).sum())) in rows   # per-s subtotal
+
+
+def test_with_totals(sess):
+    k, v, st = cols(sess)
+    r = sess.sql("SELECT k, sum(v) AS sv FROM t GROUP BY k WITH TOTALS "
+                 "ORDER BY k")
+    assert r.totals.to_rows() == [(0, int(v.sum()))]
+    tsv = sess.sql_tsv("SELECT k, sum(v) AS sv FROM t GROUP BY k WITH TOTALS "
+                       "ORDER BY k")
+    blocks = tsv.split("\n\n")
+    assert len(blocks) == 2 and blocks[1] == f"0\t{int(v.sum())}"
