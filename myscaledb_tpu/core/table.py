@@ -59,16 +59,19 @@ class Column:
     valid: bool (n,) — True where the value is non-NULL; None = no nulls.
     """
 
-    __slots__ = ("field", "data", "valid", "dictionary", "zonemap")
+    __slots__ = ("field", "data", "valid", "dictionary", "zonemap", "offsets")
 
     def __init__(self, field: Field, data, valid=None,
                  dictionary: Optional[StringDictionary] = None,
-                 zonemap: Optional[ZoneMap] = None):
+                 zonemap: Optional[ZoneMap] = None, offsets=None):
         self.field = field
         self.data = data
         self.valid = valid
         self.dictionary = dictionary
         self.zonemap = zonemap
+        # ARRAY columns: data is the flat element array, offsets is a host
+        # int64 (n+1,) array of row boundaries (ColumnArray layout)
+        self.offsets = offsets
 
     @property
     def name(self) -> str:
@@ -79,7 +82,52 @@ class Column:
         return self.field.dtype
 
     def __len__(self) -> int:
+        if self.offsets is not None:
+            return len(self.offsets) - 1
         return int(self.data.shape[0])
+
+    @staticmethod
+    def from_pylist_of_lists(name: str, rows, elem_dtype=None) -> "Column":
+        """Build an ARRAY column from a list of python lists."""
+        lens = np.array([len(r) for r in rows], dtype=np.int64)
+        offsets = np.concatenate([np.zeros(1, dtype=np.int64),
+                                  np.cumsum(lens)])
+        flat = [x for r in rows for x in r]
+        dictionary = None
+        if any(isinstance(x, str) for x in flat):
+            dictionary = StringDictionary()
+            data_np = dictionary.encode(flat)
+            elem = DataType.STRING
+        else:
+            data_np = np.asarray(flat) if flat else np.zeros(0, dtype=np.int64)
+            if elem_dtype is not None:
+                data_np = data_np.astype(physical_dtype(elem_dtype))
+                elem = elem_dtype
+            else:
+                elem = infer_type(data_np) if len(data_np) else DataType.INT64
+        fld = Field(name, DataType.ARRAY, elem=elem)
+        return Column(fld, jnp.asarray(data_np), None, dictionary, None,
+                      offsets)
+
+    def take_ragged(self, idx_np: np.ndarray) -> "Column":
+        """Row gather for ARRAY columns (host offset arithmetic, one device
+        gather for the flat elements)."""
+        off = self.offsets
+        lens = off[1:] - off[:-1]
+        out_lens = lens[idx_np]
+        out_off = np.concatenate([np.zeros(1, dtype=np.int64),
+                                  np.cumsum(out_lens)])
+        total = int(out_off[-1])
+        starts = off[:-1][idx_np]
+        pos = (np.repeat(starts, out_lens) + np.arange(total, dtype=np.int64)
+               - np.repeat(out_off[:-1], out_lens))
+        data = jnp.take(self.data, jnp.asarray(pos), axis=0) if total else \
+            self.data[:0]
+        valid = None
+        if self.valid is not None:
+            valid = np.asarray(self.valid)[idx_np]
+            valid = jnp.asarray(valid)
+        return Column(self.field, data, valid, self.dictionary, None, out_off)
 
     @staticmethod
     def from_numpy(name: str, arr, dtype: Optional[DataType] = None,
@@ -89,6 +137,10 @@ class Column:
         valid = None
         if isinstance(arr, (list, tuple)):
             if arr and isinstance(arr[0], (list, tuple, np.ndarray)) and not isinstance(arr[0], str):
+                lens = {len(x) for x in arr}
+                has_str = any(isinstance(e, str) for x in arr for e in x)
+                if len(lens) > 1 or has_str or dtype is DataType.ARRAY:
+                    return Column.from_pylist_of_lists(name, arr)
                 arr = np.asarray(arr, dtype=np.float32)
             elif any(isinstance(x, str) or x is None for x in arr):
                 arr = np.asarray(arr, dtype=object)
@@ -127,7 +179,12 @@ class Column:
     def to_python(self) -> list:
         """Decode to python values (strings via dictionary, None for nulls)."""
         arr = np.asarray(self.data)
-        if self.dtype is DataType.STRING:
+        if self.offsets is not None:
+            flat = self.dictionary.decode(arr) if self.dictionary is not None \
+                else arr.tolist()
+            off = self.offsets
+            vals = [flat[off[i]:off[i + 1]] for i in range(len(off) - 1)]
+        elif self.dtype is DataType.STRING:
             vals = self.dictionary.decode(arr)
         else:
             vals = arr.tolist()
@@ -156,7 +213,9 @@ class Table:
     def from_dict(data: dict, name: str = "",
                   dtypes: Optional[dict] = None) -> "Table":
         dtypes = dtypes or {}
-        cols = [Column.from_numpy(k, v, dtypes.get(k)) for k, v in data.items()]
+        cols = [v if isinstance(v, Column)
+                else Column.from_numpy(k, v, dtypes.get(k))
+                for k, v in data.items()]
         return Table(cols, name=name)
 
     # -- basic accessors ----------------------------------------------------
@@ -196,7 +255,13 @@ class Table:
     def take(self, idx) -> "Table":
         """Gather rows by device index array (out-of-range rows undefined)."""
         cols = []
+        idx_np = None
         for c in self.columns.values():
+            if c.offsets is not None:
+                if idx_np is None:
+                    idx_np = np.asarray(idx)
+                cols.append(c.take_ragged(idx_np))
+                continue
             data = jnp.take(c.data, idx, axis=0)
             valid = jnp.take(c.valid, idx, axis=0) if c.valid is not None else None
             cols.append(Column(c.field, data, valid, c.dictionary, None))
@@ -205,6 +270,9 @@ class Table:
     def head(self, k: int) -> "Table":
         cols = []
         for c in self.columns.values():
+            if c.offsets is not None:
+                cols.append(c.take_ragged(np.arange(min(k, len(c)))))
+                continue
             valid = c.valid[:k] if c.valid is not None else None
             cols.append(Column(c.field, c.data[:k], valid, c.dictionary, None))
         return Table(cols, name=self.name)
@@ -231,6 +299,35 @@ def concat_tables(tables: Sequence[Table], name: str = "") -> Table:
     for cname in first.column_names:
         cols = [t[cname] for t in tables]
         fld = cols[0].field
+        if fld.dtype is DataType.ARRAY:
+            if any(c.dictionary is not None for c in cols):
+                base = StringDictionary()
+                datas = []
+                for c in cols:
+                    remap = base.merge_from(c.dictionary or StringDictionary())
+                    remap_dev = jnp.asarray(np.append(remap, NULL_ID))
+                    datas.append(jnp.where(c.data == NULL_ID, NULL_ID,
+                                           remap_dev[c.data]))
+                data = jnp.concatenate(datas)
+                dictionary = base
+            else:
+                data = jnp.concatenate([c.data for c in cols])
+                dictionary = None
+            offs = [np.asarray(c.offsets) for c in cols]
+            out_off = [offs[0]]
+            base_n = offs[0][-1]
+            for o in offs[1:]:
+                out_off.append(o[1:] + base_n)
+                base_n += o[-1]
+            offsets = np.concatenate(out_off)
+            valid = None
+            if any(c.valid is not None for c in cols):
+                valid = jnp.concatenate([
+                    c.valid if c.valid is not None
+                    else jnp.ones(len(c), dtype=bool) for c in cols])
+            out_cols.append(Column(fld, data, valid, dictionary, None,
+                                   offsets))
+            continue
         if fld.dtype is DataType.STRING:
             base = StringDictionary()
             datas = []

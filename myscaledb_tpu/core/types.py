@@ -34,6 +34,11 @@ class DataType(enum.Enum):
     # the only array shape the vector-search path needs
     # (reference: vector columns are Array(Float32) checked for fixed dim).
     FLOAT32_VECTOR = "Array(Float32)"
+    # Variable-length array column: flat element array + row offsets — the
+    # reference's ColumnArray layout (src/Columns/ColumnArray.h: nested
+    # column + offsets), which is exactly the TPU-friendly shape (segment
+    # ops over the flat data).
+    ARRAY = "Array"
 
     @property
     def is_string(self) -> bool:
@@ -44,8 +49,13 @@ class DataType(enum.Enum):
         return self is DataType.FLOAT32_VECTOR
 
     @property
+    def is_array(self) -> bool:
+        return self is DataType.ARRAY
+
+    @property
     def is_numeric(self) -> bool:
-        return self not in (DataType.STRING, DataType.FLOAT32_VECTOR)
+        return self not in (DataType.STRING, DataType.FLOAT32_VECTOR,
+                            DataType.ARRAY)
 
     @property
     def is_float(self) -> bool:
@@ -117,9 +127,12 @@ class Field:
     dtype: DataType
     nullable: bool = False
     vector_dim: int = 0   # for FLOAT32_VECTOR
+    elem: "Optional[DataType]" = None   # element type for ARRAY
 
     def __str__(self) -> str:
         base = self.dtype.value
         if self.dtype.is_vector:
             base = f"Array(Float32, {self.vector_dim})"
+        elif self.dtype is DataType.ARRAY:
+            base = f"Array({self.elem.value if self.elem else '?'})"
         return f"{self.name} {'Nullable(' + base + ')' if self.nullable else base}"

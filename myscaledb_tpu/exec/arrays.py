@@ -1,0 +1,716 @@
+"""Array functions over the flat-values + offsets layout.
+
+The reference implements Array columns as a nested column plus an offsets
+column (src/Columns/ColumnArray.h) and ~100 array functions in
+src/Functions/array/ (arrayElement.cpp, arrayIndex.h for has/indexOf/
+countEqual, arrayAggregation.cpp for arraySum/Min/Max/Avg, FunctionArrayMapped.h
+for the lambda family).  That layout is exactly right for the TPU: per-row
+loops become segment operations over the flat element array, keyed by a
+repeat-encoded row id — so every function below is one or two XLA ops over
+dense data, with only the offset arithmetic on the host.
+
+Higher-order functions (arrayMap/Filter/Exists/...) evaluate the lambda body
+ONCE over the flat element array: outer columns broadcast with one gather
+(take by row id), which is the columnar equivalent of the reference's
+per-element expression execution in FunctionArrayMapped.h.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.core.dictionary import StringDictionary, NULL_ID
+from myscaledb_tpu.exec.expr import (Env, Value, EvalError, func, _FUNCS,
+                                     eval_expr, as_bool_mask, _both_valid)
+from myscaledb_tpu.sql.ast import FuncCall, Lambda
+
+INT32_MAX = np.iinfo(np.int32).max
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+
+def as_array(v: Value, env: Env):
+    """Normalize any array-like Value to (flat jnp, offsets np.int64 (n+1,),
+    dictionary).  Accepts ARRAY values, fixed-width vector columns and
+    constant vector literals (broadcast to every row)."""
+    n = env.n_rows
+    if v.is_array:
+        return v.data, np.asarray(v.offsets, dtype=np.int64), v.dictionary
+    d = v.data
+    if v.is_scalar and isinstance(v.py, list):
+        k = len(v.py)
+        flat = jnp.tile(jnp.asarray(np.asarray(v.py)), n) if k else \
+            jnp.zeros(0, dtype=jnp.float32)
+        return flat, np.arange(n + 1, dtype=np.int64) * k, None
+    if hasattr(d, "ndim") and d.ndim == 2:
+        return d.reshape(-1), \
+            np.arange(n + 1, dtype=np.int64) * int(d.shape[1]), None
+    raise EvalError("expected an array argument")
+
+
+def _lens(off: np.ndarray) -> np.ndarray:
+    return off[1:] - off[:-1]
+
+
+def _rid(off: np.ndarray) -> np.ndarray:
+    """Per-element row id (host)."""
+    return np.repeat(np.arange(len(off) - 1, dtype=np.int64), _lens(off))
+
+
+def _pos(off: np.ndarray) -> np.ndarray:
+    """Per-element 0-based position within its row (host)."""
+    total = int(off[-1])
+    return np.arange(total, dtype=np.int64) - np.repeat(off[:-1], _lens(off))
+
+
+def _seg(off, flat, op: str, init, dtype=None):
+    """Segment-reduce flat elements into one value per row."""
+    n = len(off) - 1
+    rid = jnp.asarray(_rid(off))
+    acc = jnp.full(n, init, dtype=dtype or flat.dtype)
+    at = acc.at[rid]
+    return getattr(at, op)(flat.astype(acc.dtype) if dtype else flat,
+                           mode="drop")
+
+
+def _elem_value(v: Value, env: Env) -> tuple:
+    """(flat, off, dictionary) plus per-element broadcast of a scalar/column
+    needle argument."""
+    return as_array(v, env)
+
+
+def _needle(needle: Value, off: np.ndarray, dictionary, env: Env):
+    """Broadcast a scalar-or-column needle to per-element values comparable
+    with the flat array."""
+    rid = jnp.asarray(_rid(off))
+    if isinstance(needle.py, str):
+        if dictionary is None:
+            raise EvalError("cannot search a string in a numeric array")
+        return jnp.asarray(dictionary.encode_one(needle.py, grow=False))
+    if needle.is_scalar:
+        return jnp.asarray(needle.data)
+    if needle.dictionary is not None:
+        if dictionary is None:
+            raise EvalError("cannot search a string in a numeric array")
+        remap = np.array([dictionary.encode_one(s, grow=False)
+                          for s in needle.dictionary.values] or [-2],
+                         dtype=np.int64)
+        ids = np.asarray(needle.data)
+        return jnp.asarray(remap[np.clip(ids, 0, len(remap) - 1)])[rid]
+    return jnp.take(needle.data, rid, axis=0)
+
+
+def _array_value(flat, off, dictionary=None, valid=None) -> Value:
+    return Value(flat, valid, dictionary, offsets=np.asarray(off,
+                                                             dtype=np.int64))
+
+
+def _unify_dicts(parts):
+    """parts: list of (flat jnp, dictionary|None).  Remap every string part
+    into one shared dictionary; numeric parts pass through."""
+    if not any(d is not None for _, d in parts):
+        return [f for f, _ in parts], None
+    base = StringDictionary()
+    out = []
+    for flat, d in parts:
+        if d is None:
+            raise EvalError("cannot mix strings and numbers in one array")
+        remap = base.merge_from(d)
+        remap_dev = jnp.asarray(np.append(remap, NULL_ID))
+        out.append(jnp.where(flat == NULL_ID, NULL_ID,
+                             remap_dev[jnp.clip(flat, 0, len(remap) - 1)]))
+    return out, base
+
+
+# ---------------------------------------------------------------------------
+# construction
+
+@func("array")
+def _f_array(args, env):
+    """array(e1, e2, …): per-row fixed-length array from scalar expressions."""
+    n = env.n_rows
+    k = len(args)
+    if k == 0:
+        return _array_value(jnp.zeros(0, dtype=jnp.int64),
+                            np.zeros(n + 1, dtype=np.int64))
+    cols, dicts = [], []
+    for a in args:
+        if isinstance(a.py, str):
+            d = StringDictionary()
+            cols.append(jnp.full(n, d.encode_one(a.py, grow=True),
+                                 dtype=jnp.int64))
+            dicts.append(d)
+        elif a.is_scalar:
+            cols.append(jnp.full(n, jnp.asarray(a.data)))
+            dicts.append(None)
+        else:
+            cols.append(a.data)
+            dicts.append(a.dictionary)
+    flats, base = _unify_dicts(list(zip(cols, dicts)))
+    flat = jnp.stack(flats, axis=1).reshape(-1)
+    return _array_value(flat, np.arange(n + 1, dtype=np.int64) * k, base)
+
+
+@func("range")
+def _f_range(args, env):
+    """range(end) / range(start, end[, step]) per row."""
+    n = env.n_rows
+    def dense(v):
+        if v.is_scalar:
+            return np.full(n, int(v.py), dtype=np.int64)
+        return np.asarray(v.data).astype(np.int64)
+    if len(args) == 1:
+        start, end, step = np.zeros(n, dtype=np.int64), dense(args[0]), \
+            np.ones(n, dtype=np.int64)
+    else:
+        start, end = dense(args[0]), dense(args[1])
+        step = dense(args[2]) if len(args) > 2 else np.ones(n, dtype=np.int64)
+    if (step == 0).any():
+        raise EvalError("range() step must be non-zero")
+    lens = np.maximum(0, -(-(end - start) // step))
+    off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    flat = np.repeat(start, lens) + _pos(off) * np.repeat(step, lens)
+    return _array_value(jnp.asarray(flat), off)
+
+
+# ---------------------------------------------------------------------------
+# shape / membership
+
+def _register_len_overrides():
+    old_length = _FUNCS.get("length")
+    old_empty = _FUNCS.get("empty")
+
+    def _arrayish(v):
+        return (v.is_array or isinstance(v.py, list)
+                or (hasattr(v.data, "ndim") and not v.is_scalar
+                    and v.data.ndim == 2))
+
+    @func("length")
+    def _f_length(args, env):
+        v = args[0]
+        if _arrayish(v):
+            _, off, _ = as_array(v, env)
+            return Value(jnp.asarray(_lens(off)), v.valid)
+        return old_length(args, env)
+
+    @func("empty")
+    def _f_empty(args, env):
+        v = args[0]
+        if _arrayish(v):
+            _, off, _ = as_array(v, env)
+            return Value(jnp.asarray(_lens(off) == 0), v.valid)
+        return old_empty(args, env)
+
+    @func("notEmpty")
+    def _f_notempty(args, env):
+        v = args[0]
+        if _arrayish(v):
+            _, off, _ = as_array(v, env)
+            return Value(jnp.asarray(_lens(off) != 0), v.valid)
+        inner = _f_empty(args, env)
+        return Value(jnp.logical_not(inner.data), inner.valid)
+
+
+_register_len_overrides()
+
+
+@func("has")
+def _f_has(args, env):
+    flat, off, d = as_array(args[0], env)
+    eq = flat == _needle(args[1], off, d, env)
+    return Value(_seg(off, eq, "max", False, jnp.bool_), args[0].valid)
+
+
+@func("indexOf")
+def _f_indexof(args, env):
+    flat, off, d = as_array(args[0], env)
+    eq = flat == _needle(args[1], off, d, env)
+    pos1 = jnp.asarray(_pos(off)) + 1
+    hit_pos = jnp.where(eq, pos1, INT32_MAX)
+    first = _seg(off, hit_pos, "min", INT32_MAX, jnp.int64)
+    return Value(jnp.where(first == INT32_MAX, 0, first), args[0].valid)
+
+
+@func("countEqual")
+def _f_countequal(args, env):
+    flat, off, d = as_array(args[0], env)
+    eq = flat == _needle(args[1], off, d, env)
+    return Value(_seg(off, eq, "add", 0, jnp.int64), args[0].valid)
+
+
+@func("hasAll")
+def _f_hasall(args, env):
+    return _has_set(args, env, all_of=True)
+
+
+@func("hasAny")
+def _f_hasany(args, env):
+    return _has_set(args, env, all_of=False)
+
+
+def _has_set(args, env, all_of: bool):
+    fa, oa, da = as_array(args[0], env)
+    fb, ob, db = as_array(args[1], env)
+    (fa, fb), _ = _unify_dicts([(fa, da), (fb, db)]) \
+        if (da is not None or db is not None) else ((fa, fb), None)
+    a_np, b_np = np.asarray(fa), np.asarray(fb)
+    out = np.zeros(env.n_rows, dtype=bool)
+    for i in range(env.n_rows):
+        aset = set(a_np[oa[i]:oa[i + 1]].tolist())
+        bs = b_np[ob[i]:ob[i + 1]].tolist()
+        out[i] = all(x in aset for x in bs) if all_of \
+            else any(x in aset for x in bs)
+    return Value(jnp.asarray(out), _both_valid(args[0], args[1]))
+
+
+# ---------------------------------------------------------------------------
+# element access / slicing / reordering
+
+@func("arrayElement")
+def _f_arrayelement(args, env):
+    v = args[0]
+    # tuple-column access t[1] handled upstream; here real arrays only
+    flat, off, d = as_array(v, env)
+    n = env.n_rows
+    lens = _lens(off)
+    idx = args[1]
+    if idx.is_scalar:
+        i_np = np.full(n, int(idx.py), dtype=np.int64)
+    else:
+        i_np = np.asarray(idx.data).astype(np.int64)
+    # 1-based; negative = from the end; out of range -> default value
+    pos = np.where(i_np >= 0, i_np - 1, lens + i_np)
+    in_range = (pos >= 0) & (pos < lens)
+    safe = np.where(in_range, off[:-1] + np.clip(pos, 0, None), 0)
+    data = jnp.take(flat, jnp.asarray(safe), axis=0) if int(off[-1]) else \
+        jnp.zeros(n, dtype=flat.dtype)
+    default = jnp.asarray(NULL_ID if d is not None else 0, dtype=data.dtype)
+    ir = jnp.asarray(in_range)
+    data = jnp.where(ir, data, default)
+    if d is not None:
+        # out-of-range string -> '' (ClickHouse default), not NULL
+        empty_id = d.encode_one("", grow=True)
+        data = jnp.where(ir, data, empty_id)
+    return Value(data, v.valid, d)
+
+
+@func("arraySlice")
+def _f_arrayslice(args, env):
+    flat, off, d = as_array(args[0], env)
+    n = env.n_rows
+    lens = _lens(off)
+    def dense(v, default=None):
+        if v is None:
+            return default
+        if v.is_scalar:
+            return np.full(n, int(v.py), dtype=np.int64)
+        return np.asarray(v.data).astype(np.int64)
+    offset = dense(args[1])
+    length = dense(args[2] if len(args) > 2 else None)
+    start = np.where(offset > 0, offset - 1, lens + offset)
+    start = np.clip(start, 0, lens)
+    stop = lens if length is None else np.clip(start + np.maximum(length, 0),
+                                               0, lens)
+    out_lens = np.maximum(stop - start, 0)
+    out_off = np.concatenate([np.zeros(1, dtype=np.int64),
+                              np.cumsum(out_lens)])
+    pos = np.repeat(off[:-1] + start, out_lens) + _pos(out_off)
+    data = jnp.take(flat, jnp.asarray(pos), axis=0)
+    return _array_value(data, out_off, d, args[0].valid)
+
+
+@func("arrayReverse", "reverse")
+def _f_arrayreverse(args, env):
+    v = args[0]
+    if not v.is_array and not isinstance(v.py, list) and \
+            not (hasattr(v.data, "ndim") and v.data.ndim == 2):
+        raise EvalError("reverse() supports arrays")
+    flat, off, d = as_array(v, env)
+    lens = _lens(off)
+    pos = np.repeat(off[1:] - 1, lens) - _pos(off)
+    return _array_value(jnp.take(flat, jnp.asarray(pos), axis=0), off, d,
+                        v.valid)
+
+
+@func("arrayConcat")
+def _f_arrayconcat(args, env):
+    parts = [as_array(a, env) for a in args]
+    flats, base = _unify_dicts([(f, d) for f, _, d in parts])
+    offs = [p[1] for p in parts]
+    n = env.n_rows
+    lens = sum(_lens(o) for o in offs)
+    out_off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    # destination position of every source element, per part
+    dest = []
+    base_before = np.zeros(n, dtype=np.int64)
+    for o in offs:
+        l = _lens(o)
+        dest.append(np.repeat(out_off[:-1] + base_before, l) +
+                    _pos(o.astype(np.int64)))
+        base_before = base_before + l
+    total = int(out_off[-1])
+    perm = np.zeros(total, dtype=np.int64)
+    src_base = 0
+    src_cat = []
+    for f, dst in zip(flats, dest):
+        perm[dst] = src_base + np.arange(int(np.asarray(f).shape[0]))
+        src_base += int(np.asarray(f).shape[0])
+        src_cat.append(f)
+    flat = jnp.concatenate(src_cat) if src_cat else jnp.zeros(0)
+    data = jnp.take(flat, jnp.asarray(perm), axis=0)
+    return _array_value(data, out_off, base)
+
+
+@func("arrayPushBack")
+def _f_arraypushback(args, env):
+    return _push(args, env, front=False)
+
+
+@func("arrayPushFront")
+def _f_arraypushfront(args, env):
+    return _push(args, env, front=True)
+
+
+def _push(args, env, front: bool):
+    flat, off, d = as_array(args[0], env)
+    n = env.n_rows
+    el = args[1]
+    if isinstance(el.py, str):
+        if d is None:
+            d = StringDictionary() if int(off[-1]) == 0 else None
+            if d is None:
+                raise EvalError("cannot push a string onto a numeric array")
+        el_dev = jnp.full(n, d.encode_one(el.py, grow=True), dtype=flat.dtype)
+    elif el.is_scalar:
+        el_dev = jnp.full(n, jnp.asarray(el.data))
+    else:
+        el_dev = el.data
+    lens = _lens(off)
+    out_off = np.concatenate([np.zeros(1, dtype=np.int64),
+                              np.cumsum(lens + 1)])
+    shift = 1 if front else 0
+    dest_old = np.repeat(out_off[:-1] + shift, lens) + _pos(off)
+    dest_new = out_off[:-1] if front else out_off[1:] - 1
+    total = int(out_off[-1])
+    perm = np.zeros(total, dtype=np.int64)
+    perm[dest_old] = np.arange(int(off[-1]))
+    perm[dest_new] = int(off[-1]) + np.arange(n)
+    cat = jnp.concatenate([flat.astype(el_dev.dtype)
+                           if flat.dtype != el_dev.dtype else flat,
+                           el_dev.astype(flat.dtype)
+                           if flat.dtype != el_dev.dtype and d is None
+                           else el_dev])
+    data = jnp.take(cat, jnp.asarray(perm), axis=0)
+    return _array_value(data, out_off, d, args[0].valid)
+
+
+@func("arrayPopBack")
+def _f_arraypopback(args, env):
+    flat, off, d = as_array(args[0], env)
+    lens = np.maximum(_lens(off) - 1, 0)
+    out_off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    pos = np.repeat(off[:-1], lens) + _pos(out_off)
+    return _array_value(jnp.take(flat, jnp.asarray(pos), axis=0), out_off, d,
+                        args[0].valid)
+
+
+@func("arrayPopFront")
+def _f_arraypopfront(args, env):
+    flat, off, d = as_array(args[0], env)
+    lens = np.maximum(_lens(off) - 1, 0)
+    out_off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    pos = np.repeat(off[:-1] + 1, lens) + _pos(out_off)
+    return _array_value(jnp.take(flat, jnp.asarray(pos), axis=0), out_off, d,
+                        args[0].valid)
+
+
+def _sort_perm_within_rows(off, keys_np, descending=False):
+    """Stable permutation ordering elements within each row by key."""
+    rid = _rid(off)
+    if keys_np.dtype.kind in ("U", "O"):
+        # order strings via dense ranks so they can be negated
+        _, keys_np = np.unique(keys_np, return_inverse=True)
+    if descending:
+        keys_np = -keys_np.astype(np.float64) if keys_np.dtype.kind == "f" \
+            else -keys_np.astype(np.int64)
+    return np.lexsort((keys_np, rid))
+
+
+def _decode_keys(flat, d):
+    arr = np.asarray(flat)
+    if d is not None:
+        vals = np.array(d.values + [""], dtype=object)
+        return np.array([("" if i == NULL_ID else d.values[int(i)])
+                         for i in arr], dtype="U64") if len(arr) else \
+            np.zeros(0, dtype="U1")
+    return arr
+
+
+@func("arraySort")
+def _f_arraysort(args, env):
+    flat, off, d = as_array(args[0], env)
+    keys = _decode_keys(flat, d)
+    perm = _sort_perm_within_rows(off, keys)
+    return _array_value(jnp.take(flat, jnp.asarray(perm), axis=0), off, d,
+                        args[0].valid)
+
+
+@func("arrayReverseSort")
+def _f_arrayreversesort(args, env):
+    flat, off, d = as_array(args[0], env)
+    keys = _decode_keys(flat, d)
+    perm = _sort_perm_within_rows(off, keys, descending=True)
+    return _array_value(jnp.take(flat, jnp.asarray(perm), axis=0), off, d,
+                        args[0].valid)
+
+
+@func("arrayDistinct")
+def _f_arraydistinct(args, env):
+    flat, off, d = as_array(args[0], env)
+    a = np.asarray(flat)
+    keep = np.zeros(len(a), dtype=bool)
+    for i in range(len(off) - 1):
+        seen = set()
+        for j in range(int(off[i]), int(off[i + 1])):
+            if a[j] not in seen:
+                seen.add(a[j])
+                keep[j] = True
+    sel = np.flatnonzero(keep)
+    lens = np.add.reduceat(keep, off[:-1]) if len(off) > 1 and len(a) else \
+        np.zeros(len(off) - 1, dtype=np.int64)
+    lens = np.where(_lens(off) == 0, 0, lens).astype(np.int64)
+    out_off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    return _array_value(jnp.take(flat, jnp.asarray(sel), axis=0), out_off, d,
+                        args[0].valid)
+
+
+@func("arrayUniq")
+def _f_arrayuniq(args, env):
+    flat, off, d = as_array(args[0], env)
+    a = np.asarray(flat)
+    out = np.array([len(set(a[off[i]:off[i + 1]].tolist()))
+                    for i in range(len(off) - 1)], dtype=np.int64)
+    return Value(jnp.asarray(out), args[0].valid)
+
+
+@func("arrayEnumerate")
+def _f_arrayenumerate(args, env):
+    _, off, _ = as_array(args[0], env)
+    return _array_value(jnp.asarray(_pos(off) + 1), off, None, args[0].valid)
+
+
+@func("arrayStringConcat")
+def _f_arraystringconcat(args, env):
+    flat, off, d = as_array(args[0], env)
+    sep = args[1].py if len(args) > 1 else ""
+    if d is None and int(off[-1]) > 0:
+        raise EvalError("arrayStringConcat expects Array(String)")
+    a = np.asarray(flat)
+    vals = [("" if i == NULL_ID else d.values[int(i)]) for i in a] \
+        if d is not None else []
+    out = [sep.join(vals[off[i]:off[i + 1]]) for i in range(len(off) - 1)]
+    out_d = StringDictionary()
+    ids = out_d.encode(out)
+    return Value(jnp.asarray(ids), args[0].valid, out_d)
+
+
+# ---------------------------------------------------------------------------
+# aggregation over one row's elements
+
+def _flat_numeric(flat, d):
+    if d is not None:
+        raise EvalError("expected a numeric array")
+    return flat
+
+
+@func("arraySum")
+def _f_arraysum(args, env):
+    flat, off, d = as_array(args[0], env)
+    x = _flat_numeric(flat, d)
+    acc = jnp.float64 if jnp.issubdtype(x.dtype, jnp.floating) else jnp.int64
+    return Value(_seg(off, x, "add", 0, acc), args[0].valid)
+
+
+@func("arrayProduct")
+def _f_arrayproduct(args, env):
+    flat, off, d = as_array(args[0], env)
+    x = _flat_numeric(flat, d).astype(jnp.float64)
+    return Value(_seg(off, x, "multiply", 1.0, jnp.float64), args[0].valid)
+
+
+@func("arrayMin")
+def _f_arraymin(args, env):
+    flat, off, d = as_array(args[0], env)
+    x = _flat_numeric(flat, d)
+    big = jnp.asarray(np.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                      else jnp.iinfo(x.dtype).max, dtype=x.dtype)
+    out = _seg(off, x, "min", big)
+    empty = jnp.asarray(_lens(off) == 0)
+    return Value(jnp.where(empty, jnp.zeros_like(out), out), args[0].valid)
+
+
+@func("arrayMax")
+def _f_arraymax(args, env):
+    flat, off, d = as_array(args[0], env)
+    x = _flat_numeric(flat, d)
+    small = jnp.asarray(-np.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                        else jnp.iinfo(x.dtype).min, dtype=x.dtype)
+    out = _seg(off, x, "max", small)
+    empty = jnp.asarray(_lens(off) == 0)
+    return Value(jnp.where(empty, jnp.zeros_like(out), out), args[0].valid)
+
+
+@func("arrayAvg")
+def _f_arrayavg(args, env):
+    flat, off, d = as_array(args[0], env)
+    x = _flat_numeric(flat, d)
+    s = _seg(off, x, "add", 0.0, jnp.float64)
+    lens = jnp.asarray(_lens(off)).astype(jnp.float64)
+    return Value(jnp.where(lens > 0, s / jnp.maximum(lens, 1.0), jnp.nan),
+                 args[0].valid)
+
+
+@func("arrayCumSum")
+def _f_arraycumsum(args, env):
+    flat, off, d = as_array(args[0], env)
+    x = _flat_numeric(flat, d)
+    acc = jnp.float64 if jnp.issubdtype(x.dtype, jnp.floating) else jnp.int64
+    cs = jnp.cumsum(x.astype(acc))
+    # subtract the running total at each row start
+    starts = np.clip(off[:-1] - 1, 0, None)
+    base = jnp.where(jnp.asarray(off[:-1]) > 0,
+                     jnp.take(cs, jnp.asarray(starts), axis=0), 0)
+    rid = jnp.asarray(_rid(off))
+    out = cs - jnp.take(base, rid, axis=0)
+    return _array_value(out, off, None, args[0].valid)
+
+
+# ---------------------------------------------------------------------------
+# higher-order functions (lambda family)
+
+class _ElemEnv(Env):
+    """Environment over the flat element axis: lambda params bind to flat
+    arrays, outer columns broadcast through a row-id gather."""
+
+    def __init__(self, parent: Env, rid_np: np.ndarray, binds: dict):
+        self.parent = parent
+        self.table = parent.table
+        self.aliases = parent.aliases
+        self.extra = dict(binds)
+        self._rid = jnp.asarray(rid_np)
+        self._n = int(len(rid_np))
+        # inherit subquery runner etc.
+        for attr in ("subquery_runner",):
+            if hasattr(parent, attr):
+                setattr(self, attr, getattr(parent, attr))
+
+    @property
+    def n_rows(self) -> int:
+        return self._n
+
+    def resolve(self, ident):
+        if ident.table is None and ident.name in self.extra:
+            return self.extra[ident.name]
+        v = self.parent.resolve(ident)
+        if v.is_scalar:
+            return v
+        if v.is_array:
+            raise EvalError("nested array columns inside lambdas "
+                            "not supported")
+        data = jnp.take(v.data, self._rid, axis=0)
+        valid = jnp.take(v.valid, self._rid) if v.valid is not None else None
+        return Value(data, valid, v.dictionary)
+
+
+HOF_NAMES = {"arraymap", "arrayfilter", "arrayexists", "arrayall",
+             "arraycount", "arrayfirst", "arrayfirstindex", "arraysum",
+             "arraymin", "arraymax", "arrayavg", "arraysort",
+             "arrayreversesort"}
+
+
+def eval_hof(e: FuncCall, env: Env) -> Value:
+    """Evaluate a higher-order array function: first arg is the lambda,
+    remaining args are arrays zipped element-wise (FunctionArrayMapped.h)."""
+    name = e.name.lower()
+    if name not in HOF_NAMES:
+        raise EvalError(f"{e.name} does not take a lambda argument")
+    lam = e.args[0]
+    if not isinstance(lam, Lambda):
+        raise EvalError(f"{e.name}: first argument must be a lambda")
+    arrs = [eval_expr(a, env) for a in e.args[1:]]
+    if not arrs:
+        raise EvalError(f"{e.name} expects at least one array")
+    if len(lam.params) != len(arrs):
+        raise EvalError(f"{e.name}: lambda takes {len(lam.params)} params "
+                        f"but {len(arrs)} arrays given")
+    parts = [as_array(a, env) for a in arrs]
+    off = parts[0][1]
+    for _, o, _ in parts[1:]:
+        if not np.array_equal(o, off):
+            raise EvalError(f"{e.name}: arrays must have equal sizes per row")
+    rid = _rid(off)
+    binds = {p: Value(f, None, d) for p, (f, _, d) in zip(lam.params, parts)}
+    elem_env = _ElemEnv(env, rid, binds)
+    body = eval_expr(lam.body, elem_env)
+    flat0, _, d0 = parts[0]
+
+    if name == "arraymap":
+        data = body.data
+        if body.is_scalar:
+            data = jnp.full(int(off[-1]), jnp.asarray(data))
+        return _array_value(data, off, body.dictionary)
+    if name in ("arraysort", "arrayreversesort"):
+        keys = np.asarray(body.data if not body.is_scalar else
+                          jnp.full(int(off[-1]), jnp.asarray(body.data)))
+        perm = _sort_perm_within_rows(off, keys,
+                                      descending=(name == "arrayreversesort"))
+        return _array_value(jnp.take(flat0, jnp.asarray(perm), axis=0), off,
+                            d0)
+    mask = as_bool_mask(body, int(off[-1])) if name not in \
+        ("arraysum", "arraymin", "arraymax", "arrayavg") else None
+    if name == "arrayfilter":
+        keep = np.asarray(mask)
+        sel = np.flatnonzero(keep)
+        lens = np.zeros(len(off) - 1, dtype=np.int64)
+        if len(keep):
+            np.add.at(lens, rid[sel], 1)
+        out_off = np.concatenate([np.zeros(1, dtype=np.int64),
+                                  np.cumsum(lens)])
+        return _array_value(jnp.take(flat0, jnp.asarray(sel), axis=0),
+                            out_off, d0)
+    if name == "arrayexists":
+        return Value(_seg(off, mask, "max", False, jnp.bool_))
+    if name == "arrayall":
+        return Value(_seg(off, mask, "min", True, jnp.bool_))
+    if name == "arraycount":
+        return Value(_seg(off, mask, "add", 0, jnp.int64))
+    if name == "arrayfirstindex":
+        pos1 = jnp.asarray(_pos(off)) + 1
+        first = _seg(off, jnp.where(mask, pos1, INT32_MAX), "min", INT32_MAX,
+                     jnp.int64)
+        return Value(jnp.where(first == INT32_MAX, 0, first))
+    if name == "arrayfirst":
+        pos1 = jnp.asarray(_pos(off))
+        gidx = jnp.asarray(np.arange(int(off[-1]), dtype=np.int64))
+        first = _seg(off, jnp.where(mask, gidx, INT32_MAX), "min", INT32_MAX,
+                     jnp.int64)
+        hasv = first != INT32_MAX
+        safe = jnp.where(hasv, first, 0)
+        data = jnp.take(flat0, safe, axis=0) if int(off[-1]) else \
+            jnp.zeros(len(off) - 1, dtype=flat0.dtype)
+        default = NULL_ID if d0 is not None else 0
+        data = jnp.where(hasv, data, jnp.asarray(default, dtype=data.dtype))
+        if d0 is not None:
+            empty_id = d0.encode_one("", grow=True)
+            data = jnp.where(hasv, data, empty_id)
+        return Value(data, None, d0)
+    # arraySum/Min/Max/Avg with a lambda: reduce the mapped values
+    mapped = body.data
+    if body.is_scalar:
+        mapped = jnp.full(int(off[-1]), jnp.asarray(mapped))
+    mapped_v = _array_value(mapped, off)
+    impl = {"arraysum": _f_arraysum, "arraymin": _f_arraymin,
+            "arraymax": _f_arraymax, "arrayavg": _f_arrayavg}[name]
+    return impl([mapped_v], env)

@@ -45,10 +45,16 @@ class Value:
     dictionary: Optional[StringDictionary] = None
     is_scalar: bool = False
     py: object = None                       # python literal (str/None/bool/num)
+    offsets: object = None                  # np int64 (n+1,) for ARRAY values
 
     @property
     def is_string(self) -> bool:
-        return self.dictionary is not None or isinstance(self.py, str)
+        return self.dictionary is not None and self.offsets is None \
+            or isinstance(self.py, str)
+
+    @property
+    def is_array(self) -> bool:
+        return self.offsets is not None
 
 
 class Env:
@@ -69,7 +75,8 @@ class Env:
                 return self.extra[name]
             if name in self.table:
                 c = self.table[name]
-                return Value(c.data, c.valid, c.dictionary)
+                return Value(c.data, c.valid, c.dictionary,
+                             offsets=c.offsets)
         raise EvalError(f"unknown column {ident.qualified!r} "
                         f"(have {self.table.column_names})")
 
@@ -635,7 +642,16 @@ def eval_expr(e: Expr, env: Env) -> Value:
             return Value(None, is_scalar=True, py=e.value)
         return Value(jnp.asarray(e.value), is_scalar=True, py=e.value)
     if isinstance(e, VectorLiteral):
-        return Value(np.asarray(e.values, dtype=np.float32), is_scalar=True,
+        # all-integer literals stay Int64 (ClickHouse: [1,2,3] is
+        # Array(UInt8-widened)); any float promotes to Float32, the vector
+        # search element type
+        flat = e.values[0] if e.values and isinstance(e.values[0], list) \
+            else e.values
+        all_int = all(isinstance(x, int) or float(x).is_integer()
+                      and isinstance(x, int) for x in flat) if flat else False
+        dt = np.int64 if all_int and not any(
+            isinstance(x, float) for x in flat) else np.float32
+        return Value(np.asarray(e.values, dtype=dt), is_scalar=True,
                      py=e.values)
     if isinstance(e, Ident):
         return env.resolve(e)
@@ -711,9 +727,18 @@ def eval_expr(e: Expr, env: Env) -> Value:
                 res = jnp.logical_and(res, v.valid)
         return Value(res)
     if isinstance(e, FuncCall):
+        from myscaledb_tpu.sql.ast import Lambda
+        if any(isinstance(a, Lambda) for a in e.args):
+            from myscaledb_tpu.exec.arrays import eval_hof
+            return eval_hof(e, env)
         impl = _FUNCS.get(e.name.lower())
         if impl is None:
             raise EvalError(f"unknown function {e.name!r}")
         args = [eval_expr(a, env) for a in e.args]
         return impl(args, env)
     raise EvalError(f"cannot evaluate {e!r}")
+
+
+# register array functions (import at the bottom: arrays.py needs this
+# module fully initialized)
+from myscaledb_tpu.exec import arrays as _arrays   # noqa: E402,F401

@@ -26,6 +26,13 @@ class VectorLiteral(Expr):
 
 
 @dataclass
+class Lambda(Expr):
+    """Higher-order function argument: x -> expr / (x, y) -> expr."""
+    params: list             # list[str]
+    body: "Expr"
+
+
+@dataclass
 class Ident(Expr):
     name: str
     table: Optional[str] = None
@@ -135,6 +142,7 @@ class SelectQuery:
     table: Optional[str] = None
     table_alias: Optional[str] = None
     joins: list = field(default_factory=list)
+    array_joins: list = field(default_factory=list)  # [(expr, alias, left)]
     where: Optional[Expr] = None
     prewhere: Optional[Expr] = None
     group_by: list = field(default_factory=list)
@@ -161,6 +169,8 @@ def walk(e: Expr):
     elif isinstance(e, FuncCall):
         for a in e.args:
             yield from walk(a)
+    elif isinstance(e, Lambda):
+        yield from walk(e.body)
     elif isinstance(e, WindowCall):
         yield from walk(e.func)
         for p in e.partition_by:

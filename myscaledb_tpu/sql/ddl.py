@@ -27,6 +27,7 @@ class ColumnDef:
     dtype: DataType
     nullable: bool = False
     vector_dim: int = 0
+    elem: DataType = None      # element type for ARRAY columns
 
 
 @dataclass
@@ -190,11 +191,11 @@ class DDLParser(Parser):
                 self._apply_length_constraint(cols, chk)
             else:
                 cname = self.next().text
-                ctype, nullable, vdim = self.parse_type()
+                ctype, nullable, vdim, elem = self.parse_type()
                 # DEFAULT/CODEC clauses: accept and ignore value expression
                 if self.take_kw("DEFAULT"):
                     self.parse_expr()
-                cols.append(ColumnDef(cname, ctype, nullable, vdim))
+                cols.append(ColumnDef(cname, ctype, nullable, vdim, elem))
             if not self.take_punct(","):
                 break
         self.expect_punct(")")
@@ -253,25 +254,34 @@ class DDLParser(Parser):
         vdim = 0
         if name.lower() == "nullable":
             self.expect_punct("(")
-            dtype, _, vdim = self.parse_type()
+            dtype, _, vdim, elem = self.parse_type()
             self.expect_punct(")")
-            return dtype, True, vdim
+            return dtype, True, vdim, elem
         if name.lower() == "lowcardinality":
             self.expect_punct("(")
-            dtype, nullable, vdim = self.parse_type()
+            dtype, nullable, vdim, elem = self.parse_type()
             self.expect_punct(")")
-            return dtype, nullable, vdim
+            return dtype, nullable, vdim, elem
         if name.lower() == "array":
             self.expect_punct("(")
             inner = self.next().text
-            if inner.lower() not in ("float32", "float"):
-                raise ParseError("only Array(Float32) vector columns supported")
-            if self.take_punct(","):
-                vdim = int(self.next().text)
+            # Array(Float32[, dim]) stays the fixed-width vector-search type
+            # (reference: vector columns are Array(Float32) with a length
+            # CHECK); every other element type is a general ragged ARRAY
+            # (reference ColumnArray, src/Columns/ColumnArray.h).
+            if inner.lower() in ("float32", "float"):
+                if self.take_punct(","):
+                    vdim = int(self.next().text)
+                self.expect_punct(")")
+                return DataType.FLOAT32_VECTOR, False, vdim, None
+            try:
+                elem = type_from_name(inner)
+            except ValueError:
+                raise ParseError(f"unknown array element type {inner!r}")
             self.expect_punct(")")
-            return DataType.FLOAT32_VECTOR, False, vdim
+            return DataType.ARRAY, False, 0, elem
         try:
-            return type_from_name(name), False, 0
+            return type_from_name(name), False, 0, None
         except ValueError:
             raise ParseError(f"unknown type {name!r}")
 
@@ -301,7 +311,7 @@ class DDLParser(Parser):
         return InsertValues(name, columns, rows)
 
     def parse_insert_value(self):
-        from myscaledb_tpu.sql.ast import Literal, VectorLiteral, UnOp
+        from myscaledb_tpu.sql.ast import Literal, VectorLiteral, UnOp, FuncCall
         e = self.parse_expr()
         if isinstance(e, Literal):
             return e.value
@@ -309,6 +319,9 @@ class DDLParser(Parser):
             return list(e.values)
         if isinstance(e, UnOp) and e.op == "-" and isinstance(e.operand, Literal):
             return -e.operand.value
+        if isinstance(e, FuncCall) and e.name == "array" and \
+                all(isinstance(a, Literal) for a in e.args):
+            return [a.value for a in e.args]
         raise ParseError("INSERT VALUES must be literals")
 
     def parse_drop(self):
@@ -344,13 +357,21 @@ def empty_table_from_defs(name: str, defs: list[ColumnDef]) -> Table:
     from myscaledb_tpu.core.dictionary import StringDictionary
     cols = []
     for d in defs:
+        offsets = None
         if d.dtype is DataType.FLOAT32_VECTOR:
             data = jnp.zeros((0, max(d.vector_dim, 0)), dtype=jnp.float32)
+        elif d.dtype is DataType.ARRAY:
+            ed = d.elem or DataType.INT64
+            data = jnp.zeros((0,), dtype=np.int64 if ed is DataType.STRING
+                             else physical_dtype(ed))
+            offsets = np.zeros(1, dtype=np.int64)
         else:
             data = jnp.zeros((0,), dtype=physical_dtype(d.dtype))
-        dictionary = StringDictionary() if d.dtype is DataType.STRING else None
-        cols.append(Column(Field(d.name, d.dtype, d.nullable, d.vector_dim),
-                           data, None, dictionary))
+        dictionary = StringDictionary() if d.dtype is DataType.STRING or (
+            d.dtype is DataType.ARRAY and d.elem is DataType.STRING) else None
+        cols.append(Column(Field(d.name, d.dtype, d.nullable, d.vector_dim,
+                                 d.elem),
+                           data, None, dictionary, None, offsets))
     return Table(cols, name=name)
 
 
@@ -364,6 +385,11 @@ def rows_to_table(template: Table, columns: Optional[list],
     for i, cname in enumerate(names):
         c = template[cname]
         vals = [r[i] for r in rows]
+        if c.dtype is DataType.ARRAY:
+            data[cname] = Column.from_pylist_of_lists(
+                cname, [list(v) for v in vals],
+                None if c.field.elem is DataType.STRING else c.field.elem)
+            continue
         if c.dtype is DataType.FLOAT32_VECTOR:
             arr = np.asarray(vals, dtype=np.float32)
             if c.field.vector_dim and arr.shape[1] != c.field.vector_dim:
@@ -412,8 +438,10 @@ def execute_statement(session, stmt) -> Table:
                                 new.columns.values()):
                 renamed.append(Column(Field(tgt.name, src.dtype,
                                             src.field.nullable,
-                                            src.field.vector_dim),
-                                      src.data, src.valid, src.dictionary))
+                                            src.field.vector_dim,
+                                            src.field.elem),
+                                      src.data, src.valid, src.dictionary,
+                                      None, src.offsets))
             new = T(renamed)
         else:
             new = rows_to_table(existing, stmt.columns, stmt.rows)

@@ -24,7 +24,8 @@ from myscaledb_tpu.core.types import DataType, Field
 from myscaledb_tpu.core.table import Table, Column
 from myscaledb_tpu.core.dictionary import StringDictionary, NULL_ID
 from myscaledb_tpu.config import TableSettings
-from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
+from myscaledb_tpu.sql.ast import (Lambda,
+                                   Expr, Literal, VectorLiteral, Ident, Star,
                                    BinOp, UnOp, FuncCall, InList, Between,
                                    SelectQuery, UnionQuery, SelectItem,
                                    OrderItem, walk)
@@ -54,14 +55,16 @@ AGG_NAMES = {"count", "sum", "min", "max", "avg", "any", "uniqexact",
              "uniq", "uniqcombined", "uniqhll12", "uniqtheta",
              "sumdistinct", "avgdistinct", "countdistinct",
              "groupbitand", "groupbitor", "groupbitxor",
-             "quantileexact", "quantileexactlow"}
+             "quantileexact", "quantileexactlow",
+             "grouparray", "groupuniqarray", "quantiles", "topk"}
 SPECIAL_AGGS = {"uniqexact", "argmin", "argmax", "quantile", "median",
                 "varpop", "varsamp", "stddevpop", "stddevsamp",
                 "covarpop", "covarsamp", "corr", "anylast",
                 "uniq", "uniqcombined", "uniqhll12", "uniqtheta",
                 "sumdistinct", "avgdistinct", "countdistinct",
                 "groupbitand", "groupbitor", "groupbitxor",
-                "quantileexact", "quantileexactlow"}
+                "quantileexact", "quantileexactlow",
+                "grouparray", "groupuniqarray", "quantiles", "topk"}
 # exact-distinct implementations; the reference's uniq/uniqCombined/uniqHLL12
 # are approximate sketches (src/AggregateFunctions/AggregateFunctionUniq.h) —
 # exact counts are a strict-precision superset of that contract.
@@ -339,12 +342,28 @@ def _conjoin(terms: list) -> Optional[Expr]:
 
 def _value_to_column(name: str, v: Value, n: int) -> Column:
     data = v.data
+    if v.is_array:
+        elem = DataType.STRING if v.dictionary is not None else \
+            _logical_dtype_of(data, Value(data))
+        fld = Field(name, DataType.ARRAY, nullable=v.valid is not None,
+                    elem=elem)
+        return Column(fld, data, v.valid, v.dictionary, None,
+                      np.asarray(v.offsets, dtype=np.int64))
     if v.is_scalar:
         if isinstance(v.py, str):
             d = StringDictionary()
             ids = np.full(n, d.encode_one(v.py, grow=True), dtype=np.int32)
             return Column(Field(name, DataType.STRING),
                           jnp.asarray(ids), None, d)
+        if isinstance(v.py, list):
+            # constant array literal broadcast to every row
+            k = len(v.py)
+            flat = jnp.tile(jnp.asarray(data).reshape(-1), n) if k else \
+                jnp.zeros(0, dtype=jnp.int64)
+            off = np.arange(n + 1, dtype=np.int64) * k
+            elem = _logical_dtype_of(flat, Value(flat)) if k else DataType.INT64
+            return Column(Field(name, DataType.ARRAY, elem=elem),
+                          flat, None, None, None, off)
         data = jnp.full((n,), jnp.asarray(data))
     if hasattr(data, "ndim") and data.ndim == 0:
         data = jnp.full((n,), data)   # scalar-folded expression (e.g. 1+1)
@@ -489,6 +508,17 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
     lh_dev = jnp.asarray(left_has)
     cols = []
     for c in left.columns.values():
+        if c.offsets is not None:
+            rc = c.take_ragged(np.asarray(safe_left))
+            valid = rc.valid
+            if not left_has.all():
+                valid = lh_dev if valid is None \
+                    else jnp.logical_and(valid, lh_dev)
+            cols.append(Column(Field(c.name, c.dtype, valid is not None,
+                                     c.field.vector_dim, c.field.elem),
+                               rc.data, valid, rc.dictionary, None,
+                               rc.offsets))
+            continue
         data = jnp.take(c.data, jnp.asarray(safe_left), axis=0)
         valid = jnp.take(c.valid, jnp.asarray(safe_left), axis=0) \
             if c.valid is not None else None
@@ -505,6 +535,17 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
         if c.name in using_names:
             continue
         out_name = c.name if c.name not in lnames else f"{ralias}.{c.name}"
+        if c.offsets is not None:
+            rc = c.take_ragged(np.asarray(right_rows))
+            valid = rc.valid
+            if not right_has.all():
+                valid = rh_dev if valid is None \
+                    else jnp.logical_and(valid, rh_dev)
+            cols.append(Column(Field(out_name, c.dtype, valid is not None,
+                                     c.field.vector_dim, c.field.elem),
+                               rc.data, valid, rc.dictionary, None,
+                               rc.offsets))
+            continue
         data = jnp.take(c.data, jnp.asarray(right_rows), axis=0)
         valid = jnp.take(c.valid, jnp.asarray(right_rows), axis=0) \
             if c.valid is not None else None
@@ -515,6 +556,110 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
                            data, valid, c.dictionary))
     alias_prefixes[ralias] = ""
     return Table(cols, name=left.name)
+
+
+def _rewrite_arrayjoin_calls(q: SelectQuery):
+    """Rewrite arrayJoin(arr) calls into internal ARRAY JOIN items
+    (reference: the arrayJoin special function is lowered to an
+    ArrayJoinAction during expression analysis,
+    src/Interpreters/ArrayJoinAction.cpp). Identical arguments expand
+    together; distinct arguments expand as a cartesian product."""
+    from dataclasses import replace as dc_replace
+    mapping: dict = {}
+
+    def rewrite(e):
+        if isinstance(e, FuncCall):
+            if e.name.lower() == "arrayjoin" and len(e.args) == 1:
+                key = render(e.args[0])
+                if key not in mapping:
+                    mapping[key] = (f"__aj{len(mapping)}", rewrite(e.args[0]))
+                from myscaledb_tpu.sql.ast import Ident as _I
+                return _I(mapping[key][0])
+            return FuncCall(e.name, [rewrite(a) for a in e.args], e.distinct)
+        if isinstance(e, BinOp):
+            return BinOp(e.op, rewrite(e.left), rewrite(e.right))
+        if isinstance(e, UnOp):
+            return UnOp(e.op, rewrite(e.operand))
+        if isinstance(e, Between):
+            return Between(rewrite(e.expr), rewrite(e.low), rewrite(e.high),
+                           e.negated)
+        if isinstance(e, InList):
+            return InList(rewrite(e.expr), e.items, e.negated)
+        return e
+
+    new_items = []
+    changed = False
+    for it in q.items:
+        ne = rewrite(it.expr)
+        if ne is not it.expr:
+            changed = True
+            alias = it.alias or render(it.expr)
+            new_items.append(SelectItem(ne, alias))
+        else:
+            new_items.append(it)
+    if not mapping:
+        return q
+    new_where = rewrite(q.where) if q.where is not None else None
+    new_having = rewrite(q.having) if q.having is not None else None
+    new_group = [rewrite(g) for g in q.group_by]
+    new_order = [OrderItem(rewrite(o.expr), o.ascending, o.nulls_last)
+                 if hasattr(o, "ascending") else o for o in q.order_by]
+    ajs = list(q.array_joins) + [(expr, alias, False)
+                                 for alias, expr in mapping.values()]
+    return dc_replace(q, items=new_items, where=new_where, having=new_having,
+                      group_by=new_group, order_by=new_order, array_joins=ajs)
+
+
+def apply_array_join(table: Table, items: list) -> Table:
+    """[LEFT] ARRAY JOIN: expand each row into one row per array element
+    (reference: ArrayJoinAction, src/Interpreters/ArrayJoinAction.cpp).
+    All joined arrays must have equal per-row lengths; LEFT keeps rows with
+    empty arrays, filling the element with the type default."""
+    from myscaledb_tpu.exec.arrays import as_array, _lens, _pos, _rid
+    table = _compact_distributed(table)
+    env = Env(table)
+    n = table.n_rows
+    is_left = any(left for _, _, left in items)
+    cols = []      # (out_name, flat, dictionary, replaces_source)
+    off = None
+    for expr, alias, _ in items:
+        v = eval_expr(expr, env)
+        flat, o, d = as_array(v, env)
+        if off is None:
+            off = o
+        elif not np.array_equal(o, off):
+            raise ExecError("ARRAY JOIN requires arrays of equal sizes")
+        out_name = alias or render(expr)
+        replaces = alias is None and isinstance(expr, Ident)
+        cols.append((out_name, flat, d, replaces))
+    lens = _lens(off)
+    out_lens = np.maximum(lens, 1) if is_left else lens
+    out_off = np.concatenate([np.zeros(1, dtype=np.int64),
+                              np.cumsum(out_lens)])
+    rid = _rid(out_off)
+    pos = _pos(out_off)
+    real = pos < lens[rid]
+    src = np.where(real, off[:-1][rid] + np.where(real, pos, 0), 0)
+    replaced = {name for name, _, _, rep in cols if rep}
+    base_cols = [c for c in table.columns.values()
+                 if c.name not in replaced]
+    out = Table(base_cols, name=table.name).take(jnp.asarray(rid))
+    real_dev = jnp.asarray(real)
+    for name, flat, d, _ in cols:
+        total = int(off[-1])
+        data = jnp.take(flat, jnp.asarray(src), axis=0) if total else \
+            jnp.zeros(len(rid), dtype=flat.dtype)
+        if is_left and not real.all():
+            if d is not None:
+                default = d.encode_one("", grow=True)
+            else:
+                default = 0
+            data = jnp.where(real_dev, data,
+                             jnp.asarray(default, dtype=data.dtype))
+        dt = DataType.STRING if d is not None else \
+            _logical_dtype_of(data, Value(data))
+        out = out.with_column(Column(Field(name, dt), data, None, d))
+    return out
 
 
 def _join_key_arrays(lv: Value, rv: Value):
@@ -648,6 +793,16 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
                 name, params = "quantile", 0.5
             if name == "countdistinct":
                 name = "uniqexact"
+            if name == "quantiles":
+                params = [float(a.value) for a in cargs
+                          if isinstance(a, Literal)]
+                cargs = [a for a in cargs if not isinstance(a, Literal)]
+            if name in ("topk", "grouparray", "groupuniqarray") and \
+                    len(cargs) == 2 and isinstance(cargs[0], Literal):
+                params = int(cargs[0].value)   # topK(k)(x) / groupArray(n)(x)
+                cargs = cargs[1:]
+            if name == "topk" and params is None:
+                params = 10   # reference default (AggregateFunctionTopK)
             vals = [eval_expr(_expand_item_aliases(a, alias_exprs, table), env)
                     for a in cargs]
             two_arg = {"argmin", "argmax", "covarpop", "covarsamp", "corr"}
@@ -733,8 +888,8 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     for r, (kind, vals, sparams) in special.items():
         col = _special_aggregate(kind, vals, gid, m, G, present, n, sparams)
         col = Column(Field(r, col.dtype, col.field.nullable,
-                           col.field.vector_dim),
-                     col.data, col.valid, col.dictionary)
+                           col.field.vector_dim, col.field.elem),
+                     col.data, col.valid, col.dictionary, None, col.offsets)
         cols.append(col)
         mapping[r] = r
     agg_table = Table(cols, name=table.name)
@@ -749,6 +904,10 @@ def _default_like(ref_col: Column, rows: int) -> Column:
         return Column.from_numpy(ref_col.name,
                                  np.array([""] * rows, dtype=object),
                                  build_zonemap=False)
+    if ref_col.offsets is not None:
+        return Column(ref_col.field, ref_col.data[:0], None,
+                      ref_col.dictionary, None,
+                      np.zeros(rows + 1, dtype=np.int64))
     data = jnp.zeros(rows, dtype=ref_col.data.dtype)
     return Column(Field(ref_col.name, ref_col.dtype), data)
 
@@ -802,6 +961,51 @@ def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
     OOB = jnp.int32(G)
     tgt = jnp.where(m, gid, OOB)
     present_dev = jnp.asarray(present)
+    if kind in ("grouparray", "groupuniqarray", "topk", "quantiles"):
+        # array-valued states (reference: AggregateFunctionGroupArray.h /
+        # ...GroupUniqArray.h / ...TopK.h) — host assembly over the (small)
+        # group list; per-row data stays on device until the final gather
+        v = vals[0]
+        data = v.data
+        if v.is_scalar:
+            data = jnp.full((n,), jnp.asarray(data))
+        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
+        gid_np = np.asarray(jnp.where(vm, gid, OOB))
+        data_np = np.asarray(data)
+        rows = []
+        for g in present:
+            sel = data_np[gid_np == g]
+            if kind == "grouparray":
+                out = sel[:params] if params is not None else sel
+            elif kind == "groupuniqarray":
+                _, first = np.unique(sel, return_index=True)
+                out = sel[np.sort(first)]
+                if params is not None:
+                    out = out[:params]
+            elif kind == "topk":
+                uniq, counts = np.unique(sel, return_counts=True)
+                # count desc, then first-seen order (approximated by value)
+                order = np.lexsort((uniq, -counts))
+                out = uniq[order][:params or 10]
+            else:   # quantiles
+                levels = params or [0.5]
+                out = (np.quantile(sel.astype(np.float64), levels,
+                                   method="inverted_cdf")
+                       if len(sel) else np.zeros(0))
+            rows.append(np.asarray(out))
+        lens = np.array([len(r) for r in rows], dtype=np.int64)
+        off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+        flat = np.concatenate(rows) if rows and off[-1] else \
+            np.zeros(0, dtype=data_np.dtype)
+        if kind == "quantiles":
+            elem, dictionary = DataType.FLOAT64, None
+        elif v.dictionary is not None:
+            elem, dictionary = DataType.STRING, v.dictionary
+        else:
+            elem = _logical_dtype_of(data, Value(data))
+            dictionary = None
+        return Column(Field("x", DataType.ARRAY, elem=elem),
+                      jnp.asarray(flat), None, dictionary, None, off)
     if kind in ("quantile", "median"):
         # exact quantile via per-group sorted layout (reference default is
         # sampling-based quantile; exact matches quantileExact)
@@ -999,8 +1203,9 @@ def execute_any(session, q) -> Table:
             cols = []
             for tgt_name, c in zip(first.column_names, p.columns.values()):
                 cols.append(Column(Field(tgt_name, c.dtype, c.field.nullable,
-                                         c.field.vector_dim),
-                                   c.data, c.valid, c.dictionary))
+                                         c.field.vector_dim, c.field.elem),
+                                   c.data, c.valid, c.dictionary, None,
+                                   c.offsets))
             aligned.append(Table(cols))
         return concat_tables(aligned, name=first.name)
     return execute_select(session, q)
@@ -1119,6 +1324,9 @@ def execute_select(session, q: SelectQuery) -> Table:
         alias_prefixes[q.table_alias] = ""
     for jc in q.joins:
         table = apply_join(session, table, jc, alias_prefixes)
+    q = _rewrite_arrayjoin_calls(q)
+    if q.array_joins:
+        table = apply_array_join(table, q.array_joins)
 
     env = Env(table, alias_prefixes)
     env.subquery_runner = lambda sub: execute_any(session, sub)
@@ -1518,8 +1726,10 @@ def _project(q, items, env: Env, table: Table, alias_exprs, tuple_groups, vs):
         if col is not None:
             out_cols.append(Column(Field(name, col.dtype,
                                          col.field.nullable,
-                                         col.field.vector_dim),
-                                   col.data, col.valid, col.dictionary))
+                                         col.field.vector_dim,
+                                         col.field.elem),
+                                   col.data, col.valid, col.dictionary,
+                                   None, col.offsets))
             out_order.append(name)
             seen.add(name)
             continue
@@ -1631,6 +1841,8 @@ def walk_outside_windows(e):
     elif isinstance(e, FuncCall):
         for a in e.args:
             yield from walk_outside_windows(a)
+    elif isinstance(e, Lambda):
+        yield from walk_outside_windows(e.body)
     elif isinstance(e, InList):
         yield from walk_outside_windows(e.expr)
     elif isinstance(e, Between):

@@ -43,9 +43,36 @@ def format_f64(v) -> str:
     return repr(f)
 
 
+def _quote_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def format_array(v, elem: DataType) -> str:
+    """ClickHouse array rendering: [1,2,3] / ['a','b'] (strings quoted)."""
+    if v is None:
+        return "\\N"
+    inner = []
+    for x in v:
+        if isinstance(x, str):
+            inner.append(_quote_str(x))
+        elif elem is DataType.FLOAT32:
+            inner.append(format_f32(x))
+        elif elem is DataType.FLOAT64 or (elem is None
+                                          and isinstance(x, float)):
+            inner.append(format_f64(x))
+        elif isinstance(x, bool):
+            inner.append("true" if x else "false")
+        else:
+            inner.append(str(x))
+    return "[" + ",".join(inner) + "]"
+
+
 def format_value(v, dtype: DataType) -> str:
     if v is None:
         return "\\N"
+    if dtype is DataType.ARRAY or isinstance(v, list):
+        return format_array(v, DataType.INT64 if not isinstance(v, list)
+                            else None)
     if dtype is DataType.FLOAT32:
         return format_f32(v)
     if dtype is DataType.FLOAT64:
@@ -70,6 +97,7 @@ def format_tsv(table: Table) -> str:
     cols = list(table.columns.values())
     pycols = {c.name: c.to_python() for c in cols}
     dtypes = {c.name: c.dtype for c in cols}
+    fields = {c.name: c.field for c in cols}
 
     # column emission plan: tuple members collapse into one cell at the
     # position of their first member
@@ -89,7 +117,11 @@ def format_tsv(table: Table) -> str:
         cells = []
         for kind, ref in plan:
             if kind == "col":
-                cells.append(format_value(pycols[ref][i], dtypes[ref]))
+                if dtypes[ref] is DataType.ARRAY:
+                    cells.append(format_array(pycols[ref][i],
+                                              fields[ref].elem))
+                else:
+                    cells.append(format_value(pycols[ref][i], dtypes[ref]))
             else:
                 inner = ",".join(format_value(pycols[m][i], dtypes[m])
                                  for m in ref)

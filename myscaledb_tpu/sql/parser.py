@@ -26,7 +26,7 @@ from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
                                    BinOp, UnOp, FuncCall, InList, Between,
                                    InSubquery, WindowCall, SelectItem,
                                    OrderItem, JoinClause, SelectQuery,
-                                   UnionQuery)
+                                   UnionQuery, Lambda)
 
 KEYWORDS = {
     "SELECT", "FROM", "WHERE", "PREWHERE", "GROUP", "BY", "HAVING", "ORDER",
@@ -35,6 +35,7 @@ KEYWORDS = {
     "INNER", "LEFT", "RIGHT", "FULL", "ANY", "ALL", "ON", "USING", "DISTINCT",
     "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "WITH", "SETTINGS",
     "SEMI", "ANTI", "CROSS", "OUTER", "GLOBAL", "PREWHERE", "OVER", "PARTITION",
+    "ARRAY",
 }
 
 
@@ -151,9 +152,19 @@ class Parser:
                         and self.peek().upper not in KEYWORDS:
                     q.table_alias = self.next().text
 
-        while self.at_kw("INNER", "LEFT", "RIGHT", "FULL", "CROSS", "JOIN",
-                         "ANY", "ALL", "SEMI", "ANTI", "GLOBAL"):
-            q.joins.append(self.parse_join())
+        while True:
+            if self.at_kw("ARRAY") and self.peek(1).upper == "JOIN":
+                self.next(); self.next()
+                self._parse_array_join_items(q, left=False)
+            elif self.at_kw("LEFT") and self.peek(1).upper == "ARRAY":
+                self.next(); self.next()
+                self.expect_kw("JOIN")
+                self._parse_array_join_items(q, left=True)
+            elif self.at_kw("INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+                            "JOIN", "ANY", "ALL", "SEMI", "ANTI", "GLOBAL"):
+                q.joins.append(self.parse_join())
+            else:
+                break
 
         if self.take_kw("PREWHERE"):
             q.prewhere = self.parse_expr()
@@ -324,8 +335,31 @@ class Parser:
 
     # -- expressions (precedence climbing) ----------------------------------
 
+    def _parse_array_join_items(self, q, left: bool):
+        while True:
+            e = self.parse_expr()
+            alias = None
+            if self.take_kw("AS"):
+                alias = self.next().text
+            q.array_joins.append((e, alias, left))
+            if not self.take_punct(","):
+                break
+
     def parse_expr(self) -> Expr:
-        return self.parse_or()
+        e = self.parse_or()
+        if self.at_punct("->"):
+            # lambda: x -> body  |  (x, y) -> body
+            self.next()
+            if isinstance(e, Ident) and e.table is None:
+                params = [e.name]
+            elif isinstance(e, FuncCall) and e.name == "tuple" and \
+                    all(isinstance(a, Ident) and a.table is None
+                        for a in e.args):
+                params = [a.name for a in e.args]
+            else:
+                raise ParseError("lambda parameters must be identifiers")
+            return Lambda(params, self.parse_expr())
+        return e
 
     def parse_or(self) -> Expr:
         e = self.parse_and()
@@ -402,7 +436,17 @@ class Parser:
             return UnOp("-", self.parse_unary())
         if self.take_punct("+"):
             return self.parse_unary()
-        return self.parse_primary()
+        e = self.parse_primary()
+        # postfix subscript a[i] -> arrayElement(a, i); only after a name,
+        # call or bracketed expression (never after a literal number, where
+        # '[' would start a fresh array literal)
+        if isinstance(e, (Ident, FuncCall)):
+            while self.at_punct("["):
+                self.next()
+                idx = self.parse_expr()
+                self.expect_punct("]")
+                e = FuncCall("arrayElement", [e, idx])
+        return e
 
     def parse_primary(self) -> Expr:
         t = self.peek()
@@ -508,7 +552,22 @@ class Parser:
         raise ParseError(f"unexpected token {t.text!r} at {t.pos}")
 
     def parse_vector_literal(self) -> Expr:
-        # '[' already consumed; supports [1,2,3] and [[1,2],[3,4]]
+        # '[' already consumed; supports [1,2,3] and [[1,2],[3,4]].
+        # Non-numeric elements fall back to a general array(...) expression.
+        save = self.i
+        try:
+            return self._parse_numeric_vector()
+        except ParseError:
+            self.i = save
+        items = []
+        if not self.at_punct("]"):
+            items.append(self.parse_expr())
+            while self.take_punct(","):
+                items.append(self.parse_expr())
+        self.expect_punct("]")
+        return FuncCall("array", items)
+
+    def _parse_numeric_vector(self) -> Expr:
         vals = []
         nested = False
         if self.at_punct("]"):
@@ -533,13 +592,15 @@ class Parser:
             raise ParseError("mixed scalar/vector elements in array literal")
         return VectorLiteral(vals)
 
-    def _number(self) -> float:
-        sign = 1.0
+    def _number(self):
+        sign = 1
         if self.take_punct("-"):
-            sign = -1.0
+            sign = -1
         t = self.next()
         if t.kind != "number":
             raise ParseError(f"expected number in vector literal, got {t.text!r}")
+        if "." not in t.text and "e" not in t.text.lower():
+            return sign * int(t.text)
         return sign * float(t.text)
 
     def parse_case(self) -> Expr:

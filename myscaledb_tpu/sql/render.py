@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
                                    BinOp, UnOp, FuncCall, InList, Between,
-                                   WindowCall)
+                                   WindowCall, Lambda)
 
 
 def _num(v) -> str:
@@ -42,6 +42,10 @@ def render(e: Expr) -> str:
         if e.op == "NOT":
             return f"NOT {render(e.operand)}"
         return f"-{render(e.operand)}"
+    if isinstance(e, Lambda):
+        head = e.params[0] if len(e.params) == 1 else \
+            "(" + ", ".join(e.params) + ")"
+        return f"{head} -> {render(e.body)}"
     if isinstance(e, FuncCall):
         # ClickHouse canonical name: count(*) -> count()
         if e.name.lower() == "count" and (not e.args or
@@ -79,6 +83,8 @@ def substitute(e: Expr, mapping: dict) -> Expr:
                      substitute(e.right, mapping))
     if isinstance(e, UnOp):
         return UnOp(e.op, substitute(e.operand, mapping))
+    if isinstance(e, Lambda):
+        return Lambda(e.params, substitute(e.body, mapping))
     if isinstance(e, FuncCall):
         return FuncCall(e.name, [substitute(a, mapping) for a in e.args],
                         e.distinct)

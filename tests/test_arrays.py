@@ -1,0 +1,181 @@
+"""Array columns, array functions, lambdas, ARRAY JOIN and array aggregates
+(reference: src/Columns/ColumnArray.h layout; src/Functions/array/*;
+src/Interpreters/ArrayJoinAction.cpp; AggregateFunctionGroupArray.h)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+
+@pytest.fixture
+def sess():
+    s = connect()
+    s.sql("CREATE TABLE t (id Int64, tags Array(String), vals Array(Int64))")
+    s.sql("INSERT INTO t VALUES (1, ['a','b'], [10,20]), (2, [], []), "
+          "(3, ['c'], [30])")
+    return s
+
+
+def rows(s, sql):
+    t = s.sql(sql)
+    py = {c.name: c.to_python() for c in t.columns.values()}
+    names = t.column_names
+    return [tuple(py[n][i] for n in names) for i in range(t.n_rows)]
+
+
+def test_array_literal_and_length(sess):
+    assert rows(sess, "SELECT [1,2,3] AS a, length(a), arraySum(a)") == \
+        [([1, 2, 3], 3, 6)]
+
+
+def test_array_column_roundtrip(sess):
+    got = rows(sess, "SELECT id, tags, vals FROM t ORDER BY id")
+    assert got == [(1, ["a", "b"], [10, 20]), (2, [], []), (3, ["c"], [30])]
+
+
+def test_array_element_access(sess):
+    got = rows(sess, "SELECT tags[1], vals[-1], vals[9] FROM t ORDER BY id")
+    assert got == [("a", 20, 0), ("", 0, 0), ("c", 30, 0)]
+
+
+def test_membership():
+    s = connect()
+    got = rows(s, "SELECT has([1,2,3], 2), indexOf([1,2,3], 3), "
+                  "countEqual([1,1,2], 1), hasAll([1,2,3],[2,3]), "
+                  "hasAny([1,2],[5])")
+    assert got == [(True, 3, 2, True, False)]
+
+
+def test_sort_reverse_distinct():
+    s = connect()
+    got = rows(s, "SELECT arraySort([3,1,2]), arrayReverseSort([3,1,2]), "
+                  "reverse([1,2,3]), arrayDistinct([3,1,3,2]), "
+                  "arrayUniq([1,1,2])")
+    assert got == [([1, 2, 3], [3, 2, 1], [3, 2, 1], [3, 1, 2], 2)]
+
+
+def test_slice_push_pop_concat():
+    s = connect()
+    got = rows(s, "SELECT arraySlice([1,2,3,4],2,2), arrayPushBack([1],5), "
+                  "arrayPushFront([2,3],1), arrayPopBack([1,2]), "
+                  "arrayPopFront([1,2]), arrayConcat([1],[2,3])")
+    assert got == [([2, 3], [1, 5], [1, 2, 3], [1], [2], [1, 2, 3])]
+
+
+def test_reductions():
+    s = connect()
+    got = rows(s, "SELECT arraySum([1,2,3]), arrayMin([4,2]), arrayMax([4,2]),"
+                  " arrayAvg([2,4]), arrayProduct([2,3,4]), "
+                  "arrayCumSum([1,2,3])")
+    assert got == [(6, 2, 4, 3.0, 24.0, [1, 3, 6])]
+
+
+def test_range_enumerate():
+    s = connect()
+    got = rows(s, "SELECT range(4), range(1, 7, 2), "
+                  "arrayEnumerate(['x','y','z'])")
+    assert got == [([0, 1, 2, 3], [1, 3, 5], [1, 2, 3])]
+
+
+def test_lambdas():
+    s = connect()
+    got = rows(s, "SELECT arrayMap(x -> x * 2, [1,2,3]), "
+                  "arrayFilter(x -> x % 2 = 0, range(10)), "
+                  "arrayExists(x -> x > 2, [1,2,3]), "
+                  "arrayAll(x -> x > 0, [1,2,3]), "
+                  "arrayCount(x -> x > 1, [1,2,3]), "
+                  "arrayFirst(x -> x > 1, [1,2,3]), "
+                  "arrayFirstIndex(x -> x > 1, [1,2,3])")
+    assert got == [([2, 4, 6], [0, 2, 4, 6, 8], True, True, 2, 2, 2)]
+
+
+def test_lambda_two_params():
+    s = connect()
+    got = rows(s, "SELECT arrayMap((x, y) -> x + y, [1,2], [10,20])")
+    assert got == [([11, 22],)]
+
+
+def test_lambda_outer_column(sess):
+    got = rows(sess, "SELECT arrayMap(x -> x + id, vals) FROM t ORDER BY id")
+    assert got == [([11, 21],), ([],), ([33],)]
+
+
+def test_array_join(sess):
+    got = rows(sess, "SELECT id, tag FROM t ARRAY JOIN tags AS tag "
+                     "ORDER BY id, tag")
+    assert got == [(1, "a"), (1, "b"), (3, "c")]
+
+
+def test_left_array_join(sess):
+    got = rows(sess, "SELECT id, v FROM t LEFT ARRAY JOIN vals AS v "
+                     "ORDER BY id, v")
+    assert got == [(1, 10), (1, 20), (2, 0), (3, 30)]
+
+
+def test_multi_array_join(sess):
+    got = rows(sess, "SELECT id, tag, v FROM t ARRAY JOIN tags AS tag, "
+                     "vals AS v ORDER BY id, v")
+    assert got == [(1, "a", 10), (1, "b", 20), (3, "c", 30)]
+
+
+def test_arrayjoin_function(sess):
+    got = rows(sess, "SELECT arrayJoin(tags) AS tag, count() FROM t "
+                     "GROUP BY tag ORDER BY tag")
+    assert got == [("a", 1), ("b", 1), ("c", 1)]
+    got = rows(sess, "SELECT sum(arrayJoin(vals)) FROM t")
+    assert got == [(60,)]
+
+
+def test_group_array_aggregates(sess):
+    got = rows(sess, "SELECT groupArray(id) FROM t")
+    assert got == [([1, 2, 3],)]
+    got = rows(sess, "SELECT groupUniqArray(k) FROM "
+                     "(SELECT arrayJoin([1,2,2,3]) AS k)")
+    assert sorted(got[0][0]) == [1, 2, 3]
+    got = rows(sess, "SELECT k % 2 AS p, groupArray(k) FROM "
+                     "(SELECT arrayJoin(range(8)) AS k) GROUP BY p ORDER BY p")
+    assert got == [(0, [0, 2, 4, 6]), (1, [1, 3, 5, 7])]
+
+
+def test_quantiles_topk():
+    s = connect()
+    got = rows(s, "SELECT quantiles(0.5, 0.9)(x) FROM "
+                  "(SELECT arrayJoin(range(1, 101)) AS x)")
+    assert got == [([50.0, 90.0],)]
+    got = rows(s, "SELECT topK(2)(x) FROM "
+                  "(SELECT arrayJoin([1,1,1,2,2,3]) AS x)")
+    assert got == [([1, 2],)]
+
+
+def test_array_string_concat(sess):
+    got = rows(sess, "SELECT id, arrayStringConcat(tags, ',') FROM t "
+                     "ORDER BY id")
+    assert got == [(1, "a,b"), (2, ""), (3, "c")]
+
+
+def test_array_survives_join(sess):
+    sess.sql("CREATE TABLE d (id Int64, lbl String)")
+    sess.sql("INSERT INTO d VALUES (1,'x'), (3,'y')")
+    got = rows(sess, "SELECT t.id, lbl, vals FROM t LEFT JOIN d "
+                     "ON t.id = d.id ORDER BY t.id")
+    assert got == [(1, "x", [10, 20]), (2, None, []), (3, "y", [30])]
+
+
+def test_array_union_all(sess):
+    got = rows(sess, "SELECT vals FROM t WHERE id = 1 "
+                     "UNION ALL SELECT vals FROM t WHERE id = 3")
+    assert sorted(map(tuple, (g[0] for g in got))) == [(10, 20), (30,)]
+
+
+def test_empty_func_on_arrays(sess):
+    got = rows(sess, "SELECT id, empty(vals), notEmpty(tags) FROM t "
+                     "ORDER BY id")
+    assert got == [(1, False, True), (2, True, False), (3, False, True)]
+
+
+def test_insert_select_with_arrays(sess):
+    sess.sql("CREATE TABLE t2 (id Int64, vals Array(Int64))")
+    sess.sql("INSERT INTO t2 SELECT id, vals FROM t")
+    got = rows(sess, "SELECT id, vals FROM t2 ORDER BY id")
+    assert got == [(1, [10, 20]), (2, []), (3, [30])]
