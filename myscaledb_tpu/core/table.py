@@ -146,6 +146,15 @@ class Column:
                 arr = np.asarray(arr, dtype=object)
             else:
                 arr = np.asarray(arr)
+        if isinstance(arr, np.ndarray) and arr.dtype.kind == "M":
+            # numpy datetime64 ingest -> Date (day precision) / DateTime
+            unit = np.datetime_data(arr.dtype)[0]
+            if unit == "D":
+                arr = arr.astype("datetime64[D]").astype(np.int64)
+                dtype = dtype or DataType.DATE
+            else:
+                arr = arr.astype("datetime64[s]").astype(np.int64)
+                dtype = dtype or DataType.DATETIME
         if dtype is None:
             dtype = infer_type(np.asarray(arr))
         fld_dim = 0
@@ -186,6 +195,14 @@ class Column:
             vals = [flat[off[i]:off[i + 1]] for i in range(len(off) - 1)]
         elif self.dtype is DataType.STRING:
             vals = self.dictionary.decode(arr)
+        elif self.dtype is DataType.DATE:
+            import datetime as _dtm
+            epoch = _dtm.date(1970, 1, 1)
+            vals = [epoch + _dtm.timedelta(days=int(x)) for x in arr]
+        elif self.dtype is DataType.DATETIME:
+            import datetime as _dtm
+            base = _dtm.datetime(1970, 1, 1)
+            vals = [base + _dtm.timedelta(seconds=int(x)) for x in arr]
         else:
             vals = arr.tolist()
         if self.valid is not None:

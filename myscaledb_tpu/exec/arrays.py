@@ -321,12 +321,18 @@ def _f_arrayslice(args, env):
     return _array_value(data, out_off, d, args[0].valid)
 
 
+_string_reverse = _FUNCS.get("reverse")
+
+
 @func("arrayReverse", "reverse")
 def _f_arrayreverse(args, env):
     v = args[0]
     if not v.is_array and not isinstance(v.py, list) and \
-            not (hasattr(v.data, "ndim") and v.data.ndim == 2):
-        raise EvalError("reverse() supports arrays")
+            not (hasattr(v.data, "ndim") and not v.is_scalar
+                 and v.data.ndim == 2):
+        if v.is_string and _string_reverse is not None:
+            return _string_reverse(args, env)   # reverse('abc') -> 'cba'
+        raise EvalError("reverse() supports arrays and strings")
     flat, off, d = as_array(v, env)
     lens = _lens(off)
     pos = np.repeat(off[1:] - 1, lens) - _pos(off)

@@ -46,6 +46,8 @@ class Value:
     is_scalar: bool = False
     py: object = None                       # python literal (str/None/bool/num)
     offsets: object = None                  # np int64 (n+1,) for ARRAY values
+    dt: object = None                       # logical DataType override
+                                            # (DATE/DATETIME tagging)
 
     @property
     def is_string(self) -> bool:
@@ -75,8 +77,10 @@ class Env:
                 return self.extra[name]
             if name in self.table:
                 c = self.table[name]
+                tag = c.dtype if c.dtype in (DataType.DATE,
+                                             DataType.DATETIME) else None
                 return Value(c.data, c.valid, c.dictionary,
-                             offsets=c.offsets)
+                             offsets=c.offsets, dt=tag)
         raise EvalError(f"unknown column {ident.qualified!r} "
                         f"(have {self.table.column_names})")
 
@@ -481,50 +485,8 @@ def _f_match(args, env):
     return Value(_dict_map(v, lut), v.valid)
 
 
-# -- date/time (Date = days since epoch, DateTime = unix seconds) --------
-
-@func("toYear")
-def _f_toyear(args, env):
-    return _date_part(args[0], env, "year")
-
-@func("toMonth")
-def _f_tomonth(args, env):
-    return _date_part(args[0], env, "month")
-
-@func("toDayOfMonth")
-def _f_today(args, env):
-    return _date_part(args[0], env, "day")
-
-@func("toHour")
-def _f_tohour(args, env):
-    d = _numeric(args[0], env.n_rows).astype(jnp.int64)
-    return Value(((d % 86400) // 3600).astype(jnp.int32), args[0].valid)
-
-@func("toDate")
-def _f_todate(args, env):
-    d = _numeric(args[0], env.n_rows).astype(jnp.int64)
-    return Value((d // 86400).astype(jnp.int32), args[0].valid)
-
-
-def _date_part(v: Value, env, part: str) -> Value:
-    """Convert days/seconds-since-epoch to calendar parts via a host-side
-    numpy datetime conversion mapped back to the device (exact, no device
-    calendar math)."""
-    arr = np.asarray(v.data)
-    if arr.dtype.kind in "iu" and arr.size and arr.max(initial=0) > 10 ** 7:
-        dt = arr.astype("datetime64[s]")
-    else:
-        dt = arr.astype("datetime64[D]")
-    years = dt.astype("datetime64[Y]").astype(np.int64) + 1970
-    if part == "year":
-        out = years
-    elif part == "month":
-        out = dt.astype("datetime64[M]").astype(np.int64) % 12 + 1
-    else:
-        out = (dt.astype("datetime64[D]") -
-               dt.astype("datetime64[M]").astype("datetime64[D]")
-               ).astype(np.int64) + 1
-    return Value(jnp.asarray(out.astype(np.int32)), v.valid)
+# date/time functions live in exec/datetime_fns.py (device civil-calendar
+# math; registered at import time from the bottom of this module)
 
 
 # ---------------------------------------------------------------------------
@@ -536,9 +498,29 @@ def _promote_pair(a, b):
     return a, b
 
 
+def _coerce_date_literal(a: Value, b: Value):
+    """If one side is a DATE/DATETIME column and the other a string literal,
+    parse the literal ('2024-05-01' [..time]) to days/seconds since epoch."""
+    from myscaledb_tpu.exec.datetime_fns import parse_date_literal
+    for col, lit in ((a, b), (b, a)):
+        if col.dt in (DataType.DATE, DataType.DATETIME) and \
+                isinstance(lit.py, str):
+            n = parse_date_literal(lit.py, col.dt)
+            repl = Value(jnp.asarray(n), is_scalar=True, py=n, dt=col.dt)
+            return (a, repl) if lit is b else (repl, b)
+    return a, b
+
+
 def _arith(op: str, a: Value, b: Value, env: Env) -> Value:
+    a, b = _coerce_date_literal(a, b)
     if a.is_string or b.is_string:
         raise EvalError(f"arithmetic {op!r} on strings")
+    # Date ± N stays a Date; Date - Date is a plain day count
+    tag = None
+    if op in ("+", "-"):
+        tag = a.dt or b.dt
+        if op == "-" and a.dt is not None and b.dt is not None:
+            tag = None
     x = _numeric(a, env.n_rows)
     y = _numeric(b, env.n_rows)
     if op == "+":
@@ -555,10 +537,13 @@ def _arith(op: str, a: Value, b: Value, env: Env) -> Value:
         d = x % y
     else:
         raise EvalError(f"unknown arithmetic op {op}")
+    if tag is not None and not jnp.issubdtype(d.dtype, jnp.floating):
+        return Value(d, _both_valid(a, b), dt=tag)
     return Value(d, _both_valid(a, b))
 
 
 def _compare(op: str, a: Value, b: Value, env: Env) -> Value:
+    a, b = _coerce_date_literal(a, b)
     # string comparisons via dictionary
     if a.is_string or b.is_string:
         return _compare_strings(op, a, b, env)
@@ -739,6 +724,7 @@ def eval_expr(e: Expr, env: Env) -> Value:
     raise EvalError(f"cannot evaluate {e!r}")
 
 
-# register array functions (import at the bottom: arrays.py needs this
-# module fully initialized)
+# register array + datetime functions (imports at the bottom: these modules
+# need this module fully initialized)
 from myscaledb_tpu.exec import arrays as _arrays   # noqa: E402,F401
+from myscaledb_tpu.exec import datetime_fns as _dt_fns   # noqa: E402,F401

@@ -398,6 +398,11 @@ def rows_to_table(template: Table, columns: Optional[list],
                     f"{c.field.vector_dim} for column {cname!r}")
         elif c.dtype is DataType.STRING:
             arr = np.asarray(vals, dtype=object)
+        elif c.dtype in (DataType.DATE, DataType.DATETIME):
+            from myscaledb_tpu.exec.datetime_fns import parse_date_literal
+            arr = np.asarray([parse_date_literal(v, c.dtype)
+                              if isinstance(v, str) else v for v in vals]
+                             ).astype(physical_dtype(c.dtype))
         else:
             arr = np.asarray(vals).astype(physical_dtype(c.dtype))
         data[cname] = arr

@@ -373,6 +373,8 @@ def _value_to_column(name: str, v: Value, n: int) -> Column:
 
 
 def _logical_dtype_of(data, v: Value) -> DataType:
+    if v.dt in (DataType.DATE, DataType.DATETIME):
+        return v.dt
     if v.dictionary is not None:
         return DataType.STRING
     kind_map = {
@@ -748,6 +750,7 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     fns, args, arg_valids = [], [], []
     special: dict[str, tuple] = {}       # render -> (kind, arg Values)
     normal_order: list[str] = []
+    date_tags = {}
     for r, call in agg_calls.items():
         name = call.name.lower()
         if call.distinct:
@@ -830,6 +833,8 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
         fns.append("count" if name == "count" else name)
         args.append(data)
         arg_valids.append(v.valid)
+        if name in ("min", "max", "any") and v.dt is not None:
+            date_tags[r] = v.dt   # min/max/any of a Date stays a Date
 
     # group keys
     key_exprs = [_expand_item_aliases(k, alias_exprs, table) for k in q.group_by]
@@ -882,7 +887,8 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     for r, out in zip(normal_order, outs):
         name = r
         arr = out[present]
-        col = Column.from_numpy(name, arr, build_zonemap=False)
+        col = Column.from_numpy(name, arr, dtype=date_tags.get(r),
+                                build_zonemap=False)
         cols.append(col)
         mapping[name] = name
     for r, (kind, vals, sparams) in special.items():
@@ -1002,7 +1008,7 @@ def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
         elif v.dictionary is not None:
             elem, dictionary = DataType.STRING, v.dictionary
         else:
-            elem = _logical_dtype_of(data, Value(data))
+            elem = _logical_dtype_of(data, v)
             dictionary = None
         return Column(Field("x", DataType.ARRAY, elem=elem),
                       jnp.asarray(flat), None, dictionary, None, off)

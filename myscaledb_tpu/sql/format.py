@@ -55,6 +55,8 @@ def format_array(v, elem: DataType) -> str:
     for x in v:
         if isinstance(x, str):
             inner.append(_quote_str(x))
+        elif elem in (DataType.DATE, DataType.DATETIME):
+            inner.append("'" + format_value(x, elem) + "'")
         elif elem is DataType.FLOAT32:
             inner.append(format_f32(x))
         elif elem is DataType.FLOAT64 or (elem is None
@@ -70,6 +72,12 @@ def format_array(v, elem: DataType) -> str:
 def format_value(v, dtype: DataType) -> str:
     if v is None:
         return "\\N"
+    if dtype is DataType.DATE:
+        from myscaledb_tpu.exec.datetime_fns import format_date
+        return format_date(v)
+    if dtype is DataType.DATETIME:
+        from myscaledb_tpu.exec.datetime_fns import format_datetime
+        return format_datetime(v)
     if dtype is DataType.ARRAY or isinstance(v, list):
         return format_array(v, DataType.INT64 if not isinstance(v, list)
                             else None)

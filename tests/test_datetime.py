@@ -1,0 +1,183 @@
+"""Date/DateTime types and the calendar function family, checked against a
+python datetime oracle (reference: src/Functions/toYear.cpp etc., DateLUT
+replaced by device civil-calendar math in exec/datetime_fns.py)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+EPOCH = dt.date(1970, 1, 1)
+
+
+@pytest.fixture
+def sess(rng):
+    s = connect()
+    days = rng.integers(-3000, 40000, 300)   # 1961..2079
+    secs = rng.integers(0, 2_000_000_000, 300)
+    s.create_table("ev", {
+        "id": np.arange(300, dtype=np.int64),
+        "d": days.astype("datetime64[D]"),
+        "ts": secs.astype("datetime64[s]"),
+    })
+    return s
+
+
+def col(s, sql, name=None):
+    t = s.sql(sql)
+    c = t[name] if name else next(iter(t.columns.values()))
+    return c.to_python()
+
+
+def dates(s):
+    return [EPOCH + dt.timedelta(days=int(x))
+            for x in np.asarray(s.tables["ev"]["d"].data)]
+
+
+def times(s):
+    return [dt.datetime(1970, 1, 1) + dt.timedelta(seconds=int(x))
+            for x in np.asarray(s.tables["ev"]["ts"].data)]
+
+
+def test_roundtrip(sess):
+    got = col(sess, "SELECT d FROM ev")
+    assert got == dates(sess)
+    got = col(sess, "SELECT ts FROM ev")
+    assert got == times(sess)
+
+
+def test_calendar_parts(sess):
+    ds = dates(sess)
+    assert col(sess, "SELECT toYear(d) FROM ev") == [x.year for x in ds]
+    assert col(sess, "SELECT toMonth(d) FROM ev") == [x.month for x in ds]
+    assert col(sess, "SELECT toDayOfMonth(d) FROM ev") == [x.day for x in ds]
+    assert col(sess, "SELECT toDayOfWeek(d) FROM ev") == \
+        [x.isoweekday() for x in ds]
+    assert col(sess, "SELECT toDayOfYear(d) FROM ev") == \
+        [x.timetuple().tm_yday for x in ds]
+    assert col(sess, "SELECT toQuarter(d) FROM ev") == \
+        [(x.month - 1) // 3 + 1 for x in ds]
+
+
+def test_time_parts(sess):
+    ts = times(sess)
+    assert col(sess, "SELECT toHour(ts) FROM ev") == [x.hour for x in ts]
+    assert col(sess, "SELECT toMinute(ts) FROM ev") == [x.minute for x in ts]
+    assert col(sess, "SELECT toSecond(ts) FROM ev") == [x.second for x in ts]
+    assert col(sess, "SELECT toYear(ts) FROM ev") == [x.year for x in ts]
+
+
+def test_truncation(sess):
+    ds = dates(sess)
+    assert col(sess, "SELECT toStartOfMonth(d) FROM ev") == \
+        [x.replace(day=1) for x in ds]
+    assert col(sess, "SELECT toStartOfYear(d) FROM ev") == \
+        [x.replace(month=1, day=1) for x in ds]
+    assert col(sess, "SELECT toMonday(d) FROM ev") == \
+        [x - dt.timedelta(days=x.weekday()) for x in ds]
+    ts = times(sess)
+    assert col(sess, "SELECT toStartOfHour(ts) FROM ev") == \
+        [x.replace(minute=0, second=0) for x in ts]
+    assert col(sess, "SELECT toStartOfDay(d) FROM ev") == \
+        [dt.datetime(x.year, x.month, x.day) for x in ds]
+
+
+def test_interval_add(sess):
+    ds = dates(sess)
+    assert col(sess, "SELECT addDays(d, 45) FROM ev") == \
+        [x + dt.timedelta(days=45) for x in ds]
+    assert col(sess, "SELECT addWeeks(d, -3) FROM ev") == \
+        [x - dt.timedelta(weeks=3) for x in ds]
+
+    def add_months(x, k):
+        t = x.year * 12 + (x.month - 1) + k
+        y, m = divmod(t, 12)
+        m += 1
+        last = (dt.date(y + (m == 12), 1 if m == 12 else m + 1, 1)
+                - dt.timedelta(days=1)).day
+        return dt.date(y, m, min(x.day, last))
+    assert col(sess, "SELECT addMonths(d, 7) FROM ev") == \
+        [add_months(x, 7) for x in ds]
+    assert col(sess, "SELECT addYears(d, 1) FROM ev") == \
+        [add_months(x, 12) for x in ds]
+    assert col(sess, "SELECT subtractMonths(d, 13) FROM ev") == \
+        [add_months(x, -13) for x in ds]
+
+
+def test_date_compare_literal(sess):
+    ds = dates(sess)
+    got = col(sess, "SELECT id FROM ev WHERE d >= '2024-01-01' ORDER BY id")
+    want = [i for i, x in enumerate(ds) if x >= dt.date(2024, 1, 1)]
+    assert got == want
+
+
+def test_date_diff():
+    s = connect()
+    assert col(s, "SELECT dateDiff('day', toDate('2024-01-01'), "
+                  "toDate('2024-03-01'))") == [60]
+    assert col(s, "SELECT dateDiff('month', toDate('2023-12-15'), "
+                  "toDate('2024-02-01'))") == [2]
+    assert col(s, "SELECT dateDiff('year', toDate('1999-12-31'), "
+                  "toDate('2000-01-01'))") == [1]
+    assert col(s, "SELECT dateDiff('hour', toDateTime('2024-01-01 00:30:00'),"
+                  " toDateTime('2024-01-01 05:00:00'))") == [4]
+    assert col(s, "SELECT toDate('2024-03-01') - toDate('2024-02-01')") == \
+        [29]
+
+
+def test_yyyymm(sess):
+    ds = dates(sess)
+    assert col(sess, "SELECT toYYYYMM(d) FROM ev") == \
+        [x.year * 100 + x.month for x in ds]
+    assert col(sess, "SELECT toYYYYMMDD(d) FROM ev") == \
+        [int(x.strftime("%Y%m%d")) for x in ds]
+
+
+def test_format_datetime(sess):
+    ts = times(sess)
+    got = col(sess, "SELECT formatDateTime(ts, '%Y/%m/%d %H:%M') FROM ev")
+    assert got == [x.strftime("%Y/%m/%d %H:%M") for x in ts]
+
+
+def test_make_date():
+    s = connect()
+    assert col(s, "SELECT makeDate(2024, 2, 29)") == [dt.date(2024, 2, 29)]
+    assert col(s, "SELECT makeDateTime(2024, 2, 29, 13, 45, 7)") == \
+        [dt.datetime(2024, 2, 29, 13, 45, 7)]
+
+
+def test_date_aggregates(sess):
+    ds = dates(sess)
+    got = col(sess, "SELECT max(d) FROM ev")
+    assert got == [max(ds)]
+    got = col(sess, "SELECT min(ts) FROM ev")
+    assert got == [min(times(sess))]
+
+
+def test_group_by_month(sess):
+    ds = dates(sess)
+    got = rows = sess.sql("SELECT toStartOfMonth(d) AS m, count() AS c "
+                          "FROM ev GROUP BY m ORDER BY m")
+    months = {}
+    for x in ds:
+        months[x.replace(day=1)] = months.get(x.replace(day=1), 0) + 1
+    assert got["m"].to_python() == sorted(months)
+    assert got["c"].to_python() == [months[k] for k in sorted(months)]
+
+
+def test_insert_date_strings():
+    s = connect()
+    s.sql("CREATE TABLE e2 (d Date, ts DateTime)")
+    s.sql("INSERT INTO e2 VALUES ('2024-06-01', '2024-06-01 12:00:00')")
+    assert col(s, "SELECT d FROM e2") == [dt.date(2024, 6, 1)]
+    assert col(s, "SELECT ts FROM e2") == [dt.datetime(2024, 6, 1, 12)]
+
+
+def test_unix_timestamp():
+    s = connect()
+    assert col(s, "SELECT toUnixTimestamp(toDateTime('2024-01-01 00:00:00'))"
+               ) == [1704067200]
+    assert col(s, "SELECT fromUnixTimestamp(1704067200)") == \
+        [dt.datetime(2024, 1, 1)]

@@ -247,8 +247,9 @@ def test_date_functions():
     import numpy as np
     s = connect()
     s.create_table("t", {"ts": np.array([1700000000], dtype=np.int64)})
-    assert s.sql("SELECT toYear(ts), toMonth(ts), toDayOfMonth(ts), "
-                 "toHour(ts) FROM t").to_rows() == [(2023, 11, 14, 22)]
+    assert s.sql("SELECT toYear(toDateTime(ts)), toMonth(toDateTime(ts)), "
+                 "toDayOfMonth(toDateTime(ts)), toHour(toDateTime(ts)) "
+                 "FROM t").to_rows() == [(2023, 11, 14, 22)]
 
 
 def test_zonemap_pruning_shortcut():
