@@ -1,5 +1,14 @@
-"""File formats: CSV/TSV/JSONEachRow import + export (reference: 142
-registered formats, src/Formats/registerFormats.cpp — the interchange subset).
+"""File / wire formats (reference: 142 registered formats,
+src/Formats/registerFormats.cpp; impls src/Processors/Formats/Impl/).
+
+The interchange subset implemented here, via a format registry analogous to
+FormatFactory (src/Formats/FormatFactory.h):
+
+  input+output: CSV, TSV (+WithNames/WithNamesAndTypes), JSONEachRow, Values,
+                Parquet, Arrow, ArrowStream, ORC (pyarrow-backed),
+                RowBinary (+WithNamesAndTypes), Native (our columnar binary,
+                codec-framed — the NativeWriter/NativeReader analog)
+  output only:  JSON, JSONCompact, Pretty, PrettyCompact
 
 CSV parsing uses the native C++ typed column parsers when built
 (simple files: no embedded quotes); the Python csv module handles the rest.
@@ -7,16 +16,38 @@ CSV parsing uses the native C++ typed column parsers when built
 
 from __future__ import annotations
 
+import ast
 import csv
 import io
 import json
 import os
+import re
+import struct
 
 import numpy as np
 
-from myscaledb_tpu.core.types import DataType, physical_dtype
-from myscaledb_tpu.core.table import Table
+from myscaledb_tpu.core.types import DataType, Field, physical_dtype
+from myscaledb_tpu.core.table import Table, Column
+from myscaledb_tpu.core.dictionary import StringDictionary, NULL_ID
 from myscaledb_tpu import native
+
+
+def _fields(schema) -> list[Field]:
+    """Normalize a schema spec: Field objects, (name, dtype) or
+    (name, dtype, nullable) tuples."""
+    out = []
+    for s in schema:
+        if isinstance(s, Field):
+            out.append(s)
+        elif len(s) == 2:
+            out.append(Field(s[0], s[1]))
+        else:
+            out.append(Field(s[0], s[1], bool(s[2])))
+    return out
+
+
+def _pairs(schema) -> list[tuple]:
+    return [(f.name, f.dtype) for f in _fields(schema)]
 
 
 def _convert_column(strings: list, dtype: DataType, name: str) -> np.ndarray:
@@ -24,6 +55,12 @@ def _convert_column(strings: list, dtype: DataType, name: str) -> np.ndarray:
         return np.asarray(strings, dtype=object)
     if dtype is DataType.FLOAT32_VECTOR:
         return np.asarray([json.loads(s) for s in strings], dtype=np.float32)
+    if dtype is DataType.ARRAY:
+        return [json.loads(s) for s in strings]
+    if dtype is DataType.DATE:
+        return np.asarray(strings, dtype="datetime64[D]")
+    if dtype is DataType.DATETIME:
+        return np.asarray(strings, dtype="datetime64[s]")
     if dtype.is_integer:
         out = native.parse_int64(strings) if native.available() else None
         if out is None:
@@ -42,9 +79,8 @@ def _convert_column(strings: list, dtype: DataType, name: str) -> np.ndarray:
 def read_csv(path: str, schema: list, delimiter: str = ",",
              has_header: bool | None = None) -> Table:
     """schema: list of (name, DataType)."""
+    schema = _pairs(schema)
     with open(path, newline="") as f:
-        sample = f.read(4096)
-        f.seek(0)
         rows = list(csv.reader(f, delimiter=delimiter))
     if not rows:
         return Table([])
@@ -55,32 +91,61 @@ def read_csv(path: str, schema: list, delimiter: str = ",",
             .isdigit() for c in rows[0][:1]) and rows[0][0] == names[0]
     if has_header:
         rows = rows[1:]
+        # WithNamesAndTypes: a second header line carrying type names
+        if rows and rows[0] and rows[0][0].strip() and \
+                _looks_like_types(rows[0]):
+            rows = rows[1:]
     cols = {}
     for i, (name, dtype) in enumerate(schema):
         cols[name] = _convert_column([r[i] for r in rows], dtype, name)
     return Table.from_dict(cols, dtypes={n: d for n, d in schema})
 
 
+_TYPE_WORDS = {"Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32",
+               "UInt64", "Float32", "Float64", "Bool", "String", "Date",
+               "DateTime"}
+
+
+def _looks_like_types(row: list) -> bool:
+    return all(c.strip().removeprefix("Nullable(").removesuffix(")")
+               in _TYPE_WORDS or c.strip().startswith("Array")
+               for c in row if c.strip())
+
+
 def write_csv(table: Table, path: str, delimiter: str = ",",
-              header: bool = True) -> int:
+              header: bool = True, types_header: bool = False) -> int:
     names = [n for n in table.column_names if not n.startswith("__")]
     pycols = {n: table[n].to_python() for n in names}
     with open(path, "w", newline="") as f:
         w = csv.writer(f, delimiter=delimiter)
         if header:
             w.writerow(names)
+        if types_header:
+            w.writerow([_type_name(table[n].field) for n in names])
         for i in range(table.n_rows):
             w.writerow([_cell(pycols[n][i]) for n in names])
     return table.n_rows
 
 
+def _type_name(fld: Field) -> str:
+    base = fld.dtype.value
+    if fld.dtype is DataType.ARRAY:
+        base = f"Array({fld.elem.value if fld.elem else 'Int64'})"
+    return f"Nullable({base})" if fld.nullable else base
+
+
 def _cell(v):
+    import datetime as _dtm
     if isinstance(v, (list, np.ndarray)):
-        return json.dumps([float(x) for x in v])
+        return json.dumps([x if isinstance(x, str) else float(x) for x in v])
+    if isinstance(v, (_dtm.date, _dtm.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, _dtm.datetime) else \
+            v.isoformat()
     return "" if v is None else v
 
 
 def read_jsoneachrow(path: str, schema: list) -> Table:
+    schema = _pairs(schema)
     with open(path) as f:
         docs = [json.loads(line) for line in f if line.strip()]
     cols = {}
@@ -90,6 +155,636 @@ def read_jsoneachrow(path: str, schema: list) -> Table:
             cols[name] = np.asarray(vals, dtype=object)
         elif dtype is DataType.FLOAT32_VECTOR:
             cols[name] = np.asarray(vals, dtype=np.float32)
+        elif dtype is DataType.ARRAY:
+            cols[name] = vals
         else:
             cols[name] = np.asarray(vals).astype(physical_dtype(dtype))
     return Table.from_dict(cols, dtypes={n: d for n, d in schema})
+
+
+def write_jsoneachrow(table: Table, path: str) -> int:
+    names = [n for n in table.column_names if not n.startswith("__")]
+    pycols = {n: table[n].to_python() for n in names}
+    with open(path, "w") as f:
+        for i in range(table.n_rows):
+            f.write(json.dumps({n: _json_val(pycols[n][i]) for n in names},
+                               default=str) + "\n")
+    return table.n_rows
+
+
+def _json_val(v):
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Arrow bridge (Parquet / Arrow IPC / ORC ride on this)
+
+def table_to_arrow(table: Table):
+    """Engine Table -> pyarrow.Table (decodes dictionaries, rebuilds nulls)."""
+    import pyarrow as pa
+    arrays, fields = [], []
+    for c in table.columns.values():
+        if c.name.startswith("__"):
+            continue
+        dt = c.dtype
+        mask = None
+        if c.valid is not None:
+            mask = ~np.asarray(c.valid)
+        if dt is DataType.ARRAY:
+            arr = pa.array(c.to_python())
+        elif dt is DataType.STRING:
+            arr = pa.array(c.to_python(), type=pa.string())
+        elif dt is DataType.FLOAT32_VECTOR:
+            flat = pa.array(np.asarray(c.data, dtype=np.float32).reshape(-1))
+            arr = pa.FixedSizeListArray.from_arrays(
+                flat, int(c.field.vector_dim or c.data.shape[1]))
+        elif dt is DataType.DATE:
+            arr = pa.array(np.asarray(c.data, dtype=np.int32),
+                           type=pa.date32(), mask=mask)
+        elif dt is DataType.DATETIME:
+            arr = pa.array(np.asarray(c.data, dtype=np.int64),
+                           type=pa.timestamp("s"), mask=mask)
+        else:
+            arr = pa.array(np.asarray(c.data), mask=mask)
+        arrays.append(arr)
+        fields.append(pa.field(c.name, arr.type, nullable=mask is not None))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def table_from_arrow(at, schema: list | None = None) -> Table:
+    """pyarrow.Table -> engine Table.  schema (name, DataType) pairs override
+    inference; extra arrow columns not in the schema are dropped."""
+    import pyarrow as pa
+    want = {f.name: f.dtype for f in _fields(schema)} if schema else None
+    cols = []
+    for i, f in enumerate(at.schema):
+        if want is not None and f.name not in want:
+            continue
+        col = at.column(i).combine_chunks()
+        t = f.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            cols.append(Column.from_numpy(
+                f.name, np.asarray(col.to_pylist(), dtype=object),
+                DataType.STRING))
+        elif pa.types.is_fixed_size_list(t):
+            vals = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                              dtype=np.float32)
+            cols.append(Column.from_numpy(
+                f.name, vals.reshape(len(col), t.list_size),
+                DataType.FLOAT32_VECTOR))
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            cols.append(Column.from_pylist_of_lists(f.name, col.to_pylist()))
+        elif pa.types.is_date32(t) or pa.types.is_date64(t):
+            days = np.asarray(col.cast(pa.date32()).view(pa.int32())
+                              .to_numpy(zero_copy_only=False))
+            cols.append(_numeric_column(f.name, days, DataType.DATE, col))
+        elif pa.types.is_timestamp(t):
+            secs = np.asarray(col.cast(pa.timestamp("s")).view(pa.int64())
+                              .to_numpy(zero_copy_only=False))
+            cols.append(_numeric_column(f.name, secs, DataType.DATETIME, col))
+        elif pa.types.is_boolean(t):
+            vals = np.asarray(col.to_numpy(zero_copy_only=False), dtype=bool)
+            cols.append(_numeric_column(f.name, vals, DataType.BOOL, col))
+        else:
+            vals = col.to_numpy(zero_copy_only=False)
+            dt = (want or {}).get(f.name) or _infer_dt(vals)
+            vals = np.nan_to_num(vals, nan=0.0) if col.null_count and \
+                vals.dtype.kind == "f" else vals
+            cols.append(_numeric_column(
+                f.name, np.asarray(vals).astype(physical_dtype(dt)), dt, col))
+    return Table(cols)
+
+
+def _infer_dt(vals: np.ndarray) -> DataType:
+    from myscaledb_tpu.core.types import infer_type
+    a = np.asarray(vals)
+    if a.dtype == object:          # nullable ints surface as object
+        a = np.asarray([0 if v is None else v for v in vals])
+        if a.dtype.kind == "f" and np.all(a == a.astype(np.int64)):
+            return DataType.INT64
+    return infer_type(a)
+
+
+def _numeric_column(name: str, data: np.ndarray, dt: DataType,
+                    arrow_col) -> Column:
+    import jax.numpy as jnp
+    valid = None
+    if arrow_col.null_count:
+        valid = ~np.asarray(arrow_col.is_null().to_numpy(
+            zero_copy_only=False))
+        data = np.where(valid, data, data.dtype.type(0))
+    fld = Field(name, dt, nullable=valid is not None)
+    return Column(fld, jnp.asarray(data),
+                  jnp.asarray(valid) if valid is not None else None)
+
+
+def read_parquet(path: str, schema=None) -> Table:
+    import pyarrow.parquet as pq
+    return table_from_arrow(pq.read_table(path), schema)
+
+
+def write_parquet(table: Table, path: str) -> int:
+    import pyarrow.parquet as pq
+    pq.write_table(table_to_arrow(table), path)
+    return table.n_rows
+
+
+def read_orc(path: str, schema=None) -> Table:
+    import pyarrow.orc as orc
+    return table_from_arrow(orc.read_table(path), schema)
+
+
+def write_orc(table: Table, path: str) -> int:
+    import pyarrow.orc as orc
+    orc.write_table(table_to_arrow(table), path)
+    return table.n_rows
+
+
+def read_arrow(path: str, schema=None, stream: bool = False) -> Table:
+    import pyarrow as pa
+    with open(path, "rb") as f:
+        rdr = (pa.ipc.open_stream if stream else pa.ipc.open_file)(f)
+        return table_from_arrow(rdr.read_all(), schema)
+
+
+def write_arrow(table: Table, path: str, stream: bool = False) -> int:
+    import pyarrow as pa
+    at = table_to_arrow(table)
+    with open(path, "wb") as f:
+        mk = pa.ipc.new_stream if stream else pa.ipc.new_file
+        with mk(f, at.schema) as w:
+            w.write_table(at)
+    return table.n_rows
+
+
+# ---------------------------------------------------------------------------
+# RowBinary (reference: src/Processors/Formats/Impl/BinaryRowInputFormat.cpp)
+# Little-endian fixed-width scalars; String = varint length + utf8 bytes;
+# Array = varint count + elements; Nullable = 1 prefix byte (1 = NULL).
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return n, pos
+        shift += 7
+
+
+def write_rowbinary(table: Table, path: str, with_names: bool = False) -> int:
+    names = [n for n in table.column_names if not n.startswith("__")]
+    flds = {n: table[n].field for n in names}
+    pycols = {n: table[n].to_python() for n in names}
+    out = bytearray()
+    if with_names:
+        out += _varint(len(names))
+        for n in names:
+            b = n.encode()
+            out += _varint(len(b)) + b
+        for n in names:
+            b = _type_name(flds[n]).encode()
+            out += _varint(len(b)) + b
+    for i in range(table.n_rows):
+        for n in names:
+            out += _encode_rb_value(pycols[n][i], flds[n])
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return table.n_rows
+
+
+_RB_PACK = {
+    DataType.INT8: "<b", DataType.INT16: "<h", DataType.INT32: "<i",
+    DataType.INT64: "<q", DataType.UINT8: "<B", DataType.UINT16: "<H",
+    DataType.UINT32: "<I", DataType.UINT64: "<Q",
+    DataType.FLOAT32: "<f", DataType.FLOAT64: "<d",
+    DataType.DATE: "<i", DataType.DATETIME: "<q",
+}
+
+
+def _encode_rb_value(v, fld: Field) -> bytes:
+    import datetime as _dtm
+    if fld.nullable:
+        if v is None:
+            return b"\x01"
+        prefix = b"\x00"
+    else:
+        prefix = b""
+    dt = fld.dtype
+    if dt is DataType.STRING:
+        b = str(v).encode()
+        return prefix + _varint(len(b)) + b
+    if dt is DataType.BOOL:
+        return prefix + (b"\x01" if v else b"\x00")
+    if dt in (DataType.FLOAT32_VECTOR, DataType.ARRAY):
+        items = list(v)
+        elem = fld.elem or (DataType.FLOAT32 if dt is DataType.FLOAT32_VECTOR
+                            else DataType.INT64)
+        body = b"".join(_encode_rb_value(x, Field("", elem)) for x in items)
+        return prefix + _varint(len(items)) + body
+    if isinstance(v, _dtm.datetime):
+        v = int((v - _dtm.datetime(1970, 1, 1)).total_seconds())
+    elif isinstance(v, _dtm.date):
+        v = (v - _dtm.date(1970, 1, 1)).days
+    return prefix + struct.pack(_RB_PACK[dt], v)
+
+
+def read_rowbinary(path: str, schema: list, with_names: bool = False) -> Table:
+    flds = _fields(schema)
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    pos = 0
+    if with_names:
+        ncols, pos = _read_varint(buf, pos)
+        # names then types: the embedded type header carries nullability,
+        # overriding the caller's schema (reference reads it the same way)
+        hdr = []
+        for _ in range(2 * ncols):
+            ln, pos = _read_varint(buf, pos)
+            hdr.append(bytes(buf[pos:pos + ln]).decode())
+            pos += ln
+        flds = [Field(f.name, f.dtype,
+                      nullable=t.startswith("Nullable("),
+                      vector_dim=f.vector_dim, elem=f.elem)
+                for f, t in zip(flds, hdr[ncols:])]
+    names = [f.name for f in flds]
+    rows = {n: [] for n in names}
+    while pos < len(buf):
+        for n, fld in zip(names, flds):
+            v, pos = _decode_rb_value(buf, pos, fld)
+            rows[n].append(v)
+    cols = {}
+    for f in flds:
+        n, d = f.name, f.dtype
+        if d is DataType.STRING:
+            cols[n] = np.asarray(rows[n], dtype=object)
+        elif d in (DataType.ARRAY, DataType.FLOAT32_VECTOR):
+            cols[n] = rows[n] if d is DataType.ARRAY else \
+                np.asarray(rows[n], dtype=np.float32)
+        elif f.nullable:
+            cols[n] = _nullable_numeric(n, rows[n], d)
+            continue
+        else:
+            cols[n] = np.asarray(rows[n]).astype(physical_dtype(d))
+    out_cols = []
+    for f in flds:
+        v = cols[f.name]
+        out_cols.append(v if isinstance(v, Column)
+                        else Column.from_numpy(f.name, v, f.dtype))
+    return Table(out_cols)
+
+
+def _nullable_numeric(name: str, vals: list, dt: DataType) -> Column:
+    import jax.numpy as jnp
+    valid = np.asarray([v is not None for v in vals])
+    data = np.asarray([0 if v is None else v for v in vals]).astype(
+        physical_dtype(dt))
+    return Column(Field(name, dt, nullable=True), jnp.asarray(data),
+                  jnp.asarray(valid))
+
+
+def _decode_rb_value(buf: memoryview, pos: int, fld: Field):
+    if fld.nullable:
+        isnull = buf[pos]
+        pos += 1
+        if isnull:
+            return None, pos
+    dt = fld.dtype
+    if dt is DataType.STRING:
+        ln, pos = _read_varint(buf, pos)
+        return bytes(buf[pos:pos + ln]).decode(), pos + ln
+    if dt is DataType.BOOL:
+        return bool(buf[pos]), pos + 1
+    if dt in (DataType.FLOAT32_VECTOR, DataType.ARRAY):
+        cnt, pos = _read_varint(buf, pos)
+        elem = fld.elem or (DataType.FLOAT32 if dt is DataType.FLOAT32_VECTOR
+                            else DataType.INT64)
+        out = []
+        ef = Field("", elem)
+        for _ in range(cnt):
+            v, pos = _decode_rb_value(buf, pos, ef)
+            out.append(v)
+        return out, pos
+    fmt = _RB_PACK[dt]
+    size = struct.calcsize(fmt)
+    v = struct.unpack_from(fmt, buf, pos)[0]
+    return v, pos + size
+
+
+# ---------------------------------------------------------------------------
+# Native: our columnar binary format (NativeWriter/NativeReader analog,
+# src/Formats/NativeWriter.h:20).  JSON header + codec-framed column buffers
+# (reuses storage codecs: delta for ints, byte-shuffle for floats).
+
+_NATIVE_MAGIC = b"MSDNAT1\x00"
+
+
+def write_native(table: Table, path: str) -> int:
+    from myscaledb_tpu.storage import codecs
+    cols_meta, payloads = [], []
+
+    def frame(arr: np.ndarray) -> bytes:
+        buf = codecs.encode(np.ascontiguousarray(arr),
+                            codecs.default_codec(arr.dtype))
+        return struct.pack("<Q", len(buf)) + buf
+
+    for c in table.columns.values():
+        if c.name.startswith("__"):
+            continue
+        meta = {"name": c.name, "type": c.dtype.value,
+                "nullable": c.valid is not None,
+                "dim": int(c.field.vector_dim or 0),
+                "elem": c.field.elem.value if c.field.elem else None,
+                "n": len(c)}
+        body = b""
+        if c.dictionary is not None:
+            strings = json.dumps(c.dictionary.values,
+                                 ensure_ascii=False).encode()
+            body += struct.pack("<Q", len(strings)) + strings
+            meta["dict"] = True
+        if c.offsets is not None:
+            body += frame(np.asarray(c.offsets, dtype=np.int64))
+            meta["offsets"] = True
+        if c.valid is not None:
+            body += frame(np.asarray(c.valid, dtype=np.uint8))
+        data = np.asarray(c.data)
+        meta["phys"] = data.dtype.str
+        meta["flat"] = int(data.size)
+        body += frame(data.reshape(-1))
+        cols_meta.append(meta)
+        payloads.append(body)
+    header = json.dumps({"columns": cols_meta}).encode()
+    with open(path, "wb") as f:
+        f.write(_NATIVE_MAGIC)
+        f.write(struct.pack("<Q", len(header)))
+        f.write(header)
+        for p in payloads:
+            f.write(p)
+    return table.n_rows
+
+
+def read_native(path: str, schema=None) -> Table:
+    import jax.numpy as jnp
+    from myscaledb_tpu.storage import codecs
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:8] != _NATIVE_MAGIC:
+        raise ValueError("not a Native file")
+    hlen = struct.unpack_from("<Q", raw, 8)[0]
+    header = json.loads(raw[16:16 + hlen])
+    pos = 16 + hlen
+
+    def unframe(dtype, count):
+        nonlocal pos
+        ln = struct.unpack_from("<Q", raw, pos)[0]
+        pos += 8
+        arr = codecs.decode(raw[pos:pos + ln], dtype, count)
+        pos += ln
+        return arr
+
+    cols = []
+    for m in header["columns"]:
+        dt = DataType(m["type"])
+        dictionary = None
+        if m.get("dict"):
+            slen = struct.unpack_from("<Q", raw, pos)[0]
+            pos += 8
+            dictionary = StringDictionary(json.loads(raw[pos:pos + slen]))
+            pos += slen
+        offsets = None
+        n = m["n"]
+        if m.get("offsets"):
+            offsets = np.array(unframe(np.int64, n + 1))
+        valid = None
+        if m["nullable"]:
+            valid = unframe(np.uint8, n).astype(bool)
+        data = unframe(np.dtype(m["phys"]), m["flat"])
+        if dt is DataType.FLOAT32_VECTOR and m["dim"]:
+            data = data.reshape(n, m["dim"])
+        elem = DataType(m["elem"]) if m.get("elem") else None
+        fld = Field(m["name"], dt, nullable=m["nullable"],
+                    vector_dim=m["dim"], elem=elem)
+        cols.append(Column(fld, jnp.asarray(data),
+                           jnp.asarray(valid) if valid is not None else None,
+                           dictionary, None, offsets))
+    return Table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Values (reference: ValuesBlockInputFormat) — "(1,'a',[1,2]), (2,'b',[3])"
+
+def read_values(path: str, schema: list) -> Table:
+    with open(path) as f:
+        text = f.read()
+    return values_to_table(text, schema)
+
+
+def values_to_table(text: str, schema: list) -> Table:
+    schema = _pairs(schema)
+    text = re.sub(r"\bNULL\b", "None", text, flags=re.IGNORECASE).strip()
+    text = re.sub(r"\btrue\b", "True", text)
+    text = re.sub(r"\bfalse\b", "False", text)
+    if not text:
+        return Table.from_dict({n: [] for n, _ in schema},
+                               dtypes=dict(schema))
+    rows = ast.literal_eval("[" + text.rstrip(";, \n") + "]")
+    if rows and not isinstance(rows[0], tuple):
+        rows = [rows]  # single row
+    cols = {}
+    for i, (name, dtype) in enumerate(schema):
+        vals = [r[i] for r in rows]
+        if dtype is DataType.STRING:
+            cols[name] = np.asarray(vals, dtype=object)
+        elif dtype is DataType.FLOAT32_VECTOR:
+            cols[name] = np.asarray(vals, dtype=np.float32)
+        elif dtype is DataType.ARRAY:
+            cols[name] = vals
+        elif dtype is DataType.DATE:
+            cols[name] = np.asarray(vals, dtype="datetime64[D]")
+        elif dtype is DataType.DATETIME:
+            cols[name] = np.asarray(vals, dtype="datetime64[s]")
+        else:
+            cols[name] = np.asarray(
+                [0 if v is None else v for v in vals]).astype(
+                physical_dtype(dtype))
+    return Table.from_dict(cols, dtypes=dict(schema))
+
+
+def write_values(table: Table, path: str) -> int:
+    names = [n for n in table.column_names if not n.startswith("__")]
+    pycols = {n: table[n].to_python() for n in names}
+    with open(path, "w") as f:
+        parts = []
+        for i in range(table.n_rows):
+            cells = []
+            for n in names:
+                v = pycols[n][i]
+                cells.append(_values_cell(v))
+            parts.append("(" + ",".join(cells) + ")")
+        f.write(",".join(parts))
+    return table.n_rows
+
+
+def _values_cell(v) -> str:
+    import datetime as _dtm
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(_values_cell(x) for x in v) + "]"
+    if isinstance(v, (_dtm.date, _dtm.datetime)):
+        return "'" + str(v) + "'"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, np.generic):
+        v = v.item()
+    return repr(v)
+
+
+# ---------------------------------------------------------------------------
+# Pretty output (reference: PrettyBlockOutputFormat)
+
+def format_pretty(table: Table, compact: bool = True) -> str:
+    from myscaledb_tpu.sql.format import format_value
+    names = [n for n in table.column_names if not n.startswith("__")]
+    if not names:
+        return ""
+    cells = [[format_value(v, table[n].field)
+              for v in table[n].to_python()] for n in names]
+    widths = [max(len(n), *(len(x) for x in col)) if col else len(n)
+              for n, col in zip(names, cells)]
+
+    def line(l, m, r):
+        return l + m.join("─" * (w + 2) for w in widths) + r
+
+    def row(vals, pad=str.ljust):
+        return "│ " + " │ ".join(pad(v, w) for v, w in zip(vals, widths)) + \
+            " │"
+
+    out = [line("┌", "┬", "┐"), row(names)]
+    if not compact:
+        out.append(line("├", "┼", "┤"))
+    else:
+        out.append(line("├", "┼", "┤"))
+    for i in range(table.n_rows):
+        out.append(row([cells[j][i] for j in range(len(names))],
+                       pad=lambda s, w: s.rjust(w)))
+    out.append(line("└", "┴", "┘"))
+    return "\n".join(out)
+
+
+def format_json(table: Table, compact: bool = False) -> str:
+    names = [n for n in table.column_names if not n.startswith("__")]
+    meta = [{"name": n, "type": _type_name(table[n].field)} for n in names]
+    pycols = {n: table[n].to_python() for n in names}
+    if compact:
+        data = [[_json_val(pycols[n][i]) for n in names]
+                for i in range(table.n_rows)]
+    else:
+        data = [{n: _json_val(pycols[n][i]) for n in names}
+                for i in range(table.n_rows)]
+    return json.dumps({"meta": meta, "data": data, "rows": table.n_rows},
+                      default=str, indent=1)
+
+
+# ---------------------------------------------------------------------------
+# Format registry (FormatFactory analog)
+
+def _norm(fmt: str) -> str:
+    return fmt.replace("_", "").upper()
+
+
+def read_file(path: str, fmt: str, schema: list) -> Table:
+    f = _norm(fmt)
+    if f == "CSV":
+        return read_csv(path, schema)
+    if f == "TSV" or f == "TABSEPARATED":
+        return read_csv(path, schema, delimiter="\t")
+    if f in ("CSVWITHNAMES", "CSVWITHNAMESANDTYPES"):
+        return read_csv(path, schema, has_header=True)
+    if f in ("TSVWITHNAMES", "TSVWITHNAMESANDTYPES",
+             "TABSEPARATEDWITHNAMES", "TABSEPARATEDWITHNAMESANDTYPES"):
+        return read_csv(path, schema, delimiter="\t", has_header=True)
+    if f == "JSONEACHROW":
+        return read_jsoneachrow(path, schema)
+    if f == "PARQUET":
+        return read_parquet(path, schema)
+    if f == "ORC":
+        return read_orc(path, schema)
+    if f == "ARROW":
+        return read_arrow(path, schema)
+    if f == "ARROWSTREAM":
+        return read_arrow(path, schema, stream=True)
+    if f == "NATIVE":
+        return read_native(path, schema)
+    if f == "ROWBINARY":
+        return read_rowbinary(path, schema)
+    if f == "ROWBINARYWITHNAMESANDTYPES":
+        return read_rowbinary(path, schema, with_names=True)
+    if f == "VALUES":
+        return read_values(path, schema)
+    raise ValueError(f"unsupported input format {fmt!r}")
+
+
+def write_file(table: Table, path: str, fmt: str) -> int:
+    f = _norm(fmt)
+    if f == "CSV":
+        return write_csv(table, path)
+    if f in ("TSV", "TABSEPARATED"):
+        return write_csv(table, path, delimiter="\t", header=False)
+    if f in ("TSVWITHNAMES", "TABSEPARATEDWITHNAMES"):
+        return write_csv(table, path, delimiter="\t")
+    if f in ("TSVWITHNAMESANDTYPES", "TABSEPARATEDWITHNAMESANDTYPES"):
+        return write_csv(table, path, delimiter="\t", types_header=True)
+    if f == "CSVWITHNAMESANDTYPES":
+        return write_csv(table, path, types_header=True)
+    if f == "JSONEACHROW":
+        return write_jsoneachrow(table, path)
+    if f == "PARQUET":
+        return write_parquet(table, path)
+    if f == "ORC":
+        return write_orc(table, path)
+    if f == "ARROW":
+        return write_arrow(table, path)
+    if f == "ARROWSTREAM":
+        return write_arrow(table, path, stream=True)
+    if f == "NATIVE":
+        return write_native(table, path)
+    if f == "ROWBINARY":
+        return write_rowbinary(table, path)
+    if f == "ROWBINARYWITHNAMESANDTYPES":
+        return write_rowbinary(table, path, with_names=True)
+    if f == "VALUES":
+        return write_values(table, path)
+    if f in ("JSON", "JSONCOMPACT", "PRETTY", "PRETTYCOMPACT"):
+        with open(path, "w") as fh:
+            if f.startswith("JSON"):
+                fh.write(format_json(table, compact=f == "JSONCOMPACT"))
+            else:
+                fh.write(format_pretty(table))
+        return table.n_rows
+    raise ValueError(f"unsupported output format {fmt!r}")
+
+
+INPUT_FORMATS = ["CSV", "CSVWithNames", "TSV", "TabSeparated",
+                 "TSVWithNames", "TSVWithNamesAndTypes", "JSONEachRow",
+                 "Parquet", "ORC", "Arrow", "ArrowStream", "Native",
+                 "RowBinary", "RowBinaryWithNamesAndTypes", "Values"]
+OUTPUT_FORMATS = INPUT_FORMATS + ["JSON", "JSONCompact", "Pretty",
+                                  "PrettyCompact", "CSVWithNamesAndTypes"]

@@ -89,6 +89,40 @@ class QueryHandler(BaseHTTPRequestHandler):
         if fmt in ("JSONEACHROW",):
             return self._send(200, _result_to_json_each_row(result),
                               "application/json")
+        if fmt == "JSONCOMPACT":
+            from myscaledb_tpu.runtime.formats import format_json
+            return self._send(200, format_json(result, compact=True),
+                              "application/json")
+        if fmt in ("PRETTY", "PRETTYCOMPACT"):
+            from myscaledb_tpu.runtime.formats import format_pretty
+            return self._send(200, format_pretty(result) + "\n",
+                              "text/plain")
+        if fmt in ("CSV", "CSVWITHNAMES"):
+            import io as _io, csv as _csv
+            names = [n for n in result.column_names
+                     if not n.startswith("__")]
+            buf = _io.StringIO()
+            w = _csv.writer(buf)
+            if fmt == "CSVWITHNAMES":
+                w.writerow(names)
+            pycols = {n: result[n].to_python() for n in names}
+            for i in range(result.n_rows):
+                w.writerow([pycols[n][i] for n in names])
+            return self._send(200, buf.getvalue(), "text/csv")
+        if fmt in ("PARQUET", "ARROW", "ARROWSTREAM", "NATIVE", "ROWBINARY",
+                   "ORC"):
+            import tempfile
+            from myscaledb_tpu.runtime.formats import write_file
+            with tempfile.NamedTemporaryFile(suffix=".out") as tf:
+                write_file(result, tf.name, fmt)
+                with open(tf.name, "rb") as fh:
+                    data = fh.read()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return None
         body = format_tsv(result)
         return self._send(200, body + ("\n" if body else ""))
 

@@ -55,19 +55,16 @@ class Session:
         from myscaledb_tpu.runtime import formats
         from myscaledb_tpu.core.table import concat_tables
         t = self.tables[table_name]
-        schema = [(f.name, f.dtype) for f in t.schema()
-                  if not f.name.startswith("__")]
-        fmt = format.upper()
-        if fmt in ("CSV", "TSV"):
+        schema = [f for f in t.schema() if not f.name.startswith("__")]
+        if format.upper() in ("CSV", "TSV") and kw:
             new = formats.read_csv(path, schema,
-                                   delimiter="\t" if fmt == "TSV" else ",",
-                                   **kw)
-        elif fmt == "JSONEACHROW":
-            new = formats.read_jsoneachrow(path, schema)
+                                   delimiter="\t" if format.upper() == "TSV"
+                                   else ",", **kw)
         else:
-            raise ValueError(f"unsupported import format {format!r}")
+            new = formats.read_file(path, format, schema)
         merged = new if t.n_rows == 0 else concat_tables(
-            [t, new.select(t.column_names)])
+            [t, new.select([c for c in t.column_names
+                            if c in new.column_names])])
         merged.name = table_name
         self.tables[table_name] = merged
         self.bump_epoch()
@@ -84,11 +81,7 @@ class Session:
     def export_file(self, query: str, path: str, format: str = "CSV") -> int:
         from myscaledb_tpu.runtime import formats
         result = self.sql(query)
-        fmt = format.upper()
-        if fmt in ("CSV", "TSV"):
-            return formats.write_csv(result, path,
-                                     delimiter="\t" if fmt == "TSV" else ",")
-        raise ValueError(f"unsupported export format {format!r}")
+        return formats.write_file(result, path, format)
 
     def create_table(self, name: str, data: dict, dtypes=None,
                      settings=None) -> Table:

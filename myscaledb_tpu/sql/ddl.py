@@ -48,6 +48,13 @@ class InsertValues:
 
 
 @dataclass
+class InsertInfile:
+    table: str
+    path: str
+    format: Optional[str] = None   # None = infer from extension
+
+
+@dataclass
 class AlterDelete:
     table: str
     where: object
@@ -298,6 +305,14 @@ class DDLParser(Parser):
         if self.at_kw("SELECT"):
             rest = self.sql[self.peek().pos:]
             return InsertValues(name, columns, [], select_sql=rest)
+        if self.take_kw("FROM"):
+            # INSERT INTO t FROM INFILE 'file' [FORMAT fmt]
+            self.expect_kw("INFILE")
+            path = unquote_string(self.next().text)
+            fmt = None
+            if self.take_kw("FORMAT"):
+                fmt = self.next().text
+            return InsertInfile(name, path, fmt)
         self.expect_kw("VALUES")
         rows = []
         while self.take_punct("("):
@@ -410,6 +425,22 @@ def rows_to_table(template: Table, columns: Optional[list],
     return Table.from_dict(data, dtypes=dtypes)
 
 
+_EXT_FORMATS = {".csv": "CSV", ".tsv": "TSV", ".json": "JSONEachRow",
+                ".jsonl": "JSONEachRow", ".ndjson": "JSONEachRow",
+                ".parquet": "Parquet", ".orc": "ORC", ".arrow": "Arrow",
+                ".arrows": "ArrowStream", ".native": "Native",
+                ".bin": "RowBinary", ".values": "Values"}
+
+
+def format_from_extension(path: str) -> str:
+    import os.path
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _EXT_FORMATS:
+        return _EXT_FORMATS[ext]
+    raise ValueError(f"cannot infer format from extension of {path!r}; "
+                     f"add FORMAT <name>")
+
+
 def execute_statement(session, stmt) -> Table:
     from myscaledb_tpu.core.table import Table as T
     from myscaledb_tpu.config import TableSettings
@@ -459,6 +490,11 @@ def execute_statement(session, stmt) -> Table:
                 existing.column_names)])
         merged.name = stmt.table
         session.tables[stmt.table] = merged
+        return T([])
+
+    if isinstance(stmt, InsertInfile):
+        fmt = stmt.format or format_from_extension(stmt.path)
+        session.import_file(stmt.table, stmt.path, fmt)
         return T([])
 
     if isinstance(stmt, AlterDelete):

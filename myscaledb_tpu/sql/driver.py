@@ -8,6 +8,7 @@ Also dispatches EXPLAIN [PLAN] (InterpreterExplainQuery analog).
 
 from __future__ import annotations
 
+import re
 import time
 
 from myscaledb_tpu.sql.parser import parse_sql
@@ -21,8 +22,23 @@ DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "SET ", "SET\t",
                 "SHOW", "DESCRIBE", "DESC ", "ALTER")
 
 
+_OUTFILE_RE = re.compile(
+    r"\s+INTO\s+OUTFILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*$", re.IGNORECASE)
+
+
 def execute_query(session, sql: str, params=None) -> Table:
     stripped = sql.lstrip().rstrip().rstrip(";")
+    m = _OUTFILE_RE.search(stripped)
+    if m and stripped.upper().lstrip().startswith("SELECT"):
+        # SELECT ... INTO OUTFILE 'f' [FORMAT fmt]  (reference:
+        # src/Client/ClientBase.cpp out-file handling; server-side here)
+        from myscaledb_tpu.runtime import formats
+        from myscaledb_tpu.sql.ddl import format_from_extension
+        path, fmt = m.group(1), m.group(2)
+        result = execute_query(session, stripped[:m.start()], params)
+        formats.write_file(result, path,
+                           fmt or format_from_extension(path))
+        return result
     sql = stripped
     upper = stripped.upper()
     if any(upper.startswith(kw) for kw in DDL_KEYWORDS):

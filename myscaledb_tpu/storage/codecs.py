@@ -23,8 +23,16 @@ import zlib
 import numpy as np
 
 MAGIC = b"MSC1"
-CODECS = {"none": 0, "zlib": 1, "delta": 2, "shuffle": 3, "lz": 4}
+CODECS = {"none": 0, "zlib": 1, "delta": 2, "shuffle": 3, "lz": 4, "zstd": 5,
+          "deltazstd": 6}
 CODEC_IDS = {v: k for k, v in CODECS.items()}
+
+try:
+    import zstandard as _zstd
+    _ZC = _zstd.ZstdCompressor(level=3)
+    _ZD = _zstd.ZstdDecompressor()
+except ImportError:          # pragma: no cover - baked into the image
+    _zstd = None
 
 
 class CodecError(ValueError):
@@ -67,6 +75,17 @@ def encode(arr: np.ndarray, codec: str = "zlib") -> bytes:
         payload = _delta_encode(flat)
     elif codec == "shuffle":
         payload = _shuffle_encode(flat)
+    elif codec == "zstd":
+        if _zstd is None:
+            raise CodecError("zstandard module unavailable")
+        payload = _ZC.compress(flat.tobytes())
+    elif codec == "deltazstd":
+        if flat.dtype.kind not in "iu":
+            raise CodecError("deltazstd codec requires integer data")
+        if _zstd is None:
+            raise CodecError("zstandard module unavailable")
+        d = np.diff(flat, prepend=flat.dtype.type(0))
+        payload = _ZC.compress(d.tobytes())
     elif codec == "lz":
         # native LZ4-class block codec (native/msdb_host.cpp); much faster
         # than DEFLATE on the part-write path
@@ -100,6 +119,13 @@ def decode(buf: bytes, dtype, count: int) -> np.ndarray:
         return _delta_decode(payload, dtype, count)
     if codec == "shuffle":
         return _shuffle_decode(payload, dtype, count)
+    if codec == "zstd":
+        return np.frombuffer(_ZD.decompress(payload, max_output_size=raw_size),
+                             dtype=dtype, count=count)
+    if codec == "deltazstd":
+        d = np.frombuffer(_ZD.decompress(payload, max_output_size=raw_size),
+                          dtype=dtype, count=count)
+        return np.cumsum(d, dtype=dtype)
     if codec == "lz":
         from myscaledb_tpu import native
         raw = native.lz_decompress(payload, raw_size)
@@ -112,7 +138,7 @@ def decode(buf: bytes, dtype, count: int) -> np.ndarray:
 def default_codec(dtype: np.dtype) -> str:
     dtype = np.dtype(dtype)
     if dtype.kind in "iu" and dtype.itemsize >= 4:
-        return "delta"
+        return "deltazstd" if _zstd is not None else "delta"
     if dtype.kind == "f":
         return "shuffle"
-    return "zlib"
+    return "zstd" if _zstd is not None else "zlib"
