@@ -66,7 +66,20 @@ class QueryHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
-    def _run_query(self, sql: str):
+    def _auth(self, qs: dict) -> str:
+        """Resolve + authenticate the request user (reference: HTTPHandler
+        authenticateUser — X-ClickHouse-User/Key headers or user/password
+        URL params; default user otherwise)."""
+        user = self.headers.get("X-ClickHouse-User") or \
+            qs.get("user", ["default"])[0]
+        password = self.headers.get("X-ClickHouse-Key")
+        if password is None:
+            password = qs.get("password", [None])[0]
+        return self.session.access.authenticate(user, password)
+
+    def _run_query(self, sql: str, qs: dict | None = None):
+        from myscaledb_tpu.runtime.access import AccessDeniedError, \
+            QuotaExceededError
         sql = sql.strip()
         if not sql:
             return self._send(400, "empty query\n", "text/plain")
@@ -79,8 +92,17 @@ class QueryHandler(BaseHTTPRequestHandler):
         if hdr_fmt:
             fmt = hdr_fmt.upper()
         try:
+            user = self._auth(qs or {})
             with self.exec_lock:
-                result = self.session.sql(sql)
+                prev = self.session.current_user
+                self.session.current_user = user
+                try:
+                    result = self.session.sql(sql)
+                finally:
+                    self.session.current_user = prev
+        except (AccessDeniedError, QuotaExceededError) as e:
+            M.increment("HTTPFailedQuery")
+            return self._send(403, f"{type(e).__name__}: {e}\n", "text/plain")
         except Exception as e:
             M.increment("HTTPFailedQuery")
             return self._send(500, f"{type(e).__name__}: {e}\n", "text/plain")
@@ -141,7 +163,7 @@ class QueryHandler(BaseHTTPRequestHandler):
             return self._send(200, "\n".join(lines) + "\n", "text/plain")
         qs = parse_qs(url.query)
         if "query" in qs:
-            return self._run_query(qs["query"][0])
+            return self._run_query(qs["query"][0], qs)
         return self._send(200, "myscaledb-tpu. POST SQL to / or use "
                                "/?query=...\n", "text/plain")
 
@@ -151,7 +173,7 @@ class QueryHandler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         qs = parse_qs(url.query)
         sql = qs.get("query", [body])[0] or body
-        return self._run_query(sql)
+        return self._run_query(sql, qs)
 
 
 def make_server(session: Session, host: str = "127.0.0.1",

@@ -19,7 +19,9 @@ SYSTEM_TABLES = ("system.one", "system.tables", "system.columns",
                  "system.settings", "system.events", "system.metrics",
                  "system.timings", "system.query_log", "system.span_log",
                  "system.vector_indices", "system.numbers",
-                 "system.functions")
+                 "system.functions", "system.users", "system.roles",
+                 "system.grants", "system.row_policies", "system.quotas",
+                 "system.formats")
 
 
 def build_system_table(session, name: str) -> Table:
@@ -108,6 +110,64 @@ def build_system_table(session, name: str) -> Table:
         return Table.from_dict({
             "name": [n_ for n_, _ in names],
             "kind": [k_ for _, k_ in names]})
+
+    if name == "system.users":
+        ac = session.access
+        users = sorted(ac.users.values(), key=lambda u: u.name)
+        return Table.from_dict({
+            "name": [u.name for u in users],
+            "auth_type": ["sha256_password" if u.password_hash else
+                          "no_password" for u in users],
+            "default_roles": [",".join(sorted(u.roles)) for u in users]})
+
+    if name == "system.roles":
+        return Table.from_dict({
+            "name": sorted(session.access.roles.keys())})
+
+    if name == "system.grants":
+        ac = session.access
+        rows = []
+        for u in ac.users.values():
+            for p, t in sorted(u.grants):
+                rows.append((u.name, "user", p, t))
+        for r in ac.roles.values():
+            for p, t in sorted(r.grants):
+                rows.append((r.name, "role", p, t))
+        return Table.from_dict({
+            "grantee": [r[0] for r in rows],
+            "grantee_type": [r[1] for r in rows],
+            "access_type": [r[2] for r in rows],
+            "table": [r[3] for r in rows]})
+
+    if name == "system.row_policies":
+        ps = session.access.row_policies
+        return Table.from_dict({
+            "name": [p.name for p in ps],
+            "table": [p.table for p in ps],
+            "select_filter": [p.using_sql for p in ps],
+            "apply_to": ["ALL" if p.to_users is None else
+                         ",".join(sorted(p.to_users)) for p in ps]})
+
+    if name == "system.quotas":
+        qs = sorted(session.access.quotas.values(), key=lambda q: q.name)
+        return Table.from_dict({
+            "name": [q.name for q in qs],
+            "interval_seconds": np.asarray([q.interval_s for q in qs],
+                                           dtype=np.float64),
+            "limits": [json.dumps(q.limits) for q in qs],
+            "apply_to": ["ALL" if q.to_users is None else
+                         ",".join(sorted(q.to_users)) for q in qs]})
+
+    if name == "system.formats":
+        from myscaledb_tpu.runtime.formats import INPUT_FORMATS, \
+            OUTPUT_FORMATS
+        names_ = sorted(set(INPUT_FORMATS) | set(OUTPUT_FORMATS))
+        return Table.from_dict({
+            "name": names_,
+            "is_input": np.asarray([n in INPUT_FORMATS for n in names_],
+                                   dtype=np.uint8),
+            "is_output": np.asarray([n in OUTPUT_FORMATS for n in names_],
+                                    dtype=np.uint8)})
 
     if name == "system.query_log":
         entries = list(session.query_log)

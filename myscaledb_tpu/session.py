@@ -17,12 +17,40 @@ class Session:
     def __init__(self, settings: Optional[Settings] = None):
         from collections import deque
         from myscaledb_tpu.config import TableSettings
+        from myscaledb_tpu.runtime.access import AccessControl
         self.settings = settings or Settings()
         self.tables: dict[str, Table] = {}
         self.table_settings: dict[str, "TableSettings"] = {}
         self.query_log = deque(maxlen=10_000)
         self._mutation_epoch = 0
         self._query_cache = {}
+        self.access = AccessControl()
+        self.current_user = "default"
+
+    def read_table_checked(self, name: str) -> Table:
+        """get_table + SELECT-privilege check + row-policy filtering for the
+        current user (reference: ContextAccess::checkAccess +
+        RowPolicyFilter applied in InterpreterSelectQuery)."""
+        t = self.get_table(name)
+        if name.startswith("system."):
+            return t
+        self.access.check(self.current_user, "SELECT", name)
+        has_pol, exprs = self.access.row_policy_exprs(self.current_user, name)
+        if not has_pol:
+            return t
+        if not exprs:
+            return t.head(0)
+        import jax.numpy as jnp
+        from myscaledb_tpu.exec.expr import Env, eval_expr, as_bool_mask
+        from myscaledb_tpu.ops.filter import compact_table_host
+        env = Env(t)
+        mask = None
+        for e in exprs:   # permissive policies: union of matching rows
+            m = as_bool_mask(eval_expr(e, env), t.n_rows)
+            mask = m if mask is None else jnp.logical_or(mask, m)
+        out, _ = compact_table_host(t, mask)
+        out.name = name
+        return out
 
     def bump_epoch(self) -> None:
         """Any DDL/DML invalidates cached query results."""

@@ -104,6 +104,77 @@ class ShowTables:
     pass
 
 
+# -- access control statements (reference: src/Parsers/Access/*) -------------
+
+@dataclass
+class CreateUser:
+    name: str
+    password: Optional[str] = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateRole:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropPrincipal:
+    kind: str                   # "user" | "role" | "quota"
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class GrantStmt:
+    privs: list                 # privilege names, or role names if is_role
+    target: Optional[str]       # table name or '*' (None for role grants)
+    grantees: list
+    is_role: bool = False
+
+
+@dataclass
+class RevokeStmt:
+    privs: list
+    target: Optional[str]
+    grantees: list
+    is_role: bool = False
+
+
+@dataclass
+class CreateRowPolicy:
+    name: str
+    table: str
+    using_expr: object
+    using_sql: str
+    to_users: Optional[list]    # None = TO ALL
+
+
+@dataclass
+class DropRowPolicy:
+    name: str
+    table: str
+
+
+@dataclass
+class CreateQuota:
+    name: str
+    interval_s: float
+    limits: dict
+    to_users: Optional[list]
+
+
+@dataclass
+class ShowGrants:
+    user: Optional[str] = None
+
+
+@dataclass
+class ShowAccess:
+    what: str                   # "users" | "roles" | "quotas" | "row_policies"
+
+
 @dataclass
 class DescribeTable:
     name: str
@@ -127,8 +198,24 @@ class DDLParser(Parser):
             return TruncateTable(self.parse_table_name())
         if up == "SET":
             return self.parse_set()
+        if up == "GRANT":
+            return self.parse_grant(revoke=False)
+        if up == "REVOKE":
+            return self.parse_grant(revoke=True)
         if up == "SHOW":
             self.next()
+            if self.take_kw("GRANTS"):
+                user = None
+                if self.take_kw("FOR"):
+                    user = self.next().text
+                return ShowGrants(user)
+            for kw, what in (("USERS", "users"), ("ROLES", "roles"),
+                             ("QUOTAS", "quotas")):
+                if self.take_kw(kw):
+                    return ShowAccess(what)
+            if self.take_kw("ROW"):
+                self.expect_kw("POLICIES")
+                return ShowAccess("row_policies")
             self.expect_kw("TABLES")
             return ShowTables()
         if up in ("DESCRIBE", "DESC"):
@@ -180,6 +267,55 @@ class DDLParser(Parser):
 
     def parse_create(self):
         self.expect_kw("CREATE")
+        if self.take_kw("USER"):
+            ine = self._take_if_not_exists()
+            name = self.next().text
+            password = None
+            if self.take_kw("IDENTIFIED"):
+                self.take_kw("WITH") and self.next()   # auth type, ignored
+                self.expect_kw("BY")
+                password = unquote_string(self.next().text)
+            return CreateUser(name, password, ine)
+        if self.take_kw("ROLE"):
+            ine = self._take_if_not_exists()
+            return CreateRole(self.next().text, ine)
+        if self.take_kw("ROW"):
+            self.expect_kw("POLICY")
+            self._take_if_not_exists()
+            name = self.next().text
+            self.expect_kw("ON")
+            table = self.parse_table_name()
+            if self.take_kw("FOR"):
+                self.expect_kw("SELECT")
+            self.expect_kw("USING")
+            start = self.peek().pos
+            expr = self.parse_expr()
+            end = self.peek().pos if self.peek().kind != "eof" else \
+                len(self.sql)
+            using_sql = self.sql[start:end].strip()
+            to_users = self._parse_to_users()
+            return CreateRowPolicy(name, table, expr, using_sql, to_users)
+        if self.take_kw("QUOTA"):
+            self._take_if_not_exists()
+            name = self.next().text
+            interval_s = 3600.0
+            if self.take_kw("FOR"):
+                self.expect_kw("INTERVAL")
+                n = float(self.next().text)
+                unit = self.next().upper
+                interval_s = n * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                                  "DAY": 86400, "WEEK": 604800,
+                                  "MONTH": 2629800}.get(unit, 1)
+            limits = {}
+            if self.take_kw("MAX"):
+                while True:
+                    key = self.next().text.lower()
+                    self.expect_punct("=")
+                    limits[key] = float(self.next().text)
+                    if not self.take_punct(","):
+                        break
+            to_users = self._parse_to_users()
+            return CreateQuota(name, interval_s, limits, to_users)
         self.expect_kw("TABLE")
         ine = False
         if self.take_kw("IF"):
@@ -339,8 +475,94 @@ class DDLParser(Parser):
             return [a.value for a in e.args]
         raise ParseError("INSERT VALUES must be literals")
 
+    def _take_if_not_exists(self) -> bool:
+        if self.take_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            return True
+        return False
+
+    def _take_if_exists(self) -> bool:
+        if self.take_kw("IF"):
+            self.expect_kw("EXISTS")
+            return True
+        return False
+
+    def _parse_to_users(self):
+        """TO ALL | TO name [, name...]; None means ALL."""
+        if not self.take_kw("TO"):
+            return None
+        if self.take_kw("ALL"):
+            return None
+        users = [self.next().text]
+        while self.take_punct(","):
+            users.append(self.next().text)
+        return users
+
+    def _parse_priv_list(self) -> list[str]:
+        """Privilege names up to ON/TO/FROM; multi-word privileges
+        ('ACCESS MANAGEMENT', 'CREATE TABLE') joined with spaces."""
+        privs, words = [], []
+        while True:
+            t = self.peek()
+            if t.kind == "eof" or t.upper in ("ON", "TO", "FROM"):
+                break
+            if self.take_punct(","):
+                privs.append(" ".join(words))
+                words = []
+                continue
+            words.append(self.next().text)
+        if words:
+            privs.append(" ".join(words))
+        return privs
+
+    def _parse_grant_target(self) -> str:
+        """* | *.* | db.* | table"""
+        if self.take_punct("*"):
+            if self.take_punct("."):
+                self.expect_punct("*")
+            return "*"
+        name = self.parse_table_name()
+        if self.take_punct("."):
+            self.expect_punct("*")
+            return "*"          # single implicit database: db.* == *
+        return name
+
+    def parse_grant(self, revoke: bool):
+        self.expect_kw("REVOKE" if revoke else "GRANT")
+        privs = self._parse_priv_list()
+        cls = RevokeStmt if revoke else GrantStmt
+        if self.take_kw("ON"):
+            target = self._parse_grant_target()
+            self.expect_kw("FROM" if revoke else "TO")
+            grantees = [self.next().text]
+            while self.take_punct(","):
+                grantees.append(self.next().text)
+            return cls(privs, target, grantees, is_role=False)
+        # role grant: GRANT r TO u / REVOKE r FROM u
+        self.expect_kw("FROM" if revoke else "TO")
+        grantees = [self.next().text]
+        while self.take_punct(","):
+            grantees.append(self.next().text)
+        return cls(privs, None, grantees, is_role=True)
+
     def parse_drop(self):
         self.expect_kw("DROP")
+        if self.take_kw("USER"):
+            ie = self._take_if_exists()
+            return DropPrincipal("user", self.next().text, ie)
+        if self.take_kw("ROLE"):
+            ie = self._take_if_exists()
+            return DropPrincipal("role", self.next().text, ie)
+        if self.take_kw("QUOTA"):
+            ie = self._take_if_exists()
+            return DropPrincipal("quota", self.next().text, ie)
+        if self.take_kw("ROW"):
+            self.expect_kw("POLICY")
+            self._take_if_exists()
+            name = self.next().text
+            self.expect_kw("ON")
+            return DropRowPolicy(name, self.parse_table_name())
         self.expect_kw("TABLE")
         ie = False
         if self.take_kw("IF"):
@@ -439,6 +661,28 @@ def format_from_extension(path: str) -> str:
         return _EXT_FORMATS[ext]
     raise ValueError(f"cannot infer format from extension of {path!r}; "
                      f"add FORMAT <name>")
+
+
+def required_privilege(stmt):
+    """(privilege, target) the current user must hold to run stmt, or None
+    (reference: InterpreterFactory + ContextAccess::checkAccess per
+    interpreter)."""
+    if isinstance(stmt, (CreateUser, CreateRole, DropPrincipal, GrantStmt,
+                         RevokeStmt, CreateRowPolicy, DropRowPolicy,
+                         CreateQuota)):
+        return ("ACCESS MANAGEMENT", "*")
+    if isinstance(stmt, (InsertValues, InsertInfile)):
+        return ("INSERT", stmt.table)
+    if isinstance(stmt, CreateTable):
+        return ("CREATE TABLE", stmt.name)
+    if isinstance(stmt, DropTable):
+        return ("DROP", stmt.name)
+    if isinstance(stmt, TruncateTable):
+        return ("TRUNCATE", stmt.name)
+    if isinstance(stmt, (AlterDelete, AlterUpdate, AddVectorIndex,
+                         DropVectorIndex)):
+        return ("ALTER", stmt.table)
+    return None
 
 
 def execute_statement(session, stmt) -> Table:
@@ -584,6 +828,67 @@ def execute_statement(session, stmt) -> Table:
                 val = int(val)
             setattr(session.settings, stmt.name, val)
         return T([])   # unknown settings are accepted silently (CH compat)
+
+    if isinstance(stmt, CreateUser):
+        session.access.create_user(stmt.name, stmt.password,
+                                   stmt.if_not_exists)
+        return T([])
+
+    if isinstance(stmt, CreateRole):
+        session.access.create_role(stmt.name, stmt.if_not_exists)
+        return T([])
+
+    if isinstance(stmt, DropPrincipal):
+        if stmt.kind == "user":
+            session.access.drop_user(stmt.name, stmt.if_exists)
+        elif stmt.kind == "role":
+            session.access.drop_role(stmt.name, stmt.if_exists)
+        else:
+            session.access.drop_quota(stmt.name, stmt.if_exists)
+        return T([])
+
+    if isinstance(stmt, GrantStmt):
+        if stmt.is_role:
+            session.access.grant_role(stmt.privs, stmt.grantees)
+        else:
+            session.access.grant(stmt.privs, stmt.target, stmt.grantees)
+        return T([])
+
+    if isinstance(stmt, RevokeStmt):
+        if stmt.is_role:
+            session.access.revoke_role(stmt.privs, stmt.grantees)
+        else:
+            session.access.revoke(stmt.privs, stmt.target, stmt.grantees)
+        return T([])
+
+    if isinstance(stmt, CreateRowPolicy):
+        from myscaledb_tpu.runtime.access import RowPolicy
+        session.access.add_row_policy(RowPolicy(
+            stmt.name, stmt.table, stmt.using_expr, stmt.using_sql,
+            set(stmt.to_users) if stmt.to_users is not None else None))
+        return T([])
+
+    if isinstance(stmt, DropRowPolicy):
+        session.access.drop_row_policy(stmt.name, stmt.table)
+        return T([])
+
+    if isinstance(stmt, CreateQuota):
+        from myscaledb_tpu.runtime.access import Quota
+        session.access.add_quota(Quota(
+            stmt.name, stmt.interval_s, stmt.limits,
+            set(stmt.to_users) if stmt.to_users is not None else None))
+        return T([])
+
+    if isinstance(stmt, ShowGrants):
+        user = stmt.user or session.current_user
+        grants = sorted(session.access.effective_grants(user))
+        lines = [f"GRANT {p} ON {t if t != '*' else '*.*'} TO {user}"
+                 for p, t in grants]
+        return T.from_dict({"grants": lines})
+
+    if isinstance(stmt, ShowAccess):
+        return session.sql(
+            f"SELECT name FROM system.{stmt.what} ORDER BY name")
 
     if isinstance(stmt, ShowTables):
         return session.sql("SELECT name FROM system.tables ORDER BY name")

@@ -19,7 +19,7 @@ from myscaledb_tpu.runtime.tracing import span
 
 
 DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "SET ", "SET\t",
-                "SHOW", "DESCRIBE", "DESC ", "ALTER")
+                "SHOW", "DESCRIBE", "DESC ", "ALTER", "GRANT", "REVOKE")
 
 
 _OUTFILE_RE = re.compile(
@@ -43,13 +43,19 @@ def execute_query(session, sql: str, params=None) -> Table:
     upper = stripped.upper()
     if any(upper.startswith(kw) for kw in DDL_KEYWORDS):
         from myscaledb_tpu.sql.ddl import DDLParser, execute_statement, \
-            SetStatement, ShowTables, DescribeTable
+            SetStatement, ShowTables, DescribeTable, ShowGrants, ShowAccess, \
+            required_privilege
         stmt = DDLParser(stripped).parse_statement()
         if stmt is not None:
             if session.settings.readonly and not isinstance(
-                    stmt, (SetStatement, ShowTables, DescribeTable)):
+                    stmt, (SetStatement, ShowTables, DescribeTable,
+                           ShowGrants, ShowAccess)):
                 raise PermissionError(
                     "Cannot execute query in readonly mode")
+            priv = required_privilege(stmt)
+            if priv is not None:
+                session.access.check(session.current_user, *priv)
+            session.access.quota_check(session.current_user)
             t0 = time.perf_counter()
             entry = {"query": sql, "event_time": time.time(),
                      "duration_ms": 0.0, "result_rows": 0,
@@ -67,6 +73,10 @@ def execute_query(session, sql: str, params=None) -> Table:
             finally:
                 entry["duration_ms"] = (time.perf_counter() - t0) * 1e3
                 session.query_log.append(entry)
+                session.access.quota_consume(
+                    session.current_user,
+                    execution_time=entry["duration_ms"] / 1e3,
+                    errors=int(entry["status"] != "QueryFinish"))
     if upper.startswith("EXPLAIN"):
         rest = stripped[len("EXPLAIN"):].lstrip()
         if rest.upper().startswith("PLAN"):
@@ -83,6 +93,7 @@ def execute_query(session, sql: str, params=None) -> Table:
 
     M.increment(M.QUERY)
     M.increment(M.SELECT_QUERY)
+    session.access.quota_check(session.current_user)
     t0 = time.perf_counter()
     entry = {"query": sql, "event_time": time.time(), "duration_ms": 0.0,
              "result_rows": 0, "status": "QueryStart", "error": ""}
@@ -128,3 +139,7 @@ def execute_query(session, sql: str, params=None) -> Table:
     finally:
         entry["duration_ms"] = (time.perf_counter() - t0) * 1e3
         session.query_log.append(entry)
+        session.access.quota_consume(
+            session.current_user, result_rows=entry["result_rows"],
+            execution_time=entry["duration_ms"] / 1e3,
+            errors=int(entry["status"] != "QueryFinish"))

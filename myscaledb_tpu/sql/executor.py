@@ -418,7 +418,7 @@ def _compact_distributed(table: Table) -> Table:
 
 def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
     try:
-        right = session.get_table(jc.table)
+        right = session.read_table_checked(jc.table)
     except KeyError:
         raise ExecError(f"unknown join table {jc.table!r}")
     left = _compact_distributed(left)
@@ -1318,7 +1318,7 @@ def execute_select(session, q: SelectQuery) -> Table:
         base = execute_any(session, q.subquery)
     elif q.table is not None:
         try:
-            base = session.get_table(q.table)
+            base = session.read_table_checked(q.table)
         except KeyError:
             raise ExecError(f"unknown table {q.table!r}")
     else:

@@ -1,0 +1,189 @@
+"""Access control: users/roles/grants, row policies, quotas
+(reference: src/Access/ — ContextAccess::checkAccess, RowPolicyFilter,
+EnabledQuota; SQL surface src/Parsers/Access/)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.session import connect
+from myscaledb_tpu.runtime.access import (AccessDeniedError,
+                                          QuotaExceededError)
+
+
+@pytest.fixture
+def s():
+    s = connect()
+    s.create_table("t", {"id": np.arange(10, dtype=np.int64),
+                         "region": ["eu", "us"] * 5})
+    return s
+
+
+def test_create_user_and_grants(s):
+    s.sql("CREATE USER bob IDENTIFIED BY 'secret'")
+    s.current_user = "bob"
+    with pytest.raises(AccessDeniedError):
+        s.sql("SELECT * FROM t")
+    s.current_user = "default"
+    s.sql("GRANT SELECT ON t TO bob")
+    s.current_user = "bob"
+    assert s.sql("SELECT count() FROM t").to_rows()[0][0] == 10
+    with pytest.raises(AccessDeniedError):
+        s.sql("INSERT INTO t VALUES (99, 'eu')")
+    with pytest.raises(AccessDeniedError):
+        s.sql("DROP TABLE t")
+    # bob cannot self-escalate
+    with pytest.raises(AccessDeniedError):
+        s.sql("GRANT ALL ON *.* TO bob")
+
+
+def test_revoke(s):
+    s.sql("CREATE USER bob")
+    s.sql("GRANT SELECT, INSERT ON t TO bob")
+    s.sql("REVOKE INSERT ON t FROM bob")
+    s.current_user = "bob"
+    assert s.sql("SELECT count() FROM t").n_rows == 1
+    with pytest.raises(AccessDeniedError):
+        s.sql("INSERT INTO t VALUES (99, 'eu')")
+
+
+def test_roles(s):
+    s.sql("CREATE ROLE analyst")
+    s.sql("GRANT SELECT ON * TO analyst")
+    s.sql("CREATE USER alice")
+    s.sql("GRANT analyst TO alice")
+    s.current_user = "alice"
+    assert s.sql("SELECT count() FROM t").to_rows()[0][0] == 10
+    s.current_user = "default"
+    s.sql("REVOKE analyst FROM alice")
+    s.current_user = "alice"
+    with pytest.raises(AccessDeniedError):
+        s.sql("SELECT * FROM t")
+
+
+def test_authentication(s):
+    s.sql("CREATE USER bob IDENTIFIED BY 'pw1'")
+    assert s.access.authenticate("bob", "pw1") == "bob"
+    with pytest.raises(AccessDeniedError):
+        s.access.authenticate("bob", "wrong")
+    with pytest.raises(AccessDeniedError):
+        s.access.authenticate("nosuch")
+    s.sql("CREATE USER nopw")
+    assert s.access.authenticate("nopw") == "nopw"
+
+
+def test_row_policy(s):
+    s.sql("CREATE USER eu_user")
+    s.sql("GRANT SELECT ON t TO eu_user")
+    s.sql("CREATE ROW POLICY eu_only ON t USING region = 'eu' TO eu_user")
+    s.current_user = "eu_user"
+    rows = s.sql("SELECT id, region FROM t ORDER BY id").to_rows()
+    assert len(rows) == 5 and all(r[1] == "eu" for r in rows)
+    # default user is covered by NO policy -> sees nothing once one exists
+    s.current_user = "default"
+    assert s.sql("SELECT count() FROM t").to_rows()[0][0] == 0
+    s.sql("CREATE ROW POLICY all_rows ON t USING 1 TO ALL")
+    assert s.sql("SELECT count() FROM t").to_rows()[0][0] == 10
+    s.sql("DROP ROW POLICY all_rows ON t")
+    s.sql("DROP ROW POLICY eu_only ON t")
+    assert s.sql("SELECT count() FROM t").to_rows()[0][0] == 10
+
+
+def test_row_policy_union(s):
+    s.sql("CREATE USER u")
+    s.sql("GRANT SELECT ON t TO u")
+    s.sql("CREATE ROW POLICY p1 ON t USING id < 2 TO u")
+    s.sql("CREATE ROW POLICY p2 ON t USING id >= 8 TO u")
+    s.current_user = "u"
+    ids = [r[0] for r in s.sql("SELECT id FROM t ORDER BY id").to_rows()]
+    assert ids == [0, 1, 8, 9]
+
+
+def test_quota(s):
+    s.sql("CREATE USER q")
+    s.sql("GRANT SELECT ON t TO q")
+    s.sql("CREATE QUOTA q3 FOR INTERVAL 1 HOUR MAX queries = 3 TO q")
+    s.current_user = "q"
+    for _ in range(3):
+        s.sql("SELECT count() FROM t")
+    with pytest.raises(QuotaExceededError):
+        s.sql("SELECT count() FROM t")
+    # other users unaffected
+    s.current_user = "default"
+    s.sql("SELECT count() FROM t")
+
+
+def test_quota_result_rows(s):
+    s.sql("CREATE USER r")
+    s.sql("GRANT SELECT ON t TO r")
+    s.sql("CREATE QUOTA rq FOR INTERVAL 1 HOUR MAX result_rows = 10 TO r")
+    s.current_user = "r"
+    s.sql("SELECT * FROM t")       # consumes 10 result rows
+    with pytest.raises(QuotaExceededError):
+        s.sql("SELECT * FROM t")
+
+
+def test_show_and_system_tables(s):
+    s.sql("CREATE USER bob IDENTIFIED BY 'x'")
+    s.sql("CREATE ROLE analyst")
+    s.sql("GRANT SELECT ON t TO bob")
+    s.sql("CREATE ROW POLICY p ON t USING id < 5 TO bob")
+    s.sql("CREATE QUOTA qq FOR INTERVAL 1 HOUR MAX queries = 100 TO bob")
+    g = s.sql("SHOW GRANTS FOR bob").to_rows()
+    assert ("GRANT SELECT ON t TO bob",) in g
+    users = [r[0] for r in s.sql("SHOW USERS").to_rows()]
+    assert "bob" in users and "default" in users
+    assert ("analyst",) in s.sql("SHOW ROLES").to_rows()
+    rp = s.sql("SELECT name, select_filter FROM system.row_policies").to_rows()
+    assert rp == [("p", "id < 5")]
+    q = s.sql("SELECT name, limits FROM system.quotas").to_rows()
+    assert q[0][0] == "qq"
+    grants = s.sql(
+        "SELECT access_type FROM system.grants WHERE grantee = 'bob'"
+    ).to_rows()
+    assert ("SELECT",) in grants
+
+
+def test_drop_user_role(s):
+    s.sql("CREATE USER tmp")
+    s.sql("DROP USER tmp")
+    with pytest.raises(Exception):
+        s.sql("DROP USER tmp")
+    s.sql("DROP USER IF EXISTS tmp")
+    with pytest.raises(Exception):
+        s.sql("DROP USER default")
+
+
+def test_join_table_checked(s):
+    s.create_table("u2", {"id": np.arange(5, dtype=np.int64),
+                          "x": np.arange(5, dtype=np.int64)})
+    s.sql("CREATE USER j")
+    s.sql("GRANT SELECT ON t TO j")
+    s.current_user = "j"
+    with pytest.raises((AccessDeniedError, Exception)):
+        s.sql("SELECT t.id FROM t INNER JOIN u2 ON t.id = u2.id")
+
+
+def test_http_auth(s):
+    import threading
+    import urllib.request
+    import urllib.error
+    from myscaledb_tpu.runtime.server import make_server
+    s.sql("CREATE USER web IDENTIFIED BY 'pw'")
+    s.sql("GRANT SELECT ON t TO web")
+    srv = make_server(s, port=0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/?query=SELECT%20count()%20FROM%20t",
+            headers={"X-ClickHouse-User": "web", "X-ClickHouse-Key": "pw"})
+        assert urllib.request.urlopen(req).read().decode().strip() == "10"
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/?query=SELECT%201",
+            headers={"X-ClickHouse-User": "web", "X-ClickHouse-Key": "no"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code == 403
+    finally:
+        srv.shutdown()
