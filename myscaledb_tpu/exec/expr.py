@@ -617,6 +617,100 @@ def _py_compare(op, a, b):
             ">": _op.gt, ">=": _op.ge}[op](a, b)
 
 
+# -- external dictionary functions (reference:
+# src/Functions/FunctionsExternalDictionaries.h dictGet/dictGetOrDefault/
+# dictHas; dictionaries themselves in runtime/dictionaries.py)
+
+def _get_dictionary(env: Env, name_val: Value):
+    dicts = getattr(env, "dictionaries", None)
+    if not dicts:
+        raise EvalError("no dictionaries defined in this session")
+    name = name_val.py
+    if not isinstance(name, str):
+        raise EvalError("dictGet: dictionary name must be a string literal")
+    d = dicts.get(name)
+    if d is None:
+        raise EvalError(f"unknown dictionary {name!r}")
+    return d
+
+
+def _dict_probe(d, key: Value, env: Env):
+    """Returns (row (n,) int32, found (n,) bool, scalar: bool)."""
+    scalar = key.is_scalar
+    if isinstance(key.py, str):
+        if not d.key_is_string:
+            raise EvalError("dictGet: string key for a numeric-key dictionary")
+        kid = d.key_dictionary.index.get(key.py, -2)
+        row, found = d.lookup(jnp.asarray([kid], dtype=jnp.int64),
+                              probe_dictionary=d.key_dictionary)
+        return row, found, True
+    data = key.data
+    if scalar:
+        data = jnp.asarray(data).reshape(1)
+    row, found = d.lookup(data, probe_dictionary=key.dictionary)
+    if key.valid is not None and not scalar:
+        found = jnp.logical_and(found, key.valid)
+    return row, found, scalar
+
+
+def _dict_gather(d, attr: str, row, found, scalar: bool,
+                 default: Optional[Value] = None) -> Value:
+    col = d.attribute(attr)
+    if d.n_rows == 0:
+        # empty dictionary: every probe misses
+        out = jnp.zeros(row.shape, dtype=col.data.dtype)
+        found = jnp.zeros(row.shape, dtype=bool)
+    else:
+        out = jnp.take(col.data, row, axis=0)
+    if col.dtype is DataType.STRING:
+        if default is not None and isinstance(default.py, str):
+            miss = jnp.asarray(col.dictionary.encode_one(default.py,
+                                                         grow=True))
+        else:
+            miss = jnp.asarray(col.dictionary.encode_one("", grow=True))
+        out = jnp.where(found, out, miss)
+        return Value(out[0] if scalar else out, None, col.dictionary,
+                     is_scalar=scalar)
+    if default is not None:
+        dv = default.data
+        if default.is_scalar:
+            dv = jnp.asarray(dv)
+        out = jnp.where(found, out, jnp.asarray(dv).astype(out.dtype))
+    else:
+        out = jnp.where(found, out, jnp.zeros((), dtype=out.dtype))
+    valid = None
+    if col.valid is not None:
+        valid = jnp.logical_and(jnp.take(col.valid, row, axis=0), found)
+        if scalar:
+            valid = None
+    return Value(out[0] if scalar else out, valid, is_scalar=scalar,
+                 dt=col.dtype if col.dtype in (DataType.DATE,
+                                               DataType.DATETIME) else None)
+
+
+@func("dictget")
+def _f_dictget(args, env):
+    d = _get_dictionary(env, args[0])
+    attr = args[1].py
+    row, found, scalar = _dict_probe(d, args[2], env)
+    return _dict_gather(d, attr, row, found, scalar)
+
+
+@func("dictgetordefault")
+def _f_dictgetordefault(args, env):
+    d = _get_dictionary(env, args[0])
+    attr = args[1].py
+    row, found, scalar = _dict_probe(d, args[2], env)
+    return _dict_gather(d, attr, row, found, scalar, default=args[3])
+
+
+@func("dicthas")
+def _f_dicthas(args, env):
+    d = _get_dictionary(env, args[0])
+    row, found, scalar = _dict_probe(d, args[1], env)
+    return Value(found[0] if scalar else found, is_scalar=scalar)
+
+
 def eval_expr(e: Expr, env: Env) -> Value:
     if isinstance(e, Literal):
         if e.value is None:

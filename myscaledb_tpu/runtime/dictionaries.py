@@ -1,0 +1,105 @@
+"""External dictionaries: device-resident key -> attributes lookup tables.
+
+Reference analog: src/Dictionaries/ (25k LoC — FlatDictionary,
+HashedDictionary, ComplexKeyHashedDictionary; SQL surface
+src/Parsers/ParserCreateQuery.cpp CREATE DICTIONARY; functions
+src/Functions/FunctionsExternalDictionaries.h dictGet/dictGetOrDefault/
+dictHas).
+
+TPU-native design: the dictionary IS a device hash table (ops/hashtable.py
+scatter-round open addressing) or, for dense integer keys, a direct-index
+LUT (the FLAT layout, reference FlatDictionary.cpp).  dictGet is a fully
+jitted probe + gather — no host round trip per row, unlike the reference's
+pointer-chasing host tables.  String keys ride the engine's dictionary
+encoding: probe-side ids are remapped to the source dictionary's id space
+on the host (id-space join, the LowCardinality trick used by IN).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.core.table import Table
+from myscaledb_tpu.core.types import DataType
+from myscaledb_tpu.ops.hashtable import build_group_ids, ht_lookup, INT32_MAX
+
+
+class Dictionary:
+    """One loaded dictionary: key column + attribute columns on device."""
+
+    def __init__(self, name: str, source: Table, key: str,
+                 layout: str = "hashed", source_desc: str = ""):
+        if key not in source:
+            raise ValueError(f"dictionary key column {key!r} not in source")
+        self.name = name
+        self.key_name = key
+        self.layout = layout.lower()
+        self.source_desc = source_desc
+        self.table = source
+        kc = source[key]
+        self.key_is_string = kc.dtype is DataType.STRING
+        self.key_dictionary = kc.dictionary
+        keys = jnp.asarray(kc.data)
+        self._lut = None
+        self._ht = None
+        if self.layout == "flat" and not self.key_is_string:
+            kmax = int(jnp.max(keys)) if source.n_rows else 0
+            kmin = int(jnp.min(keys)) if source.n_rows else 0
+            if kmin < 0 or kmax > max(4 * source.n_rows, 1 << 20):
+                self.layout = "hashed"   # sparse keys: fall back
+            else:
+                lut = jnp.full(kmax + 2, INT32_MAX, dtype=jnp.int32)
+                self._lut = lut.at[keys.astype(jnp.int32)].set(
+                    jnp.arange(source.n_rows, dtype=jnp.int32))
+        if self._lut is None:
+            if source.n_rows:
+                self._ht, _, _ = build_group_ids(
+                    (keys.astype(jnp.int64),),
+                    num_groups_hint=source.n_rows)
+            self.layout = "complex_key_hashed" if self.key_is_string \
+                else "hashed"
+
+    @property
+    def n_rows(self) -> int:
+        return self.table.n_rows
+
+    def _remap_string_keys(self, ids, probe_dictionary) -> jnp.ndarray:
+        """Map probe-side dictionary ids into the source key id space."""
+        if probe_dictionary is self.key_dictionary:
+            return jnp.asarray(ids)
+        remap = np.array(
+            [self.key_dictionary.index.get(v, -2)
+             for v in probe_dictionary.values] or [-2], dtype=np.int64)
+        ids_np = jnp.clip(jnp.asarray(ids), 0, len(remap) - 1)
+        return jnp.asarray(remap)[ids_np]
+
+    def lookup(self, keys, probe_dictionary=None):
+        """keys: (n,) device array (string keys as probe-side dictionary
+        ids).  Returns (row (n,) int32 clipped to valid range, found (n,)
+        bool)."""
+        keys = jnp.asarray(keys)
+        if self.key_is_string:
+            if probe_dictionary is None:
+                raise ValueError(
+                    f"dictionary {self.name!r} has a String key; got a "
+                    f"numeric probe")
+            keys = self._remap_string_keys(keys, probe_dictionary)
+        if self.n_rows == 0:
+            z = jnp.zeros(keys.shape[0], dtype=jnp.int32)
+            return z, jnp.zeros(keys.shape[0], dtype=bool)
+        if self._lut is not None:
+            idx = jnp.clip(keys, 0, self._lut.shape[0] - 1).astype(jnp.int32)
+            row = self._lut[idx]
+            found = jnp.logical_and(row != INT32_MAX,
+                                    keys == idx.astype(keys.dtype))
+            return jnp.where(found, row, 0), found
+        slot, found = ht_lookup(self._ht, (keys.astype(jnp.int64),))
+        row = jnp.where(found, self._ht.slot_row[jnp.clip(slot, 0, None)], 0)
+        return row.astype(jnp.int32), found
+
+    def attribute(self, attr: str):
+        if attr not in self.table:
+            raise ValueError(f"dictionary {self.name!r} has no attribute "
+                             f"{attr!r} (have {self.table.column_names})")
+        return self.table[attr]

@@ -21,7 +21,7 @@ SYSTEM_TABLES = ("system.one", "system.tables", "system.columns",
                  "system.vector_indices", "system.numbers",
                  "system.functions", "system.users", "system.roles",
                  "system.grants", "system.row_policies", "system.quotas",
-                 "system.formats")
+                 "system.formats", "system.dictionaries")
 
 
 def build_system_table(session, name: str) -> Table:
@@ -157,6 +157,16 @@ def build_system_table(session, name: str) -> Table:
             "limits": [json.dumps(q.limits) for q in qs],
             "apply_to": ["ALL" if q.to_users is None else
                          ",".join(sorted(q.to_users)) for q in qs]})
+
+    if name == "system.dictionaries":
+        ds = sorted(session.dictionaries.values(), key=lambda d: d.name)
+        return Table.from_dict({
+            "name": [d.name for d in ds],
+            "key": [d.key_name for d in ds],
+            "layout": [d.layout for d in ds],
+            "source": [d.source_desc for d in ds],
+            "element_count": np.asarray([d.n_rows for d in ds],
+                                        dtype=np.int64)})
 
     if name == "system.formats":
         from myscaledb_tpu.runtime.formats import INPUT_FORMATS, \

@@ -26,6 +26,7 @@ class Session:
         self._query_cache = {}
         self.access = AccessControl()
         self.current_user = "default"
+        self.dictionaries = {}
 
     def read_table_checked(self, name: str) -> Table:
         """get_table + SELECT-privilege check + row-policy filtering for the

@@ -166,6 +166,30 @@ class CreateQuota:
 
 
 @dataclass
+class CreateDictionary:
+    name: str
+    columns: list               # ColumnDef list
+    primary_key: str
+    source_kind: str            # "table" | "file"
+    source_arg: str             # table name or file path
+    source_format: Optional[str]
+    layout: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropDictionary:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class SystemStatement:
+    action: str                 # "reload_dictionary" | "flush_logs" | ...
+    target: Optional[str] = None
+
+
+@dataclass
 class ShowGrants:
     user: Optional[str] = None
 
@@ -198,6 +222,21 @@ class DDLParser(Parser):
             return TruncateTable(self.parse_table_name())
         if up == "SET":
             return self.parse_set()
+        if up == "SYSTEM":
+            self.next()
+            if self.take_kw("RELOAD"):
+                self.take_kw("DICTIONARY") or self.take_kw("DICTIONARIES")
+                target = self.next().text if self.peek().kind != "eof" \
+                    else None
+                return SystemStatement("reload_dictionary", target)
+            if self.take_kw("FLUSH"):
+                self.take_kw("LOGS")
+                return SystemStatement("flush_logs")
+            if self.take_kw("DROP"):
+                self.take_kw("QUERY")
+                self.expect_kw("CACHE")
+                return SystemStatement("drop_query_cache")
+            raise ParseError("unsupported SYSTEM statement")
         if up == "GRANT":
             return self.parse_grant(revoke=False)
         if up == "REVOKE":
@@ -210,7 +249,8 @@ class DDLParser(Parser):
                     user = self.next().text
                 return ShowGrants(user)
             for kw, what in (("USERS", "users"), ("ROLES", "roles"),
-                             ("QUOTAS", "quotas")):
+                             ("QUOTAS", "quotas"),
+                             ("DICTIONARIES", "dictionaries")):
                 if self.take_kw(kw):
                     return ShowAccess(what)
             if self.take_kw("ROW"):
@@ -295,6 +335,8 @@ class DDLParser(Parser):
             using_sql = self.sql[start:end].strip()
             to_users = self._parse_to_users()
             return CreateRowPolicy(name, table, expr, using_sql, to_users)
+        if self.take_kw("DICTIONARY"):
+            return self.parse_create_dictionary()
         if self.take_kw("QUOTA"):
             self._take_if_not_exists()
             name = self.next().text
@@ -427,6 +469,71 @@ class DDLParser(Parser):
             return type_from_name(name), False, 0, None
         except ValueError:
             raise ParseError(f"unknown type {name!r}")
+
+    def _paren_blob(self) -> list:
+        """Consume a balanced (...) group, returning the inner tokens."""
+        self.expect_punct("(")
+        depth, toks = 1, []
+        while depth and self.peek().kind != "eof":
+            t = self.next()
+            depth += (t.text == "(") - (t.text == ")")
+            if depth:
+                toks.append(t)
+        return toks
+
+    def parse_create_dictionary(self):
+        """CREATE DICTIONARY name (col Type, ...) PRIMARY KEY k
+        SOURCE(TABLE 'src' | CLICKHOUSE(TABLE 'src') | FILE(PATH 'p'
+        FORMAT 'CSV')) LAYOUT(FLAT()|HASHED()|COMPLEX_KEY_HASHED())
+        LIFETIME(...) — reference grammar
+        src/Parsers/ParserCreateQuery.cpp parseDictionary."""
+        ine = self._take_if_not_exists()
+        name = self.parse_table_name()
+        self.expect_punct("(")
+        cols = []
+        while True:
+            cname = self.next().text
+            ctype, nullable, vdim, elem = self.parse_type()
+            if self.take_kw("DEFAULT"):
+                self.parse_expr()
+            cols.append(ColumnDef(cname, ctype, nullable, vdim, elem))
+            if not self.take_punct(","):
+                break
+        self.expect_punct(")")
+        primary_key = None
+        source_kind = source_arg = source_format = None
+        layout = "hashed"
+        while self.peek().kind != "eof":
+            kw = self.next().upper
+            if kw == "PRIMARY":
+                self.expect_kw("KEY")
+                primary_key = self.next().text
+            elif kw == "SOURCE":
+                toks = self._paren_blob()
+                strings = [unquote_string(t.text) for t in toks
+                           if t.kind == "string"]
+                words = [t.upper for t in toks if t.kind != "string"]
+                if "FILE" in words:
+                    source_kind = "file"
+                    source_arg = strings[0] if strings else ""
+                    source_format = strings[1] if len(strings) > 1 else None
+                else:
+                    source_kind = "table"
+                    source_arg = strings[0] if strings else ""
+            elif kw == "LAYOUT":
+                toks = self._paren_blob()
+                if toks:
+                    layout = toks[0].text.lower()
+            elif kw == "LIFETIME":
+                self._paren_blob()   # accepted; snapshot semantics
+            else:
+                raise ParseError(f"unexpected {kw} in CREATE DICTIONARY")
+        if primary_key is None:
+            raise ParseError("CREATE DICTIONARY requires PRIMARY KEY")
+        if source_kind is None:
+            raise ParseError("CREATE DICTIONARY requires SOURCE(...)")
+        return CreateDictionary(name, cols, primary_key, source_kind,
+                                source_arg, source_format, layout, ine)
 
     def parse_insert(self):
         self.expect_kw("INSERT")
@@ -563,6 +670,9 @@ class DDLParser(Parser):
             name = self.next().text
             self.expect_kw("ON")
             return DropRowPolicy(name, self.parse_table_name())
+        if self.take_kw("DICTIONARY"):
+            ie = self._take_if_exists()
+            return DropDictionary(self.parse_table_name(), ie)
         self.expect_kw("TABLE")
         ie = False
         if self.take_kw("IF"):
@@ -663,6 +773,26 @@ def format_from_extension(path: str) -> str:
                      f"add FORMAT <name>")
 
 
+def _build_dictionary(session, stmt: CreateDictionary):
+    """Snapshot the source into a device-resident Dictionary (reference:
+    ExternalDictionariesLoader load; LIFETIME(0) snapshot semantics)."""
+    from myscaledb_tpu.runtime.dictionaries import Dictionary
+    names = [d.name for d in stmt.columns]
+    if stmt.source_kind == "file":
+        from myscaledb_tpu.runtime import formats
+        fmt = stmt.source_format or format_from_extension(stmt.source_arg)
+        src = formats.read_file(stmt.source_arg, fmt,
+                                [(d.name, d.dtype) for d in stmt.columns])
+        src = src.select([n for n in names if n in src.column_names])
+    else:
+        base = session.get_table(stmt.source_arg)
+        src = base.select(names)
+    d = Dictionary(stmt.name, src, stmt.primary_key, stmt.layout,
+                   f"{stmt.source_kind}:{stmt.source_arg}")
+    d.spec = stmt
+    return d
+
+
 def required_privilege(stmt):
     """(privilege, target) the current user must hold to run stmt, or None
     (reference: InterpreterFactory + ContextAccess::checkAccess per
@@ -673,9 +803,9 @@ def required_privilege(stmt):
         return ("ACCESS MANAGEMENT", "*")
     if isinstance(stmt, (InsertValues, InsertInfile)):
         return ("INSERT", stmt.table)
-    if isinstance(stmt, CreateTable):
+    if isinstance(stmt, (CreateTable, CreateDictionary)):
         return ("CREATE TABLE", stmt.name)
-    if isinstance(stmt, DropTable):
+    if isinstance(stmt, (DropTable, DropDictionary)):
         return ("DROP", stmt.name)
     if isinstance(stmt, TruncateTable):
         return ("TRUNCATE", stmt.name)
@@ -828,6 +958,32 @@ def execute_statement(session, stmt) -> Table:
                 val = int(val)
             setattr(session.settings, stmt.name, val)
         return T([])   # unknown settings are accepted silently (CH compat)
+
+    if isinstance(stmt, CreateDictionary):
+        if stmt.name in session.dictionaries and stmt.if_not_exists:
+            return T([])
+        session.dictionaries[stmt.name] = _build_dictionary(session, stmt)
+        return T([])
+
+    if isinstance(stmt, DropDictionary):
+        if stmt.name not in session.dictionaries and not stmt.if_exists:
+            raise ValueError(f"unknown dictionary {stmt.name!r}")
+        session.dictionaries.pop(stmt.name, None)
+        return T([])
+
+    if isinstance(stmt, SystemStatement):
+        if stmt.action == "reload_dictionary":
+            names = [stmt.target] if stmt.target else \
+                list(session.dictionaries)
+            for n in names:
+                d = session.dictionaries.get(n)
+                if d is None:
+                    raise ValueError(f"unknown dictionary {n!r}")
+                session.dictionaries[n] = _build_dictionary(session, d.spec)
+        elif stmt.action == "drop_query_cache":
+            session._query_cache.clear()
+        # flush_logs: logs are always live tables here — no-op
+        return T([])
 
     if isinstance(stmt, CreateUser):
         session.access.create_user(stmt.name, stmt.password,

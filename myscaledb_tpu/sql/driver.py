@@ -19,7 +19,8 @@ from myscaledb_tpu.runtime.tracing import span
 
 
 DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "SET ", "SET\t",
-                "SHOW", "DESCRIBE", "DESC ", "ALTER", "GRANT", "REVOKE")
+                "SHOW", "DESCRIBE", "DESC ", "ALTER", "GRANT", "REVOKE",
+                "SYSTEM")
 
 
 _OUTFILE_RE = re.compile(

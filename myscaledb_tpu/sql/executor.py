@@ -1336,6 +1336,7 @@ def execute_select(session, q: SelectQuery) -> Table:
 
     env = Env(table, alias_prefixes)
     env.subquery_runner = lambda sub: execute_any(session, sub)
+    env.dictionaries = session.dictionaries
     alias_exprs = {it.alias: it.expr for it in q.items if it.alias}
     tuple_groups: dict[str, list] = {}
 

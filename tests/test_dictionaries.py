@@ -1,0 +1,115 @@
+"""External dictionaries: CREATE DICTIONARY, dictGet family, layouts
+(reference: src/Dictionaries/ FlatDictionary/HashedDictionary;
+src/Functions/FunctionsExternalDictionaries.h)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.session import connect
+
+
+@pytest.fixture
+def s():
+    s = connect()
+    s.create_table("countries", {
+        "code": np.array([1, 2, 7, 100], dtype=np.uint64),
+        "name": ["France", "Germany", "Japan", "Nowhere"],
+        "pop_m": np.array([68.0, 84.0, 125.0, 0.0], dtype=np.float64)})
+    s.create_table("events", {
+        "id": np.arange(6, dtype=np.int64),
+        "country": np.array([1, 2, 7, 7, 99, 1], dtype=np.uint64)})
+    s.sql("""CREATE DICTIONARY country_dict
+             (code UInt64, name String, pop_m Float64)
+             PRIMARY KEY code SOURCE(TABLE 'countries')
+             LAYOUT(FLAT()) LIFETIME(0)""")
+    return s
+
+
+def test_dictget_column(s):
+    rows = s.sql("SELECT id, dictGet('country_dict', 'name', country) AS n "
+                 "FROM events ORDER BY id").to_rows()
+    assert [r[1] for r in rows] == ["France", "Germany", "Japan", "Japan",
+                                    "", "France"]
+
+
+def test_dictget_numeric_and_default(s):
+    rows = s.sql(
+        "SELECT id, dictGetOrDefault('country_dict', 'pop_m', country, "
+        "-1.0) AS p FROM events ORDER BY id").to_rows()
+    assert [r[1] for r in rows] == [68.0, 84.0, 125.0, 125.0, -1.0, 68.0]
+
+
+def test_dicthas_filter(s):
+    rows = s.sql("SELECT id FROM events WHERE NOT "
+                 "dictHas('country_dict', country) ORDER BY id").to_rows()
+    assert rows == [(4,)]
+
+
+def test_dictget_scalar_key(s):
+    assert s.sql("SELECT dictGet('country_dict', 'name', 7)"
+                 ).to_rows() == [("Japan",)]
+    assert s.sql("SELECT dictHas('country_dict', 99)").to_rows()[0][0] in \
+        (False, 0)
+
+
+def test_hashed_layout_sparse_keys():
+    s = connect()
+    s.create_table("m", {"k": np.array([10**12, 5, 10**15], dtype=np.int64),
+                         "v": ["a", "b", "c"]})
+    s.sql("CREATE DICTIONARY d (k Int64, v String) PRIMARY KEY k "
+          "SOURCE(TABLE 'm') LAYOUT(HASHED())")
+    s.create_table("probe", {"k": np.array([5, 10**15, 17], dtype=np.int64)})
+    rows = s.sql("SELECT dictGet('d', 'v', k) FROM probe").to_rows()
+    assert [r[0] for r in rows] == ["b", "c", ""]
+    # FLAT falls back to hashed automatically on sparse keys
+    s.sql("CREATE DICTIONARY d2 (k Int64, v String) PRIMARY KEY k "
+          "SOURCE(TABLE 'm') LAYOUT(FLAT())")
+    assert s.sql("SELECT dictGet('d2', 'v', 5)").to_rows() == [("b",)]
+
+
+def test_string_key_dictionary():
+    s = connect()
+    s.create_table("m", {"name": ["fr", "de", "jp"],
+                         "capital": ["Paris", "Berlin", "Tokyo"]})
+    s.sql("CREATE DICTIONARY geo (name String, capital String) "
+          "PRIMARY KEY name SOURCE(TABLE 'm') "
+          "LAYOUT(COMPLEX_KEY_HASHED())")
+    s.create_table("q", {"c": ["de", "xx", "fr"]})
+    rows = s.sql("SELECT dictGet('geo', 'capital', c) FROM q").to_rows()
+    assert [r[0] for r in rows] == ["Berlin", "", "Paris"]
+    assert s.sql("SELECT dictGet('geo', 'capital', 'jp')").to_rows() == \
+        [("Tokyo",)]
+
+
+def test_file_source_dictionary(tmp_path):
+    s = connect()
+    p = tmp_path / "ref.csv"
+    p.write_text("k,v\n1,one\n2,two\n")
+    s.sql(f"CREATE DICTIONARY fd (k UInt64, v String) PRIMARY KEY k "
+          f"SOURCE(FILE(PATH '{p}' FORMAT 'CSV'))")
+    assert s.sql("SELECT dictGet('fd', 'v', 2)").to_rows() == [("two",)]
+
+
+def test_reload_and_drop(s):
+    # mutate the source, RELOAD picks it up (snapshot semantics otherwise)
+    s.sql("INSERT INTO countries VALUES (8, 'Italy', 59.0)")
+    assert s.sql("SELECT dictGet('country_dict', 'name', 8)"
+                 ).to_rows() == [("",)]
+    s.sql("SYSTEM RELOAD DICTIONARY country_dict")
+    assert s.sql("SELECT dictGet('country_dict', 'name', 8)"
+                 ).to_rows() == [("Italy",)]
+    rows = s.sql("SELECT name, layout, element_count FROM "
+                 "system.dictionaries").to_rows()
+    assert rows[0][0] == "country_dict" and rows[0][2] == 5
+    assert s.sql("SHOW DICTIONARIES").to_rows() == [("country_dict",)]
+    s.sql("DROP DICTIONARY country_dict")
+    with pytest.raises(Exception):
+        s.sql("SELECT dictGet('country_dict', 'name', 1)")
+
+
+def test_dictget_in_join_and_group_by(s):
+    rows = s.sql(
+        "SELECT dictGet('country_dict', 'name', country) AS n, count() "
+        "FROM events WHERE dictHas('country_dict', country) "
+        "GROUP BY n ORDER BY n").to_rows()
+    assert rows == [("France", 2), ("Germany", 1), ("Japan", 2)]
