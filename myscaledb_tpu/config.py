@@ -37,6 +37,12 @@ class Settings:
     # execution
     use_pallas_kernels: bool = True      # pallas fast paths where available
     group_by_capacity_hint: int = 1 << 16
+    # join (reference: Settings.h join_algorithm, grace_hash_join_*;
+    # GraceHashJoin.cpp) — "auto" switches to partitioned grace join when the
+    # build side exceeds max_rows_in_hash_join_build
+    join_algorithm: str = "auto"         # hash | grace_hash | auto
+    grace_hash_join_initial_buckets: int = 8
+    max_rows_in_hash_join_build: int = 32 * 1024 * 1024
     # LIMIT pushdown of top-k into the distance scan (ref: TreeRewriter.cpp:1671)
     max_search_top_k: int = 1 << 20
     # result cache (reference: src/Interpreters/Cache/QueryCache.h)

@@ -103,6 +103,95 @@ def hash_join_any(build_keys, probe_keys, build_mask=None, probe_mask=None) -> J
     return probe_join_table(table, probe_keys, probe_mask)
 
 
+def _partition_ids(keys, n_partitions: int) -> jnp.ndarray:
+    """Radix partition id from the HIGH bits of the key hash (the hash
+    table's capacity mask consumes the low bits — disjoint bit ranges keep
+    per-partition tables well spread, the same trick as the reference's
+    TwoLevelHashTable bucket byte, src/Common/HashTable/TwoLevelHashTable.h).
+    """
+    from myscaledb_tpu.ops.hash import hash32, hash_combine
+    h = hash32(jnp.asarray(keys[0]))
+    for c in keys[1:]:
+        h = hash_combine(h, hash32(jnp.asarray(c)))
+    shift = 32 - (n_partitions.bit_length() - 1)
+    return (h >> jnp.uint32(shift)).astype(jnp.int32)
+
+
+def grace_hash_join_any(build_keys, probe_keys, build_mask=None,
+                        probe_mask=None, n_partitions: int = 8) -> JoinResult:
+    """Partitioned ANY join for build sides larger than device memory
+    (reference: GraceHashJoin.cpp — bucketed spill-to-disk; here partitions
+    stay in host RAM and stream to the chip one at a time, bounding peak HBM
+    to ~1/n_partitions of each side)."""
+    import numpy as np
+    assert n_partitions & (n_partitions - 1) == 0
+    bk = [np.asarray(b) for b in build_keys]
+    pk = [np.asarray(p) for p in probe_keys]
+    n_probe = pk[0].shape[0]
+    bpid = np.asarray(_partition_ids(build_keys, n_partitions))
+    ppid = np.asarray(_partition_ids(probe_keys, n_partitions))
+    if build_mask is not None:
+        bpid = np.where(np.asarray(build_mask), bpid, -1)
+    if probe_mask is not None:
+        ppid = np.where(np.asarray(probe_mask), ppid, -1)
+    found = np.zeros(n_probe, dtype=bool)
+    build_row = np.full(n_probe, np.int64(INT32_MAX), dtype=np.int64)
+    for p in range(n_partitions):
+        psel = np.flatnonzero(ppid == p)
+        bsel = np.flatnonzero(bpid == p)
+        if len(psel) == 0 or len(bsel) == 0:
+            continue
+        res = hash_join_any(tuple(b[bsel] for b in bk),
+                            tuple(q[psel] for q in pk))
+        f = np.asarray(res.found)
+        br = np.asarray(res.build_row)
+        found[psel] = f
+        build_row[psel[f]] = bsel[br[f]]
+    return JoinResult(jnp.asarray(build_row.astype(np.int32)),
+                      jnp.asarray(found))
+
+
+def grace_hash_join_all(build_keys, probe_keys, build_mask=None,
+                        probe_mask=None,
+                        n_partitions: int = 8) -> JoinExpansion:
+    """Partitioned ALL join; output pairs are re-sorted by probe row so the
+    result is bit-identical to hash_join_all (within a probe row, matches
+    ascend by build row in both)."""
+    import numpy as np
+    assert n_partitions & (n_partitions - 1) == 0
+    bk = [np.asarray(b) for b in build_keys]
+    pk = [np.asarray(p) for p in probe_keys]
+    n_probe = pk[0].shape[0]
+    bpid = np.asarray(_partition_ids(build_keys, n_partitions))
+    ppid = np.asarray(_partition_ids(probe_keys, n_partitions))
+    if build_mask is not None:
+        bpid = np.where(np.asarray(build_mask), bpid, -1)
+    if probe_mask is not None:
+        ppid = np.where(np.asarray(probe_mask), ppid, -1)
+    found = np.zeros(n_probe, dtype=bool)
+    pi_parts, bi_parts = [], []
+    for p in range(n_partitions):
+        psel = np.flatnonzero(ppid == p)
+        bsel = np.flatnonzero(bpid == p)
+        if len(psel) == 0 or len(bsel) == 0:
+            continue
+        exp = hash_join_all(tuple(b[bsel] for b in bk),
+                            tuple(q[psel] for q in pk))
+        found[psel] = np.asarray(exp.found)
+        pi_parts.append(psel[np.asarray(exp.probe_idx)])
+        bi_parts.append(bsel[np.asarray(exp.build_idx)])
+    if not pi_parts:
+        return JoinExpansion(jnp.zeros(0, dtype=jnp.int32),
+                             jnp.zeros(0, dtype=jnp.int32),
+                             jnp.asarray(found))
+    pi = np.concatenate(pi_parts)
+    bi = np.concatenate(bi_parts)
+    order = np.argsort(pi, kind="stable")
+    return JoinExpansion(jnp.asarray(pi[order].astype(np.int32)),
+                         jnp.asarray(bi[order].astype(np.int32)),
+                         jnp.asarray(found))
+
+
 class JoinExpansion(NamedTuple):
     """ALL-join result: matched (probe,build) row pairs, dense."""
     probe_idx: jnp.ndarray    # (n_out,) int32

@@ -416,7 +416,8 @@ def _compact_distributed(table: Table) -> Table:
     return table
 
 
-def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
+def apply_join(session, left: Table, jc, alias_prefixes: dict,
+               settings=None) -> Table:
     try:
         right = session.read_table_checked(jc.table)
     except KeyError:
@@ -463,10 +464,20 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
 
     M.increment(M.JOIN_PROBE_ROWS, left.n_rows)
     how, strict = jc.how, jc.strictness
-    with span("hash_join", how=how, strictness=strict,
+    st = settings if settings is not None else session.settings
+    use_grace = st.join_algorithm == "grace_hash" or (
+        st.join_algorithm == "auto" and
+        right.n_rows > st.max_rows_in_hash_join_build)
+    with span("hash_join", how=how, strictness=strict, grace=use_grace,
               probe_rows=left.n_rows, build_rows=right.n_rows):
         if strict in ("ANY", "SEMI", "ANTI"):
-            res = hash_join_any(tuple(rkeys), tuple(lkeys))
+            if use_grace:
+                from myscaledb_tpu.ops.join import grace_hash_join_any
+                res = grace_hash_join_any(
+                    tuple(rkeys), tuple(lkeys),
+                    n_partitions=st.grace_hash_join_initial_buckets)
+            else:
+                res = hash_join_any(tuple(rkeys), tuple(lkeys))
             found_np = np.asarray(res.found)
             build_row = np.asarray(jnp.where(res.found, res.build_row, 0))
             if strict == "ANTI":
@@ -482,8 +493,14 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict) -> Table:
                 right_rows = build_row
                 right_has = found_np
         else:   # ALL multiplicity
-            from myscaledb_tpu.ops.join import hash_join_all
-            exp = hash_join_all(tuple(rkeys), tuple(lkeys))
+            from myscaledb_tpu.ops.join import hash_join_all, \
+                grace_hash_join_all
+            if use_grace:
+                exp = grace_hash_join_all(
+                    tuple(rkeys), tuple(lkeys),
+                    n_partitions=st.grace_hash_join_initial_buckets)
+            else:
+                exp = hash_join_all(tuple(rkeys), tuple(lkeys))
             left_rows = np.asarray(exp.probe_idx)
             right_rows = np.asarray(exp.build_idx)
             right_has = np.ones(len(left_rows), dtype=bool)
@@ -1329,7 +1346,7 @@ def execute_select(session, q: SelectQuery) -> Table:
     if q.table_alias:
         alias_prefixes[q.table_alias] = ""
     for jc in q.joins:
-        table = apply_join(session, table, jc, alias_prefixes)
+        table = apply_join(session, table, jc, alias_prefixes, settings)
     q = _rewrite_arrayjoin_calls(q)
     if q.array_joins:
         table = apply_array_join(table, q.array_joins)

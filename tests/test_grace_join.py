@@ -1,0 +1,84 @@
+"""Grace (partitioned) hash join — bit-parity with the in-memory join
+(reference: src/Interpreters/GraceHashJoin.cpp bucketed spill join)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.ops.join import (hash_join_any, hash_join_all,
+                                    grace_hash_join_any, grace_hash_join_all)
+from myscaledb_tpu.session import connect
+
+
+@pytest.fixture(scope="module")
+def keys():
+    rng = np.random.default_rng(7)
+    build = rng.integers(0, 5000, 20000).astype(np.int64)
+    probe = rng.integers(0, 8000, 50000).astype(np.int64)
+    return build, probe
+
+
+def test_any_parity(keys):
+    build, probe = keys
+    a = hash_join_any((build,), (probe,))
+    g = grace_hash_join_any((build,), (probe,), n_partitions=8)
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(g.found))
+    f = np.asarray(a.found)
+    np.testing.assert_array_equal(np.asarray(a.build_row)[f],
+                                  np.asarray(g.build_row)[f])
+
+
+def test_all_parity(keys):
+    build, probe = keys
+    a = hash_join_all((build,), (probe,))
+    g = grace_hash_join_all((build,), (probe,), n_partitions=16)
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(g.found))
+    np.testing.assert_array_equal(np.asarray(a.probe_idx),
+                                  np.asarray(g.probe_idx))
+    np.testing.assert_array_equal(np.asarray(a.build_idx),
+                                  np.asarray(g.build_idx))
+
+
+def test_multicolumn_key_parity():
+    rng = np.random.default_rng(1)
+    b1 = rng.integers(0, 100, 5000).astype(np.int64)
+    b2 = rng.integers(0, 100, 5000).astype(np.int64)
+    p1 = rng.integers(0, 120, 9000).astype(np.int64)
+    p2 = rng.integers(0, 120, 9000).astype(np.int64)
+    a = hash_join_all((b1, b2), (p1, p2))
+    g = grace_hash_join_all((b1, b2), (p1, p2), n_partitions=4)
+    np.testing.assert_array_equal(np.asarray(a.probe_idx),
+                                  np.asarray(g.probe_idx))
+    np.testing.assert_array_equal(np.asarray(a.build_idx),
+                                  np.asarray(g.build_idx))
+
+
+def test_empty_sides():
+    e = np.zeros(0, dtype=np.int64)
+    k = np.arange(10, dtype=np.int64)
+    g = grace_hash_join_all((e,), (k,))
+    assert len(np.asarray(g.probe_idx)) == 0
+    assert not np.asarray(g.found).any()
+    g2 = grace_hash_join_any((k,), (e,))
+    assert np.asarray(g2.found).shape == (0,)
+
+
+def test_sql_grace_join_setting():
+    s = connect()
+    rng = np.random.default_rng(3)
+    s.create_table("l", {"k": rng.integers(0, 50, 1000).astype(np.int64),
+                         "x": np.arange(1000, dtype=np.int64)})
+    s.create_table("r", {"k": np.arange(0, 60, dtype=np.int64),
+                         "y": np.arange(0, 600, 10, dtype=np.int64)})
+    q = ("SELECT sum(x + y), count() FROM l "
+         "INNER JOIN r ON l.k = r.k")
+    base = s.sql(q).to_rows()
+    s.sql("SET join_algorithm = 'grace_hash'")
+    assert s.sql(q).to_rows() == base
+    s.sql("SET join_algorithm = 'hash'")
+    assert s.sql(q).to_rows() == base
+    # LEFT ALL with grace
+    q2 = ("SELECT count(), sum(y) FROM l LEFT JOIN r ON l.k = r.k "
+          "SETTINGS join_algorithm = 'grace_hash'")
+    s.sql("SET join_algorithm = 'auto'")
+    assert s.sql(q2.replace(" SETTINGS join_algorithm = 'grace_hash'", "")
+                 ).to_rows() == s.sql(q2).to_rows()
