@@ -21,7 +21,9 @@ SYSTEM_TABLES = ("system.one", "system.tables", "system.columns",
                  "system.vector_indices", "system.numbers",
                  "system.functions", "system.users", "system.roles",
                  "system.grants", "system.row_policies", "system.quotas",
-                 "system.formats", "system.dictionaries")
+                 "system.formats", "system.dictionaries",
+                 "system.vector_index_event_log",
+                 "system.vector_index_segments", "system.views")
 
 
 def build_system_table(session, name: str) -> Table:
@@ -92,6 +94,42 @@ def build_system_table(session, name: str) -> Table:
             "type": [i["type"] for i in idxs],
             "status": [i["status"] for i in idxs],
         })
+
+    if name == "system.vector_index_event_log":
+        evs = list(getattr(session, "vi_events", []))
+        return Table.from_dict({
+            "event_time": np.asarray([e["event_time"] for e in evs],
+                                     dtype=np.float64),
+            "table": [e["table"] for e in evs],
+            "index_name": [e["index_name"] for e in evs],
+            "event_type": [e["event_type"] for e in evs]})
+
+    if name == "system.vector_index_segments":
+        # reference: system.vector_index_segments
+        # (src/VectorIndex/Storages/StorageSystemVIsWithPart.cpp) — one row
+        # per (index, part); resident tables are one segment
+        idxs = getattr(session, "vector_indices", [])
+        rows = []
+        for i in idxs:
+            t = session.tables.get(i["table"])
+            rows.append((i["table"], i["name"], "all",
+                         t.n_rows if t is not None else 0, i["status"]))
+        return Table.from_dict({
+            "table": [r[0] for r in rows],
+            "index_name": [r[1] for r in rows],
+            "part": [r[2] for r in rows],
+            "total_vectors": np.asarray([r[3] for r in rows],
+                                        dtype=np.int64),
+            "status": [r[4] for r in rows]})
+
+    if name == "system.views":
+        vs = [(n, sql, "View") for n, sql in session.views.items()] + \
+             [(n, mv["sql"], "MaterializedView")
+              for n, mv in session.materialized_views.items()]
+        return Table.from_dict({
+            "name": [v[0] for v in vs],
+            "as_select": [v[1] for v in vs],
+            "engine": [v[2] for v in vs]})
 
     if name == "system.functions":
         from myscaledb_tpu.exec.expr import _FUNCS

@@ -27,6 +27,9 @@ class Session:
         self.access = AccessControl()
         self.current_user = "default"
         self.dictionaries = {}
+        self.views: dict[str, str] = {}
+        self.materialized_views: dict[str, dict] = {}
+        self.vi_events = deque(maxlen=10_000)
 
     def read_table_checked(self, name: str) -> Table:
         """get_table + SELECT-privilege check + row-policy filtering for the
@@ -68,6 +71,12 @@ class Session:
             t = build_system_table(self, name)
             t.name = name
             return t
+        if name in self.views:
+            # plain view: re-execute the stored SELECT (reference:
+            # StorageView — the query substitutes into the outer plan)
+            t = self.sql(self.views[name])
+            t.name = name
+            return t
         raise KeyError(f"unknown table {name!r}")
 
     def register(self, name: str, table: Table, settings=None) -> None:
@@ -96,6 +105,8 @@ class Session:
                             if c in new.column_names])])
         merged.name = table_name
         self.tables[table_name] = merged
+        from myscaledb_tpu.sql.ddl import run_materialized_views
+        run_materialized_views(self, table_name, new)
         self.bump_epoch()
         return new.n_rows
 

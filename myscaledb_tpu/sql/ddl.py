@@ -166,6 +166,16 @@ class CreateQuota:
 
 
 @dataclass
+class CreateView:
+    name: str
+    select_sql: str
+    materialized: bool = False
+    to_table: Optional[str] = None
+    populate: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
 class CreateDictionary:
     name: str
     columns: list               # ColumnDef list
@@ -337,6 +347,23 @@ class DDLParser(Parser):
             return CreateRowPolicy(name, table, expr, using_sql, to_users)
         if self.take_kw("DICTIONARY"):
             return self.parse_create_dictionary()
+        if self.take_kw("VIEW"):
+            ine = self._take_if_not_exists()
+            name = self.parse_table_name()
+            self.expect_kw("AS")
+            return CreateView(name, self.sql[self.peek().pos:], False,
+                              if_not_exists=ine)
+        if self.take_kw("MATERIALIZED"):
+            self.expect_kw("VIEW")
+            ine = self._take_if_not_exists()
+            name = self.parse_table_name()
+            to_table = None
+            if self.take_kw("TO"):
+                to_table = self.parse_table_name()
+            populate = bool(self.take_kw("POPULATE"))
+            self.expect_kw("AS")
+            return CreateView(name, self.sql[self.peek().pos:], True,
+                              to_table, populate, ine)
         if self.take_kw("QUOTA"):
             self._take_if_not_exists()
             name = self.next().text
@@ -773,6 +800,49 @@ def format_from_extension(path: str) -> str:
                      f"add FORMAT <name>")
 
 
+def run_materialized_views(session, table_name: str, new_rows,
+                           only: dict | None = None) -> None:
+    """Feed an inserted block through every materialized view on the source
+    table and append the transformed rows to the view's storage (reference:
+    src/Processors/Transforms/buildPushingToViewsChain.cpp — views see the
+    inserted block only, never re-read the source)."""
+    from myscaledb_tpu.core.table import concat_tables
+    mvs = [only] if only is not None else \
+        list(session.materialized_views.values())
+    for mv in mvs:
+        if mv["source"] != table_name or new_rows.n_rows == 0:
+            continue
+        session._query_cache.clear()
+        saved = session.tables[table_name]
+        blk = new_rows
+        blk.name = table_name
+        session.tables[table_name] = blk
+        try:
+            delta = session.sql(mv["sql"])
+        finally:
+            session.tables[table_name] = saved
+            session._query_cache.clear()
+        tgt = session.tables.get(mv["target"])
+        if tgt is not None and not set(tgt.column_names) <= \
+                set(delta.column_names):
+            # TO-table with different column names: align by position
+            renamed = []
+            for tf, sc in zip(tgt.columns.values(), delta.columns.values()):
+                renamed.append(Column(Field(tf.name, sc.dtype,
+                                            sc.field.nullable,
+                                            sc.field.vector_dim,
+                                            sc.field.elem),
+                                      sc.data, sc.valid, sc.dictionary,
+                                      None, sc.offsets))
+            delta = Table(renamed)
+        if tgt is None or tgt.n_rows == 0:
+            merged = delta if tgt is None else delta.select(tgt.column_names)
+        else:
+            merged = concat_tables([tgt, delta.select(tgt.column_names)])
+        merged.name = mv["target"]
+        session.tables[mv["target"]] = merged
+
+
 def _build_dictionary(session, stmt: CreateDictionary):
     """Snapshot the source into a device-resident Dictionary (reference:
     ExternalDictionariesLoader load; LIFETIME(0) snapshot semantics)."""
@@ -803,7 +873,7 @@ def required_privilege(stmt):
         return ("ACCESS MANAGEMENT", "*")
     if isinstance(stmt, (InsertValues, InsertInfile)):
         return ("INSERT", stmt.table)
-    if isinstance(stmt, (CreateTable, CreateDictionary)):
+    if isinstance(stmt, (CreateTable, CreateDictionary, CreateView)):
         return ("CREATE TABLE", stmt.name)
     if isinstance(stmt, (DropTable, DropDictionary)):
         return ("DROP", stmt.name)
@@ -864,6 +934,7 @@ def execute_statement(session, stmt) -> Table:
                 existing.column_names)])
         merged.name = stmt.table
         session.tables[stmt.table] = merged
+        run_materialized_views(session, stmt.table, new)
         return T([])
 
     if isinstance(stmt, InsertInfile):
@@ -927,6 +998,13 @@ def execute_statement(session, stmt) -> Table:
                      # exact brute-force scans serve every query, so the
                      # index is immediately usable ("Built")
                      "status": "Built", "params": stmt.params})
+        # lifecycle events (reference: VIEventLog,
+        # src/VectorIndex/Interpreters/VIEventLog.h:30 event enum)
+        import time as _time
+        for ev in ("DEFINITION_CREATED", "BUILD_START", "BUILD_SUCCEED"):
+            session.vi_events.append({
+                "event_time": _time.time(), "table": stmt.table,
+                "index_name": stmt.name, "event_type": ev})
         return T([])
 
     if isinstance(stmt, DropVectorIndex):
@@ -934,9 +1012,21 @@ def execute_statement(session, stmt) -> Table:
         session.vector_indices = [i for i in idxs
                                   if not (i["table"] == stmt.table and
                                           i["name"] == stmt.name)]
+        import time as _time
+        session.vi_events.append({
+            "event_time": _time.time(), "table": stmt.table,
+            "index_name": stmt.name, "event_type": "DEFINITION_DROPPED"})
         return T([])
 
     if isinstance(stmt, DropTable):
+        if stmt.name in session.views:
+            del session.views[stmt.name]
+            return T([])
+        mv = session.materialized_views.pop(stmt.name, None)
+        if mv is not None:
+            if mv["target"] == stmt.name:   # implicit inner storage
+                session.drop_table(stmt.name)
+            return T([])
         if stmt.name not in session.tables and not stmt.if_exists:
             raise ValueError(f"unknown table {stmt.name!r}")
         session.drop_table(stmt.name)
@@ -958,6 +1048,43 @@ def execute_statement(session, stmt) -> Table:
                 val = int(val)
             setattr(session.settings, stmt.name, val)
         return T([])   # unknown settings are accepted silently (CH compat)
+
+    if isinstance(stmt, CreateView):
+        if stmt.materialized:
+            # reference: StorageMaterializedView — the SELECT runs over each
+            # inserted block of the source table; storage is the inner table
+            # (or TO target)
+            from myscaledb_tpu.sql.parser import parse_sql
+            q = parse_sql(stmt.select_sql)
+            src = getattr(q, "table", None)
+            if src is None or src not in session.tables:
+                raise ValueError(
+                    "MATERIALIZED VIEW requires FROM <registered table>")
+            target = stmt.to_table or stmt.name
+            if stmt.to_table is None:
+                if stmt.populate:
+                    t0 = session.sql(stmt.select_sql)
+                else:
+                    saved = session.tables[src]
+                    session.tables[src] = saved.head(0)
+                    try:
+                        t0 = session.sql(stmt.select_sql)
+                    finally:
+                        session.tables[src] = saved
+                t0.name = target
+                session.tables[target] = t0
+            elif stmt.populate:
+                run_materialized_views(session, src, session.tables[src],
+                                       only={"sql": stmt.select_sql,
+                                             "source": src,
+                                             "target": target})
+            session.materialized_views[stmt.name] = {
+                "source": src, "sql": stmt.select_sql, "target": target}
+        else:
+            if stmt.name in session.views and stmt.if_not_exists:
+                return T([])
+            session.views[stmt.name] = stmt.select_sql
+        return T([])
 
     if isinstance(stmt, CreateDictionary):
         if stmt.name in session.dictionaries and stmt.if_not_exists:

@@ -1,0 +1,99 @@
+"""Views + materialized views (reference: StorageView,
+StorageMaterializedView, buildPushingToViewsChain) and the vector-index
+event log (VIEventLog)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.session import connect
+
+
+@pytest.fixture
+def s():
+    s = connect()
+    s.create_table("orders", {
+        "id": np.arange(8, dtype=np.int64),
+        "region": ["eu", "us"] * 4,
+        "amt": np.array([10, 20, 30, 40, 50, 60, 70, 80],
+                        dtype=np.float64)})
+    return s
+
+
+def test_plain_view(s):
+    s.sql("CREATE VIEW eu_orders AS SELECT id, amt FROM orders "
+          "WHERE region = 'eu'")
+    assert s.sql("SELECT count() FROM eu_orders").to_rows() == [(4,)]
+    # views are live: new source rows appear
+    s.sql("INSERT INTO orders VALUES (8, 'eu', 90.0)")
+    assert s.sql("SELECT count() FROM eu_orders").to_rows() == [(5,)]
+    # view over view + aggregation
+    s.sql("CREATE VIEW big AS SELECT id FROM eu_orders WHERE amt > 40")
+    assert s.sql("SELECT count() FROM big").to_rows() == [(3,)]
+    s.sql("DROP TABLE eu_orders")
+    with pytest.raises(Exception):
+        s.sql("SELECT * FROM eu_orders")
+
+
+def test_materialized_view_populate(s):
+    s.sql("CREATE MATERIALIZED VIEW mv POPULATE AS "
+          "SELECT region, sum(amt) AS total FROM orders GROUP BY region")
+    rows = s.sql("SELECT region, total FROM mv ORDER BY region").to_rows()
+    assert rows == [("eu", 160.0), ("us", 200.0)]
+
+
+def test_materialized_view_insert_trigger(s):
+    s.sql("CREATE MATERIALIZED VIEW mv AS "
+          "SELECT id, amt * 2 AS double_amt FROM orders WHERE amt >= 50")
+    # no POPULATE: starts empty
+    assert s.sql("SELECT count() FROM mv").to_rows() == [(0,)]
+    s.sql("INSERT INTO orders VALUES (100, 'eu', 55.0), (101, 'us', 5.0)")
+    rows = s.sql("SELECT id, double_amt FROM mv ORDER BY id").to_rows()
+    assert rows == [(100, 110.0)]
+    s.sql("INSERT INTO orders VALUES (102, 'eu', 99.0)")
+    assert s.sql("SELECT count() FROM mv").to_rows() == [(2,)]
+
+
+def test_materialized_view_to_table(s):
+    s.sql("CREATE TABLE sink (rid Int64, v Float64)")
+    s.sql("CREATE MATERIALIZED VIEW mv2 TO sink AS "
+          "SELECT id, amt FROM orders WHERE region = 'us'")
+    s.sql("INSERT INTO orders VALUES (200, 'us', 1.5), (201, 'eu', 2.5)")
+    assert s.sql("SELECT rid, v FROM sink").to_rows() == [(200, 1.5)]
+    # dropping the MV keeps the TO table
+    s.sql("DROP TABLE mv2")
+    assert s.sql("SELECT count() FROM sink").to_rows() == [(1,)]
+
+
+def test_mv_via_import_file(s, tmp_path):
+    s.sql("CREATE MATERIALIZED VIEW mv3 AS SELECT id FROM orders "
+          "WHERE amt > 100")
+    p = tmp_path / "more.csv"
+    p.write_text("id,region,amt\n300,eu,150\n301,us,50\n")
+    s.sql(f"INSERT INTO orders FROM INFILE '{p}'")
+    assert s.sql("SELECT id FROM mv3").to_rows() == [(300,)]
+
+
+def test_system_views_table(s):
+    s.sql("CREATE VIEW v1 AS SELECT id FROM orders")
+    s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT id FROM orders")
+    rows = s.sql("SELECT name, engine FROM system.views ORDER BY name"
+                 ).to_rows()
+    assert rows == [("m1", "MaterializedView"), ("v1", "View")]
+
+
+def test_vector_index_event_log():
+    s = connect()
+    s.create_table("docs", {"id": np.arange(4, dtype=np.int64),
+                            "emb": np.eye(4, dtype=np.float32)})
+    s.sql("ALTER TABLE docs ADD VECTOR INDEX idx emb TYPE MSTG")
+    evs = s.sql("SELECT event_type FROM system.vector_index_event_log "
+                "WHERE index_name = 'idx'").to_rows()
+    assert [e[0] for e in evs] == ["DEFINITION_CREATED", "BUILD_START",
+                                   "BUILD_SUCCEED"]
+    seg = s.sql("SELECT part, total_vectors, status FROM "
+                "system.vector_index_segments").to_rows()
+    assert seg == [("all", 4, "Built")]
+    s.sql("ALTER TABLE docs DROP VECTOR INDEX idx")
+    evs = s.sql("SELECT event_type FROM system.vector_index_event_log"
+                ).to_rows()
+    assert evs[-1][0] == "DEFINITION_DROPPED"
