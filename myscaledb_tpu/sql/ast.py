@@ -117,6 +117,7 @@ class OrderItem:
     expr: Expr
     ascending: bool = True
     nulls_last: Optional[bool] = None   # None -> default (last for ASC, first for DESC)
+    fill: Optional[dict] = None         # WITH FILL {from,to,step} or {}
 
 
 @dataclass
@@ -156,6 +157,8 @@ class SelectQuery:
     subquery: Optional["SelectQuery"] = None  # FROM (SELECT ...)
     table_function: Optional[tuple] = None    # ("numbers", (start?, n))
     settings: dict = field(default_factory=dict)   # SETTINGS k=v suffix
+    final: bool = False                 # FROM t FINAL (no-op: no merging engines)
+    sample: Optional[float] = None      # SAMPLE fraction (0..1) or row count
 
 
 def walk(e: Expr):

@@ -404,8 +404,13 @@ class DDLParser(Parser):
             else:
                 cname = self.next().text
                 ctype, nullable, vdim, elem = self.parse_type()
-                # DEFAULT/CODEC clauses: accept and ignore value expression
+                # DEFAULT/CODEC/TTL clauses: accepted (storage details the
+                # HBM-resident layout doesn't need)
                 if self.take_kw("DEFAULT"):
+                    self.parse_expr()
+                if self.take_kw("CODEC"):
+                    self._paren_blob()
+                if self.take_kw("TTL"):
                     self.parse_expr()
                 cols.append(ColumnDef(cname, ctype, nullable, vdim, elem))
             if not self.take_punct(","):
@@ -474,6 +479,29 @@ class DDLParser(Parser):
             dtype, nullable, vdim, elem = self.parse_type()
             self.expect_punct(")")
             return dtype, nullable, vdim, elem
+        low = name.lower()
+        if low == "fixedstring":
+            # FixedString(N) -> dictionary-encoded String (fixed width is a
+            # storage detail the dictionary already optimizes away)
+            self._paren_blob()
+            return DataType.STRING, False, 0, None
+        if low == "uuid":
+            return DataType.STRING, False, 0, None
+        if low in ("enum8", "enum16", "enum"):
+            # Enum -> String (values keep their names; comparisons ride the
+            # dictionary ids like any string column)
+            self._paren_blob()
+            return DataType.STRING, False, 0, None
+        if low in ("decimal", "decimal32", "decimal64", "decimal128"):
+            # documented approximation: Decimal maps to Float64 (the engine
+            # computes in binary floating point; see docs/PARITY.md)
+            if self.peek().kind == "punct" and self.peek().text == "(":
+                self._paren_blob()
+            return DataType.FLOAT64, False, 0, None
+        if low == "datetime64":
+            if self.peek().kind == "punct" and self.peek().text == "(":
+                self._paren_blob()   # precision: stored at second resolution
+            return DataType.DATETIME, False, 0, None
         if name.lower() == "array":
             self.expect_punct("(")
             inner = self.next().text

@@ -1341,6 +1341,18 @@ def execute_select(session, q: SelectQuery) -> Table:
     else:
         base = Table([Column.from_numpy("dummy", np.zeros(1, dtype=np.int64),
                                         build_zonemap=False)])
+    if q.sample is not None and base.n_rows:
+        # SAMPLE f: deterministic pseudo-random subset via row-index hash —
+        # the reference samples by ranges of the sampling-key hash
+        # (MergeTreeDataSelectExecutor sampling); f > 1 means ~f rows
+        if is_distributed(base):
+            raise ExecError("SAMPLE over distributed tables not supported")
+        from myscaledb_tpu.ops.hash import hash32
+        nb = base.n_rows
+        frac = q.sample if q.sample <= 1.0 else min(1.0, q.sample / nb)
+        h = hash32(jnp.arange(nb, dtype=jnp.int64))
+        keep = h < jnp.uint32(int(frac * 0xFFFFFFFF))
+        base, _ = compact_table_host(base, keep)
     table = base
     alias_prefixes = {}
     if q.table_alias:
@@ -1622,13 +1634,17 @@ def execute_select(session, q: SelectQuery) -> Table:
             nl = o.nulls_last if o.nulls_last is not None else o.ascending
             sks.append(_sort_key_from_value(v, o.ascending, nl, n2))
         M.increment(M.SORTED_ROWS, n2)
+        has_fill = any(o.fill is not None for o in order_by)
         with span("sort", rows=n2, keys=len(sks)):
-            if q.limit is not None and q.limit_by is None:
+            if q.limit is not None and q.limit_by is None and not has_fill:
                 perm = topn_permutation(sks, q.limit + q.offset, n2)
             else:
                 perm = sort_permutation(sks)
         proj_table = proj_table.take(perm)
         proj_table.tuple_groups = tuple_groups
+        if has_fill:
+            proj_table = _apply_with_fill(proj_table, order_by)
+            proj_table.tuple_groups = tuple_groups
 
     # 7. LIMIT BY
     if q.limit_by is not None:
@@ -1654,6 +1670,69 @@ def execute_select(session, q: SelectQuery) -> Table:
                                  alias_exprs, {}, None)
         final.totals = Table(tcols, name="totals").select(torder)
     return final
+
+
+def _apply_with_fill(proj_table: Table, order_by) -> Table:
+    """ORDER BY x WITH FILL [FROM a] [TO b] [STEP s]: insert rows for grid
+    values of x missing from the sorted result; other columns take their
+    default values (reference: FillingTransform,
+    src/Processors/Transforms/FillingTransform.cpp).  Host-side: fill output
+    is tiny relative to the scan."""
+    from myscaledb_tpu.core.dictionary import StringDictionary
+    o = next(o for o in order_by if o.fill is not None)
+    name = render(o.expr)
+    if name not in proj_table:
+        raise ExecError("WITH FILL column must appear in SELECT")
+    col = proj_table[name]
+    if col.dictionary is not None or col.offsets is not None:
+        raise ExecError("WITH FILL requires a numeric column")
+    data = np.asarray(col.data)
+    f, asc = o.fill, o.ascending
+    step = f.get("step", 1 if asc else -1)
+    if step == 0 or (step > 0) != asc:
+        raise ExecError("WITH FILL STEP sign must match the sort direction")
+    if asc:
+        start = f.get("from", data.min() if len(data) else None)
+        stop = f.get("to", data.max() + step if len(data) else None)
+    else:
+        start = f.get("from", data.max() if len(data) else None)
+        stop = f.get("to", data.min() + step if len(data) else None)
+    if start is None or stop is None:
+        return proj_table
+    if data.dtype.kind in "iu":
+        grid = np.arange(int(start), int(stop), int(step),
+                         dtype=np.int64).astype(data.dtype)
+    else:
+        grid = np.arange(start, stop, step).astype(data.dtype)
+    missing = grid[~np.isin(grid, data)]
+    if len(missing) == 0:
+        return proj_table
+    k = len(missing)
+    fill_cols = []
+    for c in proj_table.columns.values():
+        if c.name == name:
+            fill_cols.append(Column(c.field, jnp.asarray(missing), None))
+        elif c.offsets is not None:
+            fill_cols.append(Column(
+                c.field, c.data[:0], None, c.dictionary,
+                None, np.zeros(k + 1, dtype=np.int64)))
+        elif c.dictionary is not None:
+            empty_id = c.dictionary.encode_one("", grow=True)
+            fill_cols.append(Column(
+                c.field, jnp.full(k, empty_id, dtype=jnp.int32),
+                jnp.zeros(k, dtype=bool) if c.field.nullable else None,
+                c.dictionary))
+        else:
+            fill_cols.append(Column(
+                c.field, jnp.zeros((k,) + c.data.shape[1:],
+                                   dtype=c.data.dtype),
+                jnp.zeros(k, dtype=bool) if c.field.nullable else None))
+    from myscaledb_tpu.core.table import concat_tables
+    combined = concat_tables([proj_table, Table(fill_cols)],
+                             name=proj_table.name)
+    key = np.concatenate([data, missing]).astype(np.float64)
+    order = np.argsort(key if asc else -key, kind="stable")
+    return combined.take(jnp.asarray(order))
 
 
 def _materialize_topk(table: Table, vs: VSInfo, d, ids, tuple_groups):

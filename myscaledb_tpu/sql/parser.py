@@ -35,7 +35,7 @@ KEYWORDS = {
     "INNER", "LEFT", "RIGHT", "FULL", "ANY", "ALL", "ON", "USING", "DISTINCT",
     "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "WITH", "SETTINGS",
     "SEMI", "ANTI", "CROSS", "OUTER", "GLOBAL", "PREWHERE", "OVER", "PARTITION",
-    "ARRAY",
+    "ARRAY", "FINAL", "SAMPLE",
 }
 
 
@@ -151,6 +151,15 @@ class Parser:
                 elif self.peek().kind in ("ident", "ident_quoted") \
                         and self.peek().upper not in KEYWORDS:
                     q.table_alias = self.next().text
+            # FINAL: no-op here (no merging table engines — parts are always
+            # fully merged); SAMPLE f: deterministic pseudo-random subset
+            if self.take_kw("FINAL"):
+                q.final = True
+            if self.take_kw("SAMPLE"):
+                t = self.next()
+                if t.kind != "number":
+                    raise ParseError("SAMPLE expects a number")
+                q.sample = float(t.text)
 
         while True:
             if self.at_kw("ARRAY") and self.peek(1).upper == "JOIN":
@@ -325,7 +334,29 @@ class Parser:
             else:
                 self.expect_kw("LAST")
                 nulls_last = True
-        return OrderItem(e, asc, nulls_last)
+        fill = None
+        if self.take_kw("WITH"):
+            # WITH FILL [FROM lit] [TO lit] [STEP lit]
+            # (reference: FillingTransform, src/Processors/Transforms/)
+            self.expect_kw("FILL")
+            fill = {}
+            if self.take_kw("FROM"):
+                fill["from"] = self._fill_literal()
+            if self.take_kw("TO"):
+                fill["to"] = self._fill_literal()
+            if self.take_kw("STEP"):
+                fill["step"] = self._fill_literal()
+        return OrderItem(e, asc, nulls_last, fill)
+
+    def _fill_literal(self) -> float:
+        from myscaledb_tpu.sql.ast import Literal, UnOp
+        e = self.parse_expr()
+        if isinstance(e, UnOp) and e.op == "-" and \
+                isinstance(e.operand, Literal):
+            return -e.operand.value
+        if isinstance(e, Literal) and isinstance(e.value, (int, float)):
+            return e.value
+        raise ParseError("WITH FILL bounds must be numeric literals")
 
     def parse_int(self) -> int:
         t = self.next()

@@ -1,0 +1,36 @@
+"""Load-benchmark tool (clickhouse-benchmark analog, programs/benchmark/)."""
+
+import threading
+
+import numpy as np
+
+from myscaledb_tpu.runtime import benchmark
+from myscaledb_tpu.session import connect
+
+
+def test_run_local():
+    s = connect()
+    s.create_table("t", {"x": np.arange(1000, dtype=np.int64)})
+    out = benchmark.run_local(["SELECT sum(x) FROM t",
+                               "SELECT count() FROM t WHERE x < 100"],
+                              duration=1.0, session=s)
+    assert out["queries"] > 0 and out["errors"] == 0
+    assert out["qps"] > 0
+    assert out["latency_ms"]["p50"] <= out["latency_ms"]["p99"]
+
+
+def test_run_http():
+    from myscaledb_tpu.runtime.server import make_server
+    s = connect()
+    s.create_table("t", {"x": np.arange(100, dtype=np.int64)})
+    srv = make_server(s, port=0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        out = benchmark.run_http(["SELECT count() FROM t"], duration=1.0,
+                                 url=f"http://127.0.0.1:{port}/",
+                                 concurrency=2)
+        assert out["queries"] > 0 and out["errors"] == 0
+    finally:
+        srv.shutdown()

@@ -1,0 +1,77 @@
+"""ORDER BY ... WITH FILL (FillingTransform), SAMPLE, FINAL, extended type
+acceptance (FixedString/UUID/Enum/Decimal/DateTime64/CODEC/TTL)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.session import connect
+
+
+@pytest.fixture
+def s():
+    s = connect()
+    s.create_table("m", {"t": np.array([1, 3, 4, 7], dtype=np.int64),
+                         "v": np.array([10.0, 30.0, 40.0, 70.0])})
+    return s
+
+
+def test_with_fill_basic(s):
+    rows = s.sql("SELECT t, v FROM m ORDER BY t WITH FILL").to_rows()
+    assert rows == [(1, 10.0), (2, 0.0), (3, 30.0), (4, 40.0),
+                    (5, 0.0), (6, 0.0), (7, 70.0)]
+
+
+def test_with_fill_from_to_step(s):
+    rows = s.sql("SELECT t FROM m ORDER BY t WITH FILL FROM 0 TO 10 STEP 2"
+                 ).to_rows()
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4, 6, 7, 8]
+
+
+def test_with_fill_desc(s):
+    rows = s.sql("SELECT t FROM m ORDER BY t DESC WITH FILL").to_rows()
+    assert [r[0] for r in rows] == [7, 6, 5, 4, 3, 2, 1]
+
+
+def test_with_fill_string_column_defaults(s):
+    s.create_table("lab", {"t": np.array([1, 3], dtype=np.int64),
+                           "tag": ["a", "c"]})
+    rows = s.sql("SELECT t, tag FROM lab ORDER BY t WITH FILL").to_rows()
+    assert rows == [(1, "a"), (2, ""), (3, "c")]
+
+
+def test_with_fill_then_limit(s):
+    rows = s.sql("SELECT t FROM m ORDER BY t WITH FILL LIMIT 3").to_rows()
+    assert [r[0] for r in rows] == [1, 2, 3]
+
+
+def test_sample(s):
+    s.create_table("big", {"x": np.arange(100000, dtype=np.int64)})
+    n = s.sql("SELECT count() FROM big SAMPLE 0.1").to_rows()[0][0]
+    assert 8000 < n < 12000
+    # deterministic
+    assert s.sql("SELECT count() FROM big SAMPLE 0.1").to_rows()[0][0] == n
+    n2 = s.sql("SELECT count() FROM big SAMPLE 5000").to_rows()[0][0]
+    assert 4000 < n2 < 6000
+
+
+def test_final_noop(s):
+    assert s.sql("SELECT count() FROM m FINAL").to_rows() == [(4,)]
+    assert s.sql("SELECT count() FROM m FINAL SAMPLE 1").to_rows() == [(4,)]
+
+
+def test_extended_types():
+    s = connect()
+    s.sql("""CREATE TABLE t (
+        id UUID,
+        name FixedString(16) CODEC(ZSTD),
+        status Enum8('new' = 1, 'done' = 2),
+        price Decimal(10, 2),
+        ts DateTime64(3) TTL ts + 86400,
+        n Int64 DEFAULT 0 CODEC(Delta, LZ4)
+    )""")
+    s.sql("INSERT INTO t VALUES ('u1', 'alpha', 'new', 9.99, "
+          "'2024-01-01 00:00:00', 5)")
+    r = s.sql("SELECT id, name, status, price, n FROM t").to_rows()
+    assert r == [("u1", "alpha", "new", 9.99, 5)]
+    desc = dict(s.sql("DESCRIBE t").to_rows())
+    assert desc["id"] == "String" and desc["price"] == "Float64"
