@@ -404,7 +404,7 @@ def _dict_transform(v: Value, fn) -> Value:
     return Value(v.data, v.valid, newdict)
 
 
-from myscaledb_tpu.core.dictionary import StringDictionary  # noqa: E402
+from myscaledb_tpu.core.dictionary import StringDictionary, NULL_ID  # noqa: E402
 
 @func("lowerUTF8")
 def _f_lower_utf8(args, env):
@@ -427,26 +427,205 @@ def _f_substring(args, env):
         return s[i:i + length] if length is not None else s[i:]
     return _dict_transform(v, cut)
 
+def _as_string_parts(a: Value, env) -> tuple:
+    """(ids or None, dictionary or literal-str) for one concat operand."""
+    if a.dictionary is not None and a.offsets is None:
+        return np.asarray(a.data), a.dictionary
+    if isinstance(a.py, str):
+        return None, a.py
+    if a.py is not None and a.is_scalar:
+        return None, str(a.py)
+    # numeric column: stringified via its unique values (toString semantics)
+    d = np.asarray(a.data)
+    uniq, inv = np.unique(d, return_inverse=True)
+    sd = StringDictionary([_ch_num_str(x) for x in uniq])
+    return inv.astype(np.int32), sd
+
+
+def _ch_num_str(x) -> str:
+    if isinstance(x, (np.floating, float)):
+        f = float(x)
+        return str(int(f)) if f.is_integer() else repr(f)
+    if isinstance(x, (np.bool_, bool)):
+        return "true" if x else "false"
+    return str(int(x))
+
+
 @func("concat")
 def _f_concat(args, env):
-    # string-literal suffix/prefix concat over a dictionary column; full
-    # column-column concat would need id-pair dictionaries (later)
-    col = None
-    parts = []
-    for a in args:
-        if a.dictionary is not None:
-            if col is not None:
-                raise EvalError("concat of two string columns not supported")
-            col = a
-            parts.append(None)
-        else:
-            parts.append(str(a.py))
-    if col is None:
+    # column-column concat via unique id-combination dictionaries: only the
+    # distinct (id1, id2, ...) combinations are materialized as strings,
+    # rows stay device ids (LowCardinality-style; reference concat is
+    # per-row byte appends, src/Functions/concat.cpp)
+    parts = [_as_string_parts(a, env) for a in args]
+    col_parts = [(i, p) for i, p in enumerate(parts) if p[0] is not None]
+    if not col_parts:
         return Value(None, is_scalar=True,
-                     py="".join(p for p in parts if p is not None))
-    def join(s):
-        return "".join(s if p is None else p for p in parts)
-    return _dict_transform(col, join)
+                     py="".join(p[1] for p in parts))
+    ids = [np.where(p[0] == NULL_ID, len(p[1].values), p[0])
+           for _, p in col_parts]   # NULL -> sentinel decodes to ""
+    combo = np.stack(ids, axis=1)
+    uniq, inv = np.unique(combo, axis=0, return_inverse=True)
+    out_strings = []
+    for row in uniq:
+        buf = []
+        ci = 0
+        for i, (pid, pdict) in enumerate(parts):
+            if pid is None:
+                buf.append(pdict)
+            else:
+                vid = int(row[ci])
+                ci += 1
+                buf.append("" if vid >= len(pdict.values)
+                           else pdict.values[vid])
+        out_strings.append("".join(buf))
+    newdict = StringDictionary()
+    remap = newdict.encode(out_strings)   # dedups equal results
+    valid = None
+    for a in args:
+        if a.valid is not None:
+            valid = a.valid if valid is None \
+                else jnp.logical_and(valid, a.valid)
+    return Value(jnp.asarray(remap[inv]), valid, newdict)
+
+
+@func("toString")
+def _f_tostring(args, env):
+    v = args[0]
+    if v.dictionary is not None:
+        return v
+    if v.is_scalar:
+        return Value(None, is_scalar=True, py=_ch_num_str(
+            v.py if v.py is not None else np.asarray(v.data)[()]))
+    if v.dt is not None:
+        # Date/DateTime: format via the civil calendar (host, per unique)
+        import datetime as _dtm
+        d = np.asarray(v.data)
+        uniq, inv = np.unique(d, return_inverse=True)
+        if v.dt is DataType.DATE:
+            strs = [str(_dtm.date(1970, 1, 1) + _dtm.timedelta(days=int(x)))
+                    for x in uniq]
+        else:
+            strs = [str(_dtm.datetime(1970, 1, 1) +
+                        _dtm.timedelta(seconds=int(x))) for x in uniq]
+        sd = StringDictionary()
+        remap = sd.encode(strs)
+        return Value(jnp.asarray(remap[inv]), v.valid, sd)
+    ids, sd = _as_string_parts(v, env)
+    return Value(jnp.asarray(ids), v.valid, sd)
+
+
+@func("splitByChar", "splitByString")
+def _f_splitbychar(args, env):
+    sep, v = args[0].py, args[1]
+    if v.dictionary is None:
+        raise EvalError("splitByChar expects a string column")
+    parts_per_id = [s.split(sep) for s in v.dictionary.values]
+    newdict = StringDictionary()
+    enc = [newdict.encode(p) for p in parts_per_id]
+    lens = np.array([len(p) for p in parts_per_id] or [0], dtype=np.int64)
+    ids = np.asarray(v.data)
+    safe = np.clip(ids, 0, max(len(enc) - 1, 0))
+    row_lens = np.where(ids == NULL_ID, 0, lens[safe])
+    offsets = np.concatenate([np.zeros(1, dtype=np.int64),
+                              np.cumsum(row_lens)])
+    if enc:
+        obj = np.empty(len(enc) + 1, dtype=object)
+        for i, e in enumerate(enc):
+            obj[i] = e
+        obj[len(enc)] = np.zeros(0, dtype=np.int32)
+        flat = np.concatenate(
+            [obj[i if ids[j] != NULL_ID else len(enc)]
+             for j, i in enumerate(safe)]) if len(ids) else \
+            np.zeros(0, dtype=np.int32)
+    else:
+        flat = np.zeros(0, dtype=np.int32)
+    return Value(jnp.asarray(flat.astype(np.int32)), v.valid, newdict,
+                 offsets=offsets)
+
+
+@func("arrayStringConcat")
+def _f_arraystringconcat(args, env):
+    v = args[0]
+    sep = args[1].py if len(args) > 1 else ""
+    if v.offsets is None or v.dictionary is None:
+        raise EvalError("arrayStringConcat expects Array(String)")
+    ids = np.asarray(v.data)
+    vals = v.dictionary.values
+    off = np.asarray(v.offsets)
+    out = [sep.join("" if i == NULL_ID else vals[i]
+                    for i in ids[off[r]:off[r + 1]])
+           for r in range(len(off) - 1)]
+    nd = StringDictionary()
+    enc = nd.encode(out)
+    return Value(jnp.asarray(enc), v.valid, nd)
+
+
+@func("replaceAll", "replace")
+def _f_replaceall(args, env):
+    v, pat, rep = args[0], args[1].py, args[2].py
+    return _dict_transform(v, lambda s: s.replace(pat, rep))
+
+
+@func("replaceOne")
+def _f_replaceone(args, env):
+    v, pat, rep = args[0], args[1].py, args[2].py
+    return _dict_transform(v, lambda s: s.replace(pat, rep, 1))
+
+
+@func("replaceRegexpAll")
+def _f_replaceregexpall(args, env):
+    v, pat, rep = args[0], args[1].py, args[2].py
+    rx = re.compile(pat)
+    rep2 = re.sub(r"\\(\d)", r"\\\1", rep)
+    return _dict_transform(v, lambda s: rx.sub(rep2, s))
+
+
+@func("extract")
+def _f_extract(args, env):
+    v, pat = args[0], args[1].py
+    rx = re.compile(pat)
+
+    def ex(s):
+        m = rx.search(s)
+        if m is None:
+            return ""
+        return m.group(1) if m.groups() else m.group(0)
+    return _dict_transform(v, ex)
+
+
+@func("leftPad", "lpad")
+def _f_leftpad(args, env):
+    v, width = args[0], int(args[1].py)
+    fill = args[2].py if len(args) > 2 else " "
+
+    def pad(s):
+        need = width - len(s)
+        if need <= 0:
+            return s[:width]
+        reps = (fill * (need // len(fill) + 1))[:need]
+        return reps + s
+    return _dict_transform(v, pad)
+
+
+@func("rightPad", "rpad")
+def _f_rightpad(args, env):
+    v, width = args[0], int(args[1].py)
+    fill = args[2].py if len(args) > 2 else " "
+
+    def pad(s):
+        need = width - len(s)
+        if need <= 0:
+            return s[:width]
+        reps = (fill * (need // len(fill) + 1))[:need]
+        return s + reps
+    return _dict_transform(v, pad)
+
+
+@func("repeat")
+def _f_repeat(args, env):
+    v, n_ = args[0], int(args[1].py)
+    return _dict_transform(v, lambda s: s * n_)
 
 @func("startsWith")
 def _f_startswith(args, env):

@@ -23,6 +23,59 @@ DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "SET ", "SET\t",
                 "SYSTEM")
 
 
+def _ast_lines(q, depth: int = 0) -> list:
+    """Indented parse-tree dump (EXPLAIN AST)."""
+    from myscaledb_tpu.sql.ast import UnionQuery, SelectQuery
+    from myscaledb_tpu.sql.render import render
+    pad = " " * depth
+    out = []
+    if isinstance(q, UnionQuery):
+        out.append(pad + f"UnionQuery (branches {len(q.selects)})")
+        for s in q.selects:
+            out.extend(_ast_lines(s, depth + 1))
+        return out
+    assert isinstance(q, SelectQuery)
+    out.append(pad + "SelectQuery")
+    for it in q.items:
+        out.append(pad + f" SelectItem {render(it.expr)}"
+                   + (f" AS {it.alias}" if it.alias else ""))
+    if q.table:
+        out.append(pad + f" TableIdentifier {q.table}")
+    if q.subquery is not None:
+        out.append(pad + " Subquery")
+        out.extend(_ast_lines(q.subquery, depth + 2))
+    for clause, e in (("Prewhere", q.prewhere), ("Where", q.where),
+                      ("Having", q.having)):
+        if e is not None:
+            out.append(pad + f" {clause} {render(e)}")
+    for k in q.group_by:
+        out.append(pad + f" GroupBy {render(k)}")
+    for o in q.order_by:
+        out.append(pad + f" OrderBy {render(o.expr)}"
+                   + ("" if o.ascending else " DESC"))
+    if q.limit is not None:
+        out.append(pad + f" Limit {q.limit}")
+    return out
+
+
+_PIPELINE_KERNELS = {
+    "ReadFromTable": "DeviceColumnScan (HBM-resident, zone-map pruned)",
+    "Filter": "FusedMaskEval (XLA-fused predicate, mask not compacted)",
+    "VectorTopK": "FusedDistanceTopK (MXU matmul + segmin prefilter)",
+    "Aggregating": "MXUOneHotHistogram / ScatterRoundHashTable",
+    "Sorting": "OrderEncodedRadixSort (lax.sort)",
+    "TopN": "SegmentMaxPrefilterTopK",
+    "Join": "ScatterRoundHashJoin / DirectLUT / GracePartitioned",
+}
+
+
+def _pipeline_annotate(line: str) -> str:
+    for step, kernel in _PIPELINE_KERNELS.items():
+        if line.lstrip().startswith(step):
+            return line + "  [" + kernel + "]"
+    return line
+
+
 _OUTFILE_RE = re.compile(
     r"\s+INTO\s+OUTFILE\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*$", re.IGNORECASE)
 
@@ -80,17 +133,71 @@ def execute_query(session, sql: str, params=None) -> Table:
                     errors=int(entry["status"] != "QueryFinish"))
     if upper.startswith("EXPLAIN"):
         rest = stripped[len("EXPLAIN"):].lstrip()
-        if rest.upper().startswith("PLAN"):
-            rest = rest[len("PLAN"):].lstrip()
+        kind = "PLAN"
+        for kw in ("PLAN", "PIPELINE", "ESTIMATE", "AST", "SYNTAX"):
+            if rest.upper().startswith(kw):
+                kind = kw
+                rest = rest[len(kw):].lstrip()
+                break
         q = parse_sql(rest)
         from myscaledb_tpu.sql.ast import UnionQuery
+        if kind == "AST":
+            # reference: InterpreterExplainQuery ast mode — one node per line
+            return Table.from_dict({"explain": _ast_lines(q)})
+        if kind == "SYNTAX":
+            from myscaledb_tpu.sql.render import render
+            lines = []
+            qs = q.selects if isinstance(q, UnionQuery) else [q]
+            for s in qs:
+                lines.append("SELECT " + ", ".join(
+                    (render(it.expr) + (f" AS {it.alias}" if it.alias else ""))
+                    for it in s.items))
+                if s.table:
+                    lines.append(f"FROM {s.table}")
+                if s.where is not None:
+                    lines.append("WHERE " + render(s.where))
+                if s.group_by:
+                    lines.append("GROUP BY " + ", ".join(
+                        render(k) for k in s.group_by))
+                if s.order_by:
+                    lines.append("ORDER BY " + ", ".join(
+                        render(o.expr) + ("" if o.ascending else " DESC")
+                        for o in s.order_by))
+                if s.limit is not None:
+                    lines.append(f"LIMIT {s.limit}")
+            return Table.from_dict({"explain": lines})
+        if kind == "ESTIMATE":
+            # reference: EXPLAIN ESTIMATE -> (database, table, parts, rows,
+            # marks); here: table, rows, zone-map blocks
+            from myscaledb_tpu.core.table import BLOCK_ROWS
+            qs = q.selects if isinstance(q, UnionQuery) else [q]
+            names, rows_, blocks = [], [], []
+            for s in qs:
+                if s.table is None:
+                    continue
+                t = session.get_table(s.table)
+                names.append(s.table)
+                nrows = getattr(t, "real_rows", t.n_rows)
+                rows_.append(nrows)
+                blocks.append(-(-nrows // BLOCK_ROWS) if nrows else 0)
+            import numpy as _np
+            return Table.from_dict({
+                "table": names,
+                "rows": _np.asarray(rows_, dtype=_np.int64),
+                "blocks": _np.asarray(blocks, dtype=_np.int64)})
         if isinstance(q, UnionQuery):
             lines = []
             for i, s in enumerate(q.selects):
                 lines.append(f"Union branch {i}")
                 lines.extend("  " + l for l in explain_select(session, s))
             return Table.from_dict({"explain": lines})
-        return Table.from_dict({"explain": explain_select(session, q)})
+        lines = explain_select(session, q)
+        if kind == "PIPELINE":
+            # physical view: each logical step is one fused XLA program;
+            # annotate the kernel strategy per step (the reference prints
+            # processor names, here jit-compiled stage names)
+            lines = [_pipeline_annotate(l) for l in lines]
+        return Table.from_dict({"explain": lines})
 
     M.increment(M.QUERY)
     M.increment(M.SELECT_QUERY)

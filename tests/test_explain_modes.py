@@ -1,0 +1,46 @@
+"""EXPLAIN PLAN/PIPELINE/ESTIMATE/AST/SYNTAX (InterpreterExplainQuery)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.session import connect
+
+
+@pytest.fixture
+def s():
+    s = connect()
+    s.create_table("t", {"a": np.arange(100, dtype=np.int64)})
+    return s
+
+
+def lines(s, q):
+    return [r[0] for r in s.sql(q).to_rows()]
+
+
+def test_plan_default(s):
+    out = lines(s, "EXPLAIN SELECT a FROM t WHERE a < 5")
+    assert any(l.startswith("Filter") for l in out)
+    assert any(l.startswith("ReadFromTable") for l in out)
+
+
+def test_pipeline_annotations(s):
+    out = lines(s, "EXPLAIN PIPELINE SELECT a, count() FROM t GROUP BY a")
+    assert any("MXUOneHotHistogram" in l for l in out)
+
+
+def test_estimate(s):
+    rows = s.sql("EXPLAIN ESTIMATE SELECT * FROM t").to_rows()
+    assert rows == [("t", 100, 1)]
+
+
+def test_ast(s):
+    out = lines(s, "EXPLAIN AST SELECT a FROM t ORDER BY a DESC LIMIT 3")
+    assert out[0] == "SelectQuery"
+    assert " OrderBy a DESC" in out
+    assert " Limit 3" in out
+
+
+def test_syntax(s):
+    out = lines(s, "EXPLAIN SYNTAX SELECT a AS x FROM t WHERE a < 5")
+    assert out[0] == "SELECT a AS x"
+    assert "WHERE a < 5" in out

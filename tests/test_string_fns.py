@@ -1,0 +1,83 @@
+"""Extended string functions: column-column concat (id-combination
+dictionaries), toString, split/join, replace/pad family (reference:
+src/Functions/concat.cpp, FunctionsStringArray.h, ReplaceStringImpl)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.session import connect
+
+
+@pytest.fixture
+def s():
+    s = connect()
+    s.create_table("t", {
+        "first": ["ada", "grace", "alan", None],
+        "last": ["lovelace", "hopper", "turing", "x"],
+        "n": np.array([1, 2, 3, 4], dtype=np.int64),
+        "f": np.array([1.5, 2.0, -3.25, 0.0])})
+    return s
+
+
+def rows(s, q):
+    return [r[0] for r in s.sql(q).to_rows()]
+
+
+def test_concat_columns(s):
+    got = rows(s, "SELECT concat(first, ' ', last) FROM t")
+    assert got[:3] == ["ada lovelace", "grace hopper", "alan turing"]
+    assert got[3] is None        # NULL propagates
+
+
+def test_concat_numeric_and_string(s):
+    got = rows(s, "SELECT concat(last, '#', n) FROM t")
+    assert got == ["lovelace#1", "hopper#2", "turing#3", "x#4"]
+
+
+def test_tostring(s):
+    assert rows(s, "SELECT toString(n) FROM t") == ["1", "2", "3", "4"]
+    assert rows(s, "SELECT toString(f) FROM t") == ["1.5", "2", "-3.25", "0"]
+    assert rows(s, "SELECT toString(42)") == ["42"]
+
+
+def test_tostring_date():
+    s = connect()
+    s.create_table("d", {"day": np.array(["2024-03-01", "1999-12-31"],
+                                         dtype="datetime64[D]")})
+    assert rows(s, "SELECT toString(day) FROM d") == ["2024-03-01",
+                                                      "1999-12-31"]
+
+
+def test_split_and_join(s):
+    s.create_table("csvish", {"line": ["a,b,c", "x", "", "p,q"]})
+    got = rows(s, "SELECT splitByChar(',', line) FROM csvish")
+    assert got == [["a", "b", "c"], ["x"], [""], ["p", "q"]]
+    got = rows(s, "SELECT arrayStringConcat(splitByChar(',', line), '-') "
+                  "FROM csvish")
+    assert got == ["a-b-c", "x", "", "p-q"]
+    got = rows(s, "SELECT length(splitByChar(',', line)) FROM csvish")
+    assert got == [3, 1, 1, 2]
+
+
+def test_replace_family(s):
+    assert rows(s, "SELECT replaceAll(last, 'o', '0') FROM t") == \
+        ["l0velace", "h0pper", "turing", "x"]
+    assert rows(s, "SELECT replaceOne(last, 'e', 'E') FROM t") == \
+        ["lovElace", "hoppEr", "turing", "x"]
+    assert rows(s, "SELECT replaceRegexpAll(last, '[aeiou]', '*') FROM t") \
+        == ["l*v*l*c*", "h*pp*r", "t*r*ng", "x"]
+    assert rows(s, "SELECT extract(last, '[aeiou]+') FROM t") == \
+        ["o", "o", "u", ""]
+
+
+def test_pads_and_repeat(s):
+    assert rows(s, "SELECT leftPad(last, 10, '.') FROM t") == \
+        ["..lovelace", "....hopper", "....turing", ".........x"]
+    assert rows(s, "SELECT rightPad(last, 8) FROM t")[1] == "hopper  "
+    assert rows(s, "SELECT repeat(last, 2) FROM t")[3] == "xx"
+
+
+def test_concat_in_where_and_group_by(s):
+    got = s.sql("SELECT concat(first, last) AS k, count() FROM t "
+                "WHERE isNotNull(first) GROUP BY k ORDER BY k").to_rows()
+    assert got == [("adalovelace", 1), ("alanturing", 1), ("gracehopper", 1)]
