@@ -142,6 +142,78 @@ class WindowLayout:
             return fwd[self.peer_end]
         raise ValueError(fn)
 
+    def _part_end(self):
+        return _rev_cummin(jnp.where(
+            jnp.concatenate([self.part_first[1:], jnp.ones(1, dtype=bool)]),
+            jnp.arange(self.n, dtype=jnp.int32), self.n))
+
+    def rows_frame_agg(self, fn: str, values, lo, hi):
+        """sum/count/avg/min/max over an explicit ROWS frame
+        [i+lo, i+hi] (None = unbounded on that side), clipped to the
+        partition (reference: WindowTransform ROWS frame advance,
+        src/Processors/Transforms/WindowTransform.cpp)."""
+        v_s = values[self.perm] if values is not None else None
+        if fn == "count":
+            v_s = jnp.ones(self.n, dtype=jnp.int64)
+        i = jnp.arange(self.n, dtype=jnp.int32)
+        pend = self._part_end()
+        start = self.part_start if lo is None \
+            else jnp.clip(i + lo, self.part_start, pend + 1)
+        end = pend if hi is None \
+            else jnp.clip(i + hi, self.part_start - 1, pend)
+        nonempty = end >= start
+        if fn in ("sum", "count", "avg"):
+            dt = jnp.int64 if jnp.issubdtype(v_s.dtype, jnp.integer) or \
+                v_s.dtype == jnp.bool_ else jnp.float32
+            cum = jnp.cumsum(v_s.astype(dt))
+            safe_end = jnp.clip(end, 0, self.n - 1)
+            safe_sm1 = jnp.clip(start - 1, 0, self.n - 1)
+            base = jnp.where(start > 0, cum[safe_sm1], 0)
+            tot = jnp.where(nonempty, cum[safe_end] - base, 0)
+            if fn == "avg":
+                cnt = jnp.maximum(end - start + 1, 1).astype(jnp.float32)
+                return self.unsort(jnp.where(
+                    nonempty, tot.astype(jnp.float32) / cnt, jnp.nan))
+            return self.unsort(tot)
+        if fn in ("min", "max"):
+            op = jnp.minimum if fn == "min" else jnp.maximum
+            if lo is None and hi is not None and hi == 0:
+                return self.unsort(_segmented_scan(v_s, self.part_first, fn))
+            if lo is None and hi is None:
+                fwd = _segmented_scan(v_s, self.part_first, fn)
+                return self.unsort(fwd[pend])
+            if hi is None and lo is not None and lo == 0:
+                part_last = jnp.concatenate(
+                    [self.part_first[1:], jnp.ones(1, dtype=bool)])
+                rev = jnp.flip(_segmented_scan(
+                    jnp.flip(v_s), jnp.flip(part_last), fn))
+                return self.unsort(rev)
+            if lo is None or hi is None or hi - lo + 1 > 1024:
+                raise ValueError("unsupported ROWS frame for min/max")
+            if jnp.issubdtype(v_s.dtype, jnp.floating):
+                sentinel = jnp.inf if fn == "min" else -jnp.inf
+            else:
+                info = jnp.iinfo(v_s.dtype)
+                sentinel = info.max if fn == "min" else info.min
+            out = None
+            for d in range(lo, hi + 1):
+                idx = jnp.clip(i + d, 0, self.n - 1)
+                valid = jnp.logical_and(i + d >= start, i + d <= end)
+                cand = jnp.where(valid, v_s[idx], sentinel)
+                out = cand if out is None else op(out, cand)
+            return self.unsort(out)
+        raise ValueError(fn)
+
+    def frame_edge_value(self, values, lo, hi, first: bool):
+        """first_value/last_value over an explicit ROWS frame."""
+        v_s = values[self.perm]
+        i = jnp.arange(self.n, dtype=jnp.int32)
+        pend = self._part_end()
+        start = self.part_start if lo is None \
+            else jnp.clip(i + lo, self.part_start, pend)
+        end = pend if hi is None else jnp.clip(i + hi, self.part_start, pend)
+        return self.unsort(v_s[start if first else end])
+
     def first_value(self, values):
         v_s = values[self.perm]
         return self.unsort(v_s[self.part_start])

@@ -78,6 +78,10 @@ class WindowCall(Expr):
     func: "FuncCall"
     partition_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)   # list[OrderItem]
+    window_name: str = None     # OVER w — resolved against SelectQuery.windows
+    frame: tuple = None         # (mode, start, end): mode 'ROWS'|'RANGE',
+                                # bounds int offsets (neg=preceding) or
+                                # None=UNBOUNDED on that side; 0=CURRENT ROW
     def __repr__(self):
         return f"{self.func!r} OVER(...)"
 
@@ -96,6 +100,24 @@ class InSubquery(Expr):
     negated: bool = False
     def __repr__(self):
         return f"{self.expr!r} IN (subquery)"
+
+
+@dataclass
+class ScalarSubquery(Expr):
+    """(SELECT ...) used as a scalar value (reference: scalar subqueries are
+    evaluated once and substituted as constants, ExecuteScalarSubqueriesVisitor,
+    src/Interpreters/ExecuteScalarSubqueriesVisitor.cpp)."""
+    query: object          # SelectQuery | UnionQuery
+    def __repr__(self):
+        return "(scalar subquery)"
+
+
+@dataclass
+class ExistsSubquery(Expr):
+    """EXISTS (SELECT ...) — uncorrelated, evaluated once."""
+    query: object
+    def __repr__(self):
+        return "EXISTS(subquery)"
 
 
 @dataclass
@@ -124,15 +146,20 @@ class OrderItem:
 class JoinClause:
     table: str
     alias: Optional[str]
-    how: str                  # 'INNER' | 'LEFT'
-    strictness: str           # 'ANY' | 'ALL'
+    how: str                  # 'INNER' | 'LEFT' | 'RIGHT' | 'FULL' | 'CROSS'
+    strictness: str           # 'ANY' | 'ALL' | 'SEMI' | 'ANTI' | 'ASOF'
     condition: Optional[Expr] # ON expression (conjunction of equalities)
     using: Optional[list] = None  # USING (col, ...)
+    subquery: object = None   # JOIN (SELECT ...) right side
 
 
 @dataclass
 class UnionQuery:
-    selects: list             # list[SelectQuery], UNION ALL semantics
+    selects: list             # list[SelectQuery]
+    ops: list = None          # len(selects)-1 operators between them:
+                              # 'UNION ALL'|'UNION DISTINCT'|'INTERSECT'|
+                              # 'INTERSECT DISTINCT'|'EXCEPT'|'EXCEPT DISTINCT'
+                              # None => all 'UNION ALL' (legacy)
 
 
 @dataclass
@@ -140,6 +167,8 @@ class SelectQuery:
     items: list               # list[SelectItem]
     distinct: bool = False
     ctes: list = field(default_factory=list)   # [(name, SelectQuery), ...]
+    with_aliases: list = field(default_factory=list)  # [(name, Expr), ...]
+                              # WITH <expr> AS <name> scalar aliases
     table: Optional[str] = None
     table_alias: Optional[str] = None
     joins: list = field(default_factory=list)
@@ -147,7 +176,10 @@ class SelectQuery:
     where: Optional[Expr] = None
     prewhere: Optional[Expr] = None
     group_by: list = field(default_factory=list)
+    grouping_sets: Optional[list] = None        # list[list[Expr]] (GROUPING SETS)
     group_modifier: Optional[str] = None        # "ROLLUP" | "CUBE"
+    windows: dict = field(default_factory=dict) # named WINDOW clause specs:
+                                                # name -> (partition, order, frame)
     with_totals: bool = False
     having: Optional[Expr] = None
     order_by: list = field(default_factory=list)
@@ -184,6 +216,8 @@ def walk(e: Expr):
         yield from walk(e.expr)
     elif isinstance(e, InList):
         yield from walk(e.expr)
+        for it in e.items:
+            yield from walk(it)
     elif isinstance(e, Between):
         yield from walk(e.expr)
         yield from walk(e.low)

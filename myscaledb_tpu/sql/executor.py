@@ -27,8 +27,8 @@ from myscaledb_tpu.config import TableSettings
 from myscaledb_tpu.sql.ast import (Lambda,
                                    Expr, Literal, VectorLiteral, Ident, Star,
                                    BinOp, UnOp, FuncCall, InList, Between,
-                                   SelectQuery, UnionQuery, SelectItem,
-                                   OrderItem, walk)
+                                   InSubquery, SelectQuery, UnionQuery,
+                                   SelectItem, OrderItem, walk)
 from myscaledb_tpu.sql.render import render, substitute
 from myscaledb_tpu.exec.expr import (Env, Value, eval_expr, as_bool_mask,
                                      EvalError, _dict_map)
@@ -323,6 +323,71 @@ def _expand_item_aliases(e: Expr, alias_exprs: dict, table: Table) -> Expr:
     return e
 
 
+def map_expr(e: Expr, f) -> Expr:
+    """Bottom-up expression-tree rewrite: apply f to every node after
+    rewriting its children."""
+    from myscaledb_tpu.sql.ast import WindowCall, OrderItem
+    if isinstance(e, BinOp):
+        e = BinOp(e.op, map_expr(e.left, f), map_expr(e.right, f))
+    elif isinstance(e, UnOp):
+        e = UnOp(e.op, map_expr(e.operand, f))
+    elif isinstance(e, FuncCall):
+        e = FuncCall(e.name, [map_expr(a, f) for a in e.args], e.distinct)
+    elif isinstance(e, InList):
+        e = InList(map_expr(e.expr, f),
+                   [map_expr(i, f) for i in e.items], e.negated)
+    elif isinstance(e, Between):
+        e = Between(map_expr(e.expr, f), map_expr(e.low, f),
+                    map_expr(e.high, f), e.negated)
+    elif isinstance(e, Lambda):
+        e = Lambda(e.params, map_expr(e.body, f))
+    elif isinstance(e, InSubquery):
+        e = InSubquery(map_expr(e.expr, f), e.query, e.negated)
+    elif isinstance(e, WindowCall):
+        e = WindowCall(map_expr(e.func, f), [map_expr(p, f)
+                                             for p in e.partition_by],
+                       [OrderItem(map_expr(o.expr, f), o.ascending,
+                                  o.nulls_last, o.fill)
+                        for o in e.order_by], e.window_name, e.frame)
+    return f(e)
+
+
+def _resolve_subqueries(e: Expr, session) -> Expr:
+    """Evaluate uncorrelated scalar / EXISTS subqueries into literal constants
+    (reference: ExecuteScalarSubqueriesVisitor — scalar subqueries run once
+    during analysis and become constants)."""
+    from myscaledb_tpu.sql.ast import ScalarSubquery, ExistsSubquery
+
+    def repl(node):
+        if isinstance(node, ExistsSubquery):
+            t = execute_any(session, node.query)
+            return Literal(1 if t.n_rows > 0 else 0)
+        if isinstance(node, ScalarSubquery):
+            t = execute_any(session, node.query)
+            if len(t.column_names) == 1 and t.n_rows <= 1:
+                if t.n_rows == 0:
+                    return Literal(None)
+                col = next(iter(t.columns.values()))
+                if col.data.ndim > 1 or col.offsets is not None:
+                    from myscaledb_tpu.sql.ast import VectorLiteral
+                    vals = col.to_python()[0]
+                    return VectorLiteral(list(vals))
+                return Literal(col.to_python()[0])
+            if t.n_rows == 1:     # 1-row multi-column -> tuple literal
+                vals = [c.to_python()[0] for c in t.columns.values()]
+                return FuncCall("tuple", [Literal(v) for v in vals])
+            raise ExecError("scalar subquery must return at most one row")
+        return node
+
+    return map_expr(e, repl)
+
+
+def _has_subqueries(e: Expr) -> bool:
+    from myscaledb_tpu.sql.ast import ScalarSubquery, ExistsSubquery
+    return any(isinstance(n, (ScalarSubquery, ExistsSubquery))
+               for n in walk(e))
+
+
 def _split_conjuncts(e: Optional[Expr]) -> list:
     if e is None:
         return []
@@ -418,22 +483,29 @@ def _compact_distributed(table: Table) -> Table:
 
 def apply_join(session, left: Table, jc, alias_prefixes: dict,
                settings=None) -> Table:
-    try:
-        right = session.read_table_checked(jc.table)
-    except KeyError:
-        raise ExecError(f"unknown join table {jc.table!r}")
+    if jc.subquery is not None:
+        right = execute_any(session, jc.subquery)
+    else:
+        try:
+            right = session.read_table_checked(jc.table)
+        except KeyError:
+            raise ExecError(f"unknown join table {jc.table!r}")
     left = _compact_distributed(left)
     right = _compact_distributed(right)
-    ralias = jc.alias or jc.table
+    ralias = jc.alias or jc.table or "_subquery"
 
-    # extract equality key pairs
+    # extract equality key pairs (+ for ASOF exactly one inequality)
     pairs = []
+    asof_term = None          # (left_expr, op, right_expr)
     if jc.using:
         for c in jc.using:
             pairs.append((Ident(c), Ident(c)))
     elif jc.condition is not None:
         for term in _split_conjuncts(jc.condition):
-            if not (isinstance(term, BinOp) and term.op == "="):
+            is_eq = isinstance(term, BinOp) and term.op == "="
+            is_ineq = isinstance(term, BinOp) and \
+                term.op in (">=", ">", "<=", "<")
+            if not is_eq and not (is_ineq and jc.strictness == "ASOF"):
                 raise ExecError("JOIN ON supports conjunctions of equalities")
             l, r = term.left, term.right
             def side(e):
@@ -444,13 +516,35 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict,
                         return "right"
                     return "left"
                 raise ExecError("JOIN ON terms must be column = column")
+            op = term.op
             if side(l) == "right" and side(r) == "left":
                 l, r = r, l
+                op = {">=": "<=", ">": "<", "<=": ">=", "<": ">"}.get(op, op)
             elif not (side(l) == "left" and side(r) == "right"):
                 raise ExecError("JOIN ON must relate left and right columns")
-            pairs.append((l, r))
+            if is_eq:
+                pairs.append((l, r))
+            else:
+                if asof_term is not None:
+                    raise ExecError("ASOF JOIN needs exactly one inequality")
+                asof_term = (l, op, r)
+    elif jc.how == "CROSS":
+        # cartesian product (reference: JoinAlgorithm CROSS,
+        # src/Interpreters/CrossJoin logic in HashJoin.cpp kind Cross)
+        nl, nr = left.n_rows, right.n_rows
+        left_rows = np.repeat(np.arange(nl), nr)
+        right_rows = np.tile(np.arange(nr), nl)
+        right_has = np.ones(nl * nr, dtype=bool)
+        return _gather_join_output(left, right, left_rows, right_rows,
+                                   right_has, jc, ralias, alias_prefixes,
+                                   strict="ALL")
     else:
         raise ExecError("JOIN requires ON or USING")
+    if jc.strictness == "ASOF":
+        if asof_term is None:
+            raise ExecError("ASOF JOIN requires an inequality in ON")
+        return _apply_asof_join(session, left, right, jc, ralias,
+                                alias_prefixes, pairs, asof_term)
 
     lenv = Env(left)
     renv = Env(right)
@@ -522,6 +616,15 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict,
                 right_has = np.concatenate(
                     [right_has, np.ones(len(extra_r), dtype=bool)])
 
+    return _gather_join_output(left, right, left_rows, right_rows, right_has,
+                               jc, ralias, alias_prefixes, strict)
+
+
+def _gather_join_output(left: Table, right: Table, left_rows, right_rows,
+                        right_has, jc, ralias: str, alias_prefixes: dict,
+                        strict: str) -> Table:
+    """Materialize the joined table from row-index pairs (left_rows < 0 =>
+    left side NULL, right_has False => right side NULL)."""
     left_has = left_rows >= 0
     safe_left = np.where(left_has, left_rows, 0)
     lh_dev = jnp.asarray(left_has)
@@ -575,6 +678,76 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict,
                            data, valid, c.dictionary))
     alias_prefixes[ralias] = ""
     return Table(cols, name=left.name)
+
+
+def _apply_asof_join(session, left: Table, right: Table, jc, ralias: str,
+                     alias_prefixes: dict, pairs, asof_term) -> Table:
+    """ASOF JOIN: per equality-key group, match each left row to the closest
+    right row satisfying the inequality (reference: AsofRowRefs sorted lookup,
+    src/Interpreters/joinDispatch.h + HashJoin ASOF maps).
+
+    Host-side rank trick: factorize (eq-keys, asof-values) jointly, sort the
+    right side by the composite key, one vectorized searchsorted resolves
+    every left row."""
+    lenv, renv = Env(left), Env(right)
+    lkeys, rkeys = [], []
+    for le, re_ in pairs:
+        lv = eval_expr(Ident(le.name), lenv)
+        rv = eval_expr(Ident(re_.name), renv)
+        lk, rk = _join_key_arrays(lv, rv)
+        lkeys.append(np.asarray(lk))
+        rkeys.append(np.asarray(rk))
+    lexpr, op, rexpr = asof_term
+    lval = np.asarray(eval_expr(Ident(lexpr.name), lenv).data, dtype=np.float64)
+    rval = np.asarray(eval_expr(Ident(rexpr.name), renv).data, dtype=np.float64)
+    nl, nr = left.n_rows, right.n_rows
+
+    # composite equality-key id per side (joint factorization)
+    if lkeys:
+        both = np.stack([np.concatenate([lk, rk])
+                         for lk, rk in zip(lkeys, rkeys)], axis=1)
+        _, inv = np.unique(both, axis=0, return_inverse=True)
+        lkid, rkid = inv[:nl].astype(np.int64), inv[nl:].astype(np.int64)
+    else:
+        lkid = np.zeros(nl, dtype=np.int64)
+        rkid = np.zeros(nr, dtype=np.int64)
+
+    # global value ranks so (key, rank) packs into one sortable int64
+    allv = np.concatenate([lval, rval])
+    uniq_v = np.unique(allv)
+    lrank = np.searchsorted(uniq_v, lval).astype(np.int64)
+    rrank = np.searchsorted(uniq_v, rval).astype(np.int64)
+    R = len(uniq_v) + 2
+    rcomp = rkid * R + rrank + 1
+    order = np.argsort(rcomp, kind="stable")
+    rcomp_s = rcomp[order]
+
+    if op in (">=", ">"):
+        # want the LAST right row with rval <= lval (or < for '>')
+        probe = lkid * R + lrank + (1 if op == ">=" else 0)
+        pos = np.searchsorted(rcomp_s, probe, side="right") - 1
+        ok = pos >= 0
+        safe = np.where(ok, pos, 0)
+        found = ok & (rkid[order[safe]] == lkid)
+    else:
+        # '<=' / '<': the FIRST right row with rval >= lval (or > for '<')
+        probe = lkid * R + lrank + (1 if op == "<=" else 2)
+        pos = np.searchsorted(rcomp_s, probe, side="left")
+        ok = pos < nr
+        safe = np.where(ok, pos, 0)
+        found = ok & (rkid[order[safe]] == lkid)
+
+    build_row = np.where(found, order[safe], 0).astype(np.int64)
+    if jc.how == "LEFT":
+        left_rows = np.arange(nl)
+        right_rows = build_row
+        right_has = found
+    else:   # INNER
+        left_rows = np.flatnonzero(found)
+        right_rows = build_row[left_rows]
+        right_has = np.ones(len(left_rows), dtype=bool)
+    return _gather_join_output(left, right, left_rows, right_rows, right_has,
+                               jc, ralias, alias_prefixes, strict="ASOF")
 
 
 def _rewrite_arrayjoin_calls(q: SelectQuery):
@@ -962,6 +1135,26 @@ def _expand_group_levels(env, q, mask, session, alias_exprs,
     return concat_tables(parts, name=agg_table.name)
 
 
+def _expand_grouping_sets(env, q, mask, session, alias_exprs,
+                          agg_table: Table) -> Table:
+    """GROUP BY GROUPING SETS ((…), …): aggregate once per set and union,
+    key columns missing from a set default-filled (reference:
+    GroupingSetsStep, src/Processors/QueryPlan/AggregatingStep.cpp
+    grouping-sets mode)."""
+    from dataclasses import replace as dc_replace
+    from myscaledb_tpu.core.table import concat_tables
+    parts = []
+    for st in q.grouping_sets:
+        q2 = dc_replace(q, group_by=list(st), grouping_sets=None,
+                        group_modifier=None, with_totals=False)
+        sub_table, _ = run_aggregate(env, q2, mask, session, alias_exprs)
+        out = [sub_table[nm] if nm in sub_table
+               else _default_like(agg_table[nm], sub_table.n_rows)
+               for nm in agg_table.column_names]
+        parts.append(Table(out, name=agg_table.name))
+    return concat_tables(parts, name=agg_table.name)
+
+
 def _totals_table(env, q, mask, session, alias_exprs,
                   agg_table: Table) -> Table:
     """WITH TOTALS: one global-aggregation row, key columns defaulted.
@@ -1212,25 +1405,66 @@ def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
 # ---------------------------------------------------------------------------
 # main entry
 
+def _align_to(first: Table, p: Table) -> Table:
+    """Rename p's columns positionally to match first's (set-op alignment)."""
+    if len(p.column_names) != len(first.column_names):
+        raise ExecError("set operation arity mismatch")
+    cols = []
+    for tgt_name, c in zip(first.column_names, p.columns.values()):
+        cols.append(Column(Field(tgt_name, c.dtype, c.field.nullable,
+                                 c.field.vector_dim, c.field.elem),
+                           c.data, c.valid, c.dictionary, None,
+                           c.offsets))
+    return Table(cols)
+
+
+def _row_key_list(table: Table) -> list:
+    """Host tuples of every row's decoded values (set-op membership keys)."""
+    cols = [c.to_python() for c in table.columns.values()]
+    return [tuple(col[i] if not isinstance(col[i], list)
+                  else tuple(col[i]) for col in cols)
+            for i in range(table.n_rows)]
+
+
 def execute_any(session, q) -> Table:
-    """Dispatch SelectQuery | UnionQuery (UNION ALL concatenation)."""
+    """Dispatch SelectQuery | UnionQuery (UNION [ALL|DISTINCT] / INTERSECT /
+    EXCEPT; reference: UnionStep + IntersectOrExceptStep,
+    src/Processors/QueryPlan/IntersectOrExceptStep.cpp)."""
     if isinstance(q, UnionQuery):
         from myscaledb_tpu.core.table import concat_tables
-        parts = [execute_any(session, s) for s in q.selects]
-        first = parts[0]
-        aligned = [first]
-        for p in parts[1:]:
-            if len(p.column_names) != len(first.column_names):
-                raise ExecError("UNION ALL arity mismatch")
-            # align by position to the first select's names
-            cols = []
-            for tgt_name, c in zip(first.column_names, p.columns.values()):
-                cols.append(Column(Field(tgt_name, c.dtype, c.field.nullable,
-                                         c.field.vector_dim, c.field.elem),
-                                   c.data, c.valid, c.dictionary, None,
-                                   c.offsets))
-            aligned.append(Table(cols))
-        return concat_tables(aligned, name=first.name)
+        ops = q.ops or ["UNION ALL"] * (len(q.selects) - 1)
+        result = execute_any(session, q.selects[0])
+        for op, sel in zip(ops, q.selects[1:]):
+            p = _align_to(result, execute_any(session, sel))
+            if op in ("UNION ALL", "UNION DISTINCT"):
+                result = concat_tables([result, p], name=result.name)
+                if op == "UNION DISTINCT":
+                    result = _distinct_rows(result)
+            else:
+                # INTERSECT / EXCEPT [DISTINCT]: multiset semantics for the
+                # ALL forms, set semantics for DISTINCT
+                from collections import Counter
+                lkeys = _row_key_list(result)
+                rcount = Counter(_row_key_list(p))
+                keep = np.zeros(result.n_rows, dtype=bool)
+                if op.startswith("INTERSECT"):
+                    taken = Counter()
+                    for i, k_ in enumerate(lkeys):
+                        if rcount.get(k_, 0) > taken[k_]:
+                            taken[k_] += 1
+                            keep[i] = True
+                else:   # EXCEPT
+                    taken = Counter()
+                    for i, k_ in enumerate(lkeys):
+                        if taken[k_] < rcount.get(k_, 0):
+                            taken[k_] += 1
+                        else:
+                            keep[i] = True
+                idx = jnp.asarray(np.flatnonzero(keep))
+                result = result.take(idx)
+                if op.endswith("DISTINCT") and result.n_rows:
+                    result = _distinct_rows(result)
+        return result
     return execute_select(session, q)
 
 
@@ -1320,6 +1554,29 @@ def execute_select(session, q: SelectQuery) -> Table:
                     session.tables.pop(name, None)
                 else:
                     session.tables[name] = old
+    # 0b. uncorrelated scalar / EXISTS subqueries -> constants
+    slots = [it.expr for it in q.items] + \
+        [e for e in (q.where, q.prewhere, q.having) if e is not None] + \
+        list(q.group_by) + [o.expr for o in q.order_by] + \
+        [e for _, e in q.with_aliases]
+    if any(_has_subqueries(e) for e in slots):
+        from dataclasses import replace as dc_replace
+        q = dc_replace(
+            q,
+            items=[SelectItem(_resolve_subqueries(it.expr, session),
+                              it.alias) for it in q.items],
+            where=None if q.where is None
+            else _resolve_subqueries(q.where, session),
+            prewhere=None if q.prewhere is None
+            else _resolve_subqueries(q.prewhere, session),
+            having=None if q.having is None
+            else _resolve_subqueries(q.having, session),
+            group_by=[_resolve_subqueries(e, session) for e in q.group_by],
+            order_by=[OrderItem(_resolve_subqueries(o.expr, session),
+                                o.ascending, o.nulls_last, o.fill)
+                      for o in q.order_by],
+            with_aliases=[(n, _resolve_subqueries(e, session))
+                          for n, e in q.with_aliases])
     # 1. source
     if getattr(q, "table_function", None) is not None:
         kind, params = q.table_function
@@ -1367,6 +1624,8 @@ def execute_select(session, q: SelectQuery) -> Table:
     env.subquery_runner = lambda sub: execute_any(session, sub)
     env.dictionaries = session.dictionaries
     alias_exprs = {it.alias: it.expr for it in q.items if it.alias}
+    for _wname, _wexpr in q.with_aliases:
+        alias_exprs.setdefault(_wname, _wexpr)
     tuple_groups: dict[str, list] = {}
 
     # 2. search analysis (vector / text / hybrid pseudo-functions)
@@ -1549,7 +1808,10 @@ def execute_select(session, q: SelectQuery) -> Table:
         with span("aggregate", rows=table.n_rows):
             agg_table, mapping = run_aggregate(env, q, mask, session,
                                                alias_exprs)
-        if q.group_modifier and q.group_by:
+        if q.grouping_sets is not None:
+            agg_table = _expand_grouping_sets(env, q, mask, session,
+                                              alias_exprs, agg_table)
+        elif q.group_modifier and q.group_by:
             agg_table = _expand_group_levels(env, q, mask, session,
                                              alias_exprs, agg_table)
         if q.with_totals:

@@ -24,7 +24,8 @@ from typing import Optional
 from myscaledb_tpu.sql.lexer import tokenize, unquote_string, Token
 from myscaledb_tpu.sql.ast import (Expr, Literal, VectorLiteral, Ident, Star,
                                    BinOp, UnOp, FuncCall, InList, Between,
-                                   InSubquery, WindowCall, SelectItem,
+                                   InSubquery, ScalarSubquery, ExistsSubquery,
+                                   WindowCall, SelectItem,
                                    OrderItem, JoinClause, SelectQuery,
                                    UnionQuery, Lambda)
 
@@ -35,7 +36,9 @@ KEYWORDS = {
     "INNER", "LEFT", "RIGHT", "FULL", "ANY", "ALL", "ON", "USING", "DISTINCT",
     "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "WITH", "SETTINGS",
     "SEMI", "ANTI", "CROSS", "OUTER", "GLOBAL", "PREWHERE", "OVER", "PARTITION",
-    "ARRAY", "FINAL", "SAMPLE",
+    "ARRAY", "FINAL", "SAMPLE", "INTERSECT", "EXCEPT", "EXISTS", "WINDOW",
+    "ASOF", "ROWS", "RANGE", "UNBOUNDED", "PRECEDING", "FOLLOWING", "CURRENT",
+    "ROW",
 }
 
 
@@ -98,23 +101,70 @@ class Parser:
         return q
 
     def parse_select_or_union(self):
-        selects = [self.parse_select()]
-        while self.at_kw("UNION"):
+        # UNION / EXCEPT are left-associative, INTERSECT binds tighter
+        # (reference: ParserUnionQueryElement precedence)
+        selects = [self.parse_intersect_chain()]
+        ops = []
+        while self.at_kw("UNION", "EXCEPT"):
+            kw = self.next().upper
+            mode = "ALL"
+            if self.take_kw("DISTINCT"):
+                mode = "DISTINCT"
+            else:
+                self.take_kw("ALL")
+            ops.append(f"{kw} {mode}" if kw == "UNION"
+                       else ("EXCEPT DISTINCT" if mode == "DISTINCT"
+                             else "EXCEPT"))
+            selects.append(self.parse_intersect_chain())
+        if len(selects) == 1:
+            return selects[0]
+        return UnionQuery(selects, ops)
+
+    def parse_intersect_chain(self):
+        selects = [self.parse_select_atom()]
+        ops = []
+        while self.at_kw("INTERSECT"):
             self.next()
-            self.expect_kw("ALL")
-            selects.append(self.parse_select())
-        return selects[0] if len(selects) == 1 else UnionQuery(selects)
+            mode = "DISTINCT" if self.take_kw("DISTINCT") else \
+                ("ALL" if self.take_kw("ALL") else "ALL")
+            ops.append("INTERSECT DISTINCT" if mode == "DISTINCT"
+                       else "INTERSECT")
+            selects.append(self.parse_select_atom())
+        if len(selects) == 1:
+            return selects[0]
+        return UnionQuery(selects, ops)
+
+    def parse_select_atom(self):
+        # parenthesized sub-select inside a set-operation chain
+        if self.at_punct("(") and self.peek(1).upper in ("SELECT", "WITH"):
+            self.next()
+            q = self.parse_select_or_union()
+            self.expect_punct(")")
+            return q
+        return self.parse_select()
 
     def parse_select(self) -> SelectQuery:
         ctes = []
+        with_aliases = []
         if self.take_kw("WITH"):
             while True:
-                name = self.next().text
-                self.expect_kw("AS")
-                self.expect_punct("(")
-                sub = self.parse_select_or_union()
-                self.expect_punct(")")
-                ctes.append((name, sub))
+                # two forms (reference grammar, ParserWithElement):
+                #   WITH name AS (subquery)      -- CTE
+                #   WITH expr AS name            -- scalar alias
+                if self.peek().kind in ("ident", "ident_quoted") \
+                        and self.peek(1).upper == "AS" \
+                        and self.peek(2).text == "(" \
+                        and self.peek(3).upper in ("SELECT", "WITH"):
+                    name = self.next().text
+                    self.expect_kw("AS")
+                    self.expect_punct("(")
+                    sub = self.parse_select_or_union()
+                    self.expect_punct(")")
+                    ctes.append((name, sub))
+                else:
+                    e = self.parse_expr()
+                    self.expect_kw("AS")
+                    with_aliases.append((self.next().text, e))
                 if not self.take_punct(","):
                     break
         self.expect_kw("SELECT")
@@ -122,7 +172,8 @@ class Parser:
         items = [self.parse_select_item()]
         while self.take_punct(","):
             items.append(self.parse_select_item())
-        q = SelectQuery(items=items, distinct=distinct, ctes=ctes)
+        q = SelectQuery(items=items, distinct=distinct, ctes=ctes,
+                        with_aliases=with_aliases)
 
         if self.take_kw("FROM"):
             # table function: numbers(N)
@@ -160,6 +211,16 @@ class Parser:
                 if t.kind != "number":
                     raise ParseError("SAMPLE expects a number")
                 q.sample = float(t.text)
+            # comma-separated FROM list == CROSS JOIN chain
+            while self.take_punct(","):
+                tbl = self.parse_table_name()
+                alias = None
+                if self.take_kw("AS"):
+                    alias = self.next().text
+                elif self.peek().kind in ("ident", "ident_quoted") \
+                        and self.peek().upper not in KEYWORDS:
+                    alias = self.next().text
+                q.joins.append(JoinClause(tbl, alias, "CROSS", "ALL", None))
 
         while True:
             if self.at_kw("ARRAY") and self.peek(1).upper == "JOIN":
@@ -181,8 +242,33 @@ class Parser:
             q.where = self.parse_expr()
         if self.at_kw("GROUP"):
             self.next(); self.expect_kw("BY")
+            # GROUP BY GROUPING SETS ((a,b),(a),())
+            if self.at_kw("GROUPING") and self.peek(1).upper == "SETS":
+                self.next(); self.next()
+                self.expect_punct("(")
+                sets = []
+                while True:
+                    self.expect_punct("(")
+                    exprs = []
+                    if not self.at_punct(")"):
+                        exprs.append(self.parse_expr())
+                        while self.take_punct(","):
+                            exprs.append(self.parse_expr())
+                    self.expect_punct(")")
+                    sets.append(exprs)
+                    if not self.take_punct(","):
+                        break
+                self.expect_punct(")")
+                q.grouping_sets = sets
+                # group_by = union of all keys, in first-appearance order
+                seen = []
+                for st in sets:
+                    for e in st:
+                        if all(repr(e) != repr(s) for s in seen):
+                            seen.append(e)
+                q.group_by.extend(seen)
             # GROUP BY ROLLUP(a, b) / CUBE(a, b) function-style
-            if self.at_kw("ROLLUP", "CUBE") and self.peek(1).kind == "punct" \
+            elif self.at_kw("ROLLUP", "CUBE") and self.peek(1).kind == "punct" \
                     and self.peek(1).text == "(":
                 q.group_modifier = self.peek().upper
                 self.next(); self.next()
@@ -206,6 +292,17 @@ class Parser:
                         "expected ROLLUP, CUBE or TOTALS after WITH")
         if self.take_kw("HAVING"):
             q.having = self.parse_expr()
+        if self.take_kw("WINDOW"):
+            # WINDOW w AS (PARTITION BY ... ORDER BY ... [frame]) [, ...]
+            while True:
+                wname = self.next().text
+                self.expect_kw("AS")
+                self.expect_punct("(")
+                spec = self.parse_window_spec()
+                self.expect_punct(")")
+                q.windows[wname] = spec
+                if not self.take_punct(","):
+                    break
         if self.at_kw("ORDER"):
             self.next(); self.expect_kw("BY")
             q.order_by.append(self.parse_order_item())
@@ -273,6 +370,8 @@ class Parser:
                 strictness = "SEMI"
             elif self.take_kw("ANTI"):
                 strictness = "ANTI"
+            elif self.take_kw("ASOF"):
+                strictness = "ASOF"
         take_strictness()
         if self.take_kw("LEFT"):
             how = "LEFT"
@@ -287,7 +386,13 @@ class Parser:
         self.take_kw("OUTER")
         take_strictness()
         self.expect_kw("JOIN")
-        table = self.parse_table_name()
+        table, sub = None, None
+        if self.at_punct("(") and self.peek(1).upper in ("SELECT", "WITH"):
+            self.next()
+            sub = self.parse_select_or_union()
+            self.expect_punct(")")
+        else:
+            table = self.parse_table_name()
         alias = None
         if self.take_kw("AS"):
             alias = self.next().text
@@ -304,7 +409,10 @@ class Parser:
                 using.append(self.next().text)
             if paren:
                 self.expect_punct(")")
-        return JoinClause(table, alias, how, strictness, cond, using)
+        elif how != "CROSS":
+            raise ParseError("JOIN requires ON or USING (except CROSS JOIN)")
+        return JoinClause(table, alias, how, strictness, cond, using,
+                          subquery=sub)
 
     def parse_select_item(self) -> SelectItem:
         if self.at_punct("*"):
@@ -477,6 +585,20 @@ class Parser:
                 idx = self.parse_expr()
                 self.expect_punct("]")
                 e = FuncCall("arrayElement", [e, idx])
+        # postfix tuple element access: (a, b).1, tuple(x, y).2 — the lexer
+        # fuses ".1" into one number token
+        while isinstance(e, FuncCall):
+            nt = self.peek()
+            if nt.kind == "number" and nt.text.startswith(".") \
+                    and nt.text[1:].isdigit():
+                self.next()
+                idx = int(nt.text[1:])
+                if e.name == "tuple" and 1 <= idx <= len(e.args):
+                    e = e.args[idx - 1]     # resolve syntactic tuples inline
+                else:
+                    e = FuncCall("tupleElement", [e, Literal(idx)])
+            else:
+                break
         return e
 
     def parse_primary(self) -> Expr:
@@ -493,6 +615,10 @@ class Parser:
         if self.take_punct("["):
             return self.parse_vector_literal()
         if self.take_punct("("):
+            if self.at_kw("SELECT", "WITH"):
+                sub = self.parse_select_or_union()
+                self.expect_punct(")")
+                return ScalarSubquery(sub)
             e = self.parse_expr()
             if self.take_punct(","):
                 # tuple literal -> treat as function tuple(...)
@@ -513,6 +639,11 @@ class Parser:
                 return Literal(up == "TRUE")
             if up == "CASE":
                 return self.parse_case()
+            if up == "EXISTS" and self.peek(1).text == "(":
+                self.next(); self.next()
+                sub = self.parse_select_or_union()
+                self.expect_punct(")")
+                return ExistsSubquery(sub)
             self.next()
             # function call?
             if self.at_punct("("):
@@ -542,21 +673,13 @@ class Parser:
                     call = FuncCall(t.text, call.args + args2, distinct)
                 if self.at_kw("OVER"):
                     self.next()
-                    self.expect_punct("(")
-                    partition, order = [], []
-                    if self.take_kw("PARTITION"):
-                        self.expect_kw("BY")
-                        partition.append(self.parse_expr())
-                        while self.take_punct(","):
-                            partition.append(self.parse_expr())
-                    if self.at_kw("ORDER"):
-                        self.next()
-                        self.expect_kw("BY")
-                        order.append(self.parse_order_item())
-                        while self.take_punct(","):
-                            order.append(self.parse_order_item())
-                    self.expect_punct(")")
-                    return WindowCall(call, partition, order)
+                    if self.take_punct("("):
+                        partition, order, frame = self.parse_window_spec()
+                        self.expect_punct(")")
+                        return WindowCall(call, partition, order, frame=frame)
+                    # OVER w — named window reference
+                    wname = self.next().text
+                    return WindowCall(call, window_name=wname)
                 return call
             # tuple element access "dist.1": the lexer fuses ".1" into a
             # number token; detect by adjacency (no whitespace between)
@@ -633,6 +756,49 @@ class Parser:
         if "." not in t.text and "e" not in t.text.lower():
             return sign * int(t.text)
         return sign * float(t.text)
+
+    def parse_window_spec(self):
+        """Body of OVER (...) / WINDOW w AS (...): returns
+        (partition_exprs, order_items, frame or None)."""
+        partition, order = [], []
+        if self.take_kw("PARTITION"):
+            self.expect_kw("BY")
+            partition.append(self.parse_expr())
+            while self.take_punct(","):
+                partition.append(self.parse_expr())
+        if self.at_kw("ORDER"):
+            self.next()
+            self.expect_kw("BY")
+            order.append(self.parse_order_item())
+            while self.take_punct(","):
+                order.append(self.parse_order_item())
+        frame = None
+        if self.at_kw("ROWS", "RANGE"):
+            mode = self.next().upper
+            def bound(first: bool):
+                if self.take_kw("UNBOUNDED"):
+                    if first:
+                        self.expect_kw("PRECEDING")
+                    else:
+                        self.expect_kw("FOLLOWING")
+                    return None
+                if self.take_kw("CURRENT"):
+                    self.expect_kw("ROW")
+                    return 0
+                n = self.parse_int()
+                if self.take_kw("PRECEDING"):
+                    return -n
+                self.expect_kw("FOLLOWING")
+                return n
+            if self.take_kw("BETWEEN"):
+                lo = bound(True)
+                self.expect_kw("AND")
+                hi = bound(False)
+            else:
+                lo = bound(True)
+                hi = 0
+            frame = (mode, lo, hi)
+        return partition, order, frame
 
     def parse_case(self) -> Expr:
         self.expect_kw("CASE")
