@@ -997,7 +997,8 @@ def eval_expr(e: Expr, env: Env) -> Value:
     raise EvalError(f"cannot evaluate {e!r}")
 
 
-# register array + datetime functions (imports at the bottom: these modules
-# need this module fully initialized)
+# register array + datetime + extended scalar functions (imports at the
+# bottom: these modules need this module fully initialized)
 from myscaledb_tpu.exec import arrays as _arrays   # noqa: E402,F401
 from myscaledb_tpu.exec import datetime_fns as _dt_fns   # noqa: E402,F401
+from myscaledb_tpu.exec import scalar_fns as _scalar_fns   # noqa: E402,F401

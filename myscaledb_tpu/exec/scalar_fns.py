@@ -1,0 +1,1627 @@
+"""Extended scalar-function families (ClickHouse-compatible names).
+
+The reference registers 579 function translation units under src/Functions/
+(SURVEY.md §2.1).  This module grows the engine's menu with the families a
+MyScaleDB user actually reaches for beyond arithmetic/strings/dates:
+
+* bit manipulation        (src/Functions/bitAnd.cpp … bitCount.cpp)
+* extra math              (src/Functions/math*.cpp)
+* integer/typed casts     (src/Functions/toInt*.cpp, FunctionsConversion.h)
+* conditionals            multiIf/transform + string-aware if()
+                          (src/Functions/multiIf.cpp, transform.cpp, if.cpp)
+* hashing                 (src/Functions/FunctionsHashing.h: cityHash64,
+                          sipHash64, xxHash32/64, intHash32/64, halfMD5,
+                          MD5/SHA — all per published algorithm specs;
+                          CityHash v1.0.2 like the reference)
+* encoding                hex/unhex/bin/base64 (src/Functions/FunctionsCoding.h)
+* JSON extraction         (src/Functions/FunctionsJSON.h)
+* URL parts               (src/Functions/URL/*)
+* randomness              (src/Functions/FunctionsRandom.h)
+* IPv4                    (src/Functions/FunctionsCodingIP.cpp)
+
+Design: numeric inputs evaluate on-device in jnp (closed-form short-input
+hash paths — a fixed-width column is a fixed-length message, so xxh64 /
+sipHash64 / cityHash64 reduce to a handful of uint64 ops that XLA fuses);
+string inputs evaluate once over the (small) dictionary on the host and are
+mapped to rows with one device gather, the engine's LowCardinality rule.
+"""
+
+from __future__ import annotations
+
+import base64 as _b64
+import hashlib
+import json as _json
+import math
+import re
+import socket
+from urllib.parse import urlsplit, unquote, quote
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.core.types import DataType
+from myscaledb_tpu.core.dictionary import StringDictionary, NULL_ID
+from myscaledb_tpu.exec.expr import (Value, Env, EvalError, _FUNCS, func,
+                                     _numeric, _dict_map, _dict_transform,
+                                     _both_valid, as_bool_mask)
+
+MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# bit functions (device)
+
+def _int_pair(args, env):
+    a = _numeric(args[0], env.n_rows)
+    b = _numeric(args[1], env.n_rows)
+    if jnp.issubdtype(a.dtype, jnp.floating) or \
+            jnp.issubdtype(b.dtype, jnp.floating):
+        raise EvalError("bit functions need integer arguments")
+    return a, b
+
+
+@func("bitAnd")
+def _f_bitand(args, env):
+    a, b = _int_pair(args, env)
+    return Value(a & b, _both_valid(args[0], args[1]))
+
+@func("bitOr")
+def _f_bitor(args, env):
+    a, b = _int_pair(args, env)
+    return Value(a | b, _both_valid(args[0], args[1]))
+
+@func("bitXor")
+def _f_bitxor(args, env):
+    a, b = _int_pair(args, env)
+    return Value(a ^ b, _both_valid(args[0], args[1]))
+
+@func("bitNot")
+def _f_bitnot(args, env):
+    return Value(~_numeric(args[0], env.n_rows), args[0].valid)
+
+@func("bitShiftLeft")
+def _f_bitshiftleft(args, env):
+    a, b = _int_pair(args, env)
+    return Value(a << b.astype(a.dtype), _both_valid(args[0], args[1]))
+
+@func("bitShiftRight")
+def _f_bitshiftright(args, env):
+    a, b = _int_pair(args, env)
+    return Value(a >> b.astype(a.dtype), _both_valid(args[0], args[1]))
+
+@func("bitRotateLeft")
+def _f_bitrotateleft(args, env):
+    a, b = _int_pair(args, env)
+    u = a.astype(jnp.uint64)
+    k = b.astype(jnp.uint64) % jnp.uint64(64)
+    out = (u << k) | (u >> ((jnp.uint64(64) - k) % jnp.uint64(64)))
+    return Value(out.astype(a.dtype), _both_valid(args[0], args[1]))
+
+@func("bitRotateRight")
+def _f_bitrotateright(args, env):
+    a, b = _int_pair(args, env)
+    u = a.astype(jnp.uint64)
+    k = b.astype(jnp.uint64) % jnp.uint64(64)
+    out = (u >> k) | (u << ((jnp.uint64(64) - k) % jnp.uint64(64)))
+    return Value(out.astype(a.dtype), _both_valid(args[0], args[1]))
+
+@func("bitCount")
+def _f_bitcount(args, env):
+    x = _numeric(args[0], env.n_rows)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        raise EvalError("bitCount needs an integer argument")
+    # count over the value's own width (reference: __builtin_popcountll of
+    # the zero-extended value)
+    u = x.astype(jnp.uint64)
+    # popcount via parallel bit tricks on uint64
+    m1 = jnp.uint64(0x5555555555555555)
+    m2 = jnp.uint64(0x3333333333333333)
+    m4 = jnp.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = jnp.uint64(0x0101010101010101)
+    v = u - ((u >> jnp.uint64(1)) & m1)
+    v = (v & m2) + ((v >> jnp.uint64(2)) & m2)
+    v = (v + (v >> jnp.uint64(4))) & m4
+    cnt = (v * h01) >> jnp.uint64(56)
+    return Value(cnt.astype(jnp.uint8), args[0].valid)
+
+@func("bitTest")
+def _f_bittest(args, env):
+    a, b = _int_pair(args, env)
+    return Value(((a >> b.astype(a.dtype)) & 1).astype(jnp.uint8),
+                 _both_valid(args[0], args[1]))
+
+@func("bitTestAll")
+def _f_bittestall(args, env):
+    x = _numeric(args[0], env.n_rows)
+    out = None
+    for a in args[1:]:
+        bit = ((x >> _numeric(a, env.n_rows).astype(x.dtype)) & 1) != 0
+        out = bit if out is None else jnp.logical_and(out, bit)
+    return Value(out.astype(jnp.uint8), args[0].valid)
+
+@func("bitTestAny")
+def _f_bittestany(args, env):
+    x = _numeric(args[0], env.n_rows)
+    out = None
+    for a in args[1:]:
+        bit = ((x >> _numeric(a, env.n_rows).astype(x.dtype)) & 1) != 0
+        out = bit if out is None else jnp.logical_or(out, bit)
+    return Value(out.astype(jnp.uint8), args[0].valid)
+
+@func("bitHammingDistance")
+def _f_bithamming(args, env):
+    a, b = _int_pair(args, env)
+    x = (a.astype(jnp.uint64)) ^ (b.astype(jnp.uint64))
+    return _f_bitcount([Value(x.astype(jnp.int64),
+                              _both_valid(args[0], args[1]))], env)
+
+
+# ---------------------------------------------------------------------------
+# extra math (device)
+
+def _f32(v, env):
+    return _numeric(v, env.n_rows).astype(jnp.float32)
+
+
+for _n, _f in [("atan2", jnp.arctan2), ("hypot", jnp.hypot)]:
+    def _mk2(fn):
+        def impl(args, env):
+            return Value(fn(_f32(args[0], env), _f32(args[1], env)),
+                         _both_valid(args[0], args[1]))
+        return impl
+    _FUNCS[_n.lower()] = _mk2(_f)
+
+for _n, _f in [("log1p", jnp.log1p), ("expm1", jnp.expm1),
+               ("degrees", jnp.degrees), ("radians", jnp.radians),
+               ("erf", None), ("asinh", jnp.arcsinh),
+               ("acosh", jnp.arccosh), ("atanh", jnp.arctanh)]:
+    if _f is None:
+        continue
+    def _mk1(fn):
+        def impl(args, env):
+            return Value(fn(_f32(args[0], env)), args[0].valid)
+        return impl
+    _FUNCS[_n.lower()] = _mk1(_f)
+
+@func("erf")
+def _f_erf(args, env):
+    import jax.scipy.special as jsp
+    return Value(jsp.erf(_f32(args[0], env)), args[0].valid)
+
+@func("erfc")
+def _f_erfc(args, env):
+    import jax.scipy.special as jsp
+    return Value(jsp.erfc(_f32(args[0], env)), args[0].valid)
+
+@func("lgamma")
+def _f_lgamma(args, env):
+    import jax.scipy.special as jsp
+    return Value(jsp.gammaln(_f32(args[0], env)), args[0].valid)
+
+@func("tgamma")
+def _f_tgamma(args, env):
+    import jax.scipy.special as jsp
+    return Value(jnp.exp(jsp.gammaln(_f32(args[0], env))), args[0].valid)
+
+@func("exp10")
+def _f_exp10(args, env):
+    return Value(jnp.power(jnp.float32(10), _f32(args[0], env)),
+                 args[0].valid)
+
+@func("e")
+def _f_e(args, env):
+    return Value(jnp.asarray(math.e), is_scalar=True, py=math.e)
+
+@func("intExp2")
+def _f_intexp2(args, env):
+    x = _numeric(args[0], env.n_rows)
+    return Value(jnp.int64(1) << x.astype(jnp.int64), args[0].valid)
+
+@func("intExp10")
+def _f_intexp10(args, env):
+    x = _numeric(args[0], env.n_rows).astype(jnp.int64)
+    pow10 = jnp.asarray([10 ** i for i in range(19)], dtype=jnp.int64)
+    return Value(pow10[jnp.clip(x, 0, 18)], args[0].valid)
+
+@func("gcd")
+def _f_gcd(args, env):
+    a, b = _int_pair(args, env)
+    return Value(jnp.gcd(a, b), _both_valid(args[0], args[1]))
+
+@func("lcm")
+def _f_lcm(args, env):
+    a, b = _int_pair(args, env)
+    return Value(jnp.lcm(a, b), _both_valid(args[0], args[1]))
+
+@func("trunc", "truncate")
+def _f_trunc(args, env):
+    return Value(jnp.trunc(_numeric(args[0], env.n_rows)), args[0].valid)
+
+@func("roundBankers")
+def _f_roundbankers(args, env):
+    # jnp.round IS round-half-even
+    return _FUNCS["round"](args, env)
+
+@func("roundToExp2")
+def _f_roundtoexp2(args, env):
+    x = _numeric(args[0], env.n_rows)
+    xf = x.astype(jnp.float32)
+    p = jnp.floor(jnp.log2(jnp.maximum(xf, 1.0)))
+    out = jnp.where(xf < 1, jnp.zeros_like(xf), jnp.exp2(p))
+    return Value(out.astype(x.dtype) if not jnp.issubdtype(
+        x.dtype, jnp.floating) else out, args[0].valid)
+
+@func("roundDown")
+def _f_rounddown(args, env):
+    x = _f32(args[0], env)
+    bounds = np.asarray(_literal_list(args[1]), dtype=np.float32)
+    bounds = np.sort(bounds)
+    b = jnp.asarray(bounds)
+    idx = jnp.clip(jnp.searchsorted(b, x, side="right") - 1, 0, None)
+    out = jnp.where(idx < 0, b[0], b[jnp.clip(idx, 0, len(bounds) - 1)])
+    out = jnp.where(x < b[0], b[0], out)
+    return Value(out, args[0].valid)
+
+@func("isFinite")
+def _f_isfinite(args, env):
+    return Value(jnp.isfinite(_f32(args[0], env)).astype(jnp.uint8),
+                 args[0].valid)
+
+@func("isInfinite")
+def _f_isinfinite(args, env):
+    return Value(jnp.isinf(_f32(args[0], env)).astype(jnp.uint8),
+                 args[0].valid)
+
+@func("isNaN")
+def _f_isnan(args, env):
+    return Value(jnp.isnan(_f32(args[0], env)).astype(jnp.uint8),
+                 args[0].valid)
+
+@func("max2")
+def _f_max2(args, env):
+    return Value(jnp.maximum(_f32(args[0], env), _f32(args[1], env)),
+                 _both_valid(args[0], args[1]))
+
+@func("min2")
+def _f_min2(args, env):
+    return Value(jnp.minimum(_f32(args[0], env), _f32(args[1], env)),
+                 _both_valid(args[0], args[1]))
+
+@func("intDivOrZero")
+def _f_intdivorzero(args, env):
+    a, b = _int_pair(args, env)
+    safe = jnp.where(b == 0, jnp.ones_like(b), b)
+    return Value(jnp.where(b == 0, jnp.zeros_like(a), a // safe),
+                 _both_valid(args[0], args[1]))
+
+@func("moduloOrZero")
+def _f_moduloorzero(args, env):
+    a, b = _int_pair(args, env)
+    safe = jnp.where(b == 0, jnp.ones_like(b), b)
+    return Value(jnp.where(b == 0, jnp.zeros_like(a), a % safe),
+                 _both_valid(args[0], args[1]))
+
+
+# ---------------------------------------------------------------------------
+# casts (device); the engine computes in i32/i64/f32/f64 — narrow casts
+# wrap-around like the reference's static_cast semantics
+
+def _cast_int(args, env, bits, signed):
+    x = _numeric(args[0], env.n_rows)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        x = jnp.trunc(x)
+    wide = x.astype(jnp.int64)
+    if bits < 64:
+        m = jnp.int64((1 << bits) - 1)
+        w = wide & m
+        if signed:
+            sign = jnp.int64(1 << (bits - 1))
+            w = jnp.where((w & sign) != 0, w - jnp.int64(1 << bits), w)
+        out = w.astype(jnp.int64 if bits > 32 or not signed else jnp.int32)
+    elif not signed:
+        out = jax_bitcast_u64(wide)      # reinterpret: toUInt64(-3) wraps
+    else:
+        out = wide
+    return Value(out, args[0].valid)
+
+for _bits, _signed, _name in [(8, True, "toInt8"), (16, True, "toInt16"),
+                              (8, False, "toUInt8"), (16, False, "toUInt16"),
+                              (32, False, "toUInt32"), (64, False, "toUInt64")]:
+    def _mkc(bits, signed):
+        return lambda args, env: _cast_int(args, env, bits, signed)
+    _FUNCS[_name.lower()] = _mkc(_bits, _signed)
+
+@func("toBool")
+def _f_tobool(args, env):
+    return Value((_numeric(args[0], env.n_rows) != 0), args[0].valid)
+
+@func("toTypeName")
+def _f_totypename(args, env):
+    v = args[0]
+    if v.is_string:
+        name = "String"
+    elif v.is_array:
+        name = "Array(...)"
+    elif v.dt is DataType.DATE:
+        name = "Date"
+    elif v.dt is DataType.DATETIME:
+        name = "DateTime"
+    else:
+        d = v.data.dtype if hasattr(v.data, "dtype") else np.asarray(v.data).dtype
+        name = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                "uint32": "UInt32", "uint64": "UInt64",
+                "float32": "Float32", "float64": "Float64",
+                "bool": "Bool"}.get(str(d), str(d))
+    if v.valid is not None:
+        name = f"Nullable({name})"
+    return Value(None, is_scalar=True, py=name)
+
+@func("identity", "materialize")
+def _f_identity(args, env):
+    return args[0]
+
+@func("ignore")
+def _f_ignore(args, env):
+    return Value(jnp.asarray(0, dtype=jnp.uint8), is_scalar=True, py=0)
+
+
+# ---------------------------------------------------------------------------
+# conditionals: string-aware if(), multiIf, transform
+
+def _is_null_literal(v: Value) -> bool:
+    return v.is_scalar and v.py is None and v.dictionary is None
+
+
+def _string_branch_ids(v: Value, env: Env, d: StringDictionary):
+    """Encode one if/multiIf branch into dictionary d; returns (ids, valid)."""
+    if _is_null_literal(v):
+        return jnp.full((env.n_rows,), NULL_ID, dtype=jnp.int32), \
+            jnp.zeros((env.n_rows,), dtype=bool)
+    if isinstance(v.py, str):
+        i = d.encode_one(v.py, grow=True)
+        return jnp.full((env.n_rows,), i, dtype=jnp.int32), None
+    if v.dictionary is None:
+        raise EvalError("if(): mixed string and numeric branches")
+    remap = np.array([d.encode_one(s, grow=True)
+                      for s in v.dictionary.values] or [0], dtype=np.int32)
+    ids = _dict_map(v, remap).astype(jnp.int32)
+    ids = jnp.where(jnp.asarray(v.data) == NULL_ID, jnp.int32(NULL_ID), ids)
+    return ids, v.valid
+
+
+def _if_impl(args, env):
+    c = as_bool_mask(args[0], env.n_rows)
+    t, f = args[1], args[2]
+    t_str = t.is_string or (_is_null_literal(t) and f.is_string)
+    f_str = f.is_string or (_is_null_literal(f) and t.is_string)
+    if t_str and f_str:
+        d = StringDictionary()
+        ti, tv = _string_branch_ids(t, env, d)
+        fi, fv = _string_branch_ids(f, env, d)
+        ids = jnp.where(c, ti, fi)
+        if tv is None and fv is None:
+            valid = None
+        else:
+            tvx = tv if tv is not None else jnp.ones((env.n_rows,), bool)
+            fvx = fv if fv is not None else jnp.ones((env.n_rows,), bool)
+            valid = jnp.where(c, tvx, fvx)
+        return Value(ids, valid, d)
+    if _is_null_literal(t) or _is_null_literal(f):
+        # NULL branch over numerics: validity mask carries the null
+        nv, other = (t, f) if _is_null_literal(t) else (f, t)
+        od = _numeric(other, env.n_rows)
+        if other.is_scalar:
+            od = jnp.full((env.n_rows,), jnp.asarray(od))
+        chose_other = jnp.logical_not(c) if other is f else c
+        valid = chose_other
+        if other.valid is not None:
+            valid = jnp.logical_and(valid, other.valid)
+        return Value(od, valid, dt=other.dt)
+    td = _numeric(t, env.n_rows)
+    fd = _numeric(f, env.n_rows)
+    out = jnp.where(c, td, fd)
+    tag = t.dt if t.dt is f.dt else None
+    return Value(out, _both_valid(t, f), dt=tag)
+
+_FUNCS["if"] = _if_impl
+
+
+@func("multiIf")
+def _f_multiif(args, env):
+    if len(args) % 2 == 0:
+        raise EvalError("multiIf needs an odd number of arguments")
+    out = args[-1]
+    for i in range(len(args) - 3, -1, -2):
+        out = _if_impl([args[i], args[i + 1], out], env)
+    return out
+
+
+def _literal_list(v: Value):
+    """Reconstruct a python list from an array-literal Value (numeric
+    VectorLiteral keeps .py; string array literals arrive as per-row ARRAY
+    values — take row 0)."""
+    if isinstance(v.py, list):
+        return [x.tolist() if hasattr(x, "tolist") else x for x in v.py]
+    if v.offsets is not None:
+        off = np.asarray(v.offsets)
+        if len(off) < 2:
+            return []
+        ids = np.asarray(v.data)[off[0]:off[1]]
+        if v.dictionary is not None:
+            return [v.dictionary.values[i] for i in ids]
+        return ids.tolist()
+    return None
+
+
+@func("transform")
+def _f_transform(args, env):
+    x = args[0]
+    src = _literal_list(args[1])
+    dst = _literal_list(args[2])
+    if not isinstance(src, list) or not isinstance(dst, list) or \
+            len(src) != len(dst):
+        raise EvalError("transform: from/to must be equal-length array "
+                        "literals")
+    default = args[3] if len(args) > 3 else x
+    str_out = any(isinstance(s, str) for s in dst) or default.is_string
+    if str_out:
+        d = StringDictionary()
+        di, dv = _string_branch_ids(default, env, d) if (
+            default.is_string or _is_null_literal(default)) else (None, None)
+        if di is None:
+            raise EvalError("transform: mixed string/numeric outputs")
+        out, valid = di, dv
+        for s_from, s_to in zip(src, dst):
+            if isinstance(s_from, str):
+                if x.dictionary is None:
+                    raise EvalError("transform: string match on non-string")
+                sid = x.dictionary.encode_one(s_from, grow=False)
+                hit = jnp.asarray(x.data) == sid
+            else:
+                hit = _numeric(x, env.n_rows) == s_from
+            tid = d.encode_one(str(s_to), grow=True)
+            out = jnp.where(hit, jnp.int32(tid), out)
+            if valid is not None:
+                valid = jnp.where(hit, True, valid)
+        return Value(out, valid, d)
+    # numeric output
+    if default is x and x.is_string:
+        raise EvalError("transform: string input needs explicit default for "
+                        "numeric output")
+    dd = _numeric(default, env.n_rows)
+    if default.is_scalar:
+        dd = jnp.full((env.n_rows,), jnp.asarray(dd))
+    out = dd
+    for s_from, s_to in zip(src, dst):
+        if isinstance(s_from, str):
+            if x.dictionary is None:
+                raise EvalError("transform: string match on non-string")
+            sid = x.dictionary.encode_one(s_from, grow=False)
+            hit = jnp.asarray(x.data) == sid
+        else:
+            hit = _numeric(x, env.n_rows) == s_from
+        out = jnp.where(hit, jnp.asarray(s_to).astype(out.dtype), out)
+    return Value(out, x.valid if default is x else default.valid)
+
+
+# ---------------------------------------------------------------------------
+# hashing — device closed forms for fixed-width numerics, exact host
+# algorithms over string dictionaries (FunctionsHashing.h analogs)
+
+_P64_1 = np.uint64(0x9E3779B185EBCA87)
+_P64_2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P64_3 = np.uint64(0x165667B19E3779F9)
+_P64_4 = np.uint64(0x85EBCA77C2B2AE63)
+_P64_5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x, r):
+    r = jnp.uint64(r)
+    return (x << r) | (x >> (jnp.uint64(64) - r))
+
+
+def _xxh64_avalanche(h):
+    h = h ^ (h >> jnp.uint64(33))
+    h = h * jnp.uint64(_P64_2)
+    h = h ^ (h >> jnp.uint64(29))
+    h = h * jnp.uint64(_P64_3)
+    return h ^ (h >> jnp.uint64(32))
+
+
+def _xxh64_fixed(u: jnp.ndarray, nbytes: int, seed=0) -> jnp.ndarray:
+    """xxHash64 of an nbytes little-endian message per lane (nbytes in
+    {1,2,4,8}; 2-byte inputs hash as two 1-byte steps per the spec)."""
+    h = jnp.uint64(seed) + jnp.uint64(_P64_5) + jnp.uint64(nbytes)
+    if nbytes == 8:
+        k1 = _rotl64(u * jnp.uint64(_P64_2), 31) * jnp.uint64(_P64_1)
+        h = h ^ k1
+        h = _rotl64(h, 27) * jnp.uint64(_P64_1) + jnp.uint64(_P64_4)
+    elif nbytes == 4:
+        h = h ^ ((u & jnp.uint64(0xFFFFFFFF)) * jnp.uint64(_P64_1))
+        h = _rotl64(h, 23) * jnp.uint64(_P64_2) + jnp.uint64(_P64_3)
+    else:
+        for i in range(nbytes):
+            byte = (u >> jnp.uint64(8 * i)) & jnp.uint64(0xFF)
+            h = h ^ (byte * jnp.uint64(_P64_5))
+            h = _rotl64(h, 11) * jnp.uint64(_P64_1)
+    return _xxh64_avalanche(h)
+
+
+def _xxh64_bytes(data: bytes, seed: int = 0) -> int:
+    """Exact xxHash64 (spec: github.com/Cyan4973/xxHash) on the host."""
+    M = 0xFFFFFFFFFFFFFFFF
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+    P1, P2, P3, P4, P5 = (int(_P64_1), int(_P64_2), int(_P64_3),
+                          int(_P64_4), int(_P64_5))
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i + 32 <= n:
+            for vi, off in ((1, 0), (2, 8), (3, 16), (4, 24)):
+                lane = int.from_bytes(data[i + off:i + off + 8], "little")
+                v = (v1, v2, v3, v4)[vi - 1]
+                v = (v + lane * P2) & M
+                v = (rotl(v, 31) * P1) & M
+                if vi == 1:
+                    v1 = v
+                elif vi == 2:
+                    v2 = v
+                elif vi == 3:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            k = (rotl((v * P2) & M, 31) * P1) & M
+            h ^= k
+            h = ((h * P1) + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        k = (rotl((lane * P2) & M, 31) * P1) & M
+        h ^= k
+        h = (rotl(h, 27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h ^= (lane * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
+_P32_1 = 0x9E3779B1
+_P32_2 = 0x85EBCA77
+_P32_3 = 0xC2B2AE3D
+_P32_4 = 0x27D4EB2F
+_P32_5 = 0x165667B1
+
+
+def _xxh32_bytes(data: bytes, seed: int = 0) -> int:
+    M = 0xFFFFFFFF
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & M
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _P32_1 + _P32_2) & M
+        v2 = (seed + _P32_2) & M
+        v3 = seed & M
+        v4 = (seed - _P32_1) & M
+        while i + 16 <= n:
+            vs = [v1, v2, v3, v4]
+            for j in range(4):
+                lane = int.from_bytes(data[i + 4 * j:i + 4 * j + 4], "little")
+                v = (vs[j] + lane * _P32_2) & M
+                vs[j] = (rotl(v, 13) * _P32_1) & M
+            v1, v2, v3, v4 = vs
+            i += 16
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+    else:
+        h = (seed + _P32_5) & M
+    h = (h + n) & M
+    while i + 4 <= n:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h = (h + lane * _P32_3) & M
+        h = (rotl(h, 17) * _P32_4) & M
+        i += 4
+    while i < n:
+        h = (h + data[i] * _P32_5) & M
+        h = (rotl(h, 11) * _P32_1) & M
+        i += 1
+    h ^= h >> 15
+    h = (h * _P32_2) & M
+    h ^= h >> 13
+    h = (h * _P32_3) & M
+    h ^= h >> 16
+    return h
+
+
+def _siphash24_bytes(data: bytes, k0: int = 0, k1: int = 0) -> int:
+    """SipHash-2-4 (reference src/Common/SipHash.h uses zero key)."""
+    M = 0xFFFFFFFFFFFFFFFF
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+    v0 = 0x736f6d6570736575 ^ k0
+    v1 = 0x646f72616e646f6d ^ k1
+    v2 = 0x6c7967656e657261 ^ k0
+    v3 = 0x7465646279746573 ^ k1
+
+    def sipround(v0, v1, v2, v3):
+        v0 = (v0 + v1) & M
+        v1 = rotl(v1, 13) ^ v0
+        v0 = rotl(v0, 32)
+        v2 = (v2 + v3) & M
+        v3 = rotl(v3, 16) ^ v2
+        v0 = (v0 + v3) & M
+        v3 = rotl(v3, 21) ^ v0
+        v2 = (v2 + v1) & M
+        v1 = rotl(v1, 17) ^ v2
+        v2 = rotl(v2, 32)
+        return v0, v1, v2, v3
+
+    n = len(data)
+    i = 0
+    while i + 8 <= n:
+        m = int.from_bytes(data[i:i + 8], "little")
+        v3 ^= m
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+        v0 ^= m
+        i += 8
+    b = (n & 0xFF) << 56
+    b |= int.from_bytes(data[i:n], "little")
+    v3 ^= b
+    v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    v0 ^= b
+    v2 ^= 0xFF
+    for _ in range(4):
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    return (v0 ^ v1 ^ v2 ^ v3) & M
+
+
+def _siphash24_fixed(u: jnp.ndarray, nbytes: int) -> jnp.ndarray:
+    """Device SipHash-2-4 (zero key) of an nbytes little-endian message."""
+    def rotl(x, r):
+        r = jnp.uint64(r)
+        return (x << r) | (x >> (jnp.uint64(64) - r))
+
+    def sipround(v0, v1, v2, v3):
+        v0 = v0 + v1
+        v1 = rotl(v1, 13) ^ v0
+        v0 = rotl(v0, 32)
+        v2 = v2 + v3
+        v3 = rotl(v3, 16) ^ v2
+        v0 = v0 + v3
+        v3 = rotl(v3, 21) ^ v0
+        v2 = v2 + v1
+        v1 = rotl(v1, 17) ^ v2
+        v2 = rotl(v2, 32)
+        return v0, v1, v2, v3
+
+    shape = u.shape
+    v0 = jnp.full(shape, jnp.uint64(0x736f6d6570736575))
+    v1 = jnp.full(shape, jnp.uint64(0x646f72616e646f6d))
+    v2 = jnp.full(shape, jnp.uint64(0x6c7967656e657261))
+    v3 = jnp.full(shape, jnp.uint64(0x7465646279746573))
+    if nbytes == 8:
+        m = u
+        v3 = v3 ^ m
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+        v0 = v0 ^ m
+        b = jnp.uint64(8) << jnp.uint64(56)
+    else:
+        mask = jnp.uint64((1 << (8 * nbytes)) - 1)
+        b = (jnp.uint64(nbytes) << jnp.uint64(56)) | (u & mask)
+    v3 = v3 ^ b
+    v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    v0 = v0 ^ b
+    v2 = v2 ^ jnp.uint64(0xFF)
+    for _ in range(4):
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+    return v0 ^ v1 ^ v2 ^ v3
+
+
+# CityHash v1.0.2 (the reference vendors this exact version:
+# contrib/cityhash102) — full host implementation + device short path
+
+_K0 = 0xc3a5c85c97cb3127
+_K1 = 0xb492b66fbe98f273
+_K2 = 0x9ae16a3b2f90404f
+_K3 = 0xc949d7c7509e6557
+_KMUL = 0x9ddfea08eb382d69
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _ch_rot(x, r):
+    return x if r == 0 else ((x >> r) | (x << (64 - r))) & _M64
+
+
+def _ch_rot_at_least_1(x, r):
+    return _ch_rot(x, r) if r else _ch_rot(x, 1)
+
+
+def _hash128to64(lo, hi):
+    a = ((lo ^ hi) * _KMUL) & _M64
+    a ^= a >> 47
+    b = ((hi ^ a) * _KMUL) & _M64
+    b ^= b >> 47
+    return (b * _KMUL) & _M64
+
+
+def _f64(s, i):
+    return int.from_bytes(s[i:i + 8], "little")
+
+
+def _f32b(s, i):
+    return int.from_bytes(s[i:i + 4], "little")
+
+
+def _city_len0to16(s):
+    n = len(s)
+    if n > 8:
+        a = _f64(s, 0)
+        b = _f64(s, n - 8)
+        return _hash128to64(a, _ch_rot_at_least_1((b + n) & _M64, n & 63)) ^ b
+    if n >= 4:
+        a = _f32b(s, 0)
+        return _hash128to64((n + (a << 3)) & _M64, _f32b(s, n - 4))
+    if n > 0:
+        a, b, c = s[0], s[n >> 1], s[n - 1]
+        y = (a + (b << 8)) & _M64
+        z = (n + (c << 2)) & _M64
+        return (_shift_mix((y * _K2) ^ (z * _K3)) * _K2) & _M64
+    return _K2
+
+
+def _city_len17to32(s):
+    n = len(s)
+    a = (_f64(s, 0) * _K1) & _M64
+    b = _f64(s, 8)
+    c = (_f64(s, n - 8) * _K2) & _M64
+    d = (_f64(s, n - 16) * _K0) & _M64
+    return _hash128to64(
+        (_ch_rot((a - b) & _M64, 43) + _ch_rot(c, 30) + d) & _M64,
+        (a + _ch_rot((b ^ _K3), 20) - c + n) & _M64)
+
+
+def _city_weak(w, x, y, z, a, b):
+    a = (a + w) & _M64
+    b = _ch_rot((b + a + z) & _M64, 21)
+    c = a
+    a = (a + x + y) & _M64
+    b = (b + _ch_rot(a, 44)) & _M64
+    return (a + z) & _M64, (b + c) & _M64
+
+
+def _city_weak_s(s, i, a, b):
+    return _city_weak(_f64(s, i), _f64(s, i + 8), _f64(s, i + 16),
+                      _f64(s, i + 24), a, b)
+
+
+def _city_len33to64(s):
+    n = len(s)
+    z = _f64(s, 24)
+    a = (_f64(s, 0) + (n + _f64(s, n - 16)) * _K0) & _M64
+    b = _ch_rot((a + z) & _M64, 52)
+    c = _ch_rot(a, 37)
+    a = (a + _f64(s, 8)) & _M64
+    c = (c + _ch_rot(a, 7)) & _M64
+    a = (a + _f64(s, 16)) & _M64
+    vf = (a + z) & _M64
+    vs = (b + _ch_rot(a, 31) + c) & _M64
+    a = (_f64(s, 16) + _f64(s, n - 32)) & _M64
+    z = _f64(s, n - 8)
+    b = _ch_rot((a + z) & _M64, 52)
+    c = _ch_rot(a, 37)
+    a = (a + _f64(s, n - 24)) & _M64
+    c = (c + _ch_rot(a, 7)) & _M64
+    a = (a + _f64(s, n - 16)) & _M64
+    wf = (a + z) & _M64
+    ws = (b + _ch_rot(a, 31) + c) & _M64
+    r = _shift_mix(((vf + ws) * _K2 + (wf + vs) * _K0) & _M64)
+    return (_shift_mix((r * _K0 + vs) & _M64) * _K2) & _M64
+
+
+def _cityhash64_bytes(s: bytes) -> int:
+    n = len(s)
+    if n <= 16:
+        return _city_len0to16(s)
+    if n <= 32:
+        return _city_len17to32(s)
+    if n <= 64:
+        return _city_len33to64(s)
+    x = _f64(s, 0)
+    y = (_f64(s, n - 16) ^ _K1) & _M64
+    z = (_f64(s, n - 56) ^ _K0) & _M64
+    v = _city_weak_s(s, n - 64, n, y)
+    w = _city_weak_s(s, n - 32, (n * _K1) & _M64, _K0)
+    z = (z + _shift_mix(v[1]) * _K1) & _M64
+    x = (_ch_rot((z + x) & _M64, 39) * _K1) & _M64
+    y = (_ch_rot(y, 33) * _K1) & _M64
+    i = 0
+    length = (n - 1) & ~63
+    while True:
+        x = (_ch_rot((x + y + v[0] + _f64(s, i + 16)) & _M64, 37) * _K1) & _M64
+        y = (_ch_rot((y + v[1] + _f64(s, i + 48)) & _M64, 42) * _K1) & _M64
+        x ^= w[1]
+        y ^= v[0]
+        z = _ch_rot((z ^ w[0]) & _M64, 33)
+        v = _city_weak_s(s, i, (v[1] * _K1) & _M64, (x + w[0]) & _M64)
+        w = _city_weak_s(s, i + 32, (z + w[1]) & _M64, y)
+        z, x = x, z
+        i += 64
+        length -= 64
+        if length == 0:
+            break
+    return _hash128to64(
+        (_hash128to64(v[0], w[0]) + _shift_mix(y) * _K1 + z) & _M64,
+        (_hash128to64(v[1], w[1]) + x) & _M64)
+
+
+def _shift_mix(v):
+    return (v ^ (v >> 47)) & _M64
+
+
+def _city_fixed(u: jnp.ndarray, nbytes: int) -> jnp.ndarray:
+    """Device CityHash64 of a 4- or 8-byte message (HashLen0to16 closed
+    form, CityHash v1.0.2)."""
+    kmul = jnp.uint64(_KMUL)
+
+    def h128to64(lo, hi):
+        a = (lo ^ hi) * kmul
+        a = a ^ (a >> jnp.uint64(47))
+        b = (hi ^ a) * kmul
+        b = b ^ (b >> jnp.uint64(47))
+        return b * kmul
+
+    # HashLen0to16: 4..8-byte messages take the two-u32 branch
+    # (a = first 4 bytes, b = last 4 bytes of the little-endian message)
+    lo = u & jnp.uint64(0xFFFFFFFF)
+    if nbytes == 8:
+        hi = u >> jnp.uint64(32)
+        return h128to64(jnp.uint64(8) + (lo << jnp.uint64(3)), hi)
+    return h128to64(jnp.uint64(nbytes) + (lo << jnp.uint64(3)), lo)
+
+
+def _value_width_bytes(v: Value) -> int:
+    d = v.data.dtype if hasattr(v.data, "dtype") else np.asarray(v.data).dtype
+    return np.dtype(d).itemsize
+
+
+def _as_u64_lanes(v: Value, env: Env) -> tuple:
+    """(uint64 lanes, message width in bytes) for a numeric column —
+    hashing covers the value's in-memory bytes like the reference."""
+    x = _numeric(v, env.n_rows)
+    if x.dtype == jnp.bool_:
+        return x.astype(jnp.uint64), 1
+    w = _value_width_bytes(v)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        u = jax_bitcast_u32(x) if w == 4 else jax_bitcast_u64(x)
+    else:
+        u = jax_bitcast_u64(x.astype(jnp.int64)) if w == 8 \
+            else jax_bitcast_u32(x.astype(jnp.int32))
+    return u.astype(jnp.uint64), w
+
+
+def jax_bitcast_u32(x):
+    import jax
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def jax_bitcast_u64(x):
+    import jax
+    return jax.lax.bitcast_convert_type(x, jnp.uint64)
+
+
+def _hash_dispatch(v: Value, env: Env, device_fixed, host_bytes) -> Value:
+    if v.is_string:
+        if v.dictionary is None:
+            h = host_bytes(v.py.encode())
+            return Value(jnp.asarray(np.uint64(h)), is_scalar=True, py=h)
+        lut = np.array([host_bytes(s.encode()) for s in v.dictionary.values]
+                       or [0], dtype=np.uint64)
+        return Value(_dict_map(v, lut), v.valid)
+    u, w = _as_u64_lanes(v, env)
+    if v.is_scalar:
+        u = u.reshape((1,))
+        out = device_fixed(u, w)[0]
+        return Value(out, is_scalar=True)
+    return Value(device_fixed(u, w), v.valid)
+
+
+@func("xxHash64")
+def _f_xxhash64(args, env):
+    return _hash_dispatch(args[0], env, _xxh64_fixed, _xxh64_bytes)
+
+@func("xxHash32")
+def _f_xxhash32(args, env):
+    v = args[0]
+    if v.is_string and v.dictionary is not None:
+        lut = np.array([_xxh32_bytes(s.encode()) for s in v.dictionary.values]
+                       or [0], dtype=np.uint32)
+        return Value(_dict_map(v, lut), v.valid)
+    if v.is_string:
+        h = _xxh32_bytes(v.py.encode())
+        return Value(jnp.asarray(np.uint32(h)), is_scalar=True, py=h)
+    # numerics: host evaluation over the raw bytes (exact)
+    x = np.asarray(_numeric(v, env.n_rows))
+    if x.dtype == np.bool_:
+        x = x.astype(np.uint8)
+    out = np.array([_xxh32_bytes(r.tobytes()) for r in x], dtype=np.uint32)
+    return Value(jnp.asarray(out), v.valid)
+
+@func("sipHash64")
+def _f_siphash64(args, env):
+    return _hash_dispatch(args[0], env, _siphash24_fixed, _siphash24_bytes)
+
+@func("cityHash64")
+def _f_cityhash64(args, env):
+    return _hash_dispatch(args[0], env, _city_fixed, _cityhash64_bytes)
+
+@func("intHash64")
+def _f_inthash64(args, env):
+    # reference src/Common/HashTable/Hash.h intHash64: murmur-style finalizer
+    x = _numeric(args[0], env.n_rows)
+    u = x.astype(jnp.uint64)
+    u = u ^ (u >> jnp.uint64(33))
+    u = u * jnp.uint64(0xff51afd7ed558ccd)
+    u = u ^ (u >> jnp.uint64(33))
+    u = u * jnp.uint64(0xc4ceb9fe1a85ec53)
+    u = u ^ (u >> jnp.uint64(33))
+    return Value(u, args[0].valid)
+
+@func("intHash32")
+def _f_inthash32(args, env):
+    # reference intHash32: 64-bit mix folded to 32 (Hash.h intHash32<salt=0>)
+    x = _numeric(args[0], env.n_rows)
+    u = x.astype(jnp.uint64)
+    u = u ^ (u >> jnp.uint64(33))
+    u = u * jnp.uint64(0xff51afd7ed558ccd)
+    u = u ^ (u >> jnp.uint64(33))
+    u = u * jnp.uint64(0xc4ceb9fe1a85ec53)
+    u = u ^ (u >> jnp.uint64(33))
+    return Value((u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                 args[0].valid)
+
+
+def _digest_fn(algo):
+    def impl(args, env):
+        v = args[0]
+        def dig(s: str) -> str:
+            return hashlib.new(algo, s.encode()).hexdigest().upper()
+        if v.dictionary is None and isinstance(v.py, str):
+            return Value(None, is_scalar=True, py=dig(v.py))
+        if v.dictionary is None:
+            raise EvalError(f"{algo} expects a string")
+        nd = StringDictionary([dig(s) for s in v.dictionary.values])
+        return Value(v.data, v.valid, nd)
+    return impl
+
+for _a, _names in [("md5", ("MD5",)), ("sha1", ("SHA1",)),
+                   ("sha224", ("SHA224",)), ("sha256", ("SHA256",)),
+                   ("sha512", ("SHA512",))]:
+    _FUNCS[_names[0].lower()] = _digest_fn(_a)
+
+
+@func("halfMD5")
+def _f_halfmd5(args, env):
+    v = args[0]
+    def h(s: bytes) -> int:
+        return int.from_bytes(hashlib.md5(s).digest()[:8], "big")
+    if v.dictionary is None and isinstance(v.py, str):
+        r = h(v.py.encode())
+        return Value(jnp.asarray(np.uint64(r)), is_scalar=True, py=r)
+    if v.dictionary is not None:
+        lut = np.array([h(s.encode()) for s in v.dictionary.values] or [0],
+                       dtype=np.uint64)
+        return Value(_dict_map(v, lut), v.valid)
+    x = np.asarray(_numeric(v, env.n_rows))
+    out = np.array([h(r.tobytes()) for r in x], dtype=np.uint64)
+    return Value(jnp.asarray(out), v.valid)
+
+
+# ---------------------------------------------------------------------------
+# encoding: hex/unhex/bin/base64
+
+@func("hex")
+def _f_hex(args, env):
+    v = args[0]
+    if v.is_string:
+        return _dict_transform(v, lambda s: s.encode().hex().upper())
+    x = np.asarray(_numeric(v, env.n_rows))
+    if np.issubdtype(x.dtype, np.floating):
+        def fmt(r):
+            return r.tobytes().hex().upper()
+    else:
+        def fmt(r):
+            i = int(r)
+            if i == 0:
+                return "00"
+            nb = max(1, (i.bit_length() + 7) // 8) if i >= 0 else \
+                np.dtype(x.dtype).itemsize
+            if i < 0:
+                i &= (1 << (8 * np.dtype(x.dtype).itemsize)) - 1
+                nb = np.dtype(x.dtype).itemsize
+            return i.to_bytes(nb, "big").hex().upper()
+    if v.is_scalar:
+        return Value(None, is_scalar=True, py=fmt(np.asarray(x)[()]))
+    uniq, inv = np.unique(x, return_inverse=True)
+    sd = StringDictionary()
+    remap = sd.encode([fmt(u) for u in uniq])
+    return Value(jnp.asarray(remap[inv].astype(np.int32)), v.valid, sd)
+
+
+@func("unhex")
+def _f_unhex(args, env):
+    return _dict_transform(args[0],
+                           lambda s: bytes.fromhex(s).decode("latin-1"))
+
+@func("bin")
+def _f_bin(args, env):
+    v = args[0]
+    x = np.asarray(_numeric(v, env.n_rows))
+    w = 8 * np.dtype(x.dtype).itemsize
+    def fmt(r):
+        i = int(r)
+        if i < 0:
+            i &= (1 << w) - 1
+        s = format(i, "b")
+        pad = ((len(s) + 7) // 8) * 8
+        return s.zfill(max(pad, 8))
+    if v.is_scalar:
+        return Value(None, is_scalar=True, py=fmt(np.asarray(x)[()]))
+    uniq, inv = np.unique(x, return_inverse=True)
+    sd = StringDictionary()
+    remap = sd.encode([fmt(u) for u in uniq])
+    return Value(jnp.asarray(remap[inv].astype(np.int32)), v.valid, sd)
+
+@func("base64Encode")
+def _f_base64encode(args, env):
+    return _dict_transform(args[0],
+                           lambda s: _b64.b64encode(s.encode()).decode())
+
+@func("base64Decode", "tryBase64Decode")
+def _f_base64decode(args, env):
+    def dec(s):
+        try:
+            return _b64.b64decode(s).decode("utf-8", "replace")
+        except Exception:
+            return ""
+    return _dict_transform(args[0], dec)
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (host over dictionary values;
+# reference src/Functions/FunctionsJSON.h with simdjson)
+
+def _json_walk(doc, path):
+    cur = doc
+    for p in path:
+        if isinstance(p, str):
+            if not isinstance(cur, dict) or p not in cur:
+                return None, False
+            cur = cur[p]
+        else:
+            if not isinstance(cur, (list, dict)):
+                return None, False
+            seq = list(cur.values()) if isinstance(cur, dict) else cur
+            i = int(p)
+            i = i - 1 if i > 0 else len(seq) + i    # 1-based; negatives from end
+            if i < 0 or i >= len(seq):
+                return None, False
+            cur = seq[i]
+    return cur, True
+
+
+def _json_path(args):
+    path = []
+    for a in args:
+        if isinstance(a.py, str):
+            path.append(a.py)
+        elif a.py is not None:
+            path.append(int(a.py))
+        else:
+            path.append(int(np.asarray(a.data)))   # e.g. unary-minus index
+    return path
+
+
+def _json_apply(args, env, fn, dtype=None, dictionary_out=False):
+    v = args[0]
+    path = _json_path(args[1:])
+    def run(s):
+        try:
+            doc = _json.loads(s)
+        except Exception:
+            return fn(None, False)
+        node, ok = _json_walk(doc, path)
+        return fn(node, ok)
+    if v.dictionary is None and isinstance(v.py, str):
+        r = run(v.py)
+        if dictionary_out:
+            return Value(None, is_scalar=True, py=r)
+        return Value(jnp.asarray(r), is_scalar=True, py=r)
+    if v.dictionary is None:
+        raise EvalError("JSON functions expect a String argument")
+    outs = [run(s) for s in v.dictionary.values]
+    if dictionary_out:
+        sd = StringDictionary()
+        remap = sd.encode([o for o in outs] or [""])
+        ids = remap[np.clip(np.asarray(v.data), 0, max(len(outs) - 1, 0))] \
+            if len(outs) else np.asarray(v.data)
+        ids = np.where(np.asarray(v.data) == NULL_ID, NULL_ID, ids)
+        return Value(jnp.asarray(ids.astype(np.int32)), v.valid, sd)
+    lut = np.array(outs or [0], dtype=dtype)
+    return Value(_dict_map(v, lut), v.valid)
+
+
+@func("JSONHas")
+def _f_jsonhas(args, env):
+    return _json_apply(args, env, lambda n, ok: ok, dtype=bool)
+
+@func("JSONLength")
+def _f_jsonlength(args, env):
+    def fn(n, ok):
+        if not ok or not isinstance(n, (list, dict)):
+            return 0
+        return len(n)
+    return _json_apply(args, env, fn, dtype=np.int64)
+
+@func("JSONType")
+def _f_jsontype(args, env):
+    def fn(n, ok):
+        if not ok:
+            return ""
+        return {dict: "Object", list: "Array", str: "String", bool: "Bool",
+                int: "Int64", float: "Double",
+                type(None): "Null"}.get(type(n), "String")
+    return _json_apply(args, env, fn, dictionary_out=True)
+
+@func("JSONExtractString", "simpleJSONExtractString",
+      "visitParamExtractString")
+def _f_jsonextractstring(args, env):
+    def fn(n, ok):
+        if not ok or n is None:
+            return ""
+        return n if isinstance(n, str) else ""
+    return _json_apply(args, env, fn, dictionary_out=True)
+
+@func("JSONExtractInt", "simpleJSONExtractInt", "visitParamExtractInt")
+def _f_jsonextractint(args, env):
+    def fn(n, ok):
+        if not ok:
+            return 0
+        if isinstance(n, bool):
+            return int(n)
+        if isinstance(n, (int, float)):
+            return int(n)
+        if isinstance(n, str):
+            try:
+                return int(float(n))
+            except ValueError:
+                return 0
+        return 0
+    return _json_apply(args, env, fn, dtype=np.int64)
+
+@func("JSONExtractFloat", "simpleJSONExtractFloat", "visitParamExtractFloat")
+def _f_jsonextractfloat(args, env):
+    def fn(n, ok):
+        if not ok:
+            return 0.0
+        if isinstance(n, (int, float)) and not isinstance(n, bool):
+            return float(n)
+        if isinstance(n, str):
+            try:
+                return float(n)
+            except ValueError:
+                return 0.0
+        return 0.0
+    return _json_apply(args, env, fn, dtype=np.float64)
+
+@func("JSONExtractBool", "simpleJSONExtractBool", "visitParamExtractBool")
+def _f_jsonextractbool(args, env):
+    return _json_apply(args, env,
+                       lambda n, ok: bool(n) if ok and
+                       isinstance(n, bool) else False, dtype=bool)
+
+@func("JSONExtractRaw", "simpleJSONExtractRaw", "visitParamExtractRaw")
+def _f_jsonextractraw(args, env):
+    def fn(n, ok):
+        if not ok:
+            return ""
+        return _json.dumps(n, separators=(",", ":"))
+    return _json_apply(args, env, fn, dictionary_out=True)
+
+@func("JSONExtractKeys")
+def _f_jsonextractkeys(args, env):
+    # returns Array(String) of object keys
+    v = args[0]
+    path = _json_path(args[1:])
+    if v.dictionary is None:
+        raise EvalError("JSONExtractKeys expects a String column")
+    per_id = []
+    for s in v.dictionary.values:
+        try:
+            node, ok = _json_walk(_json.loads(s), path)
+        except Exception:
+            node, ok = None, False
+        per_id.append(list(node.keys()) if ok and isinstance(node, dict)
+                      else [])
+    nd = StringDictionary()
+    enc = [nd.encode(p) for p in per_id]
+    ids = np.asarray(v.data)
+    lens = np.array([len(p) for p in per_id] or [0], dtype=np.int64)
+    safe = np.clip(ids, 0, max(len(enc) - 1, 0))
+    row_lens = np.where(ids == NULL_ID, 0, lens[safe])
+    offsets = np.concatenate([np.zeros(1, dtype=np.int64),
+                              np.cumsum(row_lens)])
+    flat = np.concatenate([enc[i] if ids[j] != NULL_ID else
+                           np.zeros(0, dtype=np.int32)
+                           for j, i in enumerate(safe)]) \
+        if len(ids) and enc else np.zeros(0, dtype=np.int32)
+    return Value(jnp.asarray(flat.astype(np.int32)), v.valid, nd,
+                 offsets=offsets)
+
+@func("isValidJSON")
+def _f_isvalidjson(args, env):
+    v = args[0]
+    def ok(s):
+        try:
+            _json.loads(s)
+            return True
+        except Exception:
+            return False
+    if v.dictionary is None and isinstance(v.py, str):
+        return Value(jnp.asarray(ok(v.py)), is_scalar=True, py=ok(v.py))
+    lut = np.array([ok(s) for s in v.dictionary.values] or [False],
+                   dtype=bool)
+    return Value(_dict_map(v, lut), v.valid)
+
+
+# ---------------------------------------------------------------------------
+# URL functions (host over dictionary values; reference src/Functions/URL/*)
+
+def _url_transform(fn):
+    def impl(args, env):
+        return _dict_transform(args[0], fn)
+    return impl
+
+
+def _u_protocol(s):
+    i = s.find("://")
+    return s[:i].lower() if i > 0 else ""
+
+def _u_domain(s):
+    try:
+        netloc = urlsplit(s if "://" in s else "//" + s).netloc
+    except ValueError:
+        return ""
+    host = netloc.rsplit("@", 1)[-1].split(":")[0]
+    return host
+
+def _u_domain_without_www(s):
+    d = _u_domain(s)
+    return d[4:] if d.startswith("www.") else d
+
+def _u_tld(s):
+    d = _u_domain(s)
+    return d.rsplit(".", 1)[-1] if "." in d else ""
+
+def _u_path(s):
+    try:
+        return urlsplit(s).path
+    except ValueError:
+        return ""
+
+def _u_pathfull(s):
+    try:
+        u = urlsplit(s)
+    except ValueError:
+        return ""
+    out = u.path
+    if u.query:
+        out += "?" + u.query
+    if u.fragment:
+        out += "#" + u.fragment
+    return out
+
+def _u_query(s):
+    try:
+        return urlsplit(s).query
+    except ValueError:
+        return ""
+
+def _u_fragment(s):
+    try:
+        return urlsplit(s).fragment
+    except ValueError:
+        return ""
+
+def _u_qsf(s):
+    try:
+        u = urlsplit(s)
+    except ValueError:
+        return ""
+    out = u.query
+    if u.fragment:
+        out += "#" + u.fragment
+    return out
+
+def _u_cut_query(s):
+    return s.split("?", 1)[0]
+
+def _u_cut_fragment(s):
+    return s.split("#", 1)[0]
+
+def _u_cut_qsf(s):
+    return s.split("#", 1)[0].split("?", 1)[0]
+
+def _u_cut_www(s):
+    return s.replace("://www.", "://", 1) if "://www." in s else \
+        (s[4:] if s.startswith("www.") else s)
+
+_FUNCS["protocol"] = _url_transform(_u_protocol)
+_FUNCS["domain"] = _url_transform(_u_domain)
+_FUNCS["domainwithoutwww"] = _url_transform(_u_domain_without_www)
+_FUNCS["topleveldomain"] = _url_transform(_u_tld)
+_FUNCS["path"] = _url_transform(_u_path)
+_FUNCS["pathfull"] = _url_transform(_u_pathfull)
+_FUNCS["querystring"] = _url_transform(_u_query)
+_FUNCS["fragment"] = _url_transform(_u_fragment)
+_FUNCS["querystringandfragment"] = _url_transform(_u_qsf)
+_FUNCS["cutquerystring"] = _url_transform(_u_cut_query)
+_FUNCS["cutfragment"] = _url_transform(_u_cut_fragment)
+_FUNCS["cutquerystringandfragment"] = _url_transform(_u_cut_qsf)
+_FUNCS["cutwww"] = _url_transform(_u_cut_www)
+_FUNCS["decodeurlcomponent"] = _url_transform(unquote)
+_FUNCS["encodeurlcomponent"] = _url_transform(
+    lambda s: quote(s, safe=""))
+
+
+@func("extractURLParameter")
+def _f_extracturlparameter(args, env):
+    name = args[1].py
+    def fn(s):
+        q = _u_query(s) or (_u_fragment(s).split("?", 1)[1]
+                            if "?" in _u_fragment(s) else "")
+        for kv in q.split("&"):
+            if kv.startswith(name + "="):
+                return kv[len(name) + 1:]
+            if kv == name:
+                return ""
+        return ""
+    return _dict_transform(args[0], fn)
+
+
+@func("firstSignificantSubdomain")
+def _f_firstsignificantsubdomain(args, env):
+    def fn(s):
+        d = _u_domain(s)
+        parts = d.split(".")
+        if len(parts) < 2:
+            return d
+        second = {"com", "net", "org", "co", "gov", "edu", "mil"}
+        if len(parts) >= 3 and parts[-2] in second:
+            return parts[-3]
+        return parts[-2]
+    return _dict_transform(args[0], fn)
+
+
+# ---------------------------------------------------------------------------
+# string extras
+
+@func("left")
+def _f_left(args, env):
+    n = int(args[1].py)
+    return _dict_transform(args[0], lambda s: s[:n] if n >= 0 else
+                           s[:max(len(s) + n, 0)])
+
+@func("right")
+def _f_right(args, env):
+    n = int(args[1].py)
+    return _dict_transform(args[0], lambda s: s[-n:] if n > 0 else
+                           (s[min(-n, len(s)):] if n < 0 else ""))
+
+@func("space")
+def _f_space(args, env):
+    v = args[0]
+    if v.is_scalar:
+        return Value(None, is_scalar=True, py=" " * int(v.py))
+    x = np.asarray(_numeric(v, env.n_rows))
+    uniq, inv = np.unique(x, return_inverse=True)
+    sd = StringDictionary()
+    remap = sd.encode([" " * max(int(u), 0) for u in uniq])
+    return Value(jnp.asarray(remap[inv].astype(np.int32)), v.valid, sd)
+
+@func("ascii")
+def _f_ascii(args, env):
+    v = args[0]
+    lut = np.array([ord(s[0]) if s else 0 for s in v.dictionary.values]
+                   or [0], dtype=np.int32)
+    return Value(_dict_map(v, lut), v.valid)
+
+@func("char")
+def _f_char(args, env):
+    # char(n1, n2, ...) builds a string per row from code points
+    cols = [np.asarray(_numeric(a, env.n_rows)) for a in args]
+    if all(a.is_scalar for a in args):
+        s = "".join(chr(int(c) & 0xFF) for c in cols)
+        return Value(None, is_scalar=True, py=s)
+    n = env.n_rows
+    mat = np.stack([np.broadcast_to(c, (n,)) for c in cols], axis=1)
+    uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+    sd = StringDictionary()
+    remap = sd.encode(["".join(chr(int(c) & 0xFF) for c in row)
+                       for row in uniq])
+    return Value(jnp.asarray(remap[inv].astype(np.int32)), None, sd)
+
+@func("concatWithSeparator", "concat_ws")
+def _f_concatwithseparator(args, env):
+    sep = args[0]
+    if not isinstance(sep.py, str):
+        raise EvalError("concatWithSeparator: separator must be a literal")
+    new_args = []
+    for i, a in enumerate(args[1:]):
+        if i:
+            new_args.append(Value(None, is_scalar=True, py=sep.py))
+        new_args.append(a)
+    return _FUNCS["concat"](new_args, env)
+
+@func("substringIndex")
+def _f_substringindex(args, env):
+    delim, cnt = args[1].py, int(args[2].py)
+    def fn(s):
+        parts = s.split(delim)
+        if cnt > 0:
+            return delim.join(parts[:cnt])
+        if cnt < 0:
+            return delim.join(parts[cnt:])
+        return ""
+    return _dict_transform(args[0], fn)
+
+@func("countSubstrings")
+def _f_countsubstrings(args, env):
+    v, pat = args[0], args[1].py
+    lut = np.array([s.count(pat) for s in v.dictionary.values] or [0],
+                   dtype=np.int64)
+    return Value(_dict_map(v, lut), v.valid)
+
+@func("positionCaseInsensitive")
+def _f_positioncaseinsensitive(args, env):
+    v, pat = args[0], args[1].py.lower()
+    lut = np.array([s.lower().find(pat) + 1 for s in v.dictionary.values]
+                   or [0], dtype=np.int64)
+    return Value(_dict_map(v, lut), v.valid)
+
+@func("multiSearchAny")
+def _f_multisearchany(args, env):
+    v = args[0]
+    pats = _literal_list(args[1])
+    if not isinstance(pats, list):
+        raise EvalError("multiSearchAny needs an array literal of patterns")
+    lut = np.array([any(str(p) in s for p in pats)
+                    for s in v.dictionary.values] or [False], dtype=bool)
+    return Value(_dict_map(v, lut), v.valid)
+
+@func("multiSearchFirstIndex")
+def _f_multisearchfirstindex(args, env):
+    v = args[0]
+    pats = [str(p) for p in _literal_list(args[1])]
+    def first(s):
+        for i, p in enumerate(pats):
+            if p in s:
+                return i + 1
+        return 0
+    lut = np.array([first(s) for s in v.dictionary.values] or [0],
+                   dtype=np.int64)
+    return Value(_dict_map(v, lut), v.valid)
+
+@func("hasToken")
+def _f_hastoken(args, env):
+    v, tok = args[0], args[1].py
+    rx = re.compile(r"(?<![A-Za-z0-9_])" + re.escape(tok) +
+                    r"(?![A-Za-z0-9_])")
+    lut = np.array([bool(rx.search(s)) for s in v.dictionary.values]
+                   or [False], dtype=bool)
+    return Value(_dict_map(v, lut), v.valid)
+
+# ---------------------------------------------------------------------------
+# randomness (host-seeded; the reference's pcg-based FunctionsRandom)
+
+@func("rand", "rand32")
+def _f_rand(args, env):
+    g = np.random.default_rng()
+    out = g.integers(0, 1 << 32, env.n_rows, dtype=np.uint32)
+    return Value(jnp.asarray(out))
+
+@func("rand64")
+def _f_rand64(args, env):
+    g = np.random.default_rng()
+    out = g.integers(0, 1 << 63, env.n_rows, dtype=np.int64).view(np.uint64)
+    return Value(jnp.asarray(out))
+
+@func("randCanonical")
+def _f_randcanonical(args, env):
+    g = np.random.default_rng()
+    return Value(jnp.asarray(g.random(env.n_rows, dtype=np.float32)))
+
+@func("randConstant")
+def _f_randconstant(args, env):
+    g = np.random.default_rng()
+    val = int(g.integers(0, 1 << 32))
+    return Value(jnp.asarray(np.uint32(val)), is_scalar=True, py=val)
+
+@func("generateUUIDv4")
+def _f_generateuuidv4(args, env):
+    import uuid
+    sd = StringDictionary()
+    ids = sd.encode([str(uuid.uuid4()) for _ in range(env.n_rows)])
+    return Value(jnp.asarray(ids), None, sd)
+
+
+# ---------------------------------------------------------------------------
+# IPv4
+
+@func("IPv4NumToString")
+def _f_ipv4numtostring(args, env):
+    v = args[0]
+    x = np.asarray(_numeric(v, env.n_rows)).astype(np.int64)
+    uniq, inv = np.unique(x, return_inverse=True)
+    sd = StringDictionary()
+    remap = sd.encode([socket.inet_ntoa(int(u % (1 << 32)).to_bytes(4, "big"))
+                       for u in uniq])
+    return Value(jnp.asarray(remap[inv].astype(np.int32)), v.valid, sd)
+
+@func("IPv4StringToNum", "toIPv4")
+def _f_ipv4stringtonum(args, env):
+    v = args[0]
+    def conv(s):
+        try:
+            return int.from_bytes(socket.inet_aton(s), "big")
+        except OSError:
+            return 0
+    if v.dictionary is None and isinstance(v.py, str):
+        r = conv(v.py)
+        return Value(jnp.asarray(np.uint32(r)), is_scalar=True, py=r)
+    lut = np.array([conv(s) for s in v.dictionary.values] or [0],
+                   dtype=np.uint32)
+    return Value(_dict_map(v, lut), v.valid)
+
+
+# ---------------------------------------------------------------------------
+# environment info
+
+@func("hostName")
+def _f_hostname(args, env):
+    return Value(None, is_scalar=True, py=socket.gethostname())
+
+@func("version")
+def _f_version(args, env):
+    from myscaledb_tpu import __version__
+    return Value(None, is_scalar=True, py=__version__)
+
+@func("currentUser")
+def _f_currentuser(args, env):
+    user = getattr(env, "current_user", None) or "default"
+    return Value(None, is_scalar=True, py=user)

@@ -1,0 +1,335 @@
+"""Extended scalar functions: bit family, extra math, casts, multiIf /
+string-aware if / transform, hashing (spec cross-checks device vs host),
+hex/base64, JSON extraction, URL parts, IPv4, randomness."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.exec.scalar_fns import (_xxh64_bytes, _xxh32_bytes,
+                                           _siphash24_bytes,
+                                           _cityhash64_bytes)
+
+
+@pytest.fixture
+def sess(rng):
+    s = connect()
+    s.create_table("t", {
+        "i": np.array([0, 1, 5, -3, 255, 1024], dtype=np.int64),
+        "f": np.array([0.0, 1.5, -2.25, 3.0, 0.5, -0.0], dtype=np.float32),
+        "s": np.array(["hello", "", "World", "a=1&b=2", "hello", "xyz"]),
+    })
+    return s
+
+
+def one(sess, expr, table="t"):
+    return sess.sql(f"SELECT {expr} AS r FROM {table}").to_pydict()["r"]
+
+
+# -- bit family -------------------------------------------------------------
+
+def test_bit_ops(sess):
+    assert one(sess, "bitAnd(i, 3)") == [x & 3 for x in
+                                         [0, 1, 5, -3, 255, 1024]]
+    assert one(sess, "bitOr(i, 8)") == [x | 8 for x in
+                                        [0, 1, 5, -3, 255, 1024]]
+    assert one(sess, "bitXor(i, 5)") == [x ^ 5 for x in
+                                         [0, 1, 5, -3, 255, 1024]]
+    assert one(sess, "bitNot(i)") == [~x for x in [0, 1, 5, -3, 255, 1024]]
+    assert one(sess, "bitShiftLeft(i, 2)") == [x << 2 for x in
+                                               [0, 1, 5, -3, 255, 1024]]
+    assert one(sess, "bitShiftRight(i, 1)") == [x >> 1 for x in
+                                                [0, 1, 5, -3, 255, 1024]]
+
+
+def test_bitcount_and_test(sess):
+    got = one(sess, "bitCount(i)")
+    want = [bin(x & 0xFFFFFFFFFFFFFFFF).count("1")
+            for x in [0, 1, 5, -3, 255, 1024]]
+    assert got == want
+    assert one(sess, "bitTest(i, 0)") == [x & 1 for x in
+                                          [0, 1, 5, -3, 255, 1024]]
+
+
+def test_bit_rotate(sess):
+    got = one(sess, "bitRotateLeft(i, 8)")
+    M = (1 << 64) - 1
+    want = [(((x & M) << 8) | ((x & M) >> 56)) & M
+            for x in [0, 1, 5, -3, 255, 1024]]
+    # result is reinterpreted back into the input type (int64)
+    want = [w - (1 << 64) if w >= (1 << 63) else w for w in want]
+    assert got == want
+
+
+# -- math extras ------------------------------------------------------------
+
+def test_math_extras(sess):
+    np.testing.assert_allclose(one(sess, "atan2(f, 1.0)"),
+                               np.arctan2([0, 1.5, -2.25, 3, .5, -0.], 1.0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(one(sess, "log1p(abs(f))"),
+                               np.log1p(np.abs([0, 1.5, -2.25, 3, .5, 0.])),
+                               rtol=1e-6)
+    assert one(sess, "isNaN(f)") == [0] * 6
+    assert one(sess, "isFinite(f)") == [1] * 6
+    assert one(sess, "gcd(abs(i) + 1, 6)") == \
+        [int(np.gcd(abs(x) + 1, 6)) for x in [0, 1, 5, -3, 255, 1024]]
+    assert one(sess, "trunc(f)") == [float(np.trunc(x)) for x in
+                                     [0, 1.5, -2.25, 3, .5, -0.]]
+
+
+def test_int_exp(sess):
+    assert one(sess, "intExp2(bitAnd(i, 7))") == \
+        [1 << (x & 7) for x in [0, 1, 5, -3, 255, 1024]]
+
+
+# -- casts ------------------------------------------------------------------
+
+def test_narrow_casts(sess):
+    assert one(sess, "toUInt8(i)") == [x & 0xFF for x in
+                                       [0, 1, 5, -3, 255, 1024]]
+    got = one(sess, "toInt8(i)")
+    want = []
+    for x in [0, 1, 5, -3, 255, 1024]:
+        w = x & 0xFF
+        want.append(w - 256 if w >= 128 else w)
+    assert got == want
+    assert one(sess, "toUInt64(i)")[3] == ((-3) & ((1 << 64) - 1))
+
+
+def test_totypename(sess):
+    assert one(sess, "toTypeName(i)") == ["Int64"] * 6
+    assert one(sess, "toTypeName(f)") == ["Float32"] * 6
+    assert one(sess, "toTypeName(s)") == ["String"] * 6
+
+
+# -- conditionals -----------------------------------------------------------
+
+def test_if_strings(sess):
+    got = one(sess, "if(i > 1, s, 'small')")
+    src = ["hello", "", "World", "a=1&b=2", "hello", "xyz"]
+    iv = [0, 1, 5, -3, 255, 1024]
+    assert got == [s if x > 1 else "small" for s, x in zip(src, iv)]
+
+
+def test_case_strings(sess):
+    got = one(sess, "CASE WHEN i < 0 THEN 'neg' WHEN i = 0 THEN 'zero' "
+                    "ELSE 'pos' END")
+    want = ["zero", "pos", "pos", "neg", "pos", "pos"]
+    assert got == want
+
+
+def test_multiif_numeric(sess):
+    got = one(sess, "multiIf(i < 0, -1, i = 0, 0, 1)")
+    assert got == [0, 1, 1, -1, 1, 1]
+
+
+def test_transform_numeric(sess):
+    got = one(sess, "transform(i, [0, 1, 5], [100, 101, 105], -1)")
+    assert got == [100, 101, 105, -1, -1, -1]
+
+
+def test_transform_strings(sess):
+    got = one(sess, "transform(s, ['hello', 'xyz'], ['H', 'X'], '?')")
+    assert got == ["H", "?", "?", "?", "H", "X"]
+
+
+# -- hashing ----------------------------------------------------------------
+
+def test_xxh64_known_vectors():
+    # spec vectors (github.com/Cyan4973/xxHash)
+    assert _xxh64_bytes(b"") == 0xEF46DB3751D8E999
+
+
+def test_siphash24_reference_vector():
+    # canonical SipHash-2-4 test vector: key 000102..0f, empty message
+    k0 = int.from_bytes(bytes(range(8)), "little")
+    k1 = int.from_bytes(bytes(range(8, 16)), "little")
+    assert _siphash24_bytes(b"", k0, k1) == 0x726FDB47DD0E0E31
+    assert _siphash24_bytes(b"\x00", k0, k1) == 0x74F839C593DC67FD
+
+
+def test_device_hash_matches_host_spec(sess):
+    """The jnp closed forms for fixed-width messages must agree with the
+    generic host implementations byte-for-byte."""
+    vals = np.array([0, 1, 5, -3, 255, 1024], dtype=np.int64)
+    got = one(sess, "xxHash64(i)")
+    want = [_xxh64_bytes(int(v).to_bytes(8, "little", signed=True))
+            for v in vals]
+    assert [g & ((1 << 64) - 1) for g in got] == want
+
+    got = one(sess, "sipHash64(i)")
+    want = [_siphash24_bytes(int(v).to_bytes(8, "little", signed=True))
+            for v in vals]
+    assert [g & ((1 << 64) - 1) for g in got] == want
+
+    got = one(sess, "cityHash64(i)")
+    want = [_cityhash64_bytes(int(v).to_bytes(8, "little", signed=True))
+            for v in vals]
+    assert [g & ((1 << 64) - 1) for g in got] == want
+
+
+def test_device_hash_f32_width(sess):
+    f = np.array([0.0, 1.5, -2.25, 3.0, 0.5, -0.0], dtype=np.float32)
+    got = one(sess, "xxHash64(f)")
+    want = [_xxh64_bytes(v.tobytes()) for v in f]
+    assert [g & ((1 << 64) - 1) for g in got] == want
+
+
+def test_string_hashes(sess):
+    got = one(sess, "cityHash64(s)")
+    src = ["hello", "", "World", "a=1&b=2", "hello", "xyz"]
+    want = [_cityhash64_bytes(s.encode()) for s in src]
+    assert [g & ((1 << 64) - 1) for g in got] == want
+    # equal strings hash equal; xxHash32 returns 32-bit values
+    x32 = one(sess, "xxHash32(s)")
+    assert x32[0] == x32[4] and all(0 <= v < (1 << 32) for v in x32)
+
+
+def test_cityhash_long_strings():
+    # exercise the 17-32 / 33-64 / >64 branches for coverage + stability
+    for n in (17, 33, 65, 200):
+        h = _cityhash64_bytes(bytes(range(256))[:n])
+        assert 0 < h < (1 << 64)
+
+
+def test_inthash_md5(sess):
+    h = one(sess, "intHash64(i)")
+    assert len(set(h)) == 6
+    m = one(sess, "MD5(s)")
+    import hashlib
+    assert m[0] == hashlib.md5(b"hello").hexdigest().upper()
+    hm = one(sess, "halfMD5(s)")
+    assert hm[0] & ((1 << 64) - 1) == int.from_bytes(
+        hashlib.md5(b"hello").digest()[:8], "big")
+
+
+# -- encoding ---------------------------------------------------------------
+
+def test_hex_unhex(sess):
+    assert one(sess, "hex(s)")[0] == "68656C6C6F".upper()
+    assert one(sess, "unhex(hex(s))")[0] == "hello"
+    assert one(sess, "hex(i)")[4] == "FF"
+    assert one(sess, "base64Decode(base64Encode(s))") == \
+        ["hello", "", "World", "a=1&b=2", "hello", "xyz"]
+
+
+def test_bin(sess):
+    assert one(sess, "bin(i)")[1].endswith("00000001")
+
+
+# -- JSON -------------------------------------------------------------------
+
+@pytest.fixture
+def jsess():
+    s = connect()
+    s.create_table("j", {
+        "doc": np.array(['{"a": 1, "b": "x", "c": [1,2,3], "d": {"e": 2.5}}',
+                         '{"a": 7, "b": "y"}',
+                         'not json',
+                         '{"flag": true}']),
+    })
+    return s
+
+
+def test_json_extract(jsess):
+    assert one(jsess, "JSONExtractInt(doc, 'a')", "j") == [1, 7, 0, 0]
+    assert one(jsess, "JSONExtractString(doc, 'b')", "j") == \
+        ["x", "y", "", ""]
+    assert one(jsess, "JSONExtractFloat(doc, 'd', 'e')", "j") == \
+        [2.5, 0.0, 0.0, 0.0]
+    assert one(jsess, "JSONExtractBool(doc, 'flag')", "j") == \
+        [False, False, False, True]
+    assert one(jsess, "JSONHas(doc, 'a')", "j") == [True, True, False, False]
+    assert one(jsess, "JSONLength(doc, 'c')", "j") == [3, 0, 0, 0]
+    assert one(jsess, "JSONExtractInt(doc, 'c', 2)", "j") == [2, 0, 0, 0]
+    assert one(jsess, "JSONExtractInt(doc, 'c', -1)", "j") == [3, 0, 0, 0]
+    assert one(jsess, "isValidJSON(doc)", "j") == [True, True, False, True]
+    assert one(jsess, "JSONType(doc, 'c')", "j") == ["Array", "", "", ""]
+    assert one(jsess, "JSONExtractRaw(doc, 'd')", "j") == \
+        ['{"e":2.5}', "", "", ""]
+
+
+# -- URL --------------------------------------------------------------------
+
+@pytest.fixture
+def usess():
+    s = connect()
+    s.create_table("u", {
+        "url": np.array([
+            "https://www.example.com/path/page?q=1&x=2#frag",
+            "http://sub.test.org:8080/a",
+            "ftp://files.net",
+            "plain-string",
+        ]),
+    })
+    return s
+
+
+def test_url_parts(usess):
+    assert one(usess, "protocol(url)", "u") == ["https", "http", "ftp", ""]
+    assert one(usess, "domain(url)", "u") == \
+        ["www.example.com", "sub.test.org", "files.net", ""]
+    assert one(usess, "domainWithoutWWW(url)", "u") == \
+        ["example.com", "sub.test.org", "files.net", ""]
+    assert one(usess, "path(url)", "u") == ["/path/page", "/a", "", ""]
+    assert one(usess, "queryString(url)", "u") == ["q=1&x=2", "", "", ""]
+    assert one(usess, "fragment(url)", "u") == ["frag", "", "", ""]
+    assert one(usess, "extractURLParameter(url, 'x')", "u") == \
+        ["2", "", "", ""]
+    assert one(usess, "cutQueryString(url)", "u")[0] == \
+        "https://www.example.com/path/page"
+    assert one(usess, "topLevelDomain(url)", "u") == \
+        ["com", "org", "net", ""]
+
+
+# -- string extras ----------------------------------------------------------
+
+def test_string_extras(sess):
+    assert one(sess, "left(s, 3)") == ["hel", "", "Wor", "a=1", "hel", "xyz"]
+    assert one(sess, "right(s, 2)") == ["lo", "", "ld", "=2", "lo", "yz"]
+    assert one(sess, "countSubstrings(s, 'l')") == [2, 0, 1, 0, 2, 0]
+    assert one(sess, "positionCaseInsensitive(s, 'WORLD')") == \
+        [0, 0, 1, 0, 0, 0]
+    assert one(sess, "multiSearchAny(s, ['ell', 'xy'])") == \
+        [True, False, False, False, True, True]
+    assert one(sess, "substringIndex(s, 'l', 1)") == \
+        ["he", "", "Wor", "a=1&b=2", "he", "xyz"]
+    assert one(sess, "ascii(s)") == [104, 0, 87, 97, 104, 120]
+    assert one(sess, "concatWithSeparator('-', s, 'z')")[0] == "hello-z"
+
+
+def test_hastoken():
+    s = connect()
+    s.create_table("tk", {"x": np.array(["a b c", "ab c", "the cat", "c"])})
+    assert one(s, "hasToken(x, 'c')", "tk") == [True, True, False, True]
+
+
+# -- randomness / env -------------------------------------------------------
+
+def test_rand(sess):
+    r = one(sess, "rand()")
+    assert len(r) == 6 and all(0 <= v < (1 << 32) for v in r)
+    rc = one(sess, "randConstant()")
+    assert len(set(rc)) == 1
+    u = one(sess, "generateUUIDv4()")
+    assert len(set(u)) == 6 and len(u[0]) == 36
+
+
+def test_env_fns(sess):
+    v = one(sess, "version()")
+    assert v[0] == "0.1.0"
+    h = one(sess, "hostName()")
+    assert isinstance(h[0], str) and h[0]
+
+
+# -- IPv4 -------------------------------------------------------------------
+
+def test_ipv4():
+    s = connect()
+    s.create_table("ip", {"n": np.array([0, 3232235777, 16909060],
+                                        dtype=np.int64)})
+    got = one(s, "IPv4NumToString(n)", "ip")
+    assert got == ["0.0.0.0", "192.168.1.1", "1.2.3.4"]
+    back = one(s, "IPv4StringToNum(IPv4NumToString(n))", "ip")
+    assert back == [0, 3232235777, 16909060]
