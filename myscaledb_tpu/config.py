@@ -43,6 +43,11 @@ class Settings:
     join_algorithm: str = "auto"         # hash | grace_hash | auto
     grace_hash_join_initial_buckets: int = 8
     max_rows_in_hash_join_build: int = 32 * 1024 * 1024
+    # distributed execution strategy knobs (reference: GLOBAL JOIN broadcast
+    # src/Interpreters/GlobalSubqueriesVisitor.h; shuffle-repartition P6 and
+    # distributed_aggregation_memory_efficient in Settings.h)
+    distributed_broadcast_join_threshold: int = 1 << 21   # build rows
+    distributed_group_by_shuffle_threshold: int = 1 << 14 # groups
     # LIMIT pushdown of top-k into the distance scan (ref: TreeRewriter.cpp:1671)
     max_search_top_k: int = 1 << 20
     # result cache (reference: src/Interpreters/Cache/QueryCache.h)

@@ -1318,7 +1318,9 @@ def _u_domain(s):
     except ValueError:
         return ""
     host = netloc.rsplit("@", 1)[-1].split(":")[0]
-    return host
+    # ClickHouse domain.h checkAndReturnHost: a host without any '.' is not
+    # a domain — plain strings yield '' (reference src/Functions/URL/domain.h).
+    return host if "." in host else ""
 
 def _u_domain_without_www(s):
     d = _u_domain(s)
@@ -1328,23 +1330,19 @@ def _u_tld(s):
     d = _u_domain(s)
     return d.rsplit(".", 1)[-1] if "." in d else ""
 
+def _u_rest(s):
+    """Everything after the authority (reference src/Functions/URL/path.h:
+    the path starts at the first '/' past scheme://host — a string without
+    one has no path at all, unlike urlsplit's relative-path reading)."""
+    rest = s.split("://", 1)[1] if "://" in s else s
+    i = rest.find("/")
+    return "" if i < 0 else rest[i:]
+
 def _u_path(s):
-    try:
-        return urlsplit(s).path
-    except ValueError:
-        return ""
+    return _u_rest(s).split("#", 1)[0].split("?", 1)[0]
 
 def _u_pathfull(s):
-    try:
-        u = urlsplit(s)
-    except ValueError:
-        return ""
-    out = u.path
-    if u.query:
-        out += "?" + u.query
-    if u.fragment:
-        out += "#" + u.fragment
-    return out
+    return _u_rest(s)
 
 def _u_query(s):
     try:

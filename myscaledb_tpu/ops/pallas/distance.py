@@ -1,16 +1,25 @@
 """Pallas TPU kernel: fused distance matmul + per-segment minimum.
 
 Stage 1 of the exact two-stage scan computes selection scores (one MXU
-matmul per tile) and reduces them to per-128-lane segment minima.  The pure
+matmul per tile) and reduces them to per-128-row segment minima.  The pure
 XLA one-shot path materializes the (nq, n) score matrix in HBM (~0.9 ms of
-extra traffic/fusion loss for 1M rows at nq=10 — /tmp diag10); this kernel
-keeps score tiles in VMEM: each x tile is read from HBM once and only the
-segment minima are written back.
+extra traffic/fusion loss for 1M rows at nq=10); this kernel keeps score
+tiles in VMEM: each x tile is read from HBM exactly once and only the
+segment minima are written back — HBM traffic ~= one pass over the table,
+the roofline for any brute-force scan (reference analog it replaces:
+src/VectorIndex/Common/BruteForceSearch.h:63 faiss heap kNN).
 
-Tiling: queries padded to 128 sublanes (M<=128 is one MXU pass — free);
-output written transposed as (nseg, 128) blocks so the lane dimension is
-fully utilized.  TILE_N=4096 rows/tile keeps double-buffered x tiles + the
-score tile within VMEM.
+Layout (round 2 rewrite — the round-1 version ran at 14% of roofline):
+  * rows on SUBLANES, queries on LANES: dot = x_tile @ q.T -> (TILE_N, NQ).
+    The per-128-row segment min then reduces over the SUBLANE axis, which
+    Mosaic lowers to elementwise vreg minima (vs. log2(128) cross-lane
+    shuffles of the full score tile in the row-on-lanes layout), and the
+    (TILE_N//SEG, NQ) result is already in the output layout (no transpose).
+  * explicit HIGHEST (full f32) matmul precision: selection exactness is
+    never at the mercy of a default; the extra passes cost ~0.05 ms each at
+    nq <= 128 (stage-2 rescore would absorb noise anyway, but cheap is cheap).
+  * the ragged tail is masked in-kernel by row id (never jnp.pad the table:
+    a 1M x 128 pad copy costs +2.5 ms, measured).
 """
 
 from __future__ import annotations
@@ -19,39 +28,62 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SEG = 128
 TILE_N = 4096         # rows per grid step (32 segments)
-NQ_PAD = 128
+NQ_PAD = 128          # queries padded onto the lane axis
 
 
-def _kernel(metric: str, has_mask: bool):
+def _kernel(metric: str, has_mask: bool, n: int, nb: int):
+    nseg_t = TILE_N // SEG
+
     def kernel(*refs):
         if has_mask:
-            x_ref, q_ref, sqn_ref, qaux_ref, mask_ref, out_ref = refs
+            x_ref, qt_ref, sqn_ref, qaux_ref, mask_ref, out_ref = refs
         else:
-            x_ref, q_ref, sqn_ref, qaux_ref, out_ref = refs
+            x_ref, qt_ref, sqn_ref, qaux_ref, out_ref = refs
         xt = x_ref[...]                       # (TILE_N, d)
-        q = q_ref[...]                        # (NQ_PAD, d)
-        dot = jax.lax.dot_general(
-            q, xt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (NQ_PAD, TILE_N)
-        sqn = sqn_ref[...]                    # (1, TILE_N)
-        qaux = qaux_ref[...]                  # (NQ_PAD, 1)
+        qt = qt_ref[...]                      # (d, NQ_PAD)
+        # Mosaic supports only DEFAULT/HIGHEST; HIGHEST (full f32, 6-pass)
+        # costs ~0.05 ms/pass at this shape — selection stays exactness-safe
+        dot = lax.dot_general(
+            xt, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)  # (TILE_N, NQ_PAD)
+        dot = dot.reshape(nseg_t, SEG, NQ_PAD)
+        sqn = sqn_ref[...][:, :, None]        # (nseg_t, SEG, 1)
+        qaux = qaux_ref[...][None, :, :]      # (1, 1, NQ_PAD) -> broadcast
         if metric == "L2":
             s = sqn - 2.0 * dot + qaux
         elif metric == "Cosine":
             rnorm = jnp.where(sqn > 0.0,
-                              jax.lax.rsqrt(jnp.maximum(sqn, 1e-30)), 0.0)
+                              lax.rsqrt(jnp.maximum(sqn, 1e-30)), 0.0)
             s = 1.0 - dot * rnorm * qaux
         else:                                 # IP
             s = -dot
         if has_mask:
-            s = jnp.where(mask_ref[...] != 0, s, jnp.inf)
-        sr = s.reshape(NQ_PAD, TILE_N // SEG, SEG)
-        out_ref[...] = jnp.min(sr, axis=-1).T     # (TILE_N//SEG, NQ_PAD)
+            s = jnp.where(mask_ref[...][:, :, None] != 0, s, jnp.inf)
+        i = pl.program_id(0)
+        if n % TILE_N != 0:
+            # ragged tail: mask rows past n (their x values are whatever the
+            # DMA brought in — possibly garbage; where() overrides NaNs too)
+            @pl.when(i == nb - 1)
+            def _mask_tail():
+                row = (i * TILE_N
+                       + lax.broadcasted_iota(jnp.int32, (nseg_t, SEG, 1), 0)
+                       * SEG
+                       + lax.broadcasted_iota(jnp.int32, (nseg_t, SEG, 1), 1))
+                out_ref[...] = jnp.min(
+                    jnp.where(row < n, s, jnp.inf), axis=1)
+
+            @pl.when(i != nb - 1)
+            def _full_tile():
+                out_ref[...] = jnp.min(s, axis=1)
+        else:
+            out_ref[...] = jnp.min(s, axis=1)   # (nseg_t, NQ_PAD)
     return kernel
 
 
@@ -61,43 +93,43 @@ def fused_segmin_scores(x, q, sqn, q_aux, mask, metric: str, has_mask: bool,
                         interpret: bool = False):
     """Returns (nq, n_pad/SEG) segment minima of the selection scores.
 
-    x (n, d) f32; q (nq, d) f32 with nq <= 128; sqn (n,) f32; q_aux (nq,)
-    f32; mask (n,) f32 (1.0 = selected) when has_mask.  Rows beyond n are
-    masked out (padding scores = +inf).
+    x (n, d) f32 — NOT copied or padded; q (nq, d) f32 with nq <= 128;
+    sqn (n,) f32; q_aux (nq,) f32; mask (n,) f32 (1.0 = selected) when
+    has_mask.  Rows beyond n carry +inf minima.
     """
     n, d = x.shape
     nq = q.shape[0]
     assert nq <= NQ_PAD, "pallas path currently handles nq <= 128"
     n_pad = -(-n // TILE_N) * TILE_N
+    nb = n_pad // TILE_N
+    # 1-D side arrays are cheap to pad (4 bytes/row, vs d*4 for x)
     if n_pad != n:
-        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
         sqn = jnp.pad(sqn, (0, n_pad - n))
-        mask_full = mask if has_mask else jnp.ones(n, dtype=jnp.float32)
-        mask = jnp.pad(mask_full, (0, n_pad - n))
-        has_mask = True
+        if has_mask:
+            mask = jnp.pad(mask, (0, n_pad - n))
     if nq != NQ_PAD:
         q = jnp.pad(q, ((0, NQ_PAD - nq), (0, 0)))
         q_aux = jnp.pad(q_aux, (0, NQ_PAD - nq))
-    nb = n_pad // TILE_N
-    sqn2 = sqn.reshape(1, n_pad)
-    qaux2 = q_aux.reshape(NQ_PAD, 1)
+    qt = q.T                                     # (d, NQ_PAD)
+    sqn2 = sqn.reshape(n_pad // SEG, SEG)
+    qaux2 = q_aux.reshape(1, NQ_PAD)
 
     in_specs = [
         pl.BlockSpec((TILE_N, d), lambda i: (i, 0)),
-        pl.BlockSpec((NQ_PAD, d), lambda i: (0, 0)),
-        pl.BlockSpec((1, TILE_N), lambda i: (0, i)),
-        pl.BlockSpec((NQ_PAD, 1), lambda i: (0, 0)),
+        pl.BlockSpec((d, NQ_PAD), lambda i: (0, 0)),
+        pl.BlockSpec((TILE_N // SEG, SEG), lambda i: (i, 0)),
+        pl.BlockSpec((1, NQ_PAD), lambda i: (0, 0)),
     ]
-    args = [x, q, sqn2, qaux2]
+    args = [x, qt, sqn2, qaux2]
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, TILE_N), lambda i: (0, i)))
-        args.append(mask.astype(jnp.float32).reshape(1, n_pad))
+        in_specs.append(pl.BlockSpec((TILE_N // SEG, SEG), lambda i: (i, 0)))
+        args.append(mask.astype(jnp.float32).reshape(n_pad // SEG, SEG))
 
     # the engine enables jax x64 globally; Mosaic rejects stray i64 ops, so
     # trace the kernel under x32
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _kernel(metric, has_mask),
+            _kernel(metric, has_mask, n, nb),
             out_shape=jax.ShapeDtypeStruct((n_pad // SEG, NQ_PAD),
                                            jnp.float32),
             grid=(nb,),
@@ -112,7 +144,7 @@ def fused_segmin_scores(x, q, sqn, q_aux, mask, metric: str, has_mask: bool,
 
 def pallas_supported(d: int, nq: int = 1) -> bool:
     """The kernel needs a TPU backend, a lane-aligned feature dim, and a
-    query batch that fits the padded sublane block."""
+    query batch that fits the padded lane block."""
     try:
         return (jax.default_backend() == "tpu" and d % 128 == 0
                 and nq <= NQ_PAD)

@@ -95,13 +95,16 @@ def shuffle_by_key(mesh: Mesh, key, arrays: Sequence, valid=None,
 
 
 def sharded_shuffle_join_pairs(mesh: Mesh, left_key, right_key,
-                               axis: str = SHARD_AXIS, how: str = "ALL"):
+                               axis: str = SHARD_AXIS, how: str = "ALL",
+                               left_valid=None, right_valid=None):
     """Distributed shuffle join (P6-style repartition): both sides are
     hash-repartitioned by key so matches colocate, then each shard joins
     locally.  Returns matched (left_global_row, right_global_row) pairs as
     numpy arrays — the executor materializes outputs row-wise anyway.
 
     how: "ALL" (full multiplicity) or "ANY" (lowest right row per left row).
+    left_valid/right_valid: optional row-sharded validity (padding rows of a
+    distributed table never join).
     """
     import numpy as np
     from myscaledb_tpu.ops.join import hash_join_all, hash_join_any
@@ -111,9 +114,10 @@ def sharded_shuffle_join_pairs(mesh: Mesh, left_key, right_key,
     n_r = right_key.shape[0]
     lid = jnp.arange(n_l, dtype=jnp.int32)
     rid = jnp.arange(n_r, dtype=jnp.int32)
-    lk_rx, (lid_rx,), lv_rx = shuffle_by_key(mesh, left_key, (lid,), axis=axis)
+    lk_rx, (lid_rx,), lv_rx = shuffle_by_key(mesh, left_key, (lid,),
+                                             valid=left_valid, axis=axis)
     rk_rx, (rid_rx,), rv_rx = shuffle_by_key(mesh, right_key, (rid,),
-                                             axis=axis)
+                                             valid=right_valid, axis=axis)
     m_l = lk_rx.shape[0] // nsh
     m_r = rk_rx.shape[0] // nsh
     out_l, out_r = [], []
@@ -200,3 +204,92 @@ def sharded_shuffle_aggregate(mesh: Mesh, key, mask, args, fns: tuple,
               for i in range(len(fns))]
     counts = np.concatenate(out_counts)
     return keys, states, counts
+
+
+def sharded_shuffle_group_states(mesh: Mesh, gid, mask, args, fns: tuple,
+                                 num_groups: int, arg_valids=None,
+                                 axis: str = SHARD_AXIS):
+    """High-cardinality distributed GROUP BY: hash-repartition rows by group
+    id so every group lands on exactly one shard, aggregate locally at the
+    received cardinality, and assemble the dense (G,) states on the host.
+
+    Replaces the dense psum merge (parallel/ops.sharded_group_aggregate) when
+    G is large: exchanged bytes scale with the ROW count (one all_to_all),
+    not G * n_shards partial-state traffic (the reference's
+    distributed_aggregation_memory_efficient / two-level shuffle merge,
+    src/Processors/Transforms/MergingAggregatedMemoryEfficientTransform.*).
+
+    Returns (states, group_count) in partial_aggregate's dense-G layout so
+    the caller's finalize path is shared with the psum route.
+    """
+    import numpy as np
+    from myscaledb_tpu.ops.aggregate import partial_aggregate
+
+    fns = tuple(fns)
+    n_args = len(args)
+    has_valids = arg_valids is not None
+    valid_cols = tuple(
+        v if v is not None else jnp.ones(gid.shape[0], dtype=bool)
+        for v in arg_valids) if has_valids else ()
+    cols = tuple(args) + valid_cols
+    gid_rx, cols_rx, valid_rx = shuffle_by_key(mesh, gid, cols, valid=mask,
+                                               axis=axis)
+    nsh = mesh.shape[axis]
+    m = gid_rx.shape[0] // nsh
+    gid_np = np.asarray(gid_rx).reshape(nsh, m)
+    valid_np = np.asarray(valid_rx).reshape(nsh, m)
+    col_np = [np.asarray(c).reshape(nsh, m) for c in cols_rx]
+
+    gc_dense = np.zeros(num_groups, dtype=np.int64)
+    states_dense = [None] * len(fns)   # filled lazily with correct dtypes
+
+    for p in range(nsh):
+        vm = valid_np[p]
+        if not vm.any():
+            continue
+        sel = np.flatnonzero(vm)
+        g = gid_np[p][sel]
+        uniq, local = np.unique(g, return_inverse=True)
+        loc_args = tuple(jnp.asarray(c[p][sel]) for c in col_np[:n_args])
+        loc_valids = tuple(jnp.asarray(c[p][sel])
+                           for c in col_np[n_args:]) if has_valids else None
+        states, gc = partial_aggregate(
+            jnp.asarray(local.astype(np.int32)),
+            jnp.ones(len(sel), dtype=bool), loc_args, fns, len(uniq),
+            loc_valids)
+        gc_dense[uniq] += np.asarray(gc)
+        for i, (fn, s) in enumerate(zip(fns, states)):
+            if fn == "avg":
+                s0, s1 = np.asarray(s[0]), np.asarray(s[1])
+                if states_dense[i] is None:
+                    states_dense[i] = (
+                        np.zeros(num_groups, dtype=s0.dtype),
+                        np.zeros(num_groups, dtype=s1.dtype))
+                states_dense[i][0][uniq] = s0
+                states_dense[i][1][uniq] = s1
+            else:
+                sv = np.asarray(s)
+                if states_dense[i] is None:
+                    # neutral fill: empty groups are dropped by group_count
+                    states_dense[i] = np.zeros(num_groups, dtype=sv.dtype)
+                states_dense[i][uniq] = sv
+
+    out_states = []
+    for i, fn in enumerate(fns):
+        sd = states_dense[i]
+        if sd is None:   # no rows anywhere: dtype from a 0-row local run
+            states, _ = partial_aggregate(
+                jnp.zeros(0, dtype=jnp.int32), jnp.zeros(0, dtype=bool),
+                tuple(a[:0] for a in args), fns, 1,
+                tuple(v[:0] for v in valid_cols) if has_valids else None)
+            s = states[i]
+            if fn == "avg":
+                sd = (np.zeros(num_groups, dtype=np.asarray(s[0]).dtype),
+                      np.zeros(num_groups, dtype=np.asarray(s[1]).dtype))
+            else:
+                sd = np.zeros(num_groups, dtype=np.asarray(s).dtype)
+        if fn == "avg":
+            out_states.append((jnp.asarray(sd[0]), jnp.asarray(sd[1])))
+        else:
+            out_states.append(jnp.asarray(sd))
+    return tuple(out_states), jnp.asarray(gc_dense)

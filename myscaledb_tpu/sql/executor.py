@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from myscaledb_tpu.core.types import DataType, Field
@@ -43,7 +44,8 @@ from myscaledb_tpu.ops.join import hash_join_any
 from myscaledb_tpu.ops.filter import compact_table_host
 from myscaledb_tpu.parallel.dist_table import is_distributed, ROW_VALID
 from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
-                                        sharded_group_aggregate)
+                                        sharded_group_aggregate,
+                                        sharded_topn)
 from myscaledb_tpu.runtime import metrics as M
 from myscaledb_tpu.runtime.tracing import span
 
@@ -468,6 +470,47 @@ def _sort_key_from_value(v: Value, ascending: bool, nulls_last: bool, n: int) ->
                    nulls_last=nulls_last)
 
 
+def _distributed_topn_ids(q, table, env, mask, alias_exprs):
+    """ORDER BY ... LIMIT over a distributed table: per-shard top-n + merge
+    cut (sharded_topn, P8 — the reference's remote stage
+    WithMergeableStateAfterAggregationAndLimit, src/Core/QueryProcessingStage.h:21-35)
+    instead of gathering every row to the host.  Returns candidate global row
+    ids (np array, len <= limit+offset after the mask is re-applied by the
+    caller) or None when the pattern doesn't apply."""
+    from myscaledb_tpu.sql.ast import WindowCall
+    if not q.order_by or q.limit is None or q.limit_by is not None \
+            or q.distinct or q.group_by or q.having is not None:
+        return None
+    if any(o.fill is not None for o in q.order_by):
+        return None
+    k = q.limit + q.offset
+    if k <= 0 or k >= getattr(table, "real_rows", table.n_rows):
+        return None
+    for it in list(q.items) + [SelectItem(o.expr) for o in q.order_by]:
+        for node in walk(it.expr):
+            if isinstance(node, WindowCall):
+                return None   # window frames need the full row set
+    n = table.n_rows
+    sks = []
+    if mask is not None:
+        # rows failing WHERE (and mesh padding) sort behind every real row;
+        # the caller drops any that still land in the cut
+        sks.append(SortKey(jnp.logical_not(mask).astype(jnp.int32),
+                           ascending=True))
+    try:
+        for o in q.order_by:
+            oe = _expand_item_aliases(o.expr, alias_exprs, table)
+            v = eval_expr(oe, env)
+            nl = o.nulls_last if o.nulls_last is not None else o.ascending
+            sks.append(_sort_key_from_value(v, o.ascending, nl, n))
+    except (EvalError, ExecError):
+        return None
+    with span("distributed_topn", rows=n, k=int(k)):
+        gids = sharded_topn(table.mesh, sks, int(k), axis=table.mesh_axis)
+    M.increment("DistributedTopNQueries")
+    return np.asarray(gids)
+
+
 # ---------------------------------------------------------------------------
 # join
 
@@ -490,9 +533,15 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict,
             right = session.read_table_checked(jc.table)
         except KeyError:
             raise ExecError(f"unknown join table {jc.table!r}")
+    ralias = jc.alias or jc.table or "_subquery"
+    st = settings if settings is not None else session.settings
+    if is_distributed(left):
+        out = _distributed_join(session, left, right, jc, ralias,
+                                alias_prefixes, st)
+        if out is not None:
+            return out
     left = _compact_distributed(left)
     right = _compact_distributed(right)
-    ralias = jc.alias or jc.table or "_subquery"
 
     # extract equality key pairs (+ for ASOF exactly one inequality)
     pairs = []
@@ -618,6 +667,209 @@ def apply_join(session, left: Table, jc, alias_prefixes: dict,
 
     return _gather_join_output(left, right, left_rows, right_rows, right_has,
                                jc, ralias, alias_prefixes, strict)
+
+
+def _distributed_join(session, left: Table, right: Table, jc, ralias: str,
+                      alias_prefixes: dict, st) -> Table | None:
+    """Distributed-left join without a host gather of the big side.
+
+    Strategy dispatch (reference: StorageDistributed.cpp:740-1300 +
+    GlobalSubqueriesVisitor.h):
+      * build side under the broadcast threshold -> broadcast join: the
+        build table is replicated over the mesh and every shard probes its
+        local rows (GLOBAL JOIN analog) — output stays row-sharded;
+      * both sides sharded and large -> shuffle join: hash-repartition both
+        sides so matches colocate (parallel/shuffle.py), gather only the
+        matched row-id pairs.
+    Returns None for shapes the distributed paths don't cover (ASOF, CROSS,
+    RIGHT/FULL, duplicate-key ALL under broadcast) — caller falls back to the
+    gather-to-host path.
+    """
+    how, strict = jc.how, jc.strictness
+    if strict == "ASOF" or how == "CROSS" or jc.condition is None and not jc.using:
+        return None
+    if how not in ("INNER", "LEFT") or strict not in ("ANY", "ALL", "SEMI",
+                                                      "ANTI"):
+        return None
+
+    # extract equality pairs only (inequalities handled by caller's ASOF path)
+    pairs = []
+    if jc.using:
+        pairs = [(Ident(c), Ident(c)) for c in jc.using]
+    else:
+        for term in _split_conjuncts(jc.condition):
+            if not (isinstance(term, BinOp) and term.op == "="):
+                return None
+            l, r = term.left, term.right
+            if not (isinstance(l, Ident) and isinstance(r, Ident)):
+                return None
+            def _is_right(e):
+                return e.table == ralias or (e.table is None and
+                                             e.name in right and
+                                             e.name not in left)
+            if _is_right(l) and not _is_right(r):
+                l, r = r, l
+            elif not (_is_right(r) and not _is_right(l)):
+                return None
+            pairs.append((l, r))
+    if not pairs:
+        return None
+
+    mesh, axis = left.mesh, left.mesh_axis
+    right_dist = is_distributed(right)
+    if right.n_rows > st.distributed_broadcast_join_threshold:
+        if right_dist:
+            return _distributed_shuffle_join(session, left, right, jc, ralias,
+                                             alias_prefixes, pairs, st)
+        return None
+    right = _compact_distributed(right)
+    if any(c.offsets is not None for c in right.columns.values()):
+        return None   # ragged right columns: fall back to the host gather
+
+    lenv, renv = Env(left), Env(right)
+    lkeys, rkeys = [], []
+    try:
+        for le, re_ in pairs:
+            lv = eval_expr(Ident(le.name), lenv)
+            rv = eval_expr(Ident(re_.name), renv)
+            lk, rk = _join_key_arrays(lv, rv)
+            lkeys.append(lk)
+            rkeys.append(rk)
+    except (EvalError, ExecError):
+        return None
+    if strict == "ALL":
+        # broadcast probe yields at most one match per probe row; only valid
+        # when build keys are unique (the common dim-table case)
+        rk_np = np.stack([np.asarray(k) for k in rkeys])
+        if np.unique(rk_np, axis=1).shape[1] != rk_np.shape[1]:
+            return None
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from myscaledb_tpu.ops.join import (build_join_table, probe_join_table,
+                                        try_build_direct, probe_direct,
+                                        DirectTable)
+    from myscaledb_tpu.ops.hashtable import HashTable
+    rep = NamedSharding(mesh, P())
+    direct = try_build_direct(tuple(rkeys))
+    if direct is not None:
+        dtab = DirectTable(jax.device_put(direct.lookup, rep), direct.lo)
+        probe_fn = lambda pk: probe_direct(dtab, pk)
+    else:
+        ht = build_join_table(tuple(rkeys))
+        ht = HashTable(tuple(jax.device_put(a, rep) for a in ht.slot_keys),
+                       jax.device_put(ht.slot_row, rep), ht.capacity)
+        probe_fn = lambda pk: probe_join_table(ht, pk)
+
+    M.increment(M.JOIN_PROBE_ROWS, getattr(left, "real_rows", left.n_rows))
+    with span("broadcast_join", how=how, strictness=strict,
+              probe_rows=left.n_rows, build_rows=right.n_rows):
+        from functools import partial as _partial
+        @_partial(jax.shard_map, mesh=mesh,
+                  in_specs=tuple(P(axis) for _ in lkeys),
+                  out_specs=(P(axis), P(axis)), check_vma=False)
+        def probe_shards(*lk_loc):
+            r = probe_fn(tuple(lk_loc))
+            return r.build_row, r.found
+        build_row, found = probe_shards(*lkeys)
+
+    rv_old = left[ROW_VALID].data if ROW_VALID in left else \
+        jnp.ones(left.n_rows, dtype=bool)
+    if strict == "ANTI":
+        new_rv = jnp.logical_and(rv_old, jnp.logical_not(found))
+    elif how == "LEFT":
+        new_rv = rv_old
+    else:   # INNER / SEMI
+        new_rv = jnp.logical_and(rv_old, found)
+
+    cols = [c for c in left.columns.values() if c.name != ROW_VALID]
+    lnames = {c.name for c in cols}
+    using_names = set(jc.using or [])
+    safe_row = jnp.where(found, build_row, 0)
+    right_ok = jnp.logical_and(found, strict != "ANTI")
+    for c in right.columns.values():
+        if c.name in using_names:
+            continue
+        out_name = c.name if c.name not in lnames else f"{ralias}.{c.name}"
+        data = jnp.take(jax.device_put(c.data, rep), safe_row, axis=0)
+        valid = right_ok
+        if c.valid is not None:
+            valid = jnp.logical_and(
+                valid, jnp.take(jax.device_put(c.valid, rep), safe_row))
+        cols.append(Column(Field(out_name, c.dtype, True,
+                                 c.field.vector_dim),
+                           data, valid, c.dictionary))
+    cols.append(Column(Field(ROW_VALID, DataType.BOOL), new_rv))
+    out = Table(cols, name=left.name)
+    out.mesh = mesh
+    out.mesh_axis = axis
+    out.real_rows = int(jnp.sum(new_rv))
+    out.join_strategy = "broadcast"
+    alias_prefixes[ralias] = ""
+    return out
+
+
+def _distributed_shuffle_join(session, left: Table, right: Table, jc,
+                              ralias: str, alias_prefixes: dict, pairs,
+                              st) -> Table | None:
+    """Big-big distributed join: hash-repartition both sides so equal keys
+    colocate (one all_to_all each), join locally per shard, gather only the
+    matched global row-id pairs (reference: the shuffle/repartition
+    distributed join, SURVEY.md P6/P9)."""
+    how, strict = jc.how, jc.strictness
+    if how not in ("INNER", "LEFT") or strict not in ("ANY", "ALL", "SEMI",
+                                                      "ANTI"):
+        return None
+    if len(pairs) != 1:
+        return None   # multi-key shuffle join: fall back
+    from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_pairs
+    lenv, renv = Env(left), Env(right)
+    try:
+        lv = eval_expr(Ident(pairs[0][0].name), lenv)
+        rv = eval_expr(Ident(pairs[0][1].name), renv)
+        lk, rk = _join_key_arrays(lv, rv)
+    except (EvalError, ExecError):
+        return None
+    if not jnp.issubdtype(lk.dtype, jnp.integer):
+        return None
+    lvalid = left[ROW_VALID].data if ROW_VALID in left else None
+    rvalid = right[ROW_VALID].data if ROW_VALID in right else None
+    M.increment(M.JOIN_PROBE_ROWS, getattr(left, "real_rows", left.n_rows))
+    with span("shuffle_join", how=how, strictness=strict,
+              probe_rows=left.n_rows, build_rows=right.n_rows):
+        pl_, pr_ = sharded_shuffle_join_pairs(
+            left.mesh, lk, rk, axis=left.mesh_axis,
+            how="ANY" if strict in ("ANY", "SEMI", "ANTI") else "ALL",
+            left_valid=lvalid, right_valid=rvalid)
+    lstrip = Table([c for c in left.columns.values() if c.name != ROW_VALID],
+                   name=left.name)
+    rstrip = Table([c for c in right.columns.values() if c.name != ROW_VALID],
+                   name=right.name)
+    if strict == "ANTI" or how == "LEFT":
+        lv_np = np.asarray(lvalid) if lvalid is not None else \
+            np.ones(left.n_rows, dtype=bool)
+        matched = np.zeros(left.n_rows, dtype=bool)
+        matched[pl_] = True
+        if strict == "ANTI":
+            left_rows = np.flatnonzero(lv_np & ~matched)
+            right_rows = np.zeros(len(left_rows), dtype=np.int64)
+            right_has = np.zeros(len(left_rows), dtype=bool)
+        else:   # LEFT (ANY or ALL)
+            extra = np.flatnonzero(lv_np & ~matched)
+            left_rows = np.concatenate([pl_.astype(np.int64), extra])
+            right_rows = np.concatenate(
+                [pr_.astype(np.int64), np.zeros(len(extra), dtype=np.int64)])
+            right_has = np.concatenate(
+                [np.ones(len(pl_), dtype=bool),
+                 np.zeros(len(extra), dtype=bool)])
+    else:   # INNER / SEMI
+        left_rows = pl_.astype(np.int64)
+        right_rows = pr_.astype(np.int64)
+        right_has = np.ones(len(left_rows), dtype=bool)
+    out = _gather_join_output(lstrip, rstrip, left_rows, right_rows,
+                              right_has, jc, ralias, alias_prefixes,
+                              strict)
+    out.join_strategy = "shuffle"
+    return out
 
 
 def _gather_join_output(left: Table, right: Table, left_rows, right_rows,
@@ -1043,10 +1295,21 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     if is_distributed(table):
         av = tuple(v if v is not None else jnp.ones(n, dtype=bool)
                    for v in arg_valids)
-        states, gc = sharded_group_aggregate(table.mesh, gid, m, tuple(args),
-                                             tuple(fns), G,
-                                             axis=table.mesh_axis,
-                                             arg_valids=av)
+        if key_vals and \
+                G > session.settings.distributed_group_by_shuffle_threshold:
+            # high-cardinality: one all_to_all of the rows beats G-wide
+            # psum partials (reference: shuffle/two-level distributed merge,
+            # MergingAggregatedMemoryEfficientTransform.*)
+            from myscaledb_tpu.parallel.shuffle import \
+                sharded_shuffle_group_states
+            M.increment("DistributedShuffleGroupBy")
+            states, gc = sharded_shuffle_group_states(
+                table.mesh, gid, m, tuple(args), tuple(fns), G,
+                arg_valids=av, axis=table.mesh_axis)
+        else:
+            states, gc = sharded_group_aggregate(
+                table.mesh, gid, m, tuple(args), tuple(fns), G,
+                axis=table.mesh_axis, arg_valids=av)
     else:
         states, gc = partial_aggregate_matmul(gid, m, tuple(args),
                                               tuple(fns), G,
@@ -1469,10 +1732,20 @@ def execute_any(session, q) -> Table:
 
 
 def _zonemap_possible_blocks(table: Table, conjuncts) -> Optional[int]:
-    """Per-block min/max pruning (reference: KeyCondition RPN over zone maps,
-    src/Storages/MergeTree/KeyCondition.h).  Returns the number of blocks
-    that can possibly satisfy the ANDed comparisons, or None when no term is
-    prunable.  Zero means the whole scan is provably empty."""
+    """Number of blocks that can possibly satisfy the ANDed comparisons, or
+    None when no term is prunable.  Zero means the scan is provably empty."""
+    mask = _zonemap_block_mask(table, conjuncts)
+    return None if mask is None else int(mask.sum())
+
+
+def _zonemap_block_mask(table: Table, conjuncts) -> Optional[np.ndarray]:
+    """Per-block min/max pruning (reference: KeyCondition RPN over zone maps
+    + PK mark-range selection, src/Storages/MergeTree/KeyCondition.h:217,
+    MergeTreeDataSelectExecutor.h:195-210 — parts are sorted by the table's
+    sort key at write time, so zone maps on the key column ARE the primary
+    index: contiguous runs of candidate blocks fall out of the same min/max
+    test a mark-range binary search would answer).  Returns a boolean
+    possible-mask over 64k-row blocks, or None when no term is prunable."""
     possible = None
     for term in conjuncts:
         if not (isinstance(term, BinOp) and
@@ -1503,9 +1776,7 @@ def _zonemap_possible_blocks(table: Table, conjuncts) -> Optional[int]:
         else:
             ok = zm.maxs >= lit
         possible = ok if possible is None else (possible & ok)
-    if possible is None:
-        return None
-    return int(possible.sum())
+    return possible
 
 
 def _expand_order_tuples(order_by):
@@ -1657,15 +1928,31 @@ def execute_select(session, q: SelectQuery) -> Table:
     # zone-map pruning: if min/max stats prove the filter empty, short-cut
     # the whole scan (KeyCondition analog)
     if pre_terms and not is_distributed(table):
-        nblocks = _zonemap_possible_blocks(
+        bmask = _zonemap_block_mask(
             table, [_expand_item_aliases(c, alias_exprs, table)
                     for c in pre_terms])
-        if nblocks == 0:
-            M.increment("ZonemapPrunedScans")
-            table = table.head(0)
-            env = Env(table, alias_prefixes)
-            pre_terms, post_terms = [], []
-            pre_expr = None
+        if bmask is not None and not bmask.all():
+            from myscaledb_tpu.core.table import BLOCK_ROWS
+            nblocks = int(bmask.sum())
+            M.increment("ZonemapPrunedBlocks", len(bmask) - nblocks)
+            if nblocks == 0:
+                M.increment("ZonemapPrunedScans")
+                table = table.head(0)
+                env = Env(table, alias_prefixes)
+                pre_terms, post_terms = [], []
+                pre_expr = None
+            else:
+                # gather only candidate blocks into the scan (the reference
+                # reads only selected mark ranges; here the block gather IS
+                # the ranged read — everything downstream sees fewer rows)
+                nrows = table.n_rows
+                keep = [np.arange(b * BLOCK_ROWS,
+                                  min((b + 1) * BLOCK_ROWS, nrows))
+                        for b in np.flatnonzero(bmask)]
+                idx = np.concatenate(keep)
+                M.increment("ZonemapSkippedRows", nrows - len(idx))
+                table = table.take(jnp.asarray(idx))
+                env = Env(table, alias_prefixes)
     mask = None
     if pre_expr is not None:
         mask = as_bool_mask(eval_expr(pre_expr, env), table.n_rows)
@@ -1838,6 +2125,24 @@ def execute_select(session, q: SelectQuery) -> Table:
     else:
         items = q.items
         order_by = q.order_by
+        if is_distributed(table) and (vs is None or not vs.fused) \
+                and (ts is None or not ts.fused):
+            cand = _distributed_topn_ids(q, table, env, mask, alias_exprs)
+            if cand is not None:
+                # the candidate cut ran on-device; only limit+offset rows are
+                # ever gathered.  Re-apply the mask (masked rows may pad the
+                # cut when fewer than k rows pass), drop mesh bookkeeping.
+                cand_dev = jnp.asarray(cand)
+                keep = np.asarray(jnp.take(mask, cand_dev)) \
+                    if mask is not None else np.ones(len(cand), dtype=bool)
+                small = table.take(cand_dev)
+                small = Table([c for c in small.columns.values()
+                               if c.name != ROW_VALID], name=table.name)
+                if not keep.all():
+                    small, _ = compact_table_host(small, jnp.asarray(keep))
+                table = small
+                env = Env(table, alias_prefixes)
+                mask = None
         if mask is not None:
             table, _ = compact_table_host(table, mask)
             new_env = Env(table, alias_prefixes)
@@ -2126,11 +2431,21 @@ def explain_select(session, q: SelectQuery, depth: int = 0) -> list[str]:
     if q.limit_by is not None:
         add(f"LimitBy (n={q.limit_by[0]}, keys=["
             + ", ".join(render(e) for e in q.limit_by[1]) + "])")
+    _expl_table = None
+    if q.table is not None:
+        try:
+            _expl_table = session.get_table(q.table)
+        except KeyError:
+            pass
     if q.order_by:
         keys = ", ".join(render(o.expr) + ("" if o.ascending else " DESC")
                          for o in q.order_by)
         if q.limit is not None:
-            add(f"TopN (k={q.limit + q.offset}, keys=[{keys}])")
+            dist_note = ""
+            if _expl_table is not None and is_distributed(_expl_table) and \
+                    not q.group_by and not q.distinct and q.limit_by is None:
+                dist_note = ", strategy=sharded per-shard top-n + merge"
+            add(f"TopN (k={q.limit + q.offset}, keys=[{keys}]{dist_note})")
         else:
             add(f"Sorting (keys=[{keys}])")
     if q.having is not None:
@@ -2171,7 +2486,21 @@ def explain_select(session, q: SelectQuery, depth: int = 0) -> list[str]:
                  _split_conjuncts(q.prewhere) + _split_conjuncts(q.where)]
         add("Filter (" + " AND ".join(conds) + ")")
     for jc in q.joins:
-        add(f"HashJoin ({jc.how} {jc.strictness}, table={jc.table})")
+        strategy = "hash"
+        if table is not None and is_distributed(table):
+            try:
+                rt = session.get_table(jc.table) if jc.table else None
+            except KeyError:
+                rt = None
+            if rt is not None and jc.strictness != "ASOF" and \
+                    jc.how in ("INNER", "LEFT"):
+                thr = session.settings.distributed_broadcast_join_threshold
+                strategy = "broadcast" if rt.n_rows <= thr else (
+                    "shuffle" if is_distributed(rt) else "gather+hash")
+            else:
+                strategy = "gather+hash"
+        add(f"HashJoin ({jc.how} {jc.strictness}, table={jc.table}, "
+            f"strategy={strategy})")
     if inner is not None:
         add("ReadFromSubquery")
         steps.extend(inner)

@@ -269,3 +269,23 @@ def test_zonemap_pruning_shortcut():
     r = s.sql("SELECT id, distance(emb, [1.,1,1,1]) AS d FROM tv "
               "WHERE id > 100000 ORDER BY d LIMIT 5")
     assert r.n_rows == 0
+
+
+def test_zonemap_block_pruning_gathers_candidates():
+    """Partial zone-map pruning: only candidate 64k blocks enter the scan
+    (reference: KeyCondition mark-range selection) — the skipped-rows
+    counter must account for every pruned block."""
+    import numpy as np
+    from myscaledb_tpu import connect
+    from myscaledb_tpu.runtime import metrics as M
+    s = connect()
+    n = 260_000   # ~4 blocks of 65536
+    s.create_table("t", {"id": np.arange(n, dtype=np.int64),
+                         "v": np.arange(n, dtype=np.int64)})
+    before = M.events_snapshot().get("ZonemapSkippedRows", 0)
+    rows = s.sql("SELECT count(*), min(v), max(v) FROM t WHERE v >= 200000"
+                 ).to_rows()
+    assert rows == [(60000, 200000, 259999)]
+    skipped = M.events_snapshot().get("ZonemapSkippedRows", 0) - before
+    # blocks 0-2 (196608 rows) are provably below 200000 and must be skipped
+    assert skipped == 3 * 65536

@@ -121,3 +121,103 @@ def test_distributed_statistical_aggregates(rng):
          "count(DISTINCT v) AS cd, sum(DISTINCT v) AS sd, anyLast(id) AS al "
          "FROM t GROUP BY k ORDER BY k")
     assert dist.sql_tsv(q) == local.sql_tsv(q)
+
+
+# ---------------------------------------------------------------------------
+# distributed joins / high-cardinality GROUP BY / ORDER BY LIMIT (round 2):
+# broadcast + shuffle strategies must match the local engine bit-exactly
+# (reference: StorageDistributed.cpp:740-1300 stage model)
+
+def make_join_sessions(rng, n=1003, n_dim=37):
+    data = {
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, n_dim + 5, n).astype(np.int64),  # some unmatched
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+        "hk": rng.integers(0, 400, n).astype(np.int64),       # high-card key
+    }
+    dim = {
+        "k": np.arange(n_dim, dtype=np.int64),
+        "label": np.array([f"d{i}" for i in range(n_dim)]),
+        "w": rng.integers(0, 10, n_dim).astype(np.int64),
+    }
+    local = connect()
+    local.create_table("t", {k: v.copy() for k, v in data.items()})
+    local.create_table("dim", {k: v.copy() for k, v in dim.items()})
+    dist = connect()
+    dist.create_table("t", data)
+    dist.create_table("dim", dim)
+    dist.distribute("t", make_mesh(8))
+    return local, dist
+
+
+JOIN_QUERIES = [
+    "SELECT id, v, label FROM t INNER JOIN dim ON t.k = dim.k ORDER BY id LIMIT 30",
+    "SELECT id, v, label, w FROM t LEFT JOIN dim ON t.k = dim.k ORDER BY id LIMIT 30",
+    "SELECT id FROM t ANY INNER JOIN dim ON t.k = dim.k ORDER BY id DESC LIMIT 10",
+    "SELECT id FROM t SEMI LEFT JOIN dim ON t.k = dim.k ORDER BY id LIMIT 10",
+    "SELECT id FROM t ANTI LEFT JOIN dim ON t.k = dim.k ORDER BY id LIMIT 10",
+    "SELECT label, count(*) AS c, sum(v) FROM t INNER JOIN dim USING (k) GROUP BY label ORDER BY label",
+]
+
+
+@pytest.mark.parametrize("qi", range(len(JOIN_QUERIES)))
+def test_distributed_broadcast_join(rng, qi):
+    local, dist = make_join_sessions(rng)
+    q = JOIN_QUERIES[qi]
+    assert dist.sql_tsv(q) == local.sql_tsv(q), q
+
+
+def test_distributed_broadcast_join_used(rng):
+    """The broadcast path (not the host gather) must actually run."""
+    from myscaledb_tpu.sql import executor as ex
+    local, dist = make_join_sessions(rng)
+    calls = []
+    orig = ex._distributed_join
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        calls.append(getattr(out, "join_strategy", None))
+        return out
+    ex._distributed_join, orig_ref = spy, orig
+    try:
+        dist.sql("SELECT id, label FROM t INNER JOIN dim ON t.k = dim.k LIMIT 5")
+    finally:
+        ex._distributed_join = orig_ref
+    assert calls and calls[0] == "broadcast"
+
+
+@pytest.mark.parametrize("qi", [0, 1, 2, 3, 4])
+def test_distributed_shuffle_join(rng, qi):
+    """Force the shuffle path by dropping the broadcast threshold and
+    distributing both sides."""
+    local, dist = make_join_sessions(rng)
+    dist.distribute("dim", make_mesh(8))
+    dist.settings.distributed_broadcast_join_threshold = 4
+    q = JOIN_QUERIES[qi]
+    assert dist.sql_tsv(q) == local.sql_tsv(q), q
+
+
+def test_distributed_high_cardinality_group_by(rng):
+    local, dist = make_sessions(rng)
+    dist.settings.distributed_group_by_shuffle_threshold = 2
+    for q in [
+        "SELECT k, count(*), sum(v), min(v), max(v), avg(v) FROM t GROUP BY k ORDER BY k",
+        "SELECT s, id % 7 AS b, count(*) FROM t WHERE v > -50 GROUP BY s, b ORDER BY s, b",
+    ]:
+        assert dist.sql_tsv(q) == local.sql_tsv(q), q
+
+
+def test_distributed_topn_path_used(rng):
+    from myscaledb_tpu.runtime import metrics as M
+    local, dist = make_sessions(rng)
+    before = M.events_snapshot().get("DistributedTopNQueries", 0)
+    q = "SELECT id, v FROM t WHERE v > 10 ORDER BY v DESC, id LIMIT 9"
+    assert dist.sql_tsv(q) == local.sql_tsv(q)
+    assert M.events_snapshot().get("DistributedTopNQueries", 0) == before + 1
+
+
+def test_distributed_topn_few_matching_rows(rng):
+    """Fewer rows pass the WHERE than LIMIT asks for: masked rows that pad
+    the candidate cut must be dropped."""
+    local, dist = make_sessions(rng)
+    q = "SELECT id, v FROM t WHERE v > 98 ORDER BY id LIMIT 500"
+    assert dist.sql_tsv(q) == local.sql_tsv(q)
