@@ -37,6 +37,11 @@ class Settings:
     # execution
     use_pallas_kernels: bool = True      # pallas fast paths where available
     group_by_capacity_hint: int = 1 << 16
+    # memory governance (reference: MemoryTracker hierarchy,
+    # src/Common/MemoryTracker.h:50 — triggers spills instead of OOM)
+    max_memory_bytes_per_query: int = 512 * 1024 * 1024  # score-matrix budget
+    max_hbm_bytes_per_column: int = 0    # >0: bigger columns stay host-side
+                                         # and stream through HBM block-wise
     # join (reference: Settings.h join_algorithm, grace_hash_join_*;
     # GraceHashJoin.cpp) — "auto" switches to partitioned grace join when the
     # build side exceeds max_rows_in_hash_join_build

@@ -81,6 +81,15 @@ class Column:
     def dtype(self) -> DataType:
         return self.field.dtype
 
+    @property
+    def is_host(self) -> bool:
+        """True when the data lives in host RAM (out-of-HBM column: the
+        memory governor keeps columns bigger than the HBM budget on the
+        host and streams them block-wise through the chip — the analog of
+        the reference never materializing a column,
+        MergeTreeRangeReader.h:84)."""
+        return isinstance(self.data, np.ndarray)
+
     def __len__(self) -> int:
         if self.offsets is not None:
             return len(self.offsets) - 1
@@ -132,8 +141,11 @@ class Column:
     @staticmethod
     def from_numpy(name: str, arr, dtype: Optional[DataType] = None,
                    dictionary: Optional[StringDictionary] = None,
-                   build_zonemap: bool = True) -> "Column":
-        """Ingest a host array (strings allowed) into a device column."""
+                   build_zonemap: bool = True,
+                   to_device: bool = True) -> "Column":
+        """Ingest a host array (strings allowed) into a device column.
+        ``to_device=False`` keeps the data host-resident (streamed through
+        HBM block-wise by the operators that support it)."""
         valid = None
         if isinstance(arr, (list, tuple)):
             if arr and isinstance(arr[0], (list, tuple, np.ndarray)) and not isinstance(arr[0], str):
@@ -177,8 +189,13 @@ class Column:
         zm = None
         if build_zonemap and dtype.is_numeric and data_np.ndim == 1:
             zm = ZoneMap.build(data_np)
-        col = Column(fld, jnp.asarray(data_np),
-                     jnp.asarray(valid_np) if valid_np is not None else None,
+        if to_device:
+            data_out = jnp.asarray(data_np)
+            valid_out = jnp.asarray(valid_np) if valid_np is not None else None
+        else:
+            data_out = np.ascontiguousarray(data_np)
+            valid_out = valid_np
+        col = Column(fld, data_out, valid_out,
                      dictionary=dictionary, zonemap=zm)
         return col
 
@@ -228,11 +245,24 @@ class Table:
 
     @staticmethod
     def from_dict(data: dict, name: str = "",
-                  dtypes: Optional[dict] = None) -> "Table":
+                  dtypes: Optional[dict] = None,
+                  hbm_budget_bytes: int = 0) -> "Table":
+        """``hbm_budget_bytes`` > 0: columns whose raw bytes exceed it stay
+        host-resident and are streamed by the operators (memory governance —
+        replaces OOM with graceful degradation)."""
         dtypes = dtypes or {}
-        cols = [v if isinstance(v, Column)
-                else Column.from_numpy(k, v, dtypes.get(k))
-                for k, v in data.items()]
+        cols = []
+        for k, v in data.items():
+            if isinstance(v, Column):
+                cols.append(v)
+                continue
+            to_device = True
+            if hbm_budget_bytes and isinstance(v, np.ndarray) \
+                    and v.dtype.kind in "fiub" \
+                    and v.nbytes > hbm_budget_bytes:
+                to_device = False
+            cols.append(Column.from_numpy(k, v, dtypes.get(k),
+                                          to_device=to_device))
         return Table(cols, name=name)
 
     # -- basic accessors ----------------------------------------------------
@@ -270,7 +300,9 @@ class Table:
         return Table(cols, name=self.name)
 
     def take(self, idx) -> "Table":
-        """Gather rows by device index array (out-of-range rows undefined)."""
+        """Gather rows by device index array (out-of-range rows undefined).
+        Host-resident columns gather on the host (the full column is never
+        shipped to the device)."""
         cols = []
         idx_np = None
         for c in self.columns.values():
@@ -279,8 +311,16 @@ class Table:
                     idx_np = np.asarray(idx)
                 cols.append(c.take_ragged(idx_np))
                 continue
-            data = jnp.take(c.data, idx, axis=0)
-            valid = jnp.take(c.valid, idx, axis=0) if c.valid is not None else None
+            if c.is_host:
+                if idx_np is None:
+                    idx_np = np.asarray(idx)
+                data = jnp.asarray(c.data[idx_np])
+                valid = jnp.asarray(c.valid[idx_np]) \
+                    if c.valid is not None else None
+            else:
+                data = jnp.take(c.data, idx, axis=0)
+                valid = jnp.take(c.valid, idx, axis=0) \
+                    if c.valid is not None else None
             cols.append(Column(c.field, data, valid, c.dictionary, None))
         return Table(cols, name=self.name)
 
@@ -291,7 +331,11 @@ class Table:
                 cols.append(c.take_ragged(np.arange(min(k, len(c)))))
                 continue
             valid = c.valid[:k] if c.valid is not None else None
-            cols.append(Column(c.field, c.data[:k], valid, c.dictionary, None))
+            data = c.data[:k]
+            if c.is_host:
+                data = jnp.asarray(data)
+                valid = jnp.asarray(valid) if valid is not None else None
+            cols.append(Column(c.field, data, valid, c.dictionary, None))
         return Table(cols, name=self.name)
 
     def to_pydict(self) -> dict[str, list]:

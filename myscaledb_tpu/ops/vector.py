@@ -36,6 +36,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from myscaledb_tpu.ops.topk import block_topk_min, merge_sorted_topk, POS_INF
@@ -215,6 +216,77 @@ def _distance_scan_pallas(x, q, mask, x_sqnorm, metric: str, k: int,
     return dist, fi
 
 
+@partial(jax.jit)
+def build_sq8(x):
+    """SQ8 sidecar for the certified int8 stage-1 scan: per-row symmetric
+    int8 quantization + the residual norm the error bound needs.  One pass
+    over the table, built lazily per (table, column, mutation epoch) — the
+    analog of the reference building an SQ vector index in the background
+    (VIBuilderUpdater), except queries through it stay exact."""
+    x = _as_f32(x)
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1) / 127.0, 1e-30)
+    x8 = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    resid = x - x8.astype(jnp.float32) * scale[:, None]
+    r = jnp.sqrt(jnp.sum(resid * resid, axis=1))
+    return x8, scale, r
+
+
+@partial(jax.jit,
+         static_argnames=("metric", "k", "has_mask", "margin", "interpret"))
+def _distance_scan_sq8(x, x8, scale, resid, q, mask, x_sqnorm, metric: str,
+                       k: int, has_mask: bool, margin: int = 32,
+                       interpret: bool = False):
+    """Certified-exact quantized scan: int8 stage-1 lower bounds (1/4 the
+    HBM bytes of f32), exact f32 rescore of the selected segments, plus a
+    certificate (`ok`): every unselected segment's lower bound exceeds the
+    exact k-th candidate score.  Returns (dist, ids, ok); the caller MUST
+    fall back to a full-precision path when ok is False — then and only
+    then is the quantized path allowed to be wrong, and it never shows."""
+    from myscaledb_tpu.ops.pallas.distance_q import sq8_segmin_lower_bounds
+    n, d = x.shape
+    nq = q.shape[0]
+    mask_f = mask.astype(jnp.float32) if has_mask else \
+        jnp.ones((0,), dtype=jnp.float32)
+    seg_lb = sq8_segmin_lower_bounds(x8, scale, resid, x_sqnorm, q, mask_f,
+                                     metric, has_mask, interpret)
+    nseg = seg_lb.shape[1]
+    M = min(k + margin, nseg)
+    take = min(M + 1, nseg)
+    neg, segidx_all = lax.top_k(-seg_lb, take)
+    if take > M:
+        unsel_min = -neg[:, M]          # (M+1)-th smallest lb
+    else:
+        unsel_min = jnp.full((nq,), jnp.inf, dtype=jnp.float32)
+    segidx = jnp.sort(segidx_all[:, :M], axis=-1)   # candidate order == id order
+    cid = (segidx[:, :, None].astype(jnp.int32) * SEG +
+           jax.lax.broadcasted_iota(jnp.int32, (1, 1, SEG), 2)
+           ).reshape(nq, M * SEG)
+    valid = cid < n
+    safe = jnp.where(valid, cid, 0)
+    if has_mask:
+        valid = jnp.logical_and(valid, mask[safe])
+    xc = x[safe]                                # (nq, M*SEG, d) exact f32
+    ex = exact_distance(xc, q[:, None, :], metric)
+    score = jnp.where(valid, -ex if metric == "IP" else ex, POS_INF)
+    neg2, pos = lax.top_k(-score, min(k, score.shape[-1]))
+    fs = -neg2
+    fi = jnp.take_along_axis(cid, pos, axis=1)
+    fi = jnp.where(jnp.isposinf(fs), INVALID_ID, fi)
+    dist = jnp.where(jnp.isposinf(fs),
+                     jnp.float32(-jnp.inf if metric == "IP" else jnp.inf),
+                     -fs if metric == "IP" else fs)
+    d_k = fs[:, min(k, fs.shape[1]) - 1]        # exact k-th candidate score
+    ok = jnp.all(unsel_min > d_k)
+    if dist.shape[-1] < k:
+        padw = k - dist.shape[-1]
+        dist = jnp.pad(dist, ((0, 0), (0, padw)),
+                       constant_values=(-jnp.inf if metric == "IP"
+                                        else jnp.inf))
+        fi = jnp.pad(fi, ((0, 0), (0, padw)), constant_values=INVALID_ID)
+        ok = jnp.logical_and(ok, False)         # under-full: cannot certify
+    return dist, fi, ok
+
+
 @partial(jax.jit,
          static_argnames=("metric", "k", "block_rows", "has_mask", "margin",
                           "precision"))
@@ -280,7 +352,8 @@ def _distance_scan_impl(x, q, mask, x_sqnorm, metric: str, k: int,
 
 def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
                   block_rows: int = 32768, x_sqnorm=None, margin: int = 16,
-                  stage1_precision: str = "high", use_pallas: bool = None):
+                  stage1_precision: str = "high", use_pallas: bool = None,
+                  sq8=None, oneshot_bytes: int = None):
     """Exact top-k nearest scan of queries ``q`` (nq, d) over rows of ``x``
     (n, d), under an optional boolean predicate ``mask`` (n,).
 
@@ -288,6 +361,11 @@ def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
     are padding (fewer than k rows satisfied the mask).  ``dist`` is in the
     metric's native convention (see module docstring); rows are ordered best
     first (ascending for L2/Cosine, descending for IP), ties by id.
+
+    ``sq8``: optional (x8, scale, resid) sidecar from build_sq8 — enables
+    the certified int8 stage-1 (1/4 the scan bytes); results are bit-equal
+    (the certificate falls back to the f32 path when it cannot prove the
+    selection, so exactness never depends on the quantization).
     """
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}, got {metric!r}")
@@ -304,6 +382,16 @@ def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
         mask = jnp.asarray(mask, dtype=bool)
     n = x.shape[0]
     nq = q.shape[0]
+    if sq8 is not None and n >= (1 << 16):
+        from myscaledb_tpu.ops.pallas.distance_q import sq8_supported
+        if sq8_supported(x.shape[1], nq):
+            x8, scale, resid = sq8
+            d_, i_, ok = _distance_scan_sq8(
+                x, x8, scale, resid, q, mask, _as_f32(x_sqnorm), metric,
+                int(k), has_mask, max(int(margin), 32))
+            if bool(np.asarray(ok)):
+                return d_, i_
+            # certificate failed (clustered/tied data): full-precision path
     if use_pallas is None:
         from myscaledb_tpu.ops.pallas.distance import pallas_supported
         use_pallas = pallas_supported(x.shape[1], nq) and n >= (1 << 16) \
@@ -311,13 +399,75 @@ def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
     if use_pallas:
         return _distance_scan_pallas(x, q, mask, _as_f32(x_sqnorm), metric,
                                      int(k), has_mask, int(margin))
-    if nq * n * 4 <= ONESHOT_BYTES:
+    if nq * n * 4 <= (oneshot_bytes if oneshot_bytes else ONESHOT_BYTES):
         return _distance_scan_oneshot_impl(x, q, mask, _as_f32(x_sqnorm),
                                            metric, int(k), has_mask,
                                            int(margin), stage1_precision)
     return _distance_scan_impl(x, q, mask, _as_f32(x_sqnorm), metric, int(k),
                                int(block_rows), has_mask, int(margin),
                                stage1_precision)
+
+
+def distance_scan_streaming(x_host: np.ndarray, q, metric: str = "L2",
+                            k: int = 10, mask=None,
+                            block_rows: int = 1 << 20, margin: int = 16):
+    """Out-of-HBM exact top-k scan: the table lives in HOST RAM and streams
+    through the chip in double-buffered blocks — jax.device_put of block
+    b+1 is issued (async) before block b's compute is awaited, so transfer
+    overlaps compute (reference analog: MergeTreeRangeReader never
+    materializes a column, MergeTreeRangeReader.h:84; the overlap is the
+    prefetched read pool, MergeTreePrefetchedReadPool).
+
+    Each block runs the same exact two-stage scan as the resident path
+    (per-block top-k on exact rescored distances), and blocks merge on
+    (exact score, global id) — bit-identical to a resident scan.
+    """
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}, got {metric!r}")
+    x_host = np.ascontiguousarray(x_host, dtype=np.float32)
+    q = _as_f32(q)
+    if q.ndim == 1:
+        q = q[None, :]
+    n, d = x_host.shape
+    nq = q.shape[0]
+    mask_host = None if mask is None else np.asarray(mask, dtype=bool)
+    nb = max(1, -(-n // block_rows))
+
+    def put(b):
+        lo, hi = b * block_rows, min((b + 1) * block_rows, n)
+        xb = jax.device_put(x_host[lo:hi])
+        mb = jax.device_put(mask_host[lo:hi]) if mask_host is not None \
+            else None
+        return lo, xb, mb
+
+    parts_s, parts_i = [], []
+    nxt = put(0)
+    for b in range(nb):
+        lo, xb, mb = nxt
+        if b + 1 < nb:
+            nxt = put(b + 1)   # async: overlaps this block's compute
+        dloc, iloc = distance_scan(xb, q, metric=metric,
+                                   k=min(k, xb.shape[0]), mask=mb,
+                                   margin=margin)
+        s = jnp.where(iloc == INVALID_ID, POS_INF,
+                      -dloc if metric == "IP" else dloc)
+        gids = jnp.where(iloc == INVALID_ID, INVALID_ID, iloc + lo)
+        parts_s.append(s)
+        parts_i.append(gids)
+    cs = jnp.concatenate(parts_s, axis=1)
+    ci = jnp.concatenate(parts_i, axis=1)
+    ss, ii = lax.sort((cs, ci), dimension=-1, num_keys=2)
+    ss, ii = ss[:, :k], ii[:, :k]
+    dist = jnp.where(jnp.isposinf(ss),
+                     jnp.float32(-jnp.inf if metric == "IP" else jnp.inf),
+                     -ss if metric == "IP" else ss)
+    if dist.shape[1] < k:
+        padw = k - dist.shape[1]
+        dist = jnp.pad(dist, ((0, 0), (0, padw)),
+                       constant_values=(-jnp.inf if metric == "IP"
+                                        else jnp.inf))
+        ii = jnp.pad(ii, ((0, 0), (0, padw)), constant_values=INVALID_ID)
+    return dist, ii
 
 
 def rowwise_distance(x, q, metric: str = "L2") -> jnp.ndarray:

@@ -24,6 +24,10 @@ class Session:
         self.query_log = deque(maxlen=10_000)
         self._mutation_epoch = 0
         self._query_cache = {}
+        # per-(table, column, epoch) scan artifacts: squared norms + SQ8
+        # quantized sidecar (reference: VICacheManager keyed by
+        # table/part/index/column, src/VectorIndex/Cache/VICacheManager.h:82)
+        self._vector_sidecars = {}
         self.access = AccessControl()
         self.current_user = "default"
         self.dictionaries = {}
@@ -125,7 +129,9 @@ class Session:
 
     def create_table(self, name: str, data: dict, dtypes=None,
                      settings=None) -> Table:
-        t = Table.from_dict(data, name=name, dtypes=dtypes)
+        t = Table.from_dict(data, name=name, dtypes=dtypes,
+                            hbm_budget_bytes=self.settings
+                            .max_hbm_bytes_per_column)
         self.register(name, t, settings)
         return t
 

@@ -272,6 +272,16 @@ class DDLParser(Parser):
             self.next()
             self.take_kw("TABLE")
             return DescribeTable(self.parse_table_name())
+        if up == "DELETE":
+            # standalone lightweight delete: DELETE FROM t WHERE expr
+            # (reference: allow_experimental_lightweight_delete — rows get a
+            # _row_exists mask; here the rewrite semantics are shared with
+            # ALTER TABLE ... DELETE)
+            self.next()
+            self.expect_kw("FROM")
+            table = self.parse_table_name()
+            self.expect_kw("WHERE")
+            return AlterDelete(table, self.parse_expr())
         return None   # fall through to SELECT
 
     def parse_alter(self):
@@ -944,6 +954,22 @@ def execute_statement(session, stmt) -> Table:
             renamed = []
             for tgt, src in zip(existing.columns.values(),
                                 new.columns.values()):
+                if tgt.dtype is DataType.FLOAT32_VECTOR and \
+                        src.offsets is not None:
+                    # INSERT ... SELECT [a,b,c]: uniform-length numeric
+                    # arrays into an Array(Float32) column -> dense vectors
+                    import numpy as np
+                    lens = np.diff(np.asarray(src.offsets))
+                    if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+                        import jax.numpy as jnp
+                        dim = int(lens[0])
+                        dense = jnp.asarray(src.data,
+                                            dtype=jnp.float32).reshape(-1,
+                                                                       dim)
+                        renamed.append(Column(
+                            Field(tgt.name, DataType.FLOAT32_VECTOR,
+                                  vector_dim=dim), dense))
+                        continue
                 renamed.append(Column(Field(tgt.name, src.dtype,
                                             src.field.nullable,
                                             src.field.vector_dim,

@@ -20,7 +20,7 @@ from myscaledb_tpu.runtime.tracing import span
 
 DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "SET ", "SET\t",
                 "SHOW", "DESCRIBE", "DESC ", "ALTER", "GRANT", "REVOKE",
-                "SYSTEM")
+                "SYSTEM", "DELETE")
 
 
 def _ast_lines(q, depth: int = 0) -> list:
@@ -168,10 +168,13 @@ def execute_query(session, sql: str, params=None) -> Table:
             return Table.from_dict({"explain": lines})
         if kind == "ESTIMATE":
             # reference: EXPLAIN ESTIMATE -> (database, table, parts, rows,
-            # marks); here: table, rows, zone-map blocks
+            # marks); here: table, rows, zone-map blocks (+ blocks the
+            # KeyCondition analog proves unnecessary for the WHERE)
             from myscaledb_tpu.core.table import BLOCK_ROWS
+            from myscaledb_tpu.sql.executor import (_zonemap_block_mask,
+                                                    _split_conjuncts)
             qs = q.selects if isinstance(q, UnionQuery) else [q]
-            names, rows_, blocks = [], [], []
+            names, rows_, blocks, pruned = [], [], [], []
             for s in qs:
                 if s.table is None:
                     continue
@@ -179,12 +182,17 @@ def execute_query(session, sql: str, params=None) -> Table:
                 names.append(s.table)
                 nrows = getattr(t, "real_rows", t.n_rows)
                 rows_.append(nrows)
-                blocks.append(-(-nrows // BLOCK_ROWS) if nrows else 0)
+                nb = -(-nrows // BLOCK_ROWS) if nrows else 0
+                blocks.append(nb)
+                conj = _split_conjuncts(s.prewhere) + _split_conjuncts(s.where)
+                bm = _zonemap_block_mask(t, conj) if conj else None
+                pruned.append(0 if bm is None else int((~bm).sum()))
             import numpy as _np
             return Table.from_dict({
                 "table": names,
                 "rows": _np.asarray(rows_, dtype=_np.int64),
-                "blocks": _np.asarray(blocks, dtype=_np.int64)})
+                "blocks": _np.asarray(blocks, dtype=_np.int64),
+                "blocks_pruned": _np.asarray(pruned, dtype=_np.int64)})
         if isinstance(q, UnionQuery):
             lines = []
             for i, s in enumerate(q.selects):

@@ -281,6 +281,45 @@ def analyze_text_search(q: SelectQuery, session, table: Table,
     return info
 
 
+def _ftsindex_table(session, table_name: str, col: str, query: str) -> Table:
+    """ftsIndex(table, column, 'query') — the FTS-statistics table function
+    (reference: TableFunctionFtsIndex.h:23 + StorageFtsIndex.h exposing
+    total_docs / field_tokens / terms_freq, the inputs the distributed
+    initiator merges into global BM25 stats, BM25InfoInDataParts.h).  The
+    reference nests per-part arrays; here stats are flattened to one row per
+    query term: (term, doc_freq, total_term_freq, total_docs, total_tokens).
+    """
+    from myscaledb_tpu.text.bm25 import tokenize
+    try:
+        table = session.read_table_checked(table_name)
+    except KeyError:
+        raise ExecError(f"unknown table {table_name!r}")
+    if col not in table:
+        raise ExecError(f"unknown column {col!r} in {table_name!r}")
+    idx = _get_text_index(session, table, col)
+    terms = list(dict.fromkeys(tokenize(query)))
+    dfs, tfs = [], []
+    for t in terms:
+        tid = idx.vocab.get(t)
+        dfs.append(int(idx.df[tid]) if tid is not None else 0)
+        tfs.append(int(idx._post_tfs[tid].sum()) if tid is not None else 0)
+    n = len(terms)
+    return Table([
+        Column.from_numpy("term", np.array(terms, dtype=object),
+                          build_zonemap=False),
+        Column.from_numpy("doc_freq", np.array(dfs, dtype=np.int64),
+                          build_zonemap=False),
+        Column.from_numpy("total_term_freq", np.array(tfs, dtype=np.int64),
+                          build_zonemap=False),
+        Column.from_numpy("total_docs",
+                          np.full(n, idx.stat_docs, dtype=np.int64),
+                          build_zonemap=False),
+        Column.from_numpy("total_tokens",
+                          np.full(n, idx.total_tokens, dtype=np.int64),
+                          build_zonemap=False),
+    ], name="ftsIndex")
+
+
 def _get_text_index(session, table: Table, col: str):
     from myscaledb_tpu.text.bm25 import BM25Index
     cache = getattr(session, "_text_indexes", None)
@@ -468,6 +507,37 @@ def _sort_key_from_value(v: Value, ascending: bool, nulls_last: bool, n: int) ->
         data = _dict_map(v, ranks)
     return SortKey(data, ascending=ascending, valid=v.valid,
                    nulls_last=nulls_last)
+
+
+def _vector_sidecar(session, table_name, table, col):
+    """Lazy per-(table, column, mutation epoch) scan artifacts: squared
+    norms + the SQ8 certified-quantization sidecar (reference: cosine norms
+    precomputed at index-build time, arrayNorm.cpp; SQ index artifacts built
+    by VIBuilderUpdater.h:97 — except queries through this one stay exact).
+    Built in one device pass on first use; prior-epoch entries are dropped
+    so mutations invalidate, mirroring the part-set epoch."""
+    epoch = session._mutation_epoch
+    key = (table_name, col, epoch)
+    hit = session._vector_sidecars.get(key)
+    if hit is not None:
+        return hit
+    from myscaledb_tpu.ops.vector import build_sq8, precompute_sqnorm
+    x = table[col].data
+    sqn = precompute_sqnorm(x)
+    sq8 = None
+    try:
+        from myscaledb_tpu.ops.pallas.distance_q import sq8_supported
+        if x.ndim == 2 and sq8_supported(x.shape[1]) \
+                and x.shape[0] >= (1 << 16):
+            sq8 = build_sq8(x)
+    except Exception:
+        pass
+    out = (sqn, sq8)
+    stale = [k for k in session._vector_sidecars if k[2] != epoch]
+    for k in stale:
+        del session._vector_sidecars[k]
+    session._vector_sidecars[key] = out
+    return out
 
 
 def _distributed_topn_ids(q, table, env, mask, alias_exprs):
@@ -1857,6 +1927,8 @@ def execute_select(session, q: SelectQuery) -> Table:
             base = Table([Column.from_numpy(
                 "number", np.arange(start, start + count, dtype=np.uint64),
                 build_zonemap=False)])
+        elif kind == "ftsindex":
+            base = _ftsindex_table(session, *params)
         else:
             raise ExecError(f"unknown table function {kind!r}")
     elif q.subquery is not None:
@@ -1978,12 +2050,29 @@ def execute_select(session, q: SelectQuery) -> Table:
                 table.mesh, x, jnp.asarray(vs.qvec), vs.metric, vs.k,
                 mask=mask, block_rows=settings.vector_scan_block_rows,
                 axis=table.mesh_axis)
+        elif table[vs.col].is_host:
+            # out-of-HBM column: double-buffered host->device block stream
+            from myscaledb_tpu.ops.vector import distance_scan_streaming
+            M.increment("StreamedVectorScans")
+            d, ids = distance_scan_streaming(
+                x, jnp.asarray(vs.qvec), metric=vs.metric, k=vs.k,
+                mask=None if mask is None else np.asarray(mask),
+                margin=settings.vector_rescore_margin)
         else:
+            # the sidecar belongs to the BASE table — joins/pruning replace
+            # the scanned column, so require object identity before using it
+            sqn = sq8 = None
+            base_tab = session.tables.get(q.table) if q.table else None
+            if base_tab is not None and vs.col in base_tab \
+                    and base_tab[vs.col].data is x:
+                sqn, sq8 = _vector_sidecar(session, q.table, table, vs.col)
             d, ids = distance_scan(
                 x, jnp.asarray(vs.qvec), metric=vs.metric, k=vs.k, mask=mask,
                 block_rows=settings.vector_scan_block_rows,
+                x_sqnorm=sqn, sq8=sq8,
                 margin=settings.vector_rescore_margin,
-                stage1_precision=settings.vector_stage1_precision)
+                stage1_precision=settings.vector_stage1_precision,
+                oneshot_bytes=settings.max_memory_bytes_per_query)
         table, env, extra_cols = _materialize_topk(table, vs, d, ids,
                                                    tuple_groups)
         _vs_cm.__exit__(None, None, None)

@@ -176,7 +176,7 @@ class Parser:
                         with_aliases=with_aliases)
 
         if self.take_kw("FROM"):
-            # table function: numbers(N)
+            # table function: numbers(N) / ftsIndex(table, col, 'query')
             if self.peek().kind == "ident" and \
                     self.peek().text.lower() == "numbers" and \
                     self.peek(1).text == "(":
@@ -187,6 +187,22 @@ class Parser:
                     n1 = self.parse_int()
                 self.expect_punct(")")
                 q.table_function = ("numbers", (n0, n1))
+            elif self.peek().kind == "ident" and \
+                    self.peek().text.lower() == "ftsindex" and \
+                    self.peek(1).text == "(":
+                # reference: ftsIndex(db, table, column|index, query)
+                # exposes the FTS statistics a distributed initiator merges
+                # (TableFunctionFtsIndex.h:23, StorageFtsIndex.h)
+                self.next(); self.next()
+                tname = self.parse_table_name()
+                self.expect_punct(",")
+                cname = self.next().text
+                self.expect_punct(",")
+                qtok = self.next()
+                if qtok.kind != "string":
+                    raise ParseError("ftsIndex() query must be a string")
+                self.expect_punct(")")
+                q.table_function = ("ftsindex", (tname, cname, qtok.text))
             elif self.take_punct("("):
                 q.subquery = self.parse_select()
                 self.expect_punct(")")

@@ -23,10 +23,20 @@ _PART_RE = re.compile(r"^part_(\d+)_(\d+)$")
 
 
 class TableStore:
-    """Manages the on-disk parts of one table."""
+    """Manages the on-disk parts of one table.
+
+    Thread-safety: the part-set COMMIT (rename-in + retire-out) happens
+    under ``_lock`` and bumps ``epoch``, so concurrent queries and the
+    background merge executor always see a consistent snapshot — the
+    single-process analog of the reference's part-set versioning
+    (MergeTreeData::DataPartsLock)."""
 
     def __init__(self, path: str):
+        import threading
         self.path = path
+        self._lock = threading.RLock()
+        self.epoch = 0
+        self._merge_inflight = False
         os.makedirs(path, exist_ok=True)
         self._gc_tmp()
 
@@ -36,12 +46,16 @@ class TableStore:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def parts(self) -> list[str]:
-        out = []
-        for d in sorted(os.listdir(self.path)):
-            m = _PART_RE.match(d)
-            if m and os.path.isfile(os.path.join(self.path, d, "meta.json")):
-                out.append(os.path.join(self.path, d))
-        return out
+        with self._lock:
+            found = []
+            for d in os.listdir(self.path):
+                m = _PART_RE.match(d)
+                if m and os.path.isfile(os.path.join(self.path, d,
+                                                     "meta.json")):
+                    found.append((int(m.group(1)), d))
+            # numeric seq order — lexicographic would put part_10 before
+            # part_2 and scramble insert order past 9 parts
+            return [os.path.join(self.path, d) for _, d in sorted(found)]
 
     def _next_seq(self) -> int:
         seqs = [int(_PART_RE.match(os.path.basename(p)).group(1))
@@ -65,41 +79,87 @@ class TableStore:
                 keys.append(SortKey(data, valid=c.valid))
             perm = sort_permutation(keys)
             table = table.take(perm)
-        seq = self._next_seq()
-        name = f"part_{seq}_{table.n_rows}"
-        return write_part(os.path.join(self.path, name), table,
-                          sort_key=sort_key)
+        with self._lock:
+            seq = self._next_seq()
+            name = f"part_{seq}_{table.n_rows}"
+            out = write_part(os.path.join(self.path, name), table,
+                             sort_key=sort_key)
+            self.epoch += 1
+            return out
 
     def load(self, columns: list[str] | None = None) -> Table:
         """Materialize all parts into one resident Table (dictionary merge
-        handled by concat_tables)."""
-        parts = self.parts()
-        if not parts:
-            return Table([])
-        tables = [read_part(p, columns) for p in parts]
-        if len(tables) == 1:
-            return tables[0]
-        return concat_tables(tables)
+        handled by concat_tables).  Retries once if a background merge
+        retires a part between the snapshot and the read."""
+        for attempt in (0, 1):
+            parts = self.parts()
+            if not parts:
+                return Table([])
+            try:
+                tables = [read_part(p, columns) for p in parts]
+            except FileNotFoundError:
+                if attempt:
+                    raise
+                continue
+            if len(tables) == 1:
+                return tables[0]
+            return concat_tables(tables)
 
     def total_rows(self) -> int:
         return sum(part_rows(p) for p in self.parts())
 
     def merge_parts(self, max_parts: int | None = None) -> str | None:
         """Compact all (or the first max_parts) parts into one — the
-        background MergeTask analog (MergeTask.h), run synchronously here;
-        the runtime layer schedules it off the query path."""
+        MergeTask analog (MergeTask.h).  Data is read and the new part
+        written OUTSIDE the lock; only the commit (rename-in + retire-out)
+        holds it, so queries and inserts proceed during the merge."""
         parts = self.parts()
         if max_parts:
             parts = parts[:max_parts]
         if len(parts) < 2:
             return None
         merged = concat_tables([read_part(p) for p in parts])
-        seq = self._next_seq()
-        name = f"part_{seq}_{merged.n_rows}"
-        out = write_part(os.path.join(self.path, name), merged)
-        for p in parts:
-            shutil.rmtree(p)
+        with self._lock:
+            # parts() may have grown since the snapshot; only the snapshot
+            # parts are retired (new inserts survive untouched)
+            live = set(self.parts())
+            if not all(p in live for p in parts):
+                return None   # a concurrent merge took them; skip
+            seq = self._next_seq()
+            name = f"part_{seq}_{merged.n_rows}"
+            out = write_part(os.path.join(self.path, name), merged)
+            for p in parts:
+                shutil.rmtree(p)
+            self.epoch += 1
         return out
+
+    def maybe_schedule_merge(self, executor=None, min_parts: int = 8,
+                             max_parts: int = 16) -> bool:
+        """Schedule a background compaction when the part count builds up
+        (StorageMergeTree::scheduleDataProcessingJob analog).  At most one
+        merge per store is in flight."""
+        if len(self.parts()) < min_parts:
+            return False
+        with self._lock:
+            if self._merge_inflight:
+                return False
+            self._merge_inflight = True
+        if executor is None:
+            from myscaledb_tpu.storage.background import default_executor
+            executor = default_executor()
+
+        def task():
+            try:
+                from myscaledb_tpu.runtime import metrics as M
+                out = self.merge_parts(max_parts=max_parts)
+                if out is not None:
+                    M.increment(M.PARTS_MERGED)
+            finally:
+                with self._lock:
+                    self._merge_inflight = False
+
+        executor.schedule(task)
+        return True
 
     def drop(self):
         shutil.rmtree(self.path, ignore_errors=True)

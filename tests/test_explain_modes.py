@@ -30,7 +30,19 @@ def test_pipeline_annotations(s):
 
 def test_estimate(s):
     rows = s.sql("EXPLAIN ESTIMATE SELECT * FROM t").to_rows()
-    assert rows == [("t", 100, 1)]
+    assert rows == [("t", 100, 1, 0)]
+
+
+def test_estimate_reports_pruned_blocks():
+    import numpy as np
+    from myscaledb_tpu import connect
+    sess = connect()
+    n = 260_000
+    sess.create_table("big", {"v": np.arange(n, dtype=np.int64)})
+    rows = sess.sql(
+        "EXPLAIN ESTIMATE SELECT * FROM big WHERE v >= 200000").to_rows()
+    # 4 blocks total, the first 3 provably fail v >= 200000
+    assert rows == [("big", n, 4, 3)]
 
 
 def test_ast(s):

@@ -165,3 +165,38 @@ def test_session_backup_restore(tmp_path, rng):
     assert s2.sql_tsv("SELECT s, sum(x) FROM a GROUP BY s ORDER BY s") == want
     assert s2.table_settings["b"].float_vector_search_metric_type == "IP"
     assert s2.sql("SELECT count(*) FROM system.vector_indices").to_rows() == [(1,)]
+
+
+def test_part_order_numeric_after_ten_parts(tmp_path):
+    """Insert order must survive >9 parts (lexicographic dir sort would
+    read part_10 before part_2)."""
+    store = TableStore(str(tmp_path / "t"))
+    for i in range(12):
+        store.insert(Table.from_dict({"v": np.array([i], dtype=np.int64)}))
+    got = np.asarray(store.load()["v"].data).tolist()
+    assert got == list(range(12))
+
+
+def test_background_merge_with_concurrent_inserts(tmp_path):
+    """Background compaction (MergeTreeBackgroundExecutor analog) runs off
+    the insert path; inserts and loads during the merge stay consistent."""
+    from myscaledb_tpu.storage.background import BackgroundExecutor
+    ex = BackgroundExecutor(threads=1)
+    store = TableStore(str(tmp_path / "t"))
+    for i in range(8):
+        store.insert(Table.from_dict({"v": np.arange(i * 10, i * 10 + 10,
+                                                     dtype=np.int64)}))
+    assert store.maybe_schedule_merge(ex, min_parts=8, max_parts=8)
+    # inserts proceed while the merge is (possibly) in flight
+    for i in range(8, 11):
+        store.insert(Table.from_dict({"v": np.arange(i * 10, i * 10 + 10,
+                                                     dtype=np.int64)}))
+        got = np.sort(np.asarray(store.load()["v"].data))
+        assert got.tolist() == list(range((i + 1) * 10))
+    assert ex.wait_idle(30)
+    got = np.asarray(store.load()["v"].data)
+    assert np.sort(got).tolist() == list(range(110))
+    assert len(store.parts()) <= 4   # 8 merged into 1 + 3 new
+    # second scheduling round is a no-op below min_parts
+    assert not store.maybe_schedule_merge(ex, min_parts=8)
+    ex.shutdown()

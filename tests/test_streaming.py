@@ -1,0 +1,64 @@
+"""Out-of-HBM streaming + memory governance: host-resident columns stream
+through the chip block-wise and produce bit-identical results to the
+HBM-resident path (reference: MergeTreeRangeReader never materializes a
+column; spills replace OOM — MemoryTracker.h:50)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.config import Settings
+
+
+def test_streaming_scan_matches_resident(rng):
+    from myscaledb_tpu.ops.vector import distance_scan, \
+        distance_scan_streaming
+    n, d, nq, k = 50_000, 32, 4, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    mask = rng.integers(0, 2, n).astype(bool)
+    for metric in ("L2", "Cosine", "IP"):
+        rd, ri = distance_scan(x, q, metric=metric, k=k, mask=mask,
+                               use_pallas=False)
+        sd, si = distance_scan_streaming(x, q, metric=metric, k=k,
+                                         mask=mask, block_rows=8192)
+        assert np.array_equal(np.asarray(ri), np.asarray(si)), metric
+        assert np.array_equal(np.asarray(rd), np.asarray(sd)), metric
+
+
+def test_streaming_scan_underfull_mask(rng):
+    from myscaledb_tpu.ops.vector import distance_scan_streaming, INVALID_ID
+    n, d, k = 10_000, 16, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    mask = np.zeros(n, dtype=bool)
+    mask[[5, 9000]] = True
+    dd, ii = distance_scan_streaming(x, q, k=k, mask=mask, block_rows=4096)
+    ids = np.asarray(ii)[0]
+    assert set(ids[:2]) == {5, 9000}
+    assert (ids[2:] == INVALID_ID).all()
+
+
+def test_host_table_sql_matches_device(rng):
+    """A session with a tiny HBM budget keeps the big vector column on the
+    host; SQL results must match the resident session bit-for-bit."""
+    n, d = 40_000, 24
+    data = {
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+        "emb": rng.standard_normal((n, d)).astype(np.float32),
+    }
+    resident = connect()
+    resident.create_table("t", {k: v.copy() for k, v in data.items()})
+    streamed = connect(Settings(max_hbm_bytes_per_column=1 << 20))
+    streamed.create_table("t", data)
+    assert streamed.tables["t"]["emb"].is_host
+    assert not streamed.tables["t"]["id"].is_host
+    qv = ", ".join(["0.1"] * d)
+    for q in [
+        f"SELECT id, distance(emb, [{qv}]) AS dd FROM t ORDER BY dd LIMIT 7",
+        f"SELECT id, distance(emb, [{qv}]) AS dd FROM t WHERE v < 50 "
+        "ORDER BY dd LIMIT 7",
+        "SELECT v, count(*) FROM t GROUP BY v ORDER BY v LIMIT 5",
+    ]:
+        assert streamed.sql_tsv(q) == resident.sql_tsv(q), q

@@ -150,3 +150,52 @@ def test_hybrid_requires_order_limit(tsess):
     with pytest.raises(Exception, match="HybridSearch requires"):
         tsess.sql("SELECT HybridSearch('fusion_type=rsf')(emb, body, "
                   "[1., 0, 0, 0], 'x') AS s FROM articles")
+
+
+def test_ftsindex_table_function():
+    """ftsIndex(table, col, 'query') exposes the per-term statistics a
+    distributed initiator merges (reference: TableFunctionFtsIndex)."""
+    s = connect()
+    s.create_table("docs", {
+        "id": np.arange(4, dtype=np.int64),
+        "body": np.array(["red fox jumps", "red red wine",
+                          "blue sky", "fox and fox again"]),
+    })
+    rows = s.sql("SELECT term, doc_freq, total_term_freq, total_docs "
+                 "FROM ftsIndex(docs, body, 'red fox green') "
+                 "ORDER BY term").to_rows()
+    assert rows == [("fox", 2, 3, 4), ("green", 0, 0, 4), ("red", 2, 3, 4)]
+
+
+def test_distributed_text_and_hybrid_search_parity(rng):
+    """8-shard distributed TextSearch/HybridSearch must match the local
+    engine bit-for-bit — global BM25 stats, not per-shard ones
+    (reference: BM25InfoInDataParts aggregated across shards)."""
+    from myscaledb_tpu.parallel.mesh import make_mesh
+    n = 203   # not divisible by 8: padding rows must not skew stats
+    words = ["alpha", "beta", "gamma", "delta", "fox", "wine"]
+    docs = [" ".join(rng.choice(words, rng.integers(2, 6)))
+            for _ in range(n)]
+    data = {
+        "id": np.arange(n, dtype=np.int64),
+        "body": np.array(docs),
+        "emb": rng.standard_normal((n, 8)).astype(np.float32),
+    }
+    local = connect()
+    local.create_table("t", {k: v.copy() for k, v in data.items()})
+    dist = connect()
+    dist.create_table("t", data)
+    dist.distribute("t", make_mesh(8))
+    qv = ", ".join(["0.2"] * 8)
+    queries = [
+        "SELECT id, TextSearch(body, 'fox wine') AS s FROM t "
+        "ORDER BY s DESC LIMIT 7",
+        "SELECT id, TextSearch(body, 'alpha') AS s FROM t WHERE id % 2 = 0 "
+        "ORDER BY s DESC LIMIT 5",
+        f"SELECT id, HybridSearch('fusion_type=rsf')(emb, body, [{qv}], "
+        "'fox wine') AS s FROM t ORDER BY s DESC LIMIT 6",
+        f"SELECT id, HybridSearch('fusion_type=rrf')(emb, body, [{qv}], "
+        "'beta gamma') AS s FROM t ORDER BY s DESC LIMIT 6",
+    ]
+    for q in queries:
+        assert dist.sql_tsv(q) == local.sql_tsv(q), q

@@ -188,3 +188,74 @@ def test_pallas_path_interpret_ties(rng):
         jnp.asarray(x), jnp.asarray(q), jnp.zeros(0, dtype=bool),
         jnp.asarray((x * x).sum(1)), "L2", 5, False, 16, interpret=True)
     assert ii[0].tolist() == [0, 1, 2, 3, 4]
+
+
+import pytest
+
+# ---------------------------------------------------------------------------
+# certified int8 (SQ8) stage-1 scan: bit-equal results or a failed
+# certificate — never a silently wrong answer
+
+def _sq8_run(x, q, metric, k, mask=None, margin=32):
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.vector import (build_sq8, _distance_scan_sq8,
+                                          precompute_sqnorm)
+    x8, scale, resid = build_sq8(x)
+    sqn = precompute_sqnorm(x)
+    has_mask = mask is not None
+    m = jnp.asarray(mask, dtype=bool) if has_mask else \
+        jnp.ones((0,), dtype=bool)
+    return _distance_scan_sq8(jnp.asarray(x, jnp.float32), x8, scale, resid,
+                              jnp.asarray(q, jnp.float32), m, sqn, metric,
+                              k, has_mask, margin, interpret=True)
+
+
+@pytest.mark.parametrize("metric", ["L2", "Cosine", "IP"])
+def test_sq8_certified_matches_oracle(rng, metric):
+    import numpy as np
+    from myscaledb_tpu.ops.vector import distance_scan
+    n, d, nq, k = 4096, 128, 3, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    mask = rng.integers(0, 2, n).astype(bool)
+    dd, ii, ok = _sq8_run(x, q, metric, k, mask)
+    ref_d, ref_i = distance_scan(x, q, metric=metric, k=k, mask=mask,
+                                 use_pallas=False)
+    if bool(ok):
+        assert np.array_equal(np.asarray(ii), np.asarray(ref_i))
+        assert np.array_equal(np.asarray(dd), np.asarray(ref_d))
+    else:
+        pytest.skip("certificate declined on this draw (fallback path)")
+
+
+def test_sq8_certificate_fails_safely_on_ties(rng):
+    """Identical rows: the certificate must refuse (ok=False) rather than
+    return an uncertified selection."""
+    import numpy as np
+    n, d = 16384, 128   # > (k+margin) segments so unselected ones exist
+    x = np.ones((n, d), dtype=np.float32)
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    dd, ii, ok = _sq8_run(x, q, "L2", 10)
+    assert not bool(ok)
+
+
+def test_sq8_underfull_mask_fails_certificate(rng):
+    import numpy as np
+    n, d, k = 4096, 128, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    mask = np.zeros(n, dtype=bool)
+    mask[:3] = True    # fewer rows than k
+    dd, ii, ok = _sq8_run(x, q, "L2", k, mask)
+    assert not bool(ok)
+
+
+def test_sq8_certified_random_data_usually_certifies(rng):
+    """On well-spread data the certificate should actually pass (the fast
+    path must be reachable, not a dead branch)."""
+    import numpy as np
+    n, d = 1 << 15, 128
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    dd, ii, ok = _sq8_run(x, q, "L2", 10)
+    assert bool(ok)
