@@ -40,7 +40,15 @@ def hbm_gbps_for_device(dev) -> float:
 
 def _timed_repeat(make_body, *args, iters=16, reps=3):
     """Run body iters times inside one jit with chained deps; time the whole
-    execution via a scalar host fetch.  Returns best seconds/iteration."""
+    execution via a scalar host fetch.  Returns best seconds/iteration.
+
+    iters must be large enough to amortize the ~24 ms FIXED per-dispatch
+    cost of the tunnel-attached chip (dispatch + scalar fetch round trip —
+    measured round 2, see BENCH_NOTES.md): at iters=32 every sub-ms kernel
+    reads ~0.75 ms too slow.  Pick iters >= 24e-3 / (0.05 * expected_dt).
+    The body MUST consume `acc` in a way that feeds its compute (e.g.
+    q + acc * 1e-30) — a dead `+ acc * 0` gets the whole body hoisted out
+    of the scan and you measure nothing but the floor."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -81,29 +89,26 @@ def bench_config1():
     q = jax.random.normal(k2, (nq, d), dtype=jnp.float32)
     meta = jax.random.randint(k3, (n,), 0, 100, dtype=jnp.int32)
     sqn = jnp.sum(x * x, axis=1)
-    sq8 = build_sq8(x)
-    jax.block_until_ready((x, q, meta, sqn, sq8))
+    x8, sides = build_sq8(x)
+    jax.block_until_ready((x, q, meta, sqn, x8, sides))
 
     # correctness gate outside the timing: dispatch must certify (else it
     # would fall back and the timed body would not be the path users get)
     mask0 = meta < jnp.int32(50)
-    _, _, ok = _distance_scan_sq8(x, sq8[0], sq8[1], sq8[2], q, mask0, sqn,
-                                  "L2", k, True, 32)
+    _, _, ok = _distance_scan_sq8(x, x8, sides, q, mask0, "L2", k, True, 16)
     certified = bool(np.asarray(ok))
 
-    def body(x, x8, scale, resid, q, meta, sqn, acc):
+    def body(x, x8, sides, q, meta, sqn, acc):
         mask = meta < jnp.int32(50)
         if certified:
-            dd, ii, _ok = _distance_scan_sq8(x, x8, scale, resid,
-                                             q + acc * 1e-30, mask, sqn,
-                                             "L2", k, True, 32)
+            dd, ii, _ok = _distance_scan_sq8(x, x8, sides, q + acc * 1e-30,
+                                             mask, "L2", k, True, 16)
         else:
             dd, ii = distance_scan(x, q + acc * 1e-30, metric="L2", k=k,
                                    mask=mask, x_sqnorm=sqn)
         return jnp.sum(dd) + jnp.float32(0) * jnp.sum(ii).astype(jnp.float32)
 
-    dt = _timed_repeat(body, x, sq8[0], sq8[1], sq8[2], q, meta, sqn,
-                       iters=32)
+    dt = _timed_repeat(body, x, x8, sides, q, meta, sqn, iters=512)
     rows_per_sec = n / dt
     dev = jax.devices()[0]
     bytes_per_row = d * 4 + 4 + 4   # f32 row + meta + sqnorm

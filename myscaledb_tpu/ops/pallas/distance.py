@@ -1,23 +1,23 @@
-"""Pallas TPU kernel: fused distance matmul + per-segment minimum.
+"""Pallas TPU kernel: fused distance matmul + per-segment minimum (f32).
 
 Stage 1 of the exact two-stage scan computes selection scores (one MXU
 matmul per tile) and reduces them to per-128-row segment minima.  The pure
-XLA one-shot path materializes the (nq, n) score matrix in HBM (~0.9 ms of
-extra traffic/fusion loss for 1M rows at nq=10); this kernel keeps score
-tiles in VMEM: each x tile is read from HBM exactly once and only the
-segment minima are written back — HBM traffic ~= one pass over the table,
-the roofline for any brute-force scan (reference analog it replaces:
+XLA one-shot path materializes the (nq, n) score matrix in HBM; this kernel
+keeps score tiles in VMEM: each x tile is read from HBM exactly once and
+only the segment minima are written back — HBM traffic ~= one pass over the
+table, the roofline for any brute-force scan (reference analog it replaces:
 src/VectorIndex/Common/BruteForceSearch.h:63 faiss heap kNN).
 
-Layout (round 2 rewrite — the round-1 version ran at 14% of roofline):
-  * rows on SUBLANES, queries on LANES: dot = x_tile @ q.T -> (TILE_N, NQ).
-    The per-128-row segment min then reduces over the SUBLANE axis, which
-    Mosaic lowers to elementwise vreg minima (vs. log2(128) cross-lane
-    shuffles of the full score tile in the row-on-lanes layout), and the
-    (TILE_N//SEG, NQ) result is already in the output layout (no transpose).
+Layout (round-2 rewrite #2 — measured on v5e, 1M x 128, nq=10):
+  * QUERIES on sublanes (padded to a multiple of 16, min 16), rows on
+    LANES: dot = q · xᵀ -> (NQ_PAD, TILE_N).  The previous layout put rows
+    on sublanes with queries padded to 128 lanes, so the bound math and the
+    segment-min ran over n x 128 elements (~1.9 ms/scan); this one runs
+    them over n x 16 and the segment min is a lane-axis reshape+min that
+    Mosaic lowers natively (~0.8 ms/scan, read-bandwidth bound).
   * explicit HIGHEST (full f32) matmul precision: selection exactness is
-    never at the mercy of a default; the extra passes cost ~0.05 ms each at
-    nq <= 128 (stage-2 rescore would absorb noise anyway, but cheap is cheap).
+    never at the mercy of a default (stage-2 rescore would absorb noise at
+    the k-boundary anyway, but cheap is cheap at nq <= 128).
   * the ragged tail is masked in-kernel by row id (never jnp.pad the table:
     a 1M x 128 pad copy costs +2.5 ms, measured).
 """
@@ -33,58 +33,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SEG = 128
-TILE_N = 4096         # rows per grid step (32 segments)
-NQ_PAD = 128          # queries padded onto the lane axis
+TILE_N = 8192         # f32 rows per grid step (4 MB tile, double-buffered)
+NQ_MAX = 128
 
 
-def _kernel(metric: str, has_mask: bool, n: int, nb: int):
-    nseg_t = TILE_N // SEG
-
-    def kernel(*refs):
-        # sqn and mask are PACKED into one side stream — every extra
-        # BlockSpec input costs ~1.5 us DMA issue per grid step (measured)
-        x_ref, qt_ref, sides_ref, qaux_ref, out_ref = refs
-        xt = x_ref[...]                       # (TILE_N, d)
-        qt = qt_ref[...]                      # (d, NQ_PAD)
-        # Mosaic supports only DEFAULT/HIGHEST; HIGHEST (full f32, 6-pass)
-        # costs ~0.05 ms/pass at this shape — selection stays exactness-safe
+def _kernel(metric: str, has_mask: bool, n: int, nb: int, NQ_PAD: int,
+            npl: int, tile: int):
+    def kernel(x_ref, q_ref, sides_ref, qaux_ref, out_ref):
+        xt = x_ref[...]                           # (tile, d)
+        qt = q_ref[...]                           # (NQ_PAD, d)
+        # Mosaic supports only DEFAULT/HIGHEST; HIGHEST = full f32 via
+        # bf16x6 passes — trivial FLOPs at NQ_PAD <= 128
         dot = lax.dot_general(
-            xt, qt, (((1,), (0,)), ((), ())),
+            qt, xt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST)  # (TILE_N, NQ_PAD)
-        dot = dot.reshape(nseg_t, SEG, NQ_PAD)
-        sides = sides_ref[...]                # (nseg_t, SEG | 2*SEG)
-        sqn = sides[:, 0 * SEG:1 * SEG][:, :, None]
-        qaux = qaux_ref[...][0][None, None, :]   # (1, 1, NQ_PAD) broadcast
+            precision=lax.Precision.HIGHEST)      # (NQ_PAD, tile)
+        sides = sides_ref[...]                    # (width, tile)
+        sqn = sides[0][None, :]
+        qaux = qaux_ref[...][:, 0][:, None]       # (NQ_PAD, 1)
         if metric == "L2":
             s = sqn - 2.0 * dot + qaux
         elif metric == "Cosine":
             rnorm = jnp.where(sqn > 0.0,
                               lax.rsqrt(jnp.maximum(sqn, 1e-30)), 0.0)
             s = 1.0 - dot * rnorm * qaux
-        else:                                 # IP
+        else:                                     # IP
             s = -dot
         if has_mask:
-            mask = sides[:, 1 * SEG:2 * SEG][:, :, None]
-            s = jnp.where(mask != 0, s, jnp.inf)
+            s = jnp.where(sides[1][None, :] != 0.0, s, jnp.inf)
         i = pl.program_id(0)
-        if n % TILE_N != 0:
+        if n % tile != 0:
             # ragged tail: mask rows past n (their x values are whatever the
             # DMA brought in — possibly garbage; where() overrides NaNs too)
-            @pl.when(i == nb - 1)
-            def _mask_tail():
-                row = (i * TILE_N
-                       + lax.broadcasted_iota(jnp.int32, (nseg_t, SEG, 1), 0)
-                       * SEG
-                       + lax.broadcasted_iota(jnp.int32, (nseg_t, SEG, 1), 1))
-                out_ref[...] = jnp.min(
-                    jnp.where(row < n, s, jnp.inf), axis=1)
-
-            @pl.when(i != nb - 1)
-            def _full_tile():
-                out_ref[...] = jnp.min(s, axis=1)
-        else:
-            out_ref[...] = jnp.min(s, axis=1)   # (nseg_t, NQ_PAD)
+            row = (i * tile
+                   + lax.broadcasted_iota(jnp.int32, (1, tile), 1))
+            s = jnp.where(row < n, s, jnp.inf)
+        out_ref[...] = jnp.min(s.reshape(NQ_PAD, npl, SEG), axis=-1)
     return kernel
 
 
@@ -100,9 +84,13 @@ def fused_segmin_scores(x, q, sqn, q_aux, mask, metric: str, has_mask: bool,
     """
     n, d = x.shape
     nq = q.shape[0]
-    assert nq <= NQ_PAD, "pallas path currently handles nq <= 128"
-    n_pad = -(-n // TILE_N) * TILE_N
-    nb = n_pad // TILE_N
+    assert nq <= NQ_MAX, "pallas path currently handles nq <= 128"
+    NQ_PAD = max(16, -(-nq // 16) * 16)
+    tile = min(TILE_N, -(-n // SEG) * SEG)
+    n_pad = -(-n // tile) * tile
+    nb = n_pad // tile
+    npl = tile // SEG
+    nseg = n_pad // SEG
     # 1-D side arrays are cheap to pad (4 bytes/row, vs d*4 for x)
     if n_pad != n:
         sqn = jnp.pad(sqn, (0, n_pad - n))
@@ -111,46 +99,43 @@ def fused_segmin_scores(x, q, sqn, q_aux, mask, metric: str, has_mask: bool,
     if nq != NQ_PAD:
         q = jnp.pad(q, ((0, NQ_PAD - nq), (0, 0)))
         q_aux = jnp.pad(q_aux, (0, NQ_PAD - nq))
-    qt = q.T                                     # (d, NQ_PAD)
-    nseg = n_pad // SEG
-    sides = sqn.reshape(nseg, SEG)
-    width = 1
+    width = 2 if has_mask else 1
+    sides = sqn[None, :]
     if has_mask:
         sides = jnp.concatenate(
-            [sides, mask.astype(jnp.float32).reshape(nseg, SEG)], axis=1)
-        width = 2
-    qaux2 = jnp.zeros((8, NQ_PAD), jnp.float32).at[0].set(q_aux)
+            [sides, mask.astype(jnp.float32)[None, :]], axis=0)
+    qaux2 = jnp.pad(q_aux[:, None], ((0, 0), (0, 127)))     # (NQ_PAD, 128)
 
     in_specs = [
-        pl.BlockSpec((TILE_N, d), lambda i: (i, 0)),
-        pl.BlockSpec((d, NQ_PAD), lambda i: (0, 0)),
-        pl.BlockSpec((TILE_N // SEG, width * SEG), lambda i: (i, 0)),
-        pl.BlockSpec((8, NQ_PAD), lambda i: (0, 0)),
+        pl.BlockSpec((tile, d), lambda i: (i, 0)),
+        pl.BlockSpec((NQ_PAD, d), lambda i: (0, 0)),
+        pl.BlockSpec((width, tile), lambda i: (0, i)),
+        pl.BlockSpec((NQ_PAD, 128), lambda i: (0, 0)),
     ]
-    args = [x, qt, sides, qaux2]
+    args = [x, q, sides, qaux2]
 
     # the engine enables jax x64 globally; Mosaic rejects stray i64 ops, so
     # trace the kernel under x32
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _kernel(metric, has_mask, n, nb),
-            out_shape=jax.ShapeDtypeStruct((n_pad // SEG, NQ_PAD),
-                                           jnp.float32),
+            _kernel(metric, has_mask, n, nb, NQ_PAD, npl, tile),
+            out_shape=jax.ShapeDtypeStruct((nb * NQ_PAD, npl), jnp.float32),
             grid=(nb,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((TILE_N // SEG, NQ_PAD), lambda i: (i, 0)),
+            out_specs=pl.BlockSpec((NQ_PAD, npl), lambda i: (i, 0)),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(*args)
-    return out.T[:nq]
+    return (out.reshape(nb, NQ_PAD, npl).transpose(1, 0, 2)
+            .reshape(NQ_PAD, nseg)[:nq])
 
 
 def pallas_supported(d: int, nq: int = 1) -> bool:
     """The kernel needs a TPU backend, a lane-aligned feature dim, and a
-    query batch that fits the padded lane block."""
+    query batch that fits the padded sublane block."""
     try:
         return (jax.default_backend() == "tpu" and d % 128 == 0
-                and nq <= NQ_PAD)
+                and nq <= NQ_MAX)
     except Exception:
         return False

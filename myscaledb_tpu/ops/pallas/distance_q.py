@@ -1,20 +1,38 @@
 """Pallas TPU kernel: certified-exact int8 (SQ8) stage-1 distance scan.
 
 The flagship scan is HBM-bound; reading an int8 sidecar instead of the f32
-table quarters the streamed bytes (128 B/row vs 512 B/row at d=128) and the
-int8 MXU path is the fastest matmul the hardware has.  Exactness is NOT
-sacrificed: the kernel emits a certified LOWER BOUND on every row's true
-f32 score, candidates are rescored exactly from the f32 table, and the
-caller checks that every unselected segment's lower bound exceeds the exact
-k-th candidate score — if that certificate fails (adversarial/clustered
-data), the caller falls back to the full-precision scan.  Recall stays 1.0
-by construction.
+table quarters the streamed bytes (128 B/row vs 512 B/row at d=128).
+Exactness is NOT sacrificed: the kernel emits a certified LOWER BOUND on
+every row's true f32 score, candidates are rescored exactly from the f32
+table, and the caller checks that every unselected segment's lower bound
+exceeds the exact k-th candidate score — if that certificate fails
+(adversarial/clustered data), the caller falls back to the full-precision
+scan.  Recall stays 1.0 by construction.
+
+Layout (round-2 rewrite #2 — measured on v5e, 1M x 128, nq=10):
+  * QUERIES on sublanes, rows on lanes: dot = q8 · x8ᵀ -> (NQ_PAD, TILE_N)
+    with NQ_PAD = 16 for small query batches.  The previous layout put rows
+    on sublanes and padded queries to 128 lanes, so every elementwise op in
+    the bound ran over n x 128 elements (~128M VPU ops/scan -> 2.2 ms); this
+    one runs over n x 16 (0.26 ms full kernel).
+  * per-128-row segment minima via reshape (NQ_PAD, TILE/128, 128) + min
+    over the lane axis — natively supported by Mosaic.
+  * side fields are ONE packed stream (4, n_pad) f32 [sqn, resid, scale,
+    valid] built with the sidecar; the query-time predicate mask is a
+    separate (1, n_pad) f32 stream.  (Every extra BlockSpec input costs
+    ~1.5 us of DMA issue per grid step, measured.)
+  * x8 stays plain (n_pad, d) int8: HBM->VMEM DMA runs at full byte rate
+    for int8 (686 GB/s measured end-to-end; an earlier element-rate theory
+    was a timing artifact — see BENCH_NOTES.md on the ~24 ms per-dispatch
+    tunnel floor).
+  * int8 x int8 via ONE bf16 MXU pass — exact: |values| <= 127 are exactly
+    representable in bf16 and the <= 2^21 dot accumulates exactly in f32.
 
 Bound derivation (x = s·x8 + ex per row, q = sq·q8 + eq per query):
     |x·q − s·sq·(x8·q8)| ≤ ‖x‖·‖eq‖ + ‖ex‖·‖q‖ + ‖ex‖·‖eq‖
 with ‖ex‖ = r (stored per row), ‖x‖ = sqrt(sqn) (stored), and the q-side
-norms computed per query.  Verified against exact numpy on 2M row·query
-pairs (zero violations, /tmp/sq8_proto.py round 2).
+norms computed per query.  The 1.0001x + 1e-6 slack absorbs f32 rounding
+in the bound arithmetic itself.
 
 Reference analog: the SQ ("scalar quantization") members of the vector
 index family (ALTER TABLE ... ADD VECTOR INDEX ... TYPE IVFSQ/HNSWSQ,
@@ -33,96 +51,73 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SEG = 128
-TILE_N = 4096         # int8 rows per grid step (0.5 MB tiles; 8192 OOMs the 16MB scoped VMEM on the f32 intermediates)
-NQ_PAD = 128
+TILE_N = 16384        # int8 rows per grid step (2 MB tile, double-buffered)
+NQ_MAX = 128
 
 
-def _kernel(metric: str, has_mask: bool, n: int, nb: int):
-    nseg_t = TILE_N // SEG
+def sidecar_pad_rows(n: int) -> int:
+    """Rows the sidecar is padded to: one tile for big tables, one lane
+    block for small ones (the kernel runs a single grid step then)."""
+    if n >= TILE_N:
+        return -(-n // TILE_N) * TILE_N
+    return -(-n // SEG) * SEG
 
-    def kernel(*refs):
-        # side arrays are PACKED into one input: every extra BlockSpec
-        # stream costs ~1.5 us of DMA issue per grid step (measured: the
-        # 5-input variant of this kernel ran 3.0 ms vs 0.77 ms bare)
-        if has_mask:
-            x8_ref, q8t_ref, sides_ref, qside_ref, mask_ref, out_ref = refs
-        else:
-            x8_ref, q8t_ref, sides_ref, qside_ref, out_ref = refs
-        x8 = x8_ref[...]                      # (TILE_N, d) int8
-        q8t = q8t_ref[...]                    # (d, NQ_PAD) int8
-        # int8 x int8 via ONE bf16 MXU pass — exact: |values| <= 127 are
-        # exactly representable in bf16 and the <=2^21 dot accumulates
-        # exactly in f32 (a native s8 dot lowers to slow VPU loops)
+
+def _kernel(metric: str, NQ_PAD: int, npl: int):
+    def kernel(x8_ref, q8_ref, sides_ref, qside_ref, mv_ref, out_ref):
+        x8 = x8_ref[...]                          # (tile, d) int8
+        q8 = q8_ref[...].astype(jnp.bfloat16)     # (NQ_PAD, d)
         dot_i = lax.dot_general(
-            x8.astype(jnp.bfloat16), q8t.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # (TILE_N, NQ_PAD)
-        dot_i = dot_i.reshape(nseg_t, SEG, NQ_PAD)
-        sides = sides_ref[...]                # (nseg_t, 3*SEG): sqn|resid|scale
-        sqn = sides[:, 0 * SEG:1 * SEG][:, :, None]
-        r = sides[:, 1 * SEG:2 * SEG][:, :, None]
-        scale = sides[:, 2 * SEG:3 * SEG][:, :, None]
+            q8, x8.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (NQ_PAD, tile)
+        sides = sides_ref[...]                    # (4, tile)
+        sqn_r = sides[0][None, :]
+        r = sides[1][None, :]
+        sc = sides[2][None, :]
         # qside rows: 0=sq (query scale), 1=qe (‖eq‖), 2=qn+qe, 3=q_aux
-        qs = qside_ref[...]                   # (8, NQ_PAD), rows 4-7 pad
-        sq = qs[0][None, None, :]
-        qe = qs[1][None, None, :]
-        qne = qs[2][None, None, :]
-        qaux = qs[3][None, None, :]
-        dot_mid = dot_i * scale * sq
-        err = jnp.sqrt(jnp.maximum(sqn, 0.0)) * qe + r * qne
-        err = err * 1.0001 + 1e-6             # f32 accumulation slack
+        qs = qside_ref[...]                       # (NQ_PAD, 128)
+        sq = qs[:, 0][:, None]
+        qe = qs[:, 1][:, None]
+        qne = qs[:, 2][:, None]
+        qaux = qs[:, 3][:, None]
+        dot_mid = dot_i * (sc * sq)
+        err = jnp.sqrt(jnp.maximum(sqn_r, 0.0)) * qe + r * qne
+        err = err * 1.0001 + 1e-6                 # f32 accumulation slack
         if metric == "L2":
-            lb = sqn - 2.0 * dot_mid + qaux - 2.0 * err
+            lb = sqn_r - 2.0 * dot_mid + qaux - 2.0 * err
         elif metric == "Cosine":
-            rnorm = jnp.where(sqn > 0.0,
-                              lax.rsqrt(jnp.maximum(sqn, 1e-30)), 0.0)
-            lb = 1.0 - (dot_mid + err) * rnorm * qaux
-        else:                                 # IP: score = -dot
+            rn = jnp.where(sqn_r > 0.0,
+                           lax.rsqrt(jnp.maximum(sqn_r, 1e-30)), 0.0)
+            lb = 1.0 - (dot_mid + err) * rn * qaux
+        else:                                     # IP: score = -dot
             lb = -(dot_mid + err)
-        if has_mask:
-            lb = jnp.where(mask_ref[...][:, :, None] != 0, lb, jnp.inf)
-        i = pl.program_id(0)
-        if n % TILE_N != 0:
-            @pl.when(i == nb - 1)
-            def _mask_tail():
-                row = (i * TILE_N
-                       + lax.broadcasted_iota(jnp.int32, (nseg_t, SEG, 1), 0)
-                       * SEG
-                       + lax.broadcasted_iota(jnp.int32, (nseg_t, SEG, 1), 1))
-                out_ref[...] = jnp.min(
-                    jnp.where(row < n, lb, jnp.inf), axis=1)
-
-            @pl.when(i != nb - 1)
-            def _full_tile():
-                out_ref[...] = jnp.min(lb, axis=1)
-        else:
-            out_ref[...] = jnp.min(lb, axis=1)
+        # mask stream already folds the sidecar validity row in, so padding
+        # rows and filtered rows both land at +inf
+        lb = jnp.where(mv_ref[...][0][None, :] != 0.0, lb, jnp.inf)
+        out_ref[...] = jnp.min(lb.reshape(NQ_PAD, npl, SEG), axis=-1)
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("metric", "has_mask", "interpret"))
-def sq8_segmin_lower_bounds(x8, scale, resid, sqn, q, mask, metric: str,
-                            has_mask: bool, interpret: bool = False):
+                   static_argnames=("metric", "interpret"))
+def sq8_segmin_lower_bounds(x8, sides, q, maskvalid, metric: str,
+                            interpret: bool = False):
     """Certified per-128-row-segment lower bounds on the true f32 scores.
 
-    x8 (n, d) int8; scale (n,) f32 per-row dequant scale; resid (n,) f32 =
-    ‖x − scale·x8‖₂; sqn (n,) f32 = ‖x‖²; q (nq, d) f32; mask (n,) f32.
-    Returns (seg_lb (nq, n_pad/SEG) f32).
+    x8 (n_pad, d) int8 — padded at build (sidecar_pad_rows); sides
+    (4, n_pad) f32 = [‖x‖², ‖x − scale·x8‖₂, scale, valid]; q (nq, d) f32;
+    maskvalid (1, n_pad) f32 — the query predicate ANDed with validity
+    (rows where it is 0 never surface).  Returns (nq, n_pad/SEG) f32.
     """
-    n, d = x8.shape
+    n_pad, d = x8.shape
     nq = q.shape[0]
-    assert nq <= NQ_PAD
-    n_pad = -(-n // TILE_N) * TILE_N
-    nb = n_pad // TILE_N
-    if n_pad != n:
-        sqn = jnp.pad(sqn, (0, n_pad - n))
-        resid = jnp.pad(resid, (0, n_pad - n))
-        scale = jnp.pad(scale, (0, n_pad - n))
-        if has_mask:
-            mask = jnp.pad(mask, (0, n_pad - n))
+    assert nq <= NQ_MAX
+    NQ_PAD = max(16, -(-nq // 16) * 16)
+    tile = min(TILE_N, n_pad)
+    nb = n_pad // tile
+    npl = tile // SEG
+    nseg = n_pad // SEG
 
-    # query-side quantization (tiny, outside the kernel)
     q = q.astype(jnp.float32)
     sq = jnp.maximum(jnp.max(jnp.abs(q), axis=1) / 127.0, 1e-30)
     q8 = jnp.clip(jnp.round(q / sq[:, None]), -127, 127).astype(jnp.int8)
@@ -135,46 +130,34 @@ def sq8_segmin_lower_bounds(x8, scale, resid, sqn, q, mask, metric: str,
         q_aux = jnp.sum(q * q, axis=1)
     else:
         q_aux = jnp.zeros((nq,), dtype=jnp.float32)
-    qside = jnp.stack([sq, qe, qn + qe, q_aux])          # (4, nq)
-    qside = jnp.pad(qside, ((0, 4), (0, 0)))             # min f32 tile: 8 rows
-    if nq != NQ_PAD:
-        q8 = jnp.pad(q8, ((0, NQ_PAD - nq), (0, 0)))
-        qside = jnp.pad(qside, ((0, 0), (0, NQ_PAD - nq)))
-    q8t = q8.T
-
-    nseg = n_pad // SEG
-    # one packed side stream per tile: [sqn | resid | scale] along lanes
-    sides = jnp.concatenate([sqn.reshape(nseg, SEG),
-                             resid.reshape(nseg, SEG),
-                             scale.reshape(nseg, SEG)], axis=1)
-    in_specs = [
-        pl.BlockSpec((TILE_N, d), lambda i: (i, 0)),
-        pl.BlockSpec((d, NQ_PAD), lambda i: (0, 0)),
-        pl.BlockSpec((TILE_N // SEG, 3 * SEG), lambda i: (i, 0)),
-        pl.BlockSpec((8, NQ_PAD), lambda i: (0, 0)),
-    ]
-    args = [x8, q8t, sides, qside]
-    if has_mask:
-        in_specs.append(pl.BlockSpec((TILE_N // SEG, SEG), lambda i: (i, 0)))
-        args.append(mask.astype(jnp.float32).reshape(nseg, SEG))
+    qside = jnp.stack([sq, qe, qn + qe, q_aux], axis=1)      # (nq, 4)
+    qside = jnp.pad(qside, ((0, NQ_PAD - nq), (0, 128 - 4)))
+    q8 = jnp.pad(q8, ((0, NQ_PAD - nq), (0, 0)))
 
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _kernel(metric, has_mask, n, nb),
-            out_shape=jax.ShapeDtypeStruct((nseg, NQ_PAD), jnp.float32),
+            _kernel(metric, NQ_PAD, npl),
+            out_shape=jax.ShapeDtypeStruct((nb * NQ_PAD, npl), jnp.float32),
             grid=(nb,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((TILE_N // SEG, NQ_PAD), lambda i: (i, 0)),
+            in_specs=[
+                pl.BlockSpec((tile, d), lambda i: (i, 0)),
+                pl.BlockSpec((NQ_PAD, d), lambda i: (0, 0)),
+                pl.BlockSpec((4, tile), lambda i: (0, i)),
+                pl.BlockSpec((NQ_PAD, 128), lambda i: (0, 0)),
+                pl.BlockSpec((1, tile), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((NQ_PAD, npl), lambda i: (i, 0)),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(*args)
-    return out.T[:nq]
+        )(x8, q8, sides, qside, maskvalid)
+    return (out.reshape(nb, NQ_PAD, npl).transpose(1, 0, 2)
+            .reshape(NQ_PAD, nseg)[:nq])
 
 
 def sq8_supported(d: int, nq: int = 1) -> bool:
     try:
         return (jax.default_backend() == "tpu" and d % 128 == 0
-                and nq <= NQ_PAD)
+                and nq <= NQ_MAX)
     except Exception:
         return False

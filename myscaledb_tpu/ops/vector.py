@@ -121,7 +121,7 @@ def _distance_scan_oneshot_impl(x, q, mask, x_sqnorm, metric: str, k: int,
     n, d = x.shape
     nq = q.shape[0]
     ksel = min(k + margin, n)
-    n_pad = -(-n // SEG) * SEG
+    n_floor = (n // SEG) * SEG   # ragged tail rows are always candidates
 
     if metric == "Cosine":
         q_norm = jnp.sqrt(jnp.sum(q * q, axis=1))
@@ -134,26 +134,36 @@ def _distance_scan_oneshot_impl(x, q, mask, x_sqnorm, metric: str, k: int,
     s = _stage1_scores(x, q, x_sqnorm, metric, q_aux, precision)  # (nq, n)
     if has_mask:
         s = jnp.where(mask[None, :], s, POS_INF)
-    if n_pad != n:
-        # pad the (nq, n) score matrix, NOT x — padding x would copy the
-        # whole table every query (measured +2.5ms on 1M x 128)
-        s = jnp.pad(s, ((0, 0), (0, n_pad - n)), constant_values=POS_INF)
+    # NEVER jnp.pad the (nq, n) score matrix to a segment multiple: besides
+    # the copy, the pad+gather combination miscompiles on TPU at n = 1M
+    # (returns +inf rows — found round 2); the <128-row tail simply joins
+    # the candidate set unconditionally instead.
 
-    nseg = n_pad // SEG
-    sr = s.reshape(nq, nseg, SEG)
-    kseg = min(ksel, nseg)
-    segmin = jnp.min(sr, axis=-1)                            # (nq, nseg)
-    _, segidx = lax.top_k(-segmin, kseg)   # ties -> lowest segment id
-    # candidates laid out in ascending-segment (== ascending-id) order, so
-    # top_k's lowest-index tie rule IS the ascending-id tie rule — avoids a
-    # full (score, id) variadic sort over the candidate set (slow on TPU)
-    segidx = jnp.sort(segidx, axis=-1)
-    cand = jnp.take_along_axis(sr, segidx[:, :, None], axis=1)
-    cand = cand.reshape(nq, kseg * SEG)
-    cid = (segidx[:, :, None].astype(jnp.int32) * SEG +
-           jax.lax.broadcasted_iota(jnp.int32, (1, 1, SEG), 2)
-           ).reshape(nq, kseg * SEG)
-    neg, pos = lax.top_k(-cand, min(ksel, kseg * SEG))
+    nseg = n_floor // SEG
+    if nseg > 0:
+        sr = s[:, :n_floor].reshape(nq, nseg, SEG)
+        kseg = min(ksel, nseg)
+        segmin = jnp.min(sr, axis=-1)                        # (nq, nseg)
+        _, segidx = lax.top_k(-segmin, kseg)   # ties -> lowest segment id
+        # candidates laid out in ascending-segment (== ascending-id) order,
+        # so top_k's lowest-index tie rule IS the ascending-id tie rule —
+        # avoids a full (score, id) variadic sort over the candidate set
+        segidx = jnp.sort(segidx, axis=-1)
+        cand = jnp.take_along_axis(sr, segidx[:, :, None], axis=1)
+        cand = cand.reshape(nq, kseg * SEG)
+        cid = (segidx[:, :, None].astype(jnp.int32) * SEG +
+               jax.lax.broadcasted_iota(jnp.int32, (1, 1, SEG), 2)
+               ).reshape(nq, kseg * SEG)
+    else:
+        cand = jnp.zeros((nq, 0), dtype=jnp.float32)
+        cid = jnp.zeros((nq, 0), dtype=jnp.int32)
+    if n_floor != n:
+        tail_ids = jnp.arange(n_floor, n, dtype=jnp.int32)
+        cand = jnp.concatenate([cand, s[:, n_floor:]], axis=1)
+        cid = jnp.concatenate(
+            [cid, jnp.broadcast_to(tail_ids[None, :], (nq, n - n_floor))],
+            axis=1)
+    neg, pos = lax.top_k(-cand, min(ksel, cand.shape[1]))
     cs = -neg
     ci = jnp.take_along_axis(cid, pos, axis=1)
     ci = jnp.where(jnp.isposinf(cs), INVALID_ID, ci)
@@ -219,22 +229,35 @@ def _distance_scan_pallas(x, q, mask, x_sqnorm, metric: str, k: int,
 @partial(jax.jit)
 def build_sq8(x):
     """SQ8 sidecar for the certified int8 stage-1 scan: per-row symmetric
-    int8 quantization + the residual norm the error bound needs.  One pass
-    over the table, built lazily per (table, column, mutation epoch) — the
+    int8 quantization + the side fields the error bound needs, already
+    padded and packed into the kernel's streaming layout.  One pass over
+    the table, built lazily per (table, column, mutation epoch) — the
     analog of the reference building an SQ vector index in the background
-    (VIBuilderUpdater), except queries through it stay exact."""
+    (VIBuilderUpdater), except queries through it stay exact.
+
+    Returns (x8 (n_pad, d) int8, sides (4, n_pad) f32) with sides rows
+    [‖x‖², ‖x − scale·x8‖₂, scale, valid]."""
+    from myscaledb_tpu.ops.pallas.distance_q import sidecar_pad_rows
     x = _as_f32(x)
+    n = x.shape[0]
+    n_pad = sidecar_pad_rows(n)
+    pr = n_pad - n
     scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1) / 127.0, 1e-30)
     x8 = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
     resid = x - x8.astype(jnp.float32) * scale[:, None]
     r = jnp.sqrt(jnp.sum(resid * resid, axis=1))
-    return x8, scale, r
+    sqn = jnp.sum(x * x, axis=1)
+    x8 = jnp.pad(x8, ((0, pr), (0, 0)))
+    sides = jnp.stack([jnp.pad(sqn, (0, pr)), jnp.pad(r, (0, pr)),
+                       jnp.pad(scale, (0, pr)),
+                       (jnp.arange(n_pad) < n).astype(jnp.float32)])
+    return x8, sides
 
 
 @partial(jax.jit,
          static_argnames=("metric", "k", "has_mask", "margin", "interpret"))
-def _distance_scan_sq8(x, x8, scale, resid, q, mask, x_sqnorm, metric: str,
-                       k: int, has_mask: bool, margin: int = 32,
+def _distance_scan_sq8(x, x8, sides, q, mask, metric: str,
+                       k: int, has_mask: bool, margin: int = 16,
                        interpret: bool = False):
     """Certified-exact quantized scan: int8 stage-1 lower bounds (1/4 the
     HBM bytes of f32), exact f32 rescore of the selected segments, plus a
@@ -244,11 +267,14 @@ def _distance_scan_sq8(x, x8, scale, resid, q, mask, x_sqnorm, metric: str,
     then is the quantized path allowed to be wrong, and it never shows."""
     from myscaledb_tpu.ops.pallas.distance_q import sq8_segmin_lower_bounds
     n, d = x.shape
+    n_pad = x8.shape[0]
     nq = q.shape[0]
-    mask_f = mask.astype(jnp.float32) if has_mask else \
-        jnp.ones((0,), dtype=jnp.float32)
-    seg_lb = sq8_segmin_lower_bounds(x8, scale, resid, x_sqnorm, q, mask_f,
-                                     metric, has_mask, interpret)
+    if has_mask:
+        mv = (jnp.pad(mask.astype(jnp.float32), (0, n_pad - n))[None, :]
+              * sides[3:4])
+    else:
+        mv = sides[3:4]
+    seg_lb = sq8_segmin_lower_bounds(x8, sides, q, mv, metric, interpret)
     nseg = seg_lb.shape[1]
     M = min(k + margin, nseg)
     take = min(M + 1, nseg)
@@ -362,8 +388,8 @@ def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
     metric's native convention (see module docstring); rows are ordered best
     first (ascending for L2/Cosine, descending for IP), ties by id.
 
-    ``sq8``: optional (x8, scale, resid) sidecar from build_sq8 — enables
-    the certified int8 stage-1 (1/4 the scan bytes); results are bit-equal
+    ``sq8``: optional (x8, sides) sidecar from build_sq8 — enables the
+    certified int8 stage-1 (1/4 the scan bytes); results are bit-equal
     (the certificate falls back to the f32 path when it cannot prove the
     selection, so exactness never depends on the quantization).
     """
@@ -385,10 +411,10 @@ def distance_scan(x, q, metric: str = "L2", k: int = 10, mask=None,
     if sq8 is not None and n >= (1 << 16):
         from myscaledb_tpu.ops.pallas.distance_q import sq8_supported
         if sq8_supported(x.shape[1], nq):
-            x8, scale, resid = sq8
+            x8, sides = sq8
             d_, i_, ok = _distance_scan_sq8(
-                x, x8, scale, resid, q, mask, _as_f32(x_sqnorm), metric,
-                int(k), has_mask, max(int(margin), 32))
+                x, x8, sides, q, mask, metric, int(k), has_mask,
+                max(int(margin), 16))
             if bool(np.asarray(ok)):
                 return d_, i_
             # certificate failed (clustered/tied data): full-precision path

@@ -198,15 +198,13 @@ import pytest
 
 def _sq8_run(x, q, metric, k, mask=None, margin=32):
     import jax.numpy as jnp
-    from myscaledb_tpu.ops.vector import (build_sq8, _distance_scan_sq8,
-                                          precompute_sqnorm)
-    x8, scale, resid = build_sq8(x)
-    sqn = precompute_sqnorm(x)
+    from myscaledb_tpu.ops.vector import build_sq8, _distance_scan_sq8
+    x8, sides = build_sq8(x)
     has_mask = mask is not None
     m = jnp.asarray(mask, dtype=bool) if has_mask else \
         jnp.ones((0,), dtype=bool)
-    return _distance_scan_sq8(jnp.asarray(x, jnp.float32), x8, scale, resid,
-                              jnp.asarray(q, jnp.float32), m, sqn, metric,
+    return _distance_scan_sq8(jnp.asarray(x, jnp.float32), x8, sides,
+                              jnp.asarray(q, jnp.float32), m, metric,
                               k, has_mask, margin, interpret=True)
 
 
