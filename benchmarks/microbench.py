@@ -1,0 +1,225 @@
+"""Microbenchmarks that drive round-3 kernel design decisions.
+
+Run on the real chip:  python benchmarks/microbench.py E1 E2 ...
+Timing follows BENCH_NOTES.md: R iterations inside one jitted lax.scan with
+a chained scalar dependency, then a single host fetch.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def timed(make_body, *args, iters=8, reps=3):
+    @jax.jit
+    def run(*a):
+        def body(acc, _):
+            out = make_body(*a, acc)
+            return jnp.float32(out), None
+        acc, _ = lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    np.asarray(run(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run(*args))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def E1_gather():
+    """Random gather throughput: 125M lookups into a 16M-entry i32 table."""
+    M, N = 1 << 24, 125_000_000
+    key = jax.random.PRNGKey(0)
+    table = jnp.arange(M, dtype=jnp.int32)
+    idx = jax.random.randint(key, (N,), 0, M, dtype=jnp.int32)
+    jax.block_until_ready((table, idx))
+
+    def body(table, idx, acc):
+        out = table[(idx + acc.astype(jnp.int32) * 0)]
+        return out.sum().astype(jnp.float32) * 1e-12
+
+    dt = timed(body, table, idx, iters=2)
+    print(f"E1 gather 125M into 16M: {dt*1e3:.2f} ms = {N/dt/1e9:.2f} G/s")
+
+
+def E1b_gather_small():
+    """Gather into a small (VMEM-size) 128K table."""
+    M, N = 1 << 17, 125_000_000
+    key = jax.random.PRNGKey(0)
+    table = jnp.arange(M, dtype=jnp.int32)
+    idx = jax.random.randint(key, (N,), 0, M, dtype=jnp.int32)
+    jax.block_until_ready((table, idx))
+
+    def body(table, idx, acc):
+        out = table[(idx + acc.astype(jnp.int32) * 0)]
+        return out.sum().astype(jnp.float32) * 1e-12
+
+    dt = timed(body, table, idx, iters=2)
+    print(f"E1b gather 125M into 128K: {dt*1e3:.2f} ms = {N/dt/1e9:.2f} G/s")
+
+
+def E2_sort():
+    """lax.sort_key_val of 125M (u32, i32) pairs."""
+    N = 125_000_000
+    key = jax.random.PRNGKey(1)
+    k = jax.random.randint(key, (N,), 0, 1 << 30, dtype=jnp.int32).view(jnp.uint32)
+    v = jnp.arange(N, dtype=jnp.int32)
+    jax.block_until_ready((k, v))
+
+    def body(k, v, acc):
+        ks, vs = lax.sort_key_val(k ^ acc.astype(jnp.int32).view(jnp.uint32) * 0, v)
+        return ks[0].astype(jnp.float32) * 1e-12 + vs[-1].astype(jnp.float32) * 0
+
+    dt = timed(body, k, v, iters=2)
+    print(f"E2 sort 125M pairs: {dt*1e3:.1f} ms = {N/dt/1e9:.3f} G/s")
+
+
+def E2b_sort_10m():
+    N = 10_000_000
+    key = jax.random.PRNGKey(1)
+    k = jax.random.randint(key, (N,), 0, 1 << 30, dtype=jnp.int32).view(jnp.uint32)
+    v = jnp.arange(N, dtype=jnp.int32)
+    jax.block_until_ready((k, v))
+
+    def body(k, v, acc):
+        ks, vs = lax.sort_key_val(k ^ acc.astype(jnp.int32).view(jnp.uint32) * 0, v)
+        return ks[0].astype(jnp.float32) * 1e-12 + vs[-1].astype(jnp.float32) * 0
+
+    dt = timed(body, k, v, iters=4)
+    print(f"E2b sort 10M pairs: {dt*1e3:.1f} ms = {N/dt/1e9:.3f} G/s")
+
+
+def E3_searchsorted():
+    """jnp.searchsorted: 125M probes into 10M sorted."""
+    M, N = 10_000_000, 125_000_000
+    key = jax.random.PRNGKey(2)
+    tbl = jnp.sort(jax.random.randint(key, (M,), 0, 1 << 30, dtype=jnp.int32))
+    q = jax.random.randint(jax.random.PRNGKey(3), (N,), 0, 1 << 30, dtype=jnp.int32)
+    jax.block_until_ready((tbl, q))
+
+    def body(tbl, q, acc):
+        pos = jnp.searchsorted(tbl, q + acc.astype(jnp.int32) * 0)
+        return pos.sum().astype(jnp.float32) * 1e-12
+
+    dt = timed(body, tbl, q, iters=1, reps=2)
+    print(f"E3 searchsorted 125M into 10M: {dt*1e3:.1f} ms = {N/dt/1e9:.3f} G/s")
+
+
+def E4_onehot_variants():
+    """Grouped aggregation one-hot matmul variants, G=256, N=100M, 1 stat."""
+    N, G = 100_000_000, 256
+    key = jax.random.PRNGKey(4)
+    gid = jax.random.randint(key, (N,), 0, G, dtype=jnp.int32)
+    vals = jax.random.randint(jax.random.PRNGKey(5), (N,), -1000, 1000,
+                              dtype=jnp.int32)
+    jax.block_until_ready((gid, vals))
+
+    B = 1 << 18
+
+    def v_f32_direct(gid, vals, acc):
+        """(B,G) f32 one-hot per block, direct dot."""
+        gb = gid.reshape(-1, B)
+        vb = vals.reshape(-1, B)
+
+        def blk(carry, i):
+            g, v = gb[i], vb[i].astype(jnp.float32)
+            oh = (g[:, None] == lax.broadcasted_iota(jnp.int32, (B, G), 1)
+                  ).astype(jnp.float32)
+            part = jnp.dot(v[None, :] + acc * 0, oh,
+                           preferred_element_type=jnp.float32)
+            return carry + part, None
+
+        out, _ = lax.scan(blk, jnp.zeros((1, G), jnp.float32),
+                          jnp.arange(gb.shape[0]))
+        return out.sum() * 1e-12
+
+    def v_bf16(gid, vals, acc):
+        gb = gid.reshape(-1, B)
+        vb = vals.reshape(-1, B)
+
+        def blk(carry, i):
+            g, v = gb[i], vb[i].astype(jnp.bfloat16)
+            oh = (g[:, None] == lax.broadcasted_iota(jnp.int32, (B, G), 1)
+                  ).astype(jnp.bfloat16)
+            part = jnp.dot(v[None, :] + acc.astype(jnp.bfloat16) * 0, oh,
+                           preferred_element_type=jnp.float32)
+            return carry + part, None
+
+        out, _ = lax.scan(blk, jnp.zeros((1, G), jnp.float32),
+                          jnp.arange(gb.shape[0]))
+        return out.sum() * 1e-12
+
+    def v_int8(gid, vals, acc):
+        """int8 one-hot x int8 limbs -> int32 accum."""
+        gb = gid.reshape(-1, B)
+        vb = vals.reshape(-1, B)
+
+        def blk(carry, i):
+            g = gb[i]
+            u = (vb[i] + 1000).astype(jnp.int32)   # [0, 2000) -> 2 limbs b128
+            lo = (u & 127).astype(jnp.int8)
+            hi = (u >> 7).astype(jnp.int8)
+            oh = (g[:, None] == lax.broadcasted_iota(jnp.int32, (B, G), 1)
+                  ).astype(jnp.int8)
+            limbs = jnp.stack([lo, hi], 0) + acc.astype(jnp.int8) * 0  # (2,B)
+            part = lax.dot_general(limbs, oh, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+            return carry + part, None
+
+        out, _ = lax.scan(blk, jnp.zeros((2, G), jnp.int32),
+                          jnp.arange(gb.shape[0]))
+        return out.sum().astype(jnp.float32) * 1e-12
+
+    for name, fn, iters in [("f32 direct G=256", v_f32_direct, 2),
+                            ("bf16 G=256", v_bf16, 2),
+                            ("int8 limbs G=256", v_int8, 2)]:
+        try:
+            dt = timed(fn, gid, vals, iters=iters, reps=2)
+            print(f"E4 {name}: {dt*1e3:.1f} ms = {N/dt/1e9:.2f} Grows/s")
+        except Exception as e:
+            print(f"E4 {name}: FAILED {type(e).__name__} {e}")
+
+
+def E5_scatter_10m():
+    N, C = 10_000_000, 1 << 24
+    key = jax.random.PRNGKey(6)
+    idx = jax.random.randint(key, (N,), 0, C, dtype=jnp.int32)
+    v = jnp.arange(N, dtype=jnp.int32)
+    jax.block_until_ready((idx, v))
+
+    def body(idx, v, acc):
+        out = jnp.zeros(C, jnp.int32).at[idx + acc.astype(jnp.int32) * 0].max(v)
+        return out[0].astype(jnp.float32) * 1e-12
+
+    dt = timed(body, idx, v, iters=2)
+    print(f"E5 scatter-max 10M into 16M: {dt*1e3:.1f} ms")
+
+
+def E6_stream():
+    """Pure streaming reduce, 100M i32 x2 columns = 800MB: the roofline."""
+    N = 100_000_000
+    a = jnp.ones((N,), jnp.int32)
+    b = jnp.ones((N,), jnp.int32)
+    jax.block_until_ready((a, b))
+
+    def body(a, b, acc):
+        return (a + acc.astype(jnp.int32) * 0).sum().astype(jnp.float32) * 1e-12 + \
+               b.sum().astype(jnp.float32) * 0
+
+    dt = timed(body, a, b, iters=8)
+    print(f"E6 stream-reduce 400MB: {dt*1e3:.2f} ms = {400e6/dt/1e9:.0f} GB/s")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["E1", "E1b", "E2", "E2b", "E3", "E4", "E5", "E6"]
+    for w in which:
+        globals()[{"E1": "E1_gather", "E1b": "E1b_gather_small",
+                   "E2": "E2_sort", "E2b": "E2b_sort_10m",
+                   "E3": "E3_searchsorted", "E4": "E4_onehot_variants",
+                   "E5": "E5_scatter_10m", "E6": "E6_stream"}[w]]()

@@ -1,0 +1,230 @@
+"""Round-3 design microbenchmarks, part 2: one-hot matmul floor, gather
+variants, scan costs."""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from microbench import timed
+
+
+def E4_onehot(N=96 * 1024 * 1024, G=256, B=1 << 18):
+    key = jax.random.PRNGKey(4)
+    gid = jax.random.randint(key, (N,), 0, G, dtype=jnp.int32)
+    vals = jax.random.randint(jax.random.PRNGKey(5), (N,), -1000, 1000,
+                              dtype=jnp.int32)
+    jax.block_until_ready((gid, vals))
+
+    def v_f32(gid, vals, acc):
+        gb = gid.reshape(-1, B)
+        vb = vals.reshape(-1, B)
+
+        def blk(carry, i):
+            g, v = gb[i], vb[i].astype(jnp.float32)
+            oh = (g[:, None] == lax.broadcasted_iota(jnp.int32, (B, G), 1)
+                  ).astype(jnp.float32)
+            part = jnp.dot(v[None, :] + acc * 0, oh,
+                           preferred_element_type=jnp.float32)
+            return carry + part, None
+
+        out, _ = lax.scan(blk, jnp.zeros((1, G), jnp.float32),
+                          jnp.arange(gb.shape[0]))
+        return out.sum() * 1e-12
+
+    def v_bf16(gid, vals, acc):
+        gb = gid.reshape(-1, B)
+        vb = vals.reshape(-1, B)
+
+        def blk(carry, i):
+            g, v = gb[i], vb[i].astype(jnp.bfloat16)
+            oh = (g[:, None] == lax.broadcasted_iota(jnp.int32, (B, G), 1)
+                  ).astype(jnp.bfloat16)
+            part = jnp.dot((v + acc.astype(jnp.bfloat16) * 0)[None, :], oh,
+                           preferred_element_type=jnp.float32)
+            return carry + part, None
+
+        out, _ = lax.scan(blk, jnp.zeros((1, G), jnp.float32),
+                          jnp.arange(gb.shape[0]))
+        return out.sum() * 1e-12
+
+    def v_int8(gid, vals, acc):
+        gb = gid.reshape(-1, B)
+        vb = vals.reshape(-1, B)
+
+        def blk(carry, i):
+            g = gb[i]
+            u = (vb[i] + 1000).astype(jnp.int32)
+            lo = (u & 127).astype(jnp.int8)
+            hi = (u >> 7).astype(jnp.int8)
+            oh = (g[:, None] == lax.broadcasted_iota(jnp.int32, (B, G), 1)
+                  ).astype(jnp.int8)
+            limbs = jnp.stack([lo, hi], 0) + acc.astype(jnp.int8) * 0
+            part = lax.dot_general(limbs, oh, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+            return carry + part, None
+
+        out, _ = lax.scan(blk, jnp.zeros((2, G), jnp.int32),
+                          jnp.arange(gb.shape[0]))
+        return out.sum().astype(jnp.float32) * 1e-12
+
+    for name, fn in [("f32 1stat", v_f32), ("bf16 1stat", v_bf16),
+                     ("int8 2limb", v_int8)]:
+        try:
+            dt = timed(fn, gid, vals, iters=2, reps=2)
+            print(f"E4 onehot {name} G={G}: {dt*1e3:.1f} ms "
+                  f"= {N/dt/1e9:.2f} Grows/s")
+        except Exception as e:
+            print(f"E4 {name}: FAILED {type(e).__name__} {e}")
+
+
+def E4c_matmul_peak():
+    """Raw MXU: (8192,8192)@(8192,8192) bf16 and f32."""
+    n = 8192
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+    jax.block_until_ready((a, b))
+
+    def body(a, b, acc):
+        c = jnp.dot(a + acc.astype(jnp.bfloat16) * 0, b,
+                    preferred_element_type=jnp.float32)
+        return c[0, 0] * 1e-12
+
+    dt = timed(body, a, b, iters=4)
+    fl = 2 * n**3
+    print(f"E4c bf16 {n}^3 matmul: {dt*1e3:.2f} ms = {fl/dt/1e12:.1f} TFLOPS")
+
+    a = jnp.ones((n, n), jnp.float32)
+    b = jnp.ones((n, n), jnp.float32)
+    jax.block_until_ready((a, b))
+    dt = timed(body, a, b, iters=4)
+    print(f"E4c f32 {n}^3 matmul: {dt*1e3:.2f} ms = {fl/dt/1e12:.1f} TFLOPS")
+
+
+def E10_gather_variants():
+    N = 1 << 25  # 33.5M lookups
+    key = jax.random.PRNGKey(7)
+
+    # (a) 1D take, 256-entry table
+    t256 = jnp.arange(256, dtype=jnp.int32)
+    idx = jax.random.randint(key, (N,), 0, 256, dtype=jnp.int32)
+    jax.block_until_ready((t256, idx))
+
+    def g1(t, idx, acc):
+        return t[idx + acc.astype(jnp.int32) * 0].sum().astype(jnp.float32) * 1e-9
+
+    dt = timed(g1, t256, idx, iters=1, reps=2)
+    print(f"E10a take 33M from 256: {dt*1e3:.1f} ms = {N/dt/1e9:.2f} G/s")
+
+    # (b) take_along_axis on lanes: table (1,256) bcast, idx (N/128, 128)
+    idx2 = idx.reshape(-1, 128)
+    t2 = jnp.broadcast_to(t256[None, :], (idx2.shape[0], 256))
+
+    def g2(t, i2, acc):
+        out = jnp.take_along_axis(t, i2 + acc.astype(jnp.int32) * 0, axis=1)
+        return out.sum().astype(jnp.float32) * 1e-9
+
+    dt = timed(g2, t2, idx2, iters=1, reps=2)
+    print(f"E10b take_along lanes 33M/256: {dt*1e3:.1f} ms = {N/dt/1e9:.2f} G/s")
+
+    # (c) row gather: (1M, 128) f32 table, 64K row indices
+    M, R = 1 << 20, 1 << 16
+    tbl = jnp.ones((M, 128), jnp.float32)
+    ridx = jax.random.randint(key, (R,), 0, M, dtype=jnp.int32)
+    jax.block_until_ready((tbl, ridx))
+
+    def g3(t, ri, acc):
+        out = t[ri + acc.astype(jnp.int32) * 0]
+        return out.sum() * 1e-9
+
+    dt = timed(g3, tbl, ridx, iters=2, reps=2)
+    byts = R * 128 * 4
+    print(f"E10c row-gather 64K x 512B: {dt*1e3:.2f} ms = {byts/dt/1e9:.1f} GB/s"
+          f" = {R/dt/1e6:.1f} Mrows/s")
+
+
+def E11_scans():
+    N = 125_000_000
+    x = jnp.ones((N,), jnp.int32)
+    jax.block_until_ready(x)
+
+    def c1(x, acc):
+        return jnp.cumsum(x + acc.astype(jnp.int32) * 0)[-1].astype(jnp.float32) * 1e-12
+
+    dt = timed(c1, x, iters=2)
+    print(f"E11 cumsum 125M: {dt*1e3:.1f} ms")
+
+    def c2(x, acc):
+        out = lax.associative_scan(jnp.maximum, x + acc.astype(jnp.int32) * 0)
+        return out[-1].astype(jnp.float32) * 1e-12
+
+    dt = timed(c2, x, iters=2)
+    print(f"E11 assoc cummax 125M: {dt*1e3:.1f} ms")
+
+
+def E2c_sort_nopayload():
+    N = 125_000_000
+    k = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, 1 << 30,
+                           dtype=jnp.int32)
+    jax.block_until_ready(k)
+
+    def body(k, acc):
+        ks = lax.sort(k + acc.astype(jnp.int32) * 0)
+        return ks[0].astype(jnp.float32) * 1e-12
+
+    dt = timed(body, k, iters=2, reps=2)
+    print(f"E2c sort 125M i32 keys only: {dt*1e3:.1f} ms")
+
+
+def E12_config3_variants():
+    """Config 3: top-100 of 100M f32."""
+    N, k = 100_000_000, 100
+    v = jax.random.normal(jax.random.PRNGKey(2), (N,), dtype=jnp.float32)
+    jax.block_until_ready(v)
+
+    sys.path.insert(0, "/root/repo")
+    from myscaledb_tpu.ops.sort import _topn_single_segmented, _ascending_code
+
+    def cur(v, acc):
+        code = _ascending_code(v + acc * 1e-30)
+        idx = _topn_single_segmented(code, k)
+        return idx.astype(jnp.float32).sum() * 1e-9
+
+    dt = timed(cur, v, iters=4)
+    print(f"E12 current topn path: {dt*1e3:.2f} ms")
+
+    def fused(v, acc):
+        # segmax over raw f32 (desc order): max of encode == encode of max
+        # only when all-finite & sign handling; here take per-seg max of v
+        # directly (ordering-equivalent for non-NaN f32 desc).
+        sr = (v + acc * 1e-30).reshape(-1, 128)
+        segmax = jnp.max(sr, axis=-1)           # (781250,)
+        sm2 = segmax.reshape(-1, 125)           # 6250 x 125
+        sup = jnp.max(sm2, axis=-1)
+        _, supidx = lax.top_k(sup, k)
+        cand = sm2[supidx].reshape(-1)          # 12500
+        _, p2 = lax.top_k(cand, k)
+        segsel = supidx[p2 // 125] * 125 + (p2 % 125)
+        rows = sr[segsel].reshape(-1)           # 12800
+        _, p3 = lax.top_k(rows, k)
+        idx = segsel[p3 // 128] * 128 + (p3 % 128)
+        return idx.astype(jnp.float32).sum() * 1e-9
+
+    dt = timed(fused, v, iters=4)
+    print(f"E12 fused f32 segmax topn: {dt*1e3:.2f} ms")
+
+    def passonly(v, acc):
+        sr = (v + acc * 1e-30).reshape(-1, 128)
+        return jnp.max(sr, axis=-1).sum() * 1e-9
+
+    dt = timed(passonly, v, iters=4)
+    print(f"E12 segmax pass alone: {dt*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:]
+    for w in which:
+        globals()[w]()

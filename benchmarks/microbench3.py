@@ -1,0 +1,57 @@
+"""Round-3 microbench part 3: strided segmax (config 3) and stream sanity."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from microbench import timed
+
+
+def E12b(N=100_000_000, k=100):
+    v = jax.random.normal(jax.random.PRNGKey(2), (N,), dtype=jnp.float32)
+    jax.block_until_ready(v)
+    nseg = N // 128   # strided segments: seg s = {s, s+nseg, s+2*nseg, ...}
+
+    def passonly(v, acc):
+        sr = (v + acc * 1e-30).reshape(128, nseg)
+        return jnp.max(sr, axis=0).sum() * 1e-9
+
+    dt = timed(passonly, v, iters=4)
+    print(f"E12b strided segmax pass alone: {dt*1e3:.2f} ms "
+          f"= {N*4/dt/1e9:.0f} GB/s")
+
+    def sum_sanity(v, acc):
+        return (v + acc * 1e-30).sum() * 1e-9
+
+    dt = timed(sum_sanity, v, iters=4)
+    print(f"E12b plain f32 sum 400MB: {dt*1e3:.2f} ms = {N*4/dt/1e9:.0f} GB/s")
+
+    # full exact variant with index recovery, strided segments
+    def full(v, acc):
+        x = v + acc * 1e-30
+        sr = x.reshape(128, nseg)
+        segmax = jnp.max(sr, axis=0)                    # (nseg,)
+        n2 = nseg // 128                                # 6104 (exact? 781250/128)
+        # pad nseg to multiple of 128
+        npad = (-nseg) % 128
+        sm = jnp.pad(segmax, (0, npad), constant_values=-jnp.inf)
+        m2 = sm.reshape(-1, 128)                        # (nsup, 128)
+        sup = jnp.max(m2, axis=1)                       # lane reduce but small
+        _, supidx = lax.top_k(sup, k)
+        cand = m2[supidx].reshape(-1)                   # (k*128,)
+        _, p2 = lax.top_k(cand, k)
+        segsel = supidx[p2 // 128] * 128 + (p2 % 128)   # segment ids
+        rows = sr[:, segsel]                            # (128, k) gather cols
+        _, p3 = lax.top_k(rows.reshape(-1), k)
+        ridx = (p3 // k) * nseg + segsel[p3 % k]
+        return ridx.astype(jnp.float32).sum() * 1e-9
+
+    dt = timed(full, v, iters=4)
+    print(f"E12b full strided topn exact-ish: {dt*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    E12b()

@@ -69,15 +69,17 @@ def _matmul_kind(fn: str, arg) -> str | None:
     return None
 
 
-@partial(jax.jit, static_argnames=("num_groups", "fns"))
 def partial_aggregate_matmul(gid, mask, args, fns: tuple, num_groups: int,
                              arg_valids=None):
-    """partial_aggregate with sum/count/avg routed through the MXU one-hot
-    histogram (14x over scatter on TPU — BENCH_NOTES.md); min/max/any keep
-    the scatter path.  Bit-identical integer results; float sums differ only
-    in accumulation order (unspecified, as in the reference's parallel
-    aggregation)."""
+    """partial_aggregate with sum/count/avg routed through the Pallas VPU
+    group-accumulate kernel for small G (ops/pallas/group_agg.py), falling
+    back to the MXU one-hot histogram when ineligible (per-arg validity
+    masks, G > 256); min/max/any keep the scatter path.  Bit-identical
+    integer results; float sums differ only in accumulation order
+    (unspecified, as in the reference's parallel aggregation)."""
     from myscaledb_tpu.ops.aggregate_matmul import matmul_group_aggregate
+    from myscaledb_tpu.ops.pallas.group_agg import (pallas_group_aggregate,
+                                                    MAX_G)
     kinds, mm_args, mm_valids, mm_slots = [], [], [], []
     for i, (fn, a) in enumerate(zip(fns, args)):
         k = _matmul_kind(fn, a)
@@ -91,9 +93,13 @@ def partial_aggregate_matmul(gid, mask, args, fns: tuple, num_groups: int,
     states: list = [None] * len(fns)
     gc = None
     if mm_slots:
-        mm_states, gc, mm_counts = matmul_group_aggregate(
-            gid, mask, tuple(mm_args), tuple(kinds), num_groups,
-            tuple(mm_valids))
+        if num_groups <= MAX_G and all(v is None for v in mm_valids):
+            mm_states, gc, mm_counts = pallas_group_aggregate(
+                gid, mask, tuple(mm_args), tuple(kinds), num_groups)
+        else:
+            mm_states, gc, mm_counts = matmul_group_aggregate(
+                gid, mask, tuple(mm_args), tuple(kinds), num_groups,
+                tuple(mm_valids))
         for slot, st, cnt in zip(mm_slots, mm_states, mm_counts):
             states[slot] = (st, cnt) if fns[slot] == "avg" else st
     if scatter_idx or gc is None:

@@ -1,22 +1,33 @@
-"""Open-addressing hash table built with pure-XLA scatter rounds.
+"""Grouping / lookup on sorted runs — the TPU replacement for hash tables.
 
 The reference keeps 40+ specialized CPU hash tables for aggregation/joins
-(src/Common/HashTable/, src/Interpreters/Aggregator.h:563 AggregatedDataVariants).
-TPUs have no atomics or pointer chasing, so insertion is reformulated as a
-data-parallel fixed point:
+(src/Common/HashTable/, src/Interpreters/Aggregator.h:563) and a radix sort
+(src/Common/RadixSort.h).  TPUs have no usable random access: measured on a
+v5e, XLA gather and scatter run at ~0.25 G elements/s (serialized), while
+`lax.sort` runs a dense vectorized sorting network at ~0.25 G pairs/s but
+with full-tile parallelism that scales to any n without pathological probe
+chains.  Round 2's scatter-round insert advanced one probe slot per
+full-capacity scatter and took 58.7 s for 1M keys (and crashed the worker at
+10M).  This module rebuilds the whole family on sort:
 
-  every unresolved row proposes itself for its current slot via scatter-min of
-  its row index (deterministic winner), winners write their key, then ALL rows
-  compare their key with the slot's key — matches resolve (group id = slot),
-  mismatches advance to the next slot (linear probing).  Each round resolves
-  at least one key per contended slot, so the loop terminates in <= max
-  probe-chain length rounds (O(log n) w.h.p. at load factor <= 0.5).
+  build   sort rows by (valid, key columns) stably; equal keys become one
+          contiguous run; the run's first element (lowest original row id,
+          by stability) is the group representative.  Group id = dense run
+          index in sorted order — the analog of the reference's cleared
+          hash-table cell index.
 
-Keys are tuples of integer component columns (multi-column keys supported by
-comparing every component — the analog of the reference's keys128/serialized
-variants).  The same table drives GROUP BY (ht_insert) and hash-join
-build/probe (ht_insert + ht_lookup); a lookup that reaches an empty slot
-reports "not found".
+  lookup  merge-join: concatenate build and probe rows, sort by
+          (key columns, side-rank), forward-fill the nearest preceding
+          build entry with an associative scan, and match on key equality.
+          Build rows sort before probe rows of the same key, so the fill
+          always observes the group representative (ANY semantics: lowest
+          build row wins, deterministic — HashJoin.h:147 any_take_last_row
+          = false default).
+
+Every step is a dense op (sort / scan / compare); the only scatters are the
+final O(n) writes back to input order, which XLA executes once per call.
+Keys are tuples of integer component columns (multi-column keys = extra
+sort operands, the analog of the reference's keys128/serialized variants).
 """
 
 from __future__ import annotations
@@ -28,27 +39,21 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from myscaledb_tpu.ops.hash import hash32, hash_combine
-
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 class HashTable(NamedTuple):
-    """Device-resident table state (capacity C = power of two)."""
-    slot_keys: tuple          # per key component: (C,) array
-    slot_row: jnp.ndarray     # (C,) int32: winning build-row index, INT32_MAX = empty
+    """Build-side state for lookups.
+
+    slot ids are dense group ids in [0, capacity); ``slot_row[slot]`` is the
+    lowest original build row of that group (INT32_MAX for unused slots —
+    capacity may exceed the true group count when it was not synced).
+    """
+    key_cols: tuple           # original build key columns, each (n_build,)
+    valid: jnp.ndarray        # (n_build,) bool
+    gid_of_row: jnp.ndarray   # (n_build,) int32 dense group id, INT32_MAX invalid
+    slot_row: jnp.ndarray     # (capacity,) int32 lowest row per group
     capacity: int
-
-    @property
-    def occupied(self) -> jnp.ndarray:
-        return self.slot_row != INT32_MAX
-
-
-def _key_hash(key_cols: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    h = hash32(key_cols[0])
-    for c in key_cols[1:]:
-        h = hash_combine(h, hash32(c))
-    return h
 
 
 def next_pow2(n: int) -> int:
@@ -58,151 +63,257 @@ def next_pow2(n: int) -> int:
     return c
 
 
-@partial(jax.jit, static_argnames=("capacity", "max_probes"))
-def _ht_insert_impl(key_cols, mask, capacity: int, max_probes: int):
-    key_cols = tuple(jnp.asarray(c) for c in key_cols)
+def _as_sortable(c: jnp.ndarray) -> jnp.ndarray:
+    c = jnp.asarray(c)
+    if c.dtype == jnp.bool_:
+        return c.astype(jnp.int32)
+    return c
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _group_ids_impl(key_cols, mask, cap: int):
+    key_cols = tuple(_as_sortable(c) for c in key_cols)
     n = key_cols[0].shape[0]
-    cmask = capacity - 1
-    h0 = (_key_hash(key_cols) & jnp.uint32(cmask)).astype(jnp.int32)
-
-    slot_keys0 = tuple(jnp.zeros(capacity, dtype=c.dtype) for c in key_cols)
-    slot_row0 = jnp.full(capacity, INT32_MAX, dtype=jnp.int32)
-    row_idx = jnp.arange(n, dtype=jnp.int32)
-    OOB = jnp.int32(capacity)   # out-of-bounds index, dropped by scatters
-
-    def cond(state):
-        _, _, _, _, unresolved, probes = state
-        return jnp.logical_and(jnp.any(unresolved), probes < max_probes)
-
-    def body(state):
-        slot_keys, slot_row, cur, assigned, unresolved, probes = state
-        empty_here = slot_row[cur] == INT32_MAX
-        # propose: scatter-min row index into currently-empty target slots
-        can_claim = jnp.logical_and(unresolved, empty_here)
-        target = jnp.where(can_claim, cur, OOB)
-        proposal = jnp.full(capacity, INT32_MAX, dtype=jnp.int32)
-        proposal = proposal.at[target].min(row_idx, mode="drop")
-        winner = jnp.logical_and(can_claim, proposal[cur] == row_idx)
-        wslot = jnp.where(winner, cur, OOB)
-        slot_keys = tuple(sk.at[wslot].set(kc, mode="drop")
-                          for sk, kc in zip(slot_keys, key_cols))
-        slot_row = slot_row.at[wslot].set(row_idx, mode="drop")
-        # compare: unresolved rows whose current slot now holds their key resolve
-        occupied = slot_row[cur] != INT32_MAX
-        match = occupied
-        for sk, kc in zip(slot_keys, key_cols):
-            match = jnp.logical_and(match, sk[cur] == kc)
-        newly = jnp.logical_and(unresolved, match)
-        assigned = jnp.where(newly, cur, assigned)
-        unresolved = jnp.logical_and(unresolved, jnp.logical_not(newly))
-        cur = jnp.where(unresolved, (cur + 1) & cmask, cur)
-        return slot_keys, slot_row, cur, assigned, unresolved, probes + 1
-
-    init = (slot_keys0, slot_row0, h0,
-            jnp.full(n, INT32_MAX, dtype=jnp.int32),
-            jnp.asarray(mask, dtype=bool), jnp.int32(0))
-    slot_keys, slot_row, _, assigned, unresolved, _ = lax.while_loop(
-        cond, body, init)
-    ok = jnp.logical_not(jnp.any(unresolved))
-    return slot_keys, slot_row, assigned, ok
-
-
-def ht_insert(key_cols, mask, capacity: int, max_probes: int = 256):
-    """Insert all rows; equal keys land in the same slot.
-
-    key_cols: tuple of (n,) integer arrays (the composite key).
-    mask: (n,) bool — rows with mask=False are ignored (slot INT32_MAX).
-    Returns (table: HashTable, slot_of_row: (n,) int32, ok: bool scalar).
-    ``ok`` is False if max_probes was hit with rows unresolved — the host
-    retries with a larger capacity (the reference grows in-place instead).
-    """
-    slot_keys, slot_row, assigned, ok = _ht_insert_impl(
-        tuple(key_cols), mask, int(capacity), int(max_probes))
-    return HashTable(slot_keys, slot_row, int(capacity)), assigned, ok
-
-
-PROBE_CHUNK = 1 << 22   # probe rows per scan step: bounds while_loop carries
-
-
-@partial(jax.jit, static_argnames=("capacity", "max_probes"))
-def _ht_lookup_impl(slot_keys, slot_row, probe_cols, mask,
-                    capacity: int, max_probes: int):
-    probe_cols = tuple(jnp.asarray(c) for c in probe_cols)
-    n = probe_cols[0].shape[0]
-    cmask = capacity - 1
-
-    chunk = 128
-    while chunk < min(n, PROBE_CHUNK):
-        chunk *= 2
-    n_pad = -(-n // chunk) * chunk
-    if n_pad != n:
-        probe_cols = tuple(jnp.pad(c, (0, n_pad - n)) for c in probe_cols)
-        mask = jnp.pad(jnp.asarray(mask, dtype=bool), (0, n_pad - n),
-                       constant_values=False)
-    nc = n_pad // chunk
-    pc_r = tuple(c.reshape(nc, chunk) for c in probe_cols)
-    mask_r = jnp.asarray(mask, dtype=bool).reshape(nc, chunk)
-
-    def one_chunk(_, ci):
-        cols = tuple(c[ci] for c in pc_r)
-        cur0 = (_key_hash(cols) & jnp.uint32(cmask)).astype(jnp.int32)
-
-        def cond(state):
-            _, searching, _, probes = state
-            return jnp.logical_and(jnp.any(searching), probes < max_probes)
-
-        def body(state):
-            cur, searching, found_slot, probes = state
-            occupied = slot_row[cur] != INT32_MAX
-            match = occupied
-            for sk, pcol in zip(slot_keys, cols):
-                match = jnp.logical_and(match, sk[cur] == pcol)
-            hit = jnp.logical_and(searching, match)
-            found_slot = jnp.where(hit, cur, found_slot)
-            miss_empty = jnp.logical_and(searching, jnp.logical_not(occupied))
-            searching = jnp.logical_and(
-                searching, jnp.logical_not(jnp.logical_or(hit, miss_empty)))
-            cur = jnp.where(searching, (cur + 1) & cmask, cur)
-            return cur, searching, found_slot, probes + 1
-
-        init = (cur0, mask_r[ci],
-                jnp.full(chunk, INT32_MAX, dtype=jnp.int32), jnp.int32(0))
-        _, _, found_slot, _ = lax.while_loop(cond, body, init)
-        return None, found_slot
-
-    _, found_chunks = lax.scan(one_chunk, None, jnp.arange(nc))
-    found_slot = found_chunks.reshape(-1)[:n]
-    return found_slot, found_slot != INT32_MAX
-
-
-def ht_lookup(table: HashTable, probe_cols, mask=None, max_probes: int = 256):
-    """Probe the table. Returns (slot (n,), found (n,) bool); for found rows,
-    table.slot_row[slot] is the winning build-row index (ANY-join semantics:
-    lowest build row id wins, deterministic)."""
-    probe_cols = tuple(jnp.asarray(c) for c in probe_cols)
-    n = probe_cols[0].shape[0]
-    if mask is None:
-        mask = jnp.ones(n, dtype=bool)
-    return _ht_lookup_impl(table.slot_keys, table.slot_row, probe_cols, mask,
-                           table.capacity, max_probes)
+    row = jnp.arange(n, dtype=jnp.int32)
+    invalid = jnp.logical_not(jnp.asarray(mask, dtype=bool))
+    # stable sort: invalid rows last, equal keys contiguous, ties by row asc
+    ops = (invalid.astype(jnp.int32),) + key_cols + (row,)
+    sorted_ops = lax.sort(ops, dimension=0, num_keys=len(ops) - 1,
+                          is_stable=True)
+    s_invalid = sorted_ops[0] != 0
+    s_keys = sorted_ops[1:-1]
+    s_row = sorted_ops[-1]
+    # run starts: first valid position or key change
+    changed = jnp.zeros(n, dtype=bool).at[0].set(True)
+    for k in s_keys:
+        changed = jnp.logical_or(changed,
+                                 jnp.concatenate([jnp.ones(1, dtype=bool),
+                                                  k[1:] != k[:-1]]))
+    is_start = jnp.logical_and(changed, jnp.logical_not(s_invalid))
+    run_idx = jnp.cumsum(is_start.astype(jnp.int32)) - 1      # dense gid
+    gid_sorted = jnp.where(s_invalid, INT32_MAX, run_idx)
+    # scatter back to original row order (one O(n) scatter)
+    gid = jnp.zeros(n, dtype=jnp.int32).at[s_row].set(gid_sorted)
+    num_groups = jnp.where(jnp.any(is_start), run_idx[-1] + 1, 0)
+    # representative (lowest) row per group: the run start's row id
+    slot_row = jnp.full(cap, INT32_MAX, dtype=jnp.int32)
+    tgt = jnp.where(is_start, run_idx, cap)
+    slot_row = slot_row.at[tgt].min(s_row, mode="drop")
+    return gid, slot_row, num_groups
 
 
 def build_group_ids(key_cols, mask=None, num_groups_hint: int | None = None,
                     max_probes: int = 256):
-    """Host-driving wrapper: insert with capacity doubling until ok.
+    """Group rows by key tuple.  Returns (table, gid (n,) int32, capacity).
 
-    Returns (table, gid (n,) int32 slot per row, capacity).  gid of masked-out
-    rows is INT32_MAX.
+    gid is a DENSE group id in [0, capacity); masked-out rows get INT32_MAX.
+    Equal keys share a gid; the group representative table.slot_row[g] is the
+    lowest original row id of group g.  num_groups_hint/max_probes are
+    accepted for API compatibility and ignored (sort needs neither).
     """
     key_cols = tuple(jnp.asarray(c) for c in key_cols)
     n = key_cols[0].shape[0]
     if mask is None:
         mask = jnp.ones(n, dtype=bool)
-    cap = next_pow2(max(128, 2 * (num_groups_hint or min(n, 1 << 16))))
-    while True:
-        table, gid, ok = ht_insert(key_cols, mask, cap, max_probes)
-        if bool(ok):
-            return table, gid, cap
-        if cap > 4 * next_pow2(max(n, 1)):
-            raise RuntimeError("hash table insertion failed to converge")
-        cap *= 2
+    if n == 0:
+        table = HashTable(key_cols, jnp.asarray(mask, dtype=bool),
+                          jnp.zeros(0, dtype=jnp.int32),
+                          jnp.full(1, INT32_MAX, dtype=jnp.int32), 1)
+        return table, jnp.zeros(0, dtype=jnp.int32), 1
+    gid, slot_row, num_groups = _group_ids_impl(key_cols, mask, n)
+    cap = max(int(num_groups), 1)           # one host sync, like the
+    slot_row = slot_row[:cap]               # reference's table growth
+    table = HashTable(key_cols, jnp.asarray(mask, dtype=bool), gid,
+                      slot_row, cap)
+    return table, gid, cap
+
+
+def ht_insert(key_cols, mask, capacity: int = 0, max_probes: int = 256):
+    """Compatibility wrapper: returns (table, gid, ok=True)."""
+    table, gid, _cap = build_group_ids(tuple(key_cols), mask)
+    return table, gid, jnp.asarray(True)
+
+
+def group_ids_static(key_cols, mask=None):
+    """Traced-pure dense grouping (no host sync — safe inside shard_map):
+    returns (gid (n,) int32 dense in [0, n), INT32_MAX for masked rows;
+    rep_keys: per key column an (n,)-sized array mapping group id -> key
+    value; num_groups scalar int32).  The capacity is statically n."""
+    key_cols = tuple(jnp.asarray(c) for c in key_cols)
+    n = key_cols[0].shape[0]
+    if mask is None:
+        mask = jnp.ones(n, dtype=bool)
+    sortable = tuple(_as_sortable(c) for c in key_cols)
+    row = jnp.arange(n, dtype=jnp.int32)
+    invalid = jnp.logical_not(jnp.asarray(mask, dtype=bool))
+    ops = (invalid.astype(jnp.int32),) + sortable + (row,)
+    sorted_ops = lax.sort(ops, dimension=0, num_keys=len(ops) - 1,
+                          is_stable=True)
+    s_invalid = sorted_ops[0] != 0
+    s_keys = sorted_ops[1:-1]
+    s_row = sorted_ops[-1]
+    changed = jnp.zeros(n, dtype=bool).at[0].set(True)
+    for k in s_keys:
+        changed = jnp.logical_or(changed,
+                                 jnp.concatenate([jnp.ones(1, dtype=bool),
+                                                  k[1:] != k[:-1]]))
+    is_start = jnp.logical_and(changed, jnp.logical_not(s_invalid))
+    run_idx = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    gid_sorted = jnp.where(s_invalid, INT32_MAX, run_idx)
+    gid = jnp.zeros(n, dtype=jnp.int32).at[s_row].set(gid_sorted)
+    num_groups = jnp.where(jnp.any(is_start), run_idx[-1] + 1, 0)
+    tgt = jnp.where(is_start, run_idx, n)
+    rep_keys = tuple(
+        jnp.zeros(n, dtype=k.dtype).at[tgt].set(k, mode="drop")
+        for k in s_keys)
+    return gid, rep_keys, num_groups
+
+
+def _merged_run_fill(keys_all, rank, payload, extra_payload=()):
+    """Core of every lookup: sort the concatenated (build+probe) rows by
+    (keys..., rank, payload), then resolve each row's key-run representative
+    with ONE packed cumulative max instead of a tuple associative scan
+    (compiles to a single XLA cummax; the tuple-scan version OOM-killed the
+    AOT compiler at 135M rows).
+
+    Within a key run the sort places valid build rows (rank 0) first,
+    ordered by payload ascending — so the run's FIRST element is the lowest
+    build payload, giving deterministic ANY semantics
+    (HashJoin.h:147, any_take_last_row=false).  Each run start packs
+    (position+1) << 32 | (payload+1 if valid build else 0) into an int64;
+    a cummax then hands every position its own run's representative.
+
+    Returns (s_rank, found_at, rep_payload, extra_sorted): per sorted
+    position, whether the run has a valid build row and its payload.
+    """
+    n = keys_all[0].shape[0]
+    ops = keys_all + (rank, payload) + tuple(extra_payload)
+    nk = len(keys_all) + 2
+    sorted_ops = lax.sort(ops, dimension=0, num_keys=nk)
+    s_keys = sorted_ops[:len(keys_all)]
+    s_rank = sorted_ops[len(keys_all)]
+    s_pay = sorted_ops[len(keys_all) + 1]
+    s_extra = sorted_ops[nk:]
+    run_start = s_keys[0][1:] != s_keys[0][:-1]
+    for k in s_keys[1:]:
+        run_start = jnp.logical_or(run_start, k[1:] != k[:-1])
+    run_start = jnp.concatenate([jnp.ones(1, dtype=bool), run_start])
+    pos = jnp.arange(n, dtype=jnp.int64)
+    rep = jnp.where(jnp.logical_and(run_start, s_rank == 0),
+                    s_pay.astype(jnp.int64) + 1, jnp.int64(0))
+    packed = jnp.where(run_start, ((pos + 1) << jnp.int64(32)) | rep,
+                       jnp.int64(0))
+    cm = lax.cummax(packed)
+    pay_part = cm & jnp.int64(0xFFFFFFFF)
+    found_at = pay_part > 0
+    rep_payload = (pay_part - 1).astype(jnp.int32)
+    return s_rank, found_at, rep_payload, s_extra
+
+
+def _ranks(build_valid, probe_mask, nb, npr):
+    b_rank = jnp.where(jnp.asarray(build_valid, dtype=bool), 0, 2
+                       ).astype(jnp.int32)
+    if probe_mask is not None:
+        p_rank = jnp.where(jnp.asarray(probe_mask, dtype=bool), 1, 2
+                           ).astype(jnp.int32)
+    else:
+        p_rank = jnp.ones(npr, dtype=jnp.int32)
+    return jnp.concatenate([b_rank, p_rank])
+
+
+def _cat_keys(build_keys, probe_keys):
+    build_keys = tuple(_as_sortable(c) for c in build_keys)
+    probe_keys = tuple(_as_sortable(c).astype(b.dtype)
+                       for c, b in zip(probe_keys, build_keys))
+    return tuple(jnp.concatenate([b, p])
+                 for b, p in zip(build_keys, probe_keys))
+
+
+@jax.jit
+def _merge_lookup_impl(build_keys, build_valid, build_gid,
+                       probe_keys, probe_mask):
+    """Merge lookup: returns (slot (np,), found (np,)) in probe order."""
+    nb = build_keys[0].shape[0]
+    npr = probe_keys[0].shape[0]
+    keys_all = _cat_keys(build_keys, probe_keys)
+    rank = _ranks(build_valid, probe_mask, nb, npr)
+    payload = jnp.concatenate([build_gid.astype(jnp.int32),
+                               jnp.full(npr, INT32_MAX, dtype=jnp.int32)])
+    idx = jnp.concatenate([jnp.arange(nb, dtype=jnp.int32),
+                           jnp.arange(npr, dtype=jnp.int32)])
+    s_rank, found_at, rep_gid, (s_idx,) = _merged_run_fill(
+        keys_all, rank, payload, (idx,))
+    match = jnp.logical_and(s_rank == 1, found_at)
+    probe_pos = jnp.where(s_rank == 1, s_idx, npr)
+    found = jnp.zeros(npr, dtype=bool).at[probe_pos].set(match, mode="drop")
+    slot_v = jnp.where(match, rep_gid, INT32_MAX)
+    slot = jnp.full(npr, INT32_MAX, dtype=jnp.int32).at[probe_pos].set(
+        slot_v, mode="drop")
+    return slot, found
+
+
+@jax.jit
+def _merge_count_impl(build_keys, build_valid, probe_keys, probe_mask):
+    """Count-only lookup: skips the O(n) scatter back to probe order (used
+    when the consumer is order-insensitive, e.g. JOIN feeding an aggregate —
+    the stage split of QueryProcessingStage::WithMergeableState)."""
+    nb = build_keys[0].shape[0]
+    npr = probe_keys[0].shape[0]
+    keys_all = _cat_keys(build_keys, probe_keys)
+    rank = _ranks(build_valid, probe_mask, nb, npr)
+    payload = jnp.concatenate([jnp.zeros(nb, dtype=jnp.int32),
+                               jnp.full(npr, INT32_MAX, dtype=jnp.int32)])
+    s_rank, found_at, _rep, _ = _merged_run_fill(keys_all, rank, payload)
+    match = jnp.logical_and(s_rank == 1, found_at)
+    return jnp.sum(match, dtype=jnp.int64)
+
+
+def ht_count_matches(table: HashTable, probe_cols, mask=None) -> jnp.ndarray:
+    """Number of probe rows whose key exists in the table (order-insensitive
+    fast path: no result scatter)."""
+    probe_cols = tuple(jnp.asarray(c) for c in probe_cols)
+    if table.key_cols[0].shape[0] == 0 or probe_cols[0].shape[0] == 0:
+        return jnp.zeros((), dtype=jnp.int64)
+    return _merge_count_impl(table.key_cols, table.valid, probe_cols, mask)
+
+
+def ht_lookup(table: HashTable, probe_cols, mask=None, max_probes: int = 256):
+    """Probe the table.  Returns (slot (np,) int32, found (np,) bool); for
+    found rows table.slot_row[slot] is the lowest matching build row
+    (ANY-join semantics, deterministic)."""
+    probe_cols = tuple(jnp.asarray(c) for c in probe_cols)
+    npr = probe_cols[0].shape[0]
+    if table.key_cols[0].shape[0] == 0 or npr == 0:
+        return (jnp.full(npr, INT32_MAX, dtype=jnp.int32),
+                jnp.zeros(npr, dtype=bool))
+    return _merge_lookup_impl(table.key_cols, table.valid, table.gid_of_row,
+                              probe_cols, mask)
+
+
+# --- traced-pure variants (no host sync): usable inside shard_map/jit -----
+
+def merge_join_any(build_keys, probe_keys, build_valid=None,
+                   probe_valid=None):
+    """ANY join without host syncs: returns (build_row (np,) int32 with
+    INT32_MAX for misses, found (np,) bool) in probe order.  Lowest build
+    row per key wins (deterministic).  Safe inside shard_map."""
+    build_keys = tuple(jnp.asarray(b) for b in build_keys)
+    probe_keys = tuple(jnp.asarray(p) for p in probe_keys)
+    nb = build_keys[0].shape[0]
+    npr = probe_keys[0].shape[0]
+    bv = jnp.ones(nb, dtype=bool) if build_valid is None else build_valid
+    keys_all = _cat_keys(build_keys, probe_keys)
+    rank = _ranks(bv, probe_valid, nb, npr)
+    payload = jnp.concatenate([jnp.arange(nb, dtype=jnp.int32),
+                               jnp.full(npr, INT32_MAX, dtype=jnp.int32)])
+    idx = jnp.concatenate([jnp.arange(nb, dtype=jnp.int32),
+                           jnp.arange(npr, dtype=jnp.int32)])
+    s_rank, found_at, rep_row, (s_idx,) = _merged_run_fill(
+        keys_all, rank, payload, (idx,))
+    match = jnp.logical_and(s_rank == 1, found_at)
+    probe_pos = jnp.where(s_rank == 1, s_idx, npr)
+    found = jnp.zeros(npr, dtype=bool).at[probe_pos].set(match, mode="drop")
+    row_v = jnp.where(match, rep_row, INT32_MAX)
+    build_row = jnp.full(npr, INT32_MAX, dtype=jnp.int32).at[probe_pos].set(
+        row_v, mode="drop")
+    return build_row, found

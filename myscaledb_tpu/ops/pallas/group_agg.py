@@ -1,0 +1,210 @@
+"""Pallas grouped aggregation: per-group lane-parallel VMEM accumulators.
+
+Replaces the MXU one-hot histogram for small G (config 2's GROUP BY shape,
+reference Aggregator::executeImplBatch, src/Interpreters/Aggregator.cpp:1096).
+Why not the MXU: a one-hot matmul fundamentally costs G MACs/row — at G=256
+over 100M rows that is 25.6T MACs, ~260 ms at the v5e's bf16 peak, and the
+XLA lowering additionally materializes the one-hot in HBM (measured: the
+round-2 path ran ~8x slower than its recorded number once the dead scan
+dependency was fixed).  The VPU instead pays ~6 vector ops per (row, group)
+pair with everything resident in VMEM:
+
+    for g in range(G):                 # statically unrolled
+        sel     = gid_tile == g                      # (ROWS, 128)
+        acc[g] += sum_over_sublanes(sel * feat)      # lane-parallel
+
+Each of the 128 lanes owns an independent partial per group; XLA combines
+lanes (and 16-bit limbs) afterwards.  Integer sums are exact: values are
+biased to uint32 (sign-bit flip) and split into two 16-bit limbs accumulated
+in int32 — overflow-free while rows per (group, lane) stay under
+2^31/65535 = 32K, which the wrapper guarantees by chunking calls at 4M rows
+(rows round-robin over lanes, so a lane sees at most n/128 rows of one
+group).  Float sums accumulate f32 in a fixed (tile-major) order, identical
+run-to-run; accumulation order differs from the reference, like its own
+parallel aggregation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+ROWS = 128                    # sublane rows per grid step (tile = 16384 rows)
+TILE = ROWS * LANES
+MAX_G = 256
+CHUNK = 4_000_000             # rows per kernel call: 16-bit limb exactness
+
+
+def _make_kernel(kinds, G: int):
+    """Kernel for a static (kinds, G) signature.
+
+    int accumulator rows (int32, shape (n_int_rows*G, LANES)):
+      row 0*G+g: masked count of group g
+      then per int arg two rows: lo-limb sum, hi-limb sum
+    float accumulator rows (f32, (n_f32_rows*G, LANES)): one per float arg.
+    """
+    n_int = sum(1 for k in kinds if k == "int")
+    n_f32 = sum(1 for k in kinds if k == "float")
+    n_int_rows = 1 + 2 * n_int
+    n_f32_rows = max(n_f32, 1)
+
+    def kernel(gid_ref, mask_ref, *rest):
+        args = rest[:len(kinds)]
+        iacc_ref = rest[len(kinds)]
+        facc_ref = rest[len(kinds) + 1]
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            iacc_ref[...] = jnp.zeros_like(iacc_ref)
+            facc_ref[...] = jnp.zeros_like(facc_ref)
+
+        g_tile = gid_ref[...]                     # (ROWS, LANES) int32
+        m_tile = mask_ref[...] != 0               # (ROWS, LANES) bool
+
+        int_limbs = []                            # per int arg: (lo, hi)
+        floats = []
+        for kind, ref in zip(kinds, args):
+            if kind == "int":
+                # bias to "unsigned" by flipping the sign bit, then split
+                # into 16-bit limbs — all in int32 (Mosaic has no u32->i32
+                # convert; logical shift keeps the high limb non-negative)
+                v = ref[...] ^ jnp.int32(-2147483648)
+                v = jnp.where(m_tile, v, jnp.int32(0))
+                lo = v & jnp.int32(0xFFFF)
+                hi = lax.shift_right_logical(v, jnp.int32(16))
+                int_limbs.append((lo, hi))
+            elif kind == "float":
+                floats.append(jnp.where(m_tile, ref[...], jnp.float32(0)))
+
+        for g in range(G):
+            sel = g_tile == jnp.int32(g)
+            selm = jnp.logical_and(sel, m_tile)
+            iacc_ref[g:g + 1, :] += jnp.sum(
+                selm.astype(jnp.int32), axis=0, dtype=jnp.int32,
+                keepdims=True)
+            for a, (lo, hi) in enumerate(int_limbs):
+                r = (1 + 2 * a) * G + g
+                iacc_ref[r:r + 1, :] += jnp.sum(
+                    jnp.where(sel, lo, 0), axis=0, dtype=jnp.int32,
+                    keepdims=True)
+                iacc_ref[r + G:r + G + 1, :] += jnp.sum(
+                    jnp.where(sel, hi, 0), axis=0, dtype=jnp.int32,
+                    keepdims=True)
+            for f, fv in enumerate(floats):
+                r = f * G + g
+                facc_ref[r:r + 1, :] += jnp.sum(
+                    jnp.where(sel, fv, jnp.float32(0)), axis=0,
+                    dtype=jnp.float32, keepdims=True)
+
+    return kernel, n_int_rows, n_f32_rows
+
+
+@partial(jax.jit, static_argnames=("kinds", "num_groups", "interpret"))
+def _chunk_call(gid, mask, args, kinds, num_groups: int, interpret: bool):
+    n = gid.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    if n_pad != n:
+        gid = jnp.pad(gid, (0, n_pad - n), constant_values=-1)
+        mask = jnp.pad(mask, (0, n_pad - n), constant_values=False)
+        args = tuple(jnp.pad(a, (0, n_pad - n)) for a in args)
+    nt = n_pad // TILE
+    gid2 = gid.reshape(nt * ROWS, LANES)
+    mask2 = mask.astype(jnp.int8).reshape(nt * ROWS, LANES)
+    args2 = tuple(a.reshape(nt * ROWS, LANES) for a in args)
+
+    kernel, n_int_rows, n_f32_rows = _make_kernel(kinds, num_groups)
+    row_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):        # Mosaic rejects i64 (index literals)
+        iacc, facc = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[row_spec, row_spec] + [row_spec] * len(args),
+            out_specs=(
+                pl.BlockSpec((n_int_rows * num_groups, LANES),
+                             lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_f32_rows * num_groups, LANES),
+                             lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_int_rows * num_groups, LANES),
+                                     jnp.int32),
+                jax.ShapeDtypeStruct((n_f32_rows * num_groups, LANES),
+                                     jnp.float32),
+            ),
+            interpret=interpret,
+        )(gid2, mask2, *args2)
+    return iacc, facc
+
+
+def pallas_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
+                           interpret: bool | None = None):
+    """Grouped sums/counts with the VPU accumulate kernel.
+
+    Same contract as ops.aggregate_matmul.matmul_group_aggregate:
+    kinds per arg: "int" (exact int64 sum) | "float" (f32 sum) | "count".
+    Returns (states, group_count, arg_counts); arg_counts == group_count
+    (callers with per-arg validity use the fallback path).
+    Eligibility: num_groups <= MAX_G, int args <= 32-bit.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    G = num_groups
+    zi = jnp.zeros(G, dtype=jnp.int64)
+    zf = jnp.zeros(G, dtype=jnp.float32)
+    n = gid.shape[0]
+    if n == 0:
+        states = tuple(zf if k == "float" else zi for k in kinds)
+        return states, zi, tuple(zi for _ in kinds)
+
+    gid = jnp.asarray(gid, dtype=jnp.int32)
+    mask = jnp.asarray(mask, dtype=bool)
+    prep = []
+    for k, a in zip(kinds, args):
+        if k == "int":
+            prep.append(jnp.asarray(a).astype(jnp.int32))
+        elif k == "float":
+            prep.append(jnp.asarray(a).astype(jnp.float32))
+        else:
+            prep.append(jnp.zeros((n,), dtype=jnp.int32))
+    args = tuple(prep)
+
+    iacc64 = None
+    facc64 = None
+    for lo in range(0, n, CHUNK):
+        hi = min(n, lo + CHUNK)
+        ia, fa = _chunk_call(gid[lo:hi], mask[lo:hi],
+                             tuple(a[lo:hi] for a in args), kinds, G,
+                             interpret)
+        ia = jnp.sum(ia.astype(jnp.int64), axis=-1)       # (rows*G,)
+        fa = jnp.sum(fa, axis=-1, dtype=jnp.float32)
+        iacc64 = ia if iacc64 is None else iacc64 + ia
+        facc64 = fa if facc64 is None else facc64 + fa
+
+    group_count = iacc64[:G]
+    states = []
+    arg_counts = []
+    ai, fi = 0, 0
+    for k in kinds:
+        if k == "int":
+            lo_s = iacc64[(1 + 2 * ai) * G:(2 + 2 * ai) * G]
+            hi_s = iacc64[(2 + 2 * ai) * G:(3 + 2 * ai) * G]
+            biased = lo_s + (hi_s << jnp.int64(16))
+            states.append(biased - (group_count << jnp.int64(31)))
+            arg_counts.append(group_count)
+            ai += 1
+        elif k == "float":
+            states.append(facc64[fi * G:(fi + 1) * G])
+            arg_counts.append(group_count)
+            fi += 1
+        else:
+            states.append(group_count)
+            arg_counts.append(group_count)
+    return tuple(states), group_count, tuple(arg_counts)

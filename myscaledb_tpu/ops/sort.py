@@ -98,6 +98,58 @@ _SEG = 128          # lane-row segment for the prefilter
 _SEG_MIN_N = 1 << 19   # below this, plain top_k wins
 
 
+@partial(jax.jit, static_argnames=("k", "negate"))
+def _topn_single_segmented_lazy(values, k: int, negate: bool):
+    """Exact top-k of the DESCENDING encoding of ``values`` without ever
+    materializing the encoded array: the encode is elementwise and feeds a
+    single consumer (the segment-max reduce), so XLA fuses it into the one
+    streaming pass; candidates are gathered from the raw values and
+    re-encoded on the tiny (k*SEG,) slice.  Measured: the two-consumer
+    version (encode materialized for the later candidate gather) costs 3
+    full HBM passes; this costs one."""
+    n = values.shape[0]
+    n_pad = -(-n // _SEG) * _SEG
+    if n_pad != n:
+        pad_worst = jnp.array(jnp.inf if negate else -jnp.inf,
+                              dtype=values.dtype) \
+            if jnp.issubdtype(values.dtype, jnp.floating) else \
+            jnp.array(jnp.iinfo(values.dtype).max if negate
+                      else jnp.iinfo(values.dtype).min, dtype=values.dtype)
+        values = jnp.pad(values, (0, n_pad - n), constant_values=pad_worst)
+
+    def enc(x):
+        c = _ascending_code(x)
+        return ~c if negate else c
+
+    nseg = n_pad // _SEG
+    vr = values.reshape(nseg, _SEG)
+    segmax = jnp.max(enc(vr), axis=-1)          # fused single pass
+    kseg = min(k, nseg)
+
+    if nseg >= (1 << 17) and kseg * _SEG <= nseg:
+        sm64 = segmax.astype(jnp.int64) + 1
+        n2_pad = -(-nseg // _SEG) * _SEG
+        sm = jnp.pad(sm64, (0, n2_pad - nseg)) if n2_pad != nseg else sm64
+        sm2 = sm.reshape(n2_pad // _SEG, _SEG)
+        _, supidx = lax.top_k(jnp.max(sm2, axis=-1), kseg)
+        supidx = jnp.sort(supidx)
+        seg_cand = sm2[supidx].reshape(-1)
+        seg_base = (supidx[:, None].astype(jnp.int32) * _SEG +
+                    jax.lax.broadcasted_iota(jnp.int32, (1, _SEG), 1)
+                    ).reshape(-1)
+        _, p2 = lax.top_k(seg_cand, kseg)
+        segidx = seg_base[p2]
+    else:
+        _, segidx = lax.top_k(segmax, kseg)
+
+    segidx = jnp.sort(segidx)
+    cand = enc(vr[segidx]).reshape(-1)          # re-encode k*SEG rows only
+    cid = (segidx[:, None].astype(jnp.int32) * _SEG +
+           jax.lax.broadcasted_iota(jnp.int32, (1, _SEG), 1)).reshape(-1)
+    _, pos = lax.top_k(cand, k)
+    return cid[pos]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _topn_single_segmented(code_desc, k: int):
     """Exact top-k via per-segment max prefilter: 65x faster than flat
@@ -150,11 +202,13 @@ def topn_permutation(keys: Sequence[SortKey], k: int, n: int) -> jnp.ndarray:
     """
     k = min(k, n)
     if len(keys) == 1 and keys[0].valid is None:
+        if n >= _SEG_MIN_N and k * _SEG <= n:
+            # fused one-pass path: encode folded into the segment reduce
+            # (negate=ascending: larger DESCENDING code = earlier in order)
+            return _topn_single_segmented_lazy(
+                jnp.asarray(keys[0].values), k, negate=keys[0].ascending)
         code = _ascending_code(jnp.asarray(keys[0].values))
         if not keys[0].ascending:
             code = ~code
-        code_desc = ~code     # larger = earlier in requested order
-        if n >= _SEG_MIN_N and k * _SEG <= n:
-            return _topn_single_segmented(code_desc, k)
-        return _topn_single(code_desc, k)
+        return _topn_single(~code, k)
     return sort_permutation(keys)[:k]

@@ -4,14 +4,17 @@ Reference analog: Distributed aggregation/join repartitioning — blocks
 scattered by key hash over the native TCP protocol (DistributedSink.cpp,
 P6/P10 in SURVEY.md §2.5).  On TPU the exchange is one `lax.all_to_all`
 over ICI with *padded buckets*: every shard sorts its rows by destination,
-packs them into an (nsh, cap) buffer (cap = global max rows any shard sends
-to any destination, agreed via pmax), exchanges, and returns the received
-rows plus a validity mask — raggedness is carried as padding, the standard
-static-shape trick.
+packs them into an (nsh, cap) buffer (cap = static worst case or a caller
+hint), exchanges, and returns the received rows plus a validity mask —
+raggedness is carried as padding, the standard static-shape trick.
 
 After a shuffle by key-hash, every occurrence of a key lives on exactly one
-shard, so joins and aggregations become purely local (the north star's
-"distributed shuffle" with local compaction).
+shard, so joins and aggregations become purely local — and since round 3
+the local phases run ON DEVICE inside the same shard_map as the exchange
+(merge_join_any / group_ids_static / partial_aggregate are traced-pure):
+all shards compute in parallel, no host loop over shards
+(StorageDistributed.cpp:740-1300 stage model; the round-2 per-shard numpy
+loops are gone).
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -30,6 +34,38 @@ from myscaledb_tpu.ops.hash import hash32
 
 def _dest_of(key: jnp.ndarray, nsh: int) -> jnp.ndarray:
     return (hash32(key) % jnp.uint32(nsh)).astype(jnp.int32)
+
+
+def _exchange_local(key_loc, cols, vmask, nsh: int, cap: int, axis: str):
+    """Shard-local body of the shuffle: route rows to destination buckets
+    and all_to_all them.  Usable inside any shard_map."""
+    n_loc = key_loc.shape[0]
+    dest = jnp.where(vmask, _dest_of(key_loc, nsh), nsh)   # invalid -> drop
+    order = jnp.argsort(dest, stable=True)                 # group by dest
+    sdest = dest[order]
+    counts = jnp.zeros(nsh + 1, dtype=jnp.int32).at[sdest].add(1)
+    starts = jnp.concatenate([jnp.zeros(1, dtype=jnp.int32),
+                              jnp.cumsum(counts[:-1],
+                                         dtype=jnp.int32)])[:nsh + 1]
+    within = jnp.arange(n_loc, dtype=jnp.int32) - starts[
+        jnp.clip(sdest, 0, nsh)]
+    slot = jnp.where(jnp.logical_and(sdest < nsh, within < cap),
+                     sdest * cap + within, nsh * cap)
+
+    def pack(col):
+        buf = jnp.zeros((nsh * cap,), dtype=col.dtype)
+        return buf.at[slot].set(col[order], mode="drop").reshape(nsh, cap)
+
+    key_buf = pack(key_loc)
+    col_bufs = [pack(c) for c in cols]
+    vbuf = jnp.zeros((nsh * cap,), dtype=bool).at[slot].set(
+        True, mode="drop").reshape(nsh, cap)
+    key_rx = lax.all_to_all(key_buf, axis, 0, 0, tiled=True)
+    cols_rx = tuple(lax.all_to_all(b, axis, 0, 0, tiled=True)
+                    for b in col_bufs)
+    v_rx = lax.all_to_all(vbuf, axis, 0, 0, tiled=True)
+    return key_rx.reshape(-1), tuple(c.reshape(-1) for c in cols_rx), \
+        v_rx.reshape(-1)
 
 
 def shuffle_by_key(mesh: Mesh, key, arrays: Sequence, valid=None,
@@ -62,33 +98,7 @@ def shuffle_by_key(mesh: Mesh, key, arrays: Sequence, valid=None,
         cols = rest[:len(arrays)]
         vmask = rest[len(arrays)] if valid is not None else \
             jnp.ones(n_loc, dtype=bool)
-        dest = jnp.where(vmask, _dest_of(key_loc, nsh), nsh)   # invalid -> drop
-        order = jnp.argsort(dest, stable=True)                 # group by dest
-        sdest = dest[order]
-        counts = jnp.zeros(nsh + 1, dtype=jnp.int32).at[sdest].add(1)
-        starts = jnp.concatenate([jnp.zeros(1, dtype=jnp.int32),
-                                  jnp.cumsum(counts[:-1],
-                                             dtype=jnp.int32)])[:nsh + 1]
-        within = jnp.arange(n_loc, dtype=jnp.int32) - starts[
-            jnp.clip(sdest, 0, nsh)]
-        # pack into (nsh, cap) buffers; overflow beyond cap dropped (caller
-        # guarantees cap large enough — default n_loc cannot overflow)
-        slot = jnp.where(jnp.logical_and(sdest < nsh, within < cap),
-                         sdest * cap + within, nsh * cap)
-        def pack(col):
-            buf = jnp.zeros((nsh * cap,), dtype=col.dtype)
-            return buf.at[slot].set(col[order], mode="drop").reshape(nsh, cap)
-        key_buf = pack(key_loc)
-        col_bufs = [pack(c) for c in cols]
-        vbuf = jnp.zeros((nsh * cap,), dtype=bool).at[slot].set(
-            True, mode="drop").reshape(nsh, cap)
-        # exchange: shard p sends buf[j] to shard j
-        key_rx = lax.all_to_all(key_buf, axis, 0, 0, tiled=True)
-        cols_rx = tuple(lax.all_to_all(b, axis, 0, 0, tiled=True)
-                        for b in col_bufs)
-        v_rx = lax.all_to_all(vbuf, axis, 0, 0, tiled=True)
-        return key_rx.reshape(-1), tuple(c.reshape(-1) for c in cols_rx), \
-            v_rx.reshape(-1)
+        return _exchange_local(key_loc, cols, vmask, nsh, cap, axis)
 
     args = (key,) + arrays + ((valid,) if valid is not None else ())
     return step(*args)
@@ -98,131 +108,244 @@ def sharded_shuffle_join_pairs(mesh: Mesh, left_key, right_key,
                                axis: str = SHARD_AXIS, how: str = "ALL",
                                left_valid=None, right_valid=None):
     """Distributed shuffle join (P6-style repartition): both sides are
-    hash-repartitioned by key so matches colocate, then each shard joins
-    locally.  Returns matched (left_global_row, right_global_row) pairs as
-    numpy arrays — the executor materializes outputs row-wise anyway.
+    hash-repartitioned by key so matches colocate, then every shard joins
+    locally ON DEVICE inside the same shard_map (merge_join_any; the ALL
+    variant adds a device count pass + padded expansion).  Returns matched
+    (left_global_row, right_global_row) pairs as numpy arrays — the executor
+    materializes outputs row-wise anyway.
 
     how: "ALL" (full multiplicity) or "ANY" (lowest right row per left row).
-    left_valid/right_valid: optional row-sharded validity (padding rows of a
-    distributed table never join).
     """
-    import numpy as np
-    from myscaledb_tpu.ops.join import hash_join_all, hash_join_any
+    from myscaledb_tpu.ops.hashtable import merge_join_any, INT32_MAX
 
     nsh = mesh.shape[axis]
     n_l = left_key.shape[0]
     n_r = right_key.shape[0]
     lid = jnp.arange(n_l, dtype=jnp.int32)
     rid = jnp.arange(n_r, dtype=jnp.int32)
-    lk_rx, (lid_rx,), lv_rx = shuffle_by_key(mesh, left_key, (lid,),
-                                             valid=left_valid, axis=axis)
-    rk_rx, (rid_rx,), rv_rx = shuffle_by_key(mesh, right_key, (rid,),
-                                             valid=right_valid, axis=axis)
-    m_l = lk_rx.shape[0] // nsh
-    m_r = rk_rx.shape[0] // nsh
-    out_l, out_r = [], []
-    lk_np = np.asarray(lk_rx).reshape(nsh, m_l)
-    lid_np = np.asarray(lid_rx).reshape(nsh, m_l)
-    lv_np = np.asarray(lv_rx).reshape(nsh, m_l)
-    rk_np = np.asarray(rk_rx).reshape(nsh, m_r)
-    rid_np = np.asarray(rid_rx).reshape(nsh, m_r)
-    rv_np = np.asarray(rv_rx).reshape(nsh, m_r)
-    for p in range(nsh):
-        if not lv_np[p].any() or not rv_np[p].any():
-            continue
-        lsel = np.flatnonzero(lv_np[p])
-        rsel = np.flatnonzero(rv_np[p])
-        lkeys = jnp.asarray(lk_np[p][lsel])
-        rkeys = jnp.asarray(rk_np[p][rsel])
-        if how == "ANY":
-            res = hash_join_any((rkeys,), (lkeys,))
-            f = np.asarray(res.found)
-            out_l.append(lid_np[p][lsel][f])
-            out_r.append(rid_np[p][rsel][np.asarray(res.build_row)[f]])
-        else:
-            exp = hash_join_all((rkeys,), (lkeys,))
-            out_l.append(lid_np[p][lsel][np.asarray(exp.probe_idx)])
-            out_r.append(rid_np[p][rsel][np.asarray(exp.build_idx)])
-    if not out_l:
-        return (np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32))
-    return np.concatenate(out_l), np.concatenate(out_r)
+    cap_l = n_l // nsh
+    cap_r = n_r // nsh
+
+    lv_in = (left_valid,) if left_valid is not None else ()
+    rv_in = (right_valid,) if right_valid is not None else ()
+    in_specs = tuple(P(axis) for _ in range(2 + len(lv_in) + 2 + len(rv_in)))
+
+    if how == "ANY":
+        @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+        def step(lk, lid_g, *rest):
+            i = 0
+            lv = rest[i] if left_valid is not None else \
+                jnp.ones(cap_l, dtype=bool)
+            i += 1 if left_valid is not None else 0
+            rk, rid_g = rest[i], rest[i + 1]
+            rv = rest[i + 2] if right_valid is not None else \
+                jnp.ones(cap_r, dtype=bool)
+            lk_rx, (lid_rx,), lv_rx = _exchange_local(lk, (lid_g,), lv,
+                                                      nsh, cap_l, axis)
+            rk_rx, (rid_rx,), rv_rx = _exchange_local(rk, (rid_g,), rv,
+                                                      nsh, cap_r, axis)
+            brow, found = merge_join_any((rk_rx,), (lk_rx,),
+                                         build_valid=rv_rx,
+                                         probe_valid=lv_rx)
+            safe = jnp.where(found, brow, 0)
+            rmatch = jnp.where(found, rid_rx[safe], INT32_MAX)
+            return lid_rx, rmatch, found
+
+        lid_rx, rmatch, found = step(left_key, lid, *lv_in,
+                                     right_key, rid, *rv_in)
+        f = np.asarray(found)
+        return (np.asarray(lid_rx)[f].astype(np.int32),
+                np.asarray(rmatch)[f].astype(np.int32))
+
+    # ALL: phase A counts matches per shard on device; one host sync picks
+    # the static expansion cap; phase B emits padded (probe,build) pairs.
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=P(axis), check_vma=False)
+    def count_step(lk, lid_g, *rest):
+        i = 0
+        lv = rest[i] if left_valid is not None else \
+            jnp.ones(cap_l, dtype=bool)
+        i += 1 if left_valid is not None else 0
+        rk, rid_g = rest[i], rest[i + 1]
+        rv = rest[i + 2] if right_valid is not None else \
+            jnp.ones(cap_r, dtype=bool)
+        lk_rx, (lid_rx,), lv_rx = _exchange_local(lk, (lid_g,), lv,
+                                                  nsh, cap_l, axis)
+        rk_rx, (rid_rx,), rv_rx = _exchange_local(rk, (rid_g,), rv,
+                                                  nsh, cap_r, axis)
+        total = _all_pair_count(lk_rx, lv_rx, rk_rx, rv_rx)
+        return total.reshape(1)
+
+    totals = np.asarray(count_step(left_key, lid, *lv_in,
+                                   right_key, rid, *rv_in))
+    cap_out = int(max(1, totals.max()))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+    def expand_step(lk, lid_g, *rest):
+        i = 0
+        lv = rest[i] if left_valid is not None else \
+            jnp.ones(cap_l, dtype=bool)
+        i += 1 if left_valid is not None else 0
+        rk, rid_g = rest[i], rest[i + 1]
+        rv = rest[i + 2] if right_valid is not None else \
+            jnp.ones(cap_r, dtype=bool)
+        lk_rx, (lid_rx,), lv_rx = _exchange_local(lk, (lid_g,), lv,
+                                                  nsh, cap_l, axis)
+        rk_rx, (rid_rx,), rv_rx = _exchange_local(rk, (rid_g,), rv,
+                                                  nsh, cap_r, axis)
+        pi, bi, pv = _all_pairs_padded(lk_rx, lid_rx, lv_rx,
+                                       rk_rx, rid_rx, rv_rx, cap_out)
+        return pi, bi, pv
+
+    pi, bi, pv = expand_step(left_key, lid, *lv_in, right_key, rid, *rv_in)
+    pv = np.asarray(pv)
+    out_l = np.asarray(pi)[pv].astype(np.int64)
+    out_r = np.asarray(bi)[pv].astype(np.int64)
+    # deterministic order: by left row, then right row (matches
+    # hash_join_all's probe-major, build-ascending order)
+    o = np.lexsort((out_r, out_l))
+    return out_l[o].astype(np.int32), out_r[o].astype(np.int32)
+
+
+def _all_pair_count(lk, lv, rk, rv):
+    """Number of (left, right) key matches among valid rows (traced)."""
+    from myscaledb_tpu.ops.hashtable import _cat_keys, _ranks, INT32_MAX
+    nb = rk.shape[0]
+    npr = lk.shape[0]
+    keys_all = _cat_keys((rk,), (lk,))
+    rank = _ranks(rv, lv, nb, npr)
+    ops = keys_all + (rank,)
+    s_key, s_rank = lax.sort(ops, dimension=0, num_keys=2)
+    is_b = s_rank == 0
+    n = s_key.shape[0]
+    run_start = jnp.concatenate([jnp.ones(1, dtype=bool),
+                                 s_key[1:] != s_key[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int64)
+    start_of = lax.cummax(jnp.where(run_start, pos, jnp.int64(-1)))
+    bcount = jnp.cumsum(is_b.astype(jnp.int64))
+    before = jnp.where(start_of > 0, bcount[jnp.maximum(start_of - 1, 0)],
+                       jnp.int64(0))
+    builds_in_run = bcount - before          # builds up to & incl. this pos
+    per_probe = jnp.where(s_rank == 1, builds_in_run, 0)
+    return jnp.sum(per_probe)
+
+
+def _all_pairs_padded(lk, lid, lv, rk, rid, rv, cap: int):
+    """Emit ALL-join (left_id, right_id) pairs padded to a static cap.
+    Traced-pure; pairs beyond cap are dropped (caller sized cap by the
+    count pass, so that never happens)."""
+    from myscaledb_tpu.ops.hashtable import _cat_keys, _ranks
+    nb = rk.shape[0]
+    npr = lk.shape[0]
+    keys_all = _cat_keys((rk,), (lk,))
+    rank = _ranks(rv, lv, nb, npr)
+    idx = jnp.concatenate([rid, lid])
+    ops = keys_all + (rank, idx)
+    s_key, s_rank, s_idx = lax.sort(ops, dimension=0, num_keys=2)
+    is_b = s_rank == 0
+    n = s_key.shape[0]
+    run_start = jnp.concatenate([jnp.ones(1, dtype=bool),
+                                 s_key[1:] != s_key[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int64)
+    start_of = lax.cummax(jnp.where(run_start, pos, jnp.int64(-1)))
+    bcount = jnp.cumsum(is_b.astype(jnp.int64))
+    before = jnp.where(start_of > 0, bcount[jnp.maximum(start_of - 1, 0)],
+                       jnp.int64(0))
+    builds_in_run = (bcount - before).astype(jnp.int32)
+    per_pos = jnp.where(s_rank == 1, builds_in_run, 0)
+    # expansion: pair t belongs to sorted probe position rep[t], and is its
+    # j-th build (j = t - offset[rep[t]]) counted from the run start
+    rep = jnp.repeat(jnp.arange(n, dtype=jnp.int32), per_pos,
+                     total_repeat_length=cap)
+    offsets = jnp.concatenate([jnp.zeros(1, dtype=jnp.int64),
+                               jnp.cumsum(per_pos.astype(jnp.int64))])[:-1]
+    t = jnp.arange(cap, dtype=jnp.int64)
+    valid_pair = t < offsets[-1] + per_pos[-1].astype(jnp.int64) \
+        if n > 0 else jnp.zeros(cap, dtype=bool)
+    total = jnp.sum(per_pos.astype(jnp.int64))
+    valid_pair = t < total
+    j = (t - offsets[rep]).astype(jnp.int64)
+    bpos = start_of[rep] + j                 # sorted position of the build
+    bpos = jnp.clip(bpos, 0, n - 1).astype(jnp.int32)
+    probe_ids = s_idx[rep]
+    build_ids = s_idx[bpos]
+    return probe_ids, build_ids, valid_pair
 
 
 def sharded_shuffle_aggregate(mesh: Mesh, key, mask, args, fns: tuple,
                               axis: str = SHARD_AXIS,
                               capacity_hint: int = 1 << 16):
     """High-cardinality distributed GROUP BY: repartition rows by key hash,
-    then aggregate fully locally per shard (each key on one shard only).
+    then aggregate fully locally per shard (each key lives on one shard).
+    The local phase runs on device inside the same shard_map as the exchange
+    (group_ids_static + partial_aggregate are traced-pure); the host only
+    trims padding from the gathered per-shard results.
 
-    Returns per-shard padded results gathered to the host:
-    (keys (m,), states tuple of (m,) arrays, counts (m,)) as numpy — the
-    initiator-side merge is a concat, not a combine (keys are disjoint).
+    Returns (keys (m,), states tuple of (m,) arrays, counts (m,)) as numpy —
+    the initiator-side merge is a concat, not a combine (keys disjoint).
     """
-    import numpy as np
-    from myscaledb_tpu.ops.hashtable import build_group_ids, INT32_MAX
+    from myscaledb_tpu.ops.hashtable import group_ids_static, INT32_MAX
     from myscaledb_tpu.ops.aggregate import partial_aggregate, finalize
 
-    key_rx, args_rx, valid_rx = shuffle_by_key(mesh, key, args, valid=mask,
-                                               axis=axis)
-    # local aggregation per shard runs under plain jit over the resharded
-    # arrays (each shard's rows are independent); host assembles results
     nsh = mesh.shape[axis]
-    m = key_rx.shape[0] // nsh
-    out_keys, out_states, out_counts = [], [], []
-    key_np = np.asarray(key_rx).reshape(nsh, m)
-    valid_np = np.asarray(valid_rx).reshape(nsh, m)
-    args_np = [np.asarray(a).reshape(nsh, m) for a in args_rx]
-    for p in range(nsh):
-        vm = valid_np[p]
-        if not vm.any():
-            continue
-        kk = jnp.asarray(key_np[p])
-        _, gid, cap = build_group_ids((kk,), mask=jnp.asarray(vm),
-                                      num_groups_hint=capacity_hint)
-        gid = jnp.where(gid == INT32_MAX, 0, gid)
+    n = key.shape[0]
+    n_loc = n // nsh
+    m = nsh * n_loc                   # received rows per shard (padded)
+    fns = tuple(fns)
+    args = tuple(args)
+
+    in_specs = tuple(P(axis) for _ in range(2 + len(args)))
+    state_specs = tuple((P(axis), P(axis)) if fn == "avg" else P(axis)
+                        for fn in fns)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=(P(axis), state_specs, P(axis)), check_vma=False)
+    def step(key_loc, mask_loc, *args_loc):
+        k_rx, a_rx, v_rx = _exchange_local(key_loc, args_loc, mask_loc,
+                                           nsh, n_loc, axis)
+        gid, (rep_key,), _ng = group_ids_static((k_rx,), v_rx)
+        safe_gid = jnp.where(gid == INT32_MAX, m, gid)
         states, gc = partial_aggregate(
-            gid, jnp.asarray(vm),
-            tuple(jnp.asarray(a[p]) for a in args_np), fns, cap)
-        outs = finalize(states, gc, fns)
-        gc_np = np.asarray(gc)
-        present = np.flatnonzero(gc_np > 0)
-        rep = np.zeros(cap, dtype=np.int64)
-        gid_np = np.asarray(gid)
-        first = {}
-        for i in np.flatnonzero(vm):
-            g = gid_np[i]
-            if g not in first:
-                first[g] = i
-        out_keys.append(np.array([key_np[p][first[g]] for g in present]))
-        out_states.append([o[present] for o in outs])
-        out_counts.append(gc_np[present])
-    if not out_keys:
-        return (np.zeros(0, dtype=np.asarray(key_rx).dtype),
-                [np.zeros(0)] * len(fns), np.zeros(0, dtype=np.int64))
-    keys = np.concatenate(out_keys)
-    states = [np.concatenate([s[i] for s in out_states])
-              for i in range(len(fns))]
-    counts = np.concatenate(out_counts)
-    return keys, states, counts
+            jnp.where(gid == INT32_MAX, 0, gid), v_rx, a_rx, fns, m)
+        return rep_key, states, gc
+
+    rep_key, states, gc = step(key, mask, *args)
+    gc_np = np.asarray(gc)                       # (nsh*m,)
+    present = np.flatnonzero(gc_np > 0)
+    keys = np.asarray(rep_key)[present]
+    outs = []
+    for fn, s in zip(fns, states):
+        if fn == "avg":
+            ssum = np.asarray(s[0], dtype=np.float64)[present]
+            cnt = np.asarray(s[1], dtype=np.float64)[present]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                outs.append(np.where(cnt > 0, ssum / cnt, np.nan))
+        else:
+            outs.append(np.asarray(s)[present])
+    return keys, outs, gc_np[present]
 
 
 def sharded_shuffle_group_states(mesh: Mesh, gid, mask, args, fns: tuple,
                                  num_groups: int, arg_valids=None,
                                  axis: str = SHARD_AXIS):
-    """High-cardinality distributed GROUP BY: hash-repartition rows by group
-    id so every group lands on exactly one shard, aggregate locally at the
-    received cardinality, and assemble the dense (G,) states on the host.
+    """High-cardinality distributed GROUP BY keyed by a precomputed dense
+    global group id: hash-repartition rows by gid so every group lands on
+    exactly one shard, aggregate locally ON DEVICE at the received local
+    cardinality, and assemble the dense (G,) states on the host with one
+    vectorized scatter (groups are disjoint across shards).
 
-    Replaces the dense psum merge (parallel/ops.sharded_group_aggregate) when
-    G is large: exchanged bytes scale with the ROW count (one all_to_all),
-    not G * n_shards partial-state traffic (the reference's
+    Replaces the dense psum merge (parallel/ops.sharded_group_aggregate)
+    when G is large: exchanged bytes scale with the ROW count (one
+    all_to_all), not G * n_shards partial-state traffic (the reference's
     distributed_aggregation_memory_efficient / two-level shuffle merge,
     src/Processors/Transforms/MergingAggregatedMemoryEfficientTransform.*).
 
     Returns (states, group_count) in partial_aggregate's dense-G layout so
     the caller's finalize path is shared with the psum route.
     """
-    import numpy as np
+    from myscaledb_tpu.ops.hashtable import group_ids_static, INT32_MAX
     from myscaledb_tpu.ops.aggregate import partial_aggregate
 
     fns = tuple(fns)
@@ -231,65 +354,50 @@ def sharded_shuffle_group_states(mesh: Mesh, gid, mask, args, fns: tuple,
     valid_cols = tuple(
         v if v is not None else jnp.ones(gid.shape[0], dtype=bool)
         for v in arg_valids) if has_valids else ()
-    cols = tuple(args) + valid_cols
-    gid_rx, cols_rx, valid_rx = shuffle_by_key(mesh, gid, cols, valid=mask,
-                                               axis=axis)
     nsh = mesh.shape[axis]
-    m = gid_rx.shape[0] // nsh
-    gid_np = np.asarray(gid_rx).reshape(nsh, m)
-    valid_np = np.asarray(valid_rx).reshape(nsh, m)
-    col_np = [np.asarray(c).reshape(nsh, m) for c in cols_rx]
+    n = gid.shape[0]
+    n_loc = n // nsh
+    m = nsh * n_loc
+
+    cols = tuple(args) + valid_cols
+    in_specs = tuple(P(axis) for _ in range(2 + len(cols)))
+    state_specs = tuple((P(axis), P(axis)) if fn == "avg" else P(axis)
+                        for fn in fns)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=(P(axis), state_specs, P(axis)), check_vma=False)
+    def step(gid_loc, mask_loc, *cols_loc):
+        g_rx, c_rx, v_rx = _exchange_local(gid_loc, cols_loc, mask_loc,
+                                           nsh, n_loc, axis)
+        lgid, (rep_gid,), _ng = group_ids_static((g_rx,), v_rx)
+        loc_args = c_rx[:n_args]
+        loc_valids = c_rx[n_args:] if has_valids else None
+        states, gc = partial_aggregate(
+            jnp.where(lgid == INT32_MAX, 0, lgid), v_rx, loc_args, fns, m,
+            loc_valids)
+        return rep_gid, states, gc
+
+    rep_gid, states, gc = step(gid, mask, *cols)
+    gc_np = np.asarray(gc)
+    rep_np = np.asarray(rep_gid)
+    present = np.flatnonzero(gc_np > 0)
+    tgt = rep_np[present]
 
     gc_dense = np.zeros(num_groups, dtype=np.int64)
-    states_dense = [None] * len(fns)   # filled lazily with correct dtypes
-
-    for p in range(nsh):
-        vm = valid_np[p]
-        if not vm.any():
-            continue
-        sel = np.flatnonzero(vm)
-        g = gid_np[p][sel]
-        uniq, local = np.unique(g, return_inverse=True)
-        loc_args = tuple(jnp.asarray(c[p][sel]) for c in col_np[:n_args])
-        loc_valids = tuple(jnp.asarray(c[p][sel])
-                           for c in col_np[n_args:]) if has_valids else None
-        states, gc = partial_aggregate(
-            jnp.asarray(local.astype(np.int32)),
-            jnp.ones(len(sel), dtype=bool), loc_args, fns, len(uniq),
-            loc_valids)
-        gc_dense[uniq] += np.asarray(gc)
-        for i, (fn, s) in enumerate(zip(fns, states)):
-            if fn == "avg":
-                s0, s1 = np.asarray(s[0]), np.asarray(s[1])
-                if states_dense[i] is None:
-                    states_dense[i] = (
-                        np.zeros(num_groups, dtype=s0.dtype),
-                        np.zeros(num_groups, dtype=s1.dtype))
-                states_dense[i][0][uniq] = s0
-                states_dense[i][1][uniq] = s1
-            else:
-                sv = np.asarray(s)
-                if states_dense[i] is None:
-                    # neutral fill: empty groups are dropped by group_count
-                    states_dense[i] = np.zeros(num_groups, dtype=sv.dtype)
-                states_dense[i][uniq] = sv
-
+    gc_dense[tgt] = gc_np[present]
     out_states = []
     for i, fn in enumerate(fns):
-        sd = states_dense[i]
-        if sd is None:   # no rows anywhere: dtype from a 0-row local run
-            states, _ = partial_aggregate(
-                jnp.zeros(0, dtype=jnp.int32), jnp.zeros(0, dtype=bool),
-                tuple(a[:0] for a in args), fns, 1,
-                tuple(v[:0] for v in valid_cols) if has_valids else None)
-            s = states[i]
-            if fn == "avg":
-                sd = (np.zeros(num_groups, dtype=np.asarray(s[0]).dtype),
-                      np.zeros(num_groups, dtype=np.asarray(s[1]).dtype))
-            else:
-                sd = np.zeros(num_groups, dtype=np.asarray(s).dtype)
+        s = states[i]
         if fn == "avg":
-            out_states.append((jnp.asarray(sd[0]), jnp.asarray(sd[1])))
+            s0, s1 = np.asarray(s[0]), np.asarray(s[1])
+            d0 = np.zeros(num_groups, dtype=s0.dtype)
+            d1 = np.zeros(num_groups, dtype=s1.dtype)
+            d0[tgt] = s0[present]
+            d1[tgt] = s1[present]
+            out_states.append((jnp.asarray(d0), jnp.asarray(d1)))
         else:
-            out_states.append(jnp.asarray(sd))
+            sv = np.asarray(s)
+            d = np.zeros(num_groups, dtype=sv.dtype)
+            d[tgt] = sv[present]
+            out_states.append(jnp.asarray(d))
     return tuple(out_states), jnp.asarray(gc_dense)

@@ -826,7 +826,9 @@ def _distributed_join(session, left: Table, right: Table, jc, ralias: str,
         probe_fn = lambda pk: probe_direct(dtab, pk)
     else:
         ht = build_join_table(tuple(rkeys))
-        ht = HashTable(tuple(jax.device_put(a, rep) for a in ht.slot_keys),
+        ht = HashTable(tuple(jax.device_put(a, rep) for a in ht.key_cols),
+                       jax.device_put(ht.valid, rep),
+                       jax.device_put(ht.gid_of_row, rep),
                        jax.device_put(ht.slot_row, rep), ht.capacity)
         probe_fn = lambda pk: probe_join_table(ht, pk)
 
@@ -1201,7 +1203,9 @@ def _group_ids(key_vals: list[Value], n: int, mask, hint: int):
     """Compute dense group ids for arbitrary key expressions.  Strategy
     dispatch in the spirit of AggregatedDataVariants (Aggregator.h:563):
     dictionary ids and small integer ranges map directly; everything else
-    goes through the scatter-round hash table."""
+    goes through the sorted-run grouping (ops/hashtable.py)."""
+    if n == 0:
+        return jnp.zeros(0, dtype=jnp.int32), 1, ("empty",)
     if len(key_vals) == 1:
         v = key_vals[0]
         if v.dictionary is not None:

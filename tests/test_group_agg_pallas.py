@@ -1,0 +1,74 @@
+"""Pallas VPU grouped-aggregation kernel vs numpy reference (interpret mode
+on CPU; the same kernel compiles for TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from myscaledb_tpu.ops.pallas.group_agg import pallas_group_aggregate
+
+
+def _ref(gid, mask, vals, G):
+    sums = np.zeros(G, dtype=np.int64)
+    fsums = np.zeros(G, dtype=np.float64)
+    cnt = np.zeros(G, dtype=np.int64)
+    for g, m, v in zip(gid, mask, vals):
+        if m:
+            cnt[g] += 1
+            sums[g] += int(v)
+            fsums[g] += float(np.float32(v))
+    return sums, fsums, cnt
+
+
+def test_int_sum_count_small(rng):
+    n, G = 40_000, 17
+    gid = rng.integers(0, G, n).astype(np.int32)
+    mask = rng.random(n) < 0.7
+    vals = rng.integers(-100000, 100000, n).astype(np.int32)
+    states, gc, _ = pallas_group_aggregate(
+        jnp.asarray(gid), jnp.asarray(mask), (jnp.asarray(vals), None),
+        ("int", "count"), G, interpret=True)
+    sums, _, cnt = _ref(gid, mask, vals, G)
+    np.testing.assert_array_equal(np.asarray(states[0]), sums)
+    np.testing.assert_array_equal(np.asarray(states[1]), cnt)
+    np.testing.assert_array_equal(np.asarray(gc), cnt)
+
+
+def test_int_extremes(rng):
+    n, G = 8_192, 3
+    gid = rng.integers(0, G, n).astype(np.int32)
+    mask = np.ones(n, dtype=bool)
+    vals = rng.choice(np.array([-2**31, 2**31 - 1, 0, -1, 1],
+                               dtype=np.int32), n)
+    states, gc, _ = pallas_group_aggregate(
+        jnp.asarray(gid), jnp.asarray(mask), (jnp.asarray(vals),),
+        ("int",), G, interpret=True)
+    sums, _, cnt = _ref(gid, mask, vals, G)
+    np.testing.assert_array_equal(np.asarray(states[0]), sums)
+
+
+def test_float_sum(rng):
+    n, G = 30_000, 64
+    gid = rng.integers(0, G, n).astype(np.int32)
+    mask = rng.random(n) < 0.5
+    vals = rng.normal(size=n).astype(np.float32)
+    states, gc, _ = pallas_group_aggregate(
+        jnp.asarray(gid), jnp.asarray(mask), (jnp.asarray(vals),),
+        ("float",), G, interpret=True)
+    _, fsums, cnt = _ref(gid, mask, vals, G)
+    np.testing.assert_allclose(np.asarray(states[0]), fsums, rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(gc), cnt)
+
+
+def test_empty_and_unpadded_tail(rng):
+    n, G = 1_000, 8          # far below one tile: exercises padding
+    gid = rng.integers(0, G, n).astype(np.int32)
+    mask = np.zeros(n, dtype=bool)
+    mask[:10] = True
+    vals = rng.integers(-5, 5, n).astype(np.int32)
+    states, gc, _ = pallas_group_aggregate(
+        jnp.asarray(gid), jnp.asarray(mask), (jnp.asarray(vals), None),
+        ("int", "count"), G, interpret=True)
+    sums, _, cnt = _ref(gid, mask, vals, G)
+    np.testing.assert_array_equal(np.asarray(states[0]), sums)
+    np.testing.assert_array_equal(np.asarray(gc), cnt)

@@ -1,5 +1,5 @@
-"""Hash table (scatter-round open addressing) unit tests — the analog of the
-reference's src/Common/HashTable gtests."""
+"""Grouping/lookup (sorted-run hash table replacement) unit tests — the
+analog of the reference's src/Common/HashTable gtests."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -46,11 +46,11 @@ def test_mask_ignores_rows(rng):
     assert (gid[10:] == INT32_MAX).all()
 
 
-def test_capacity_doubling_high_cardinality(rng):
-    # more groups than the initial hint forces the host retry loop
+def test_high_cardinality_all_groups_distinct(rng):
+    # hint is advisory only; every distinct key must get its own group
     keys = np.arange(5000, dtype=np.int32)
     table, gid, cap = build_group_ids((jnp.asarray(keys),), num_groups_hint=64)
-    assert cap >= 8192
+    assert cap >= 5000
     assert len(set(np.asarray(gid).tolist())) == 5000
 
 
@@ -68,8 +68,71 @@ def test_lookup_found_and_missing(rng):
     assert slot_row[slot[3]] == 4
 
 
-def test_insert_reports_overflow():
-    # capacity 128, 200 distinct keys -> cannot fit, ok must be False
+def test_insert_never_overflows():
+    # the sorted-run build has no capacity limit: ok is always True
     keys = jnp.arange(200, dtype=jnp.int32)
-    _, _, ok = ht_insert((keys,), jnp.ones(200, dtype=bool), 128, max_probes=256)
-    assert not bool(ok)
+    table, gid, ok = ht_insert((keys,), jnp.ones(200, dtype=bool), 128,
+                               max_probes=256)
+    assert bool(ok)
+    assert len(set(np.asarray(gid).tolist())) == 200
+
+
+def test_lookup_against_masked_build(rng):
+    build = np.array([3, 4, 5, 6], dtype=np.int32)
+    bmask = np.array([True, False, True, False])
+    table, _, _ = build_group_ids((jnp.asarray(build),),
+                                  mask=jnp.asarray(bmask))
+    probe = np.array([3, 4, 5, 6], dtype=np.int32)
+    slot, found = ht_lookup(table, (jnp.asarray(probe),))
+    assert np.asarray(found).tolist() == [True, False, True, False]
+
+
+def test_merge_join_any_lowest_build_row(rng):
+    from myscaledb_tpu.ops.hashtable import merge_join_any
+    # duplicate build keys: the LOWEST build row must win for every probe,
+    # including probes that sort after the second duplicate
+    build = np.array([7, 7, 7, 3, 3, 9], dtype=np.int32)
+    probe = np.array([7, 3, 9, 4], dtype=np.int32)
+    row, found = merge_join_any((jnp.asarray(build),), (jnp.asarray(probe),))
+    assert np.asarray(found).tolist() == [True, True, True, False]
+    assert np.asarray(row)[:3].tolist() == [0, 3, 5]
+
+
+def test_merge_join_any_random(rng):
+    from myscaledb_tpu.ops.hashtable import merge_join_any
+    build = rng.integers(0, 3000, 20_000).astype(np.int32)
+    probe = rng.integers(0, 4000, 30_000).astype(np.int32)
+    bvalid = rng.random(20_000) < 0.9
+    row, found = merge_join_any((jnp.asarray(build),), (jnp.asarray(probe),),
+                                build_valid=jnp.asarray(bvalid))
+    first = {}
+    for i, (k, v) in enumerate(zip(build.tolist(), bvalid.tolist())):
+        if v and k not in first:
+            first[k] = i
+    f_np, r_np = np.asarray(found), np.asarray(row)
+    for i, p in enumerate(probe.tolist()):
+        if p in first:
+            assert f_np[i] and r_np[i] == first[p], (i, p)
+        else:
+            assert not f_np[i]
+
+
+def test_lookup_large_merge(rng):
+    # exercise the merge-join path well past one tile
+    build = rng.integers(0, 1 << 20, 200_000).astype(np.int32)
+    probe = rng.integers(0, 1 << 20, 300_000).astype(np.int32)
+    table, _, _ = build_group_ids((jnp.asarray(build),))
+    slot, found = ht_lookup(table, (jnp.asarray(probe),))
+    found = np.asarray(found)
+    bset = set(build.tolist())
+    expect = np.array([p in bset for p in probe.tolist()])
+    assert (found == expect).all()
+    # ANY semantics: lowest build row per key
+    slot_row = np.asarray(table.slot_row)
+    first_row = {}
+    for i, k in enumerate(build.tolist()):
+        first_row.setdefault(k, i)
+    rows = slot_row[np.asarray(slot)[found]]
+    keys_found = probe[found]
+    assert all(first_row[int(k)] == int(r)
+               for k, r in zip(keys_found[:500], rows[:500]))
