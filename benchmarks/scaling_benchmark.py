@@ -50,12 +50,21 @@ def main():
         mask = shard_rows(mesh, jnp.ones(n, dtype=bool))
         jax.block_until_ready((x, q, gid, vals))
 
+        from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_pairs
+        rkey = shard_rows(mesh, jax.random.randint(
+            jax.random.PRNGKey(7), (n,), 0, 1 << 16, dtype=jnp.int64))
+        lkey = shard_rows(mesh, jax.random.randint(
+            jax.random.PRNGKey(8), (n,), 0, 1 << 16, dtype=jnp.int64))
+
         def run_scan():
             return sharded_distance_topk(mesh, x, q, "L2", args.k)
 
         def run_agg():
             return sharded_group_aggregate(mesh, gid, mask, (vals,),
                                            ("sum",), args.groups)
+
+        def run_join():
+            return sharded_shuffle_join_pairs(mesh, lkey, rkey, how="ANY")
 
         out = run_scan(); jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -71,16 +80,25 @@ def main():
         jax.block_until_ready(out)
         agg_dt = (time.perf_counter() - t0) / args.iters
 
+        run_join()                     # compile + warm (host sync inside)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            run_join()
+        join_dt = (time.perf_counter() - t0) / args.iters
+
         scan_rps = n / scan_dt
         agg_rps = n / agg_dt
+        join_rps = n / join_dt
         if nsh == 1:
-            base_scan, base_agg = scan_rps, agg_rps
+            base_scan, base_agg, base_join = scan_rps, agg_rps, join_rps
         results.append({
             "shards": nsh, "rows": n,
             "scan_rows_per_s": round(scan_rps, 1),
             "agg_rows_per_s": round(agg_rps, 1),
+            "join_rows_per_s": round(join_rps, 1),
             "scan_efficiency": round(scan_rps / (base_scan * nsh), 4),
             "agg_efficiency": round(agg_rps / (base_agg * nsh), 4),
+            "join_efficiency": round(join_rps / (base_join * nsh), 4),
         })
     print(json.dumps({"devices": n_dev,
                       "backend": jax.default_backend(),

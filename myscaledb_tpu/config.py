@@ -40,6 +40,9 @@ class Settings:
     # memory governance (reference: MemoryTracker hierarchy,
     # src/Common/MemoryTracker.h:50 — triggers spills instead of OOM)
     max_memory_bytes_per_query: int = 512 * 1024 * 1024  # score-matrix budget
+    # uniqCombined: exact distinct set below this row count, HLL(2^12)
+    # sketch above (reference uniqCombined.h small-set optimization)
+    uniq_combined_exact_rows: int = 1 << 17
     max_hbm_bytes_per_column: int = 0    # >0: bigger columns stay host-side
                                          # and stream through HBM block-wise
     # join (reference: Settings.h join_algorithm, grace_hash_join_*;

@@ -187,7 +187,11 @@ class Column:
             nullable = False
         fld = Field(name, dtype, nullable=nullable, vector_dim=fld_dim)
         zm = None
-        if build_zonemap and dtype.is_numeric and data_np.ndim == 1:
+        if build_zonemap and data_np.ndim == 1 and (
+                dtype.is_numeric or dtype is DataType.STRING):
+            # string columns zone-map their dictionary ids: equality/IN
+            # terms prune via id membership (insertion order makes range
+            # terms unusable — executor._zonemap_block_mask restricts)
             zm = ZoneMap.build(data_np)
         if to_device:
             data_out = jnp.asarray(data_np)

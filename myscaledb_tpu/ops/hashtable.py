@@ -42,6 +42,16 @@ from jax import lax
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _charge_sort(n_rows: int, n_ops: int, site: str) -> None:
+    """Budget a merge/group sort: operands + sorted copies + payloads
+    (~3x the operand bytes, 8B per element worst case).  Raises
+    MemoryLimitExceeded inside a query scope when over budget — the
+    query dies cleanly instead of crashing the worker (MemoryTracker.h:50
+    analog; round-2's config 4 was exactly this failure)."""
+    from myscaledb_tpu.runtime.memory import charge
+    charge(3 * 8 * n_rows * max(n_ops, 1), site)
+
+
 class HashTable(NamedTuple):
     """Build-side state for lookups.
 
@@ -120,6 +130,7 @@ def build_group_ids(key_cols, mask=None, num_groups_hint: int | None = None,
                           jnp.zeros(0, dtype=jnp.int32),
                           jnp.full(1, INT32_MAX, dtype=jnp.int32), 1)
         return table, jnp.zeros(0, dtype=jnp.int32), 1
+    _charge_sort(n, len(key_cols) + 2, "group_by_sort")
     gid, slot_row, num_groups = _group_ids_impl(key_cols, mask, n)
     cap = max(int(num_groups), 1)           # one host sync, like the
     slot_row = slot_row[:cap]               # reference's table growth
@@ -274,6 +285,8 @@ def ht_count_matches(table: HashTable, probe_cols, mask=None) -> jnp.ndarray:
     probe_cols = tuple(jnp.asarray(c) for c in probe_cols)
     if table.key_cols[0].shape[0] == 0 or probe_cols[0].shape[0] == 0:
         return jnp.zeros((), dtype=jnp.int64)
+    _charge_sort(table.key_cols[0].shape[0] + probe_cols[0].shape[0],
+                 len(probe_cols) + 1, "join_count_sort")
     return _merge_count_impl(table.key_cols, table.valid, probe_cols, mask)
 
 
@@ -286,6 +299,8 @@ def ht_lookup(table: HashTable, probe_cols, mask=None, max_probes: int = 256):
     if table.key_cols[0].shape[0] == 0 or npr == 0:
         return (jnp.full(npr, INT32_MAX, dtype=jnp.int32),
                 jnp.zeros(npr, dtype=bool))
+    _charge_sort(table.key_cols[0].shape[0] + npr, len(probe_cols) + 3,
+                 "join_lookup_sort")
     return _merge_lookup_impl(table.key_cols, table.valid, table.gid_of_row,
                               probe_cols, mask)
 

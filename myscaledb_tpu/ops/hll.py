@@ -1,0 +1,97 @@
+"""HyperLogLog sketch for uniqHLL12 / uniqCombined.
+
+Reference: src/AggregateFunctions/AggregateFunctionUniq.h (uniqHLL12 =
+HyperLogLogWithSmallSetOptimization<.., 2^12 registers>) and
+uniqCombined.h (exact small set below a threshold, HLL above).  This is a
+re-derivation from the published HyperLogLog algorithm (Flajolet et al.),
+device-shaped: registers live in a dense (G, 4096) int32 array updated by
+one scatter-max, merged across shards with jnp.maximum (a pmax under
+shard_map) — the mergeable-state contract of the reference's sketches.
+
+Estimates are approximate by design (the reference's are too); the hash
+differs from ClickHouse's intHash64, so estimates agree in distribution,
+not bit-for-bit.  uniq/uniqExact/countDistinct stay EXACT in this engine
+(documented in docs/PARITY.md) — a strict-precision superset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+M_BITS = 12
+M = 1 << M_BITS                  # 4096 registers
+_ALPHA = 0.7213 / (1.0 + 1.079 / M)
+
+
+def splitmix64(x: jnp.ndarray) -> jnp.ndarray:
+    """splitmix64 finalizer — a public-domain 64-bit mixer."""
+    x = jnp.asarray(x).astype(jnp.uint64)
+    x = x + jnp.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> jnp.uint64(31))
+
+
+def _rho52(w: jnp.ndarray) -> jnp.ndarray:
+    """Position (1-based) of the first set bit in the low 52 bits of w,
+    scanning from the MSB of that 52-bit window; 53 when all-zero."""
+    w = w & jnp.uint64((1 << 52) - 1)
+    # smear the leading bit downward, popcount gives bit-length
+    for s in (1, 2, 4, 8, 16, 32):
+        w = w | (w >> jnp.uint64(s))
+    bitlen = lax.population_count(w).astype(jnp.int32)    # floor(log2)+1
+    return jnp.int32(52) - bitlen + jnp.int32(1)
+
+
+def hll_registers(h64: jnp.ndarray, gid: jnp.ndarray, mask: jnp.ndarray,
+                  num_groups: int) -> jnp.ndarray:
+    """(G, M) int32 register array from 64-bit hashed keys.
+
+    bucket = top 12 hash bits, rho over the remaining 52.  One scatter-max.
+    """
+    h = jnp.asarray(h64).astype(jnp.uint64)
+    bucket = (h >> jnp.uint64(64 - M_BITS)).astype(jnp.int32)
+    rho = _rho52(h)
+    g = jnp.asarray(gid, dtype=jnp.int32)
+    tgt = jnp.where(jnp.asarray(mask, dtype=bool),
+                    g * M + bucket, num_groups * M)
+    regs = jnp.zeros(num_groups * M, dtype=jnp.int32)
+    regs = regs.at[tgt].max(rho, mode="drop")
+    return regs.reshape(num_groups, M)
+
+
+def hll_merge(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(a, b)
+
+
+def hll_estimate(regs: jnp.ndarray) -> jnp.ndarray:
+    """HLL estimate per group from (G, M) registers, with the standard
+    small-range linear-counting correction (no large-range correction is
+    needed at 64-bit hashes)."""
+    r = regs.astype(jnp.float64)
+    z = jnp.sum(jnp.power(2.0, -r), axis=-1)
+    e = _ALPHA * M * M / z
+    v = jnp.sum(regs == 0, axis=-1).astype(jnp.float64)
+    small = jnp.where(v > 0, M * jnp.log(jnp.where(v > 0, M / v, 1.0)),
+                      e)
+    est = jnp.where(e <= 2.5 * M, small, e)
+    return jnp.round(est).astype(jnp.int64)
+
+
+def hash_key_columns(cols) -> jnp.ndarray:
+    """Combine one or more integer-encoded key columns into one 64-bit hash
+    per row (splitmix64 chain).  NULL handling is the caller's: fold row
+    validity into the mask passed to hll_registers (uniq skips NULLs,
+    matching the reference)."""
+    h = None
+    for c in cols:
+        c = jnp.asarray(c)
+        if c.dtype == jnp.bool_:
+            c = c.astype(jnp.int32)
+        x = splitmix64(c.astype(jnp.int64).view(jnp.uint64)
+                       if c.dtype.itemsize == 8
+                       else c.astype(jnp.uint64))
+        h = x if h is None else splitmix64(h ^ x)
+    return h

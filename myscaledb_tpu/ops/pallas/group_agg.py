@@ -166,15 +166,25 @@ def pallas_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
 
     gid = jnp.asarray(gid, dtype=jnp.int32)
     mask = jnp.asarray(mask, dtype=bool)
-    prep = []
+    # dedupe identical (kind, argument) pairs: sum(x) and avg(x) share one
+    # set of limb accumulators (the common SELECT sum(v), avg(v) shape
+    # would otherwise double the per-group VPU work)
+    uniq_map = {}              # (kind, arg id) -> slot in unique lists
+    slot_of = []               # per original arg: unique slot or None=count
+    u_kinds, u_args = [], []
     for k, a in zip(kinds, args):
-        if k == "int":
-            prep.append(jnp.asarray(a).astype(jnp.int32))
-        elif k == "float":
-            prep.append(jnp.asarray(a).astype(jnp.float32))
-        else:
-            prep.append(jnp.zeros((n,), dtype=jnp.int32))
-    args = tuple(prep)
+        if k == "count":
+            slot_of.append(None)
+            continue
+        key = (k, id(a))
+        if key not in uniq_map:
+            uniq_map[key] = len(u_kinds)
+            u_kinds.append(k)
+            u_args.append(jnp.asarray(a).astype(
+                jnp.int32 if k == "int" else jnp.float32))
+        slot_of.append(uniq_map[key])
+    kinds = tuple(u_kinds)
+    args = tuple(u_args)
 
     iacc64 = None
     facc64 = None
@@ -189,22 +199,22 @@ def pallas_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
         facc64 = fa if facc64 is None else facc64 + fa
 
     group_count = iacc64[:G]
-    states = []
-    arg_counts = []
+    # assemble unique states, then fan back out to the original arg order
+    u_states = []
     ai, fi = 0, 0
     for k in kinds:
         if k == "int":
             lo_s = iacc64[(1 + 2 * ai) * G:(2 + 2 * ai) * G]
             hi_s = iacc64[(2 + 2 * ai) * G:(3 + 2 * ai) * G]
             biased = lo_s + (hi_s << jnp.int64(16))
-            states.append(biased - (group_count << jnp.int64(31)))
-            arg_counts.append(group_count)
+            u_states.append(biased - (group_count << jnp.int64(31)))
             ai += 1
-        elif k == "float":
-            states.append(facc64[fi * G:(fi + 1) * G])
-            arg_counts.append(group_count)
-            fi += 1
         else:
-            states.append(group_count)
-            arg_counts.append(group_count)
+            u_states.append(facc64[fi * G:(fi + 1) * G])
+            fi += 1
+    states = []
+    arg_counts = []
+    for slot in slot_of:
+        states.append(group_count if slot is None else u_states[slot])
+        arg_counts.append(group_count)
     return tuple(states), group_count, tuple(arg_counts)

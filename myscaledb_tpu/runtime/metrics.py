@@ -33,6 +33,8 @@ FAILED_QUERY = "FailedQuery"
 PARTS_WRITTEN = "PartsWritten"
 PARTS_MERGED = "PartsMerged"
 COMPRESSED_BYTES = "CompressedWrittenBytes"
+RETRIES = "HostRetries"
+INJECTED_FAULTS = "InjectedFaults"
 
 
 def increment(name: str, value: int = 1) -> None:

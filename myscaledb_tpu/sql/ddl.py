@@ -37,6 +37,7 @@ class CreateTable:
     order_by: list = field(default_factory=list)
     if_not_exists: bool = False
     settings: dict = field(default_factory=dict)
+    partition_by: list = field(default_factory=list)
 
 
 @dataclass
@@ -52,6 +53,12 @@ class InsertInfile:
     table: str
     path: str
     format: Optional[str] = None   # None = infer from extension
+
+
+@dataclass
+class DropPartition:
+    table: str
+    value: object
 
 
 @dataclass
@@ -320,6 +327,18 @@ class DDLParser(Parser):
                 params = " ".join(parts)
             return AddVectorIndex(table, name, column, itype, params)
         if self.take_kw("DROP"):
+            if self.take_kw("PARTITION"):
+                from myscaledb_tpu.sql.ast import BinOp, Ident, Literal
+                tok = self.next()
+                val = tok.text.strip("'") if tok.kind == "str" else tok.text
+                try:
+                    val = int(val)
+                except (TypeError, ValueError):
+                    try:
+                        val = float(val)
+                    except (TypeError, ValueError):
+                        pass
+                return DropPartition(table, val)
             self.expect_kw("VECTOR")
             self.expect_kw("INDEX")
             return DropVectorIndex(table, self.next().text)
@@ -427,6 +446,7 @@ class DDLParser(Parser):
                 break
         self.expect_punct(")")
         order_by = []
+        partition_by = []
         settings = {}
         # engine / order by / primary key / settings tail
         while self.peek().kind != "eof":
@@ -449,6 +469,21 @@ class DDLParser(Parser):
                     self.expect_punct(")")
                 else:
                     order_by.append(self.next().text)
+            elif self.at_kw("PARTITION"):
+                # PARTITION BY col | (col, ...) — the partition key.
+                # Reference: MergeTreeData partitions + PartitionPruner.h:13;
+                # here partitioning = clustering each inserted batch by the
+                # key so zone maps prune whole partitions (blocks), plus
+                # ALTER ... DROP PARTITION.
+                self.next()
+                self.expect_kw("BY")
+                if self.take_punct("("):
+                    partition_by.append(self.next().text)
+                    while self.take_punct(","):
+                        partition_by.append(self.next().text)
+                    self.expect_punct(")")
+                else:
+                    partition_by.append(self.next().text)
             elif self.take_kw("SETTINGS"):
                 while self.peek().kind != "eof":
                     sname = self.next().text
@@ -458,8 +493,9 @@ class DDLParser(Parser):
                     if not self.take_punct(","):
                         break
             else:
-                self.next()   # tolerate unknown clauses (PARTITION BY etc.)
-        return CreateTable(name, cols, order_by, ine, settings)
+                self.next()   # tolerate unknown clauses (TTL etc.)
+        return CreateTable(name, cols, order_by, ine, settings,
+                           partition_by)
 
     def _apply_length_constraint(self, cols, chk):
         # recognize length(col) = N
@@ -918,7 +954,7 @@ def required_privilege(stmt):
     if isinstance(stmt, TruncateTable):
         return ("TRUNCATE", stmt.name)
     if isinstance(stmt, (AlterDelete, AlterUpdate, AddVectorIndex,
-                         DropVectorIndex)):
+                         DropVectorIndex, DropPartition)):
         return ("ALTER", stmt.table)
     return None
 
@@ -940,6 +976,9 @@ def execute_statement(session, stmt) -> Table:
         session.register(stmt.name, t, ts)
         session._table_order_keys = getattr(session, "_table_order_keys", {})
         session._table_order_keys[stmt.name] = stmt.order_by
+        session._table_partition_keys = getattr(
+            session, "_table_partition_keys", {})
+        session._table_partition_keys[stmt.name] = stmt.partition_by
         return T([])
 
     if isinstance(stmt, InsertValues):
@@ -979,6 +1018,18 @@ def execute_statement(session, stmt) -> Table:
             new = T(renamed)
         else:
             new = rows_to_table(existing, stmt.columns, stmt.rows)
+        pkeys = getattr(session, "_table_partition_keys", {}).get(
+            stmt.table) or []
+        if pkeys and all(k in new for k in pkeys) and new.n_rows > 1:
+            # cluster the batch by partition key (stable) so every block's
+            # zone map covers few partitions — the pruning granule of
+            # PartitionPruner.h realized through the zone-map machinery
+            import numpy as np
+            order = np.lexsort(tuple(
+                np.asarray(new[k].data) for k in reversed(pkeys)))
+            if not (order == np.arange(len(order))).all():
+                import jax.numpy as jnp
+                new = new.take(jnp.asarray(order))
         if existing.n_rows == 0 and set(new.column_names) == \
                 set(existing.column_names):
             # first insert fixes unknown vector dims
@@ -987,6 +1038,21 @@ def execute_statement(session, stmt) -> Table:
             merged = concat_tables([existing, new.select(
                 existing.column_names)])
         merged.name = stmt.table
+        if pkeys:
+            # partitioned tables rebuild zone maps after every insert so
+            # partition pruning stays effective (the reference re-derives
+            # partition minmax per part on write, MergeTreeDataWriter.cpp)
+            from myscaledb_tpu.core.table import ZoneMap
+            import numpy as np
+            for c in merged.columns.values():
+                data = c.data
+                if getattr(data, "ndim", 0) == 1 and c.offsets is None and \
+                        c.dtype.is_numeric or (c.dictionary is not None and
+                                               getattr(data, "ndim", 0) == 1):
+                    try:
+                        c.zonemap = ZoneMap.build(np.asarray(data))
+                    except Exception:
+                        pass
         session.tables[stmt.table] = merged
         run_materialized_views(session, stmt.table, new)
         return T([])
@@ -995,6 +1061,18 @@ def execute_statement(session, stmt) -> Table:
         fmt = stmt.format or format_from_extension(stmt.path)
         session.import_file(stmt.table, stmt.path, fmt)
         return T([])
+
+    if isinstance(stmt, DropPartition):
+        # DROP PARTITION value = delete every row whose (first) partition
+        # key equals value (MergeTreeData::dropPartition analog; partition
+        # granularity here is the clustered key value)
+        from myscaledb_tpu.sql.ast import BinOp, Ident, Literal
+        pkeys = getattr(session, "_table_partition_keys", {}).get(
+            stmt.table) or []
+        if not pkeys:
+            raise ValueError(f"table {stmt.table!r} is not partitioned")
+        stmt = AlterDelete(stmt.table,
+                           BinOp("=", Ident(pkeys[0]), Literal(stmt.value)))
 
     if isinstance(stmt, AlterDelete):
         # lightweight-delete semantics: rows matching WHERE disappear

@@ -227,7 +227,9 @@ def execute_query(session, sql: str, params=None) -> Table:
             return hit
         M.increment("QueryCacheMisses")
     try:
-        with span("query", query=sql[:200]):
+        from myscaledb_tpu.runtime.memory import query_scope
+        with span("query", query=sql[:200]), \
+                query_scope(settings.max_memory_bytes_per_query):
             q = parse_sql(sql)
             result = execute_any(session, q)
         entry["result_rows"] = result.n_rows

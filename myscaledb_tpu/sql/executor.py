@@ -1419,7 +1419,8 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
         cols.append(col)
         mapping[name] = name
     for r, (kind, vals, sparams) in special.items():
-        col = _special_aggregate(kind, vals, gid, m, G, present, n, sparams)
+        col = _special_aggregate(kind, vals, gid, m, G, present, n, sparams,
+                                 session.settings)
         col = Column(Field(r, col.dtype, col.field.nullable,
                            col.field.vector_dim, col.field.elem),
                      col.data, col.valid, col.dictionary, None, col.offsets)
@@ -1506,7 +1507,7 @@ def _totals_table(env, q, mask, session, alias_exprs,
 
 
 def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
-                       params=None):
+                       params=None, settings=None):
     """uniqExact / argMin / argMax — computed outside the mergeable-state
     pipeline (reference: these have dedicated state classes in
     src/AggregateFunctions/AggregateFunctionUniq.h / ...ArgMinMax.h)."""
@@ -1610,6 +1611,32 @@ def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
             jnp.where(sel, gid, OOB)].add(x.astype(dtype), mode="drop")
 
     if kind in UNIQ_KINDS:
+        exact_cap = getattr(settings, "uniq_combined_exact_rows", 1 << 17) \
+            if settings is not None else 1 << 17
+        use_sketch = kind == "uniqhll12" or (
+            kind == "uniqcombined" and n > exact_cap)
+        if use_sketch:
+            # HLL(2^12) sketch — the reference's uniqHLL12/uniqCombined are
+            # approximate (AggregateFunctionUniq.h); uniq/uniqExact here
+            # stay exact (docs/PARITY.md)
+            from myscaledb_tpu.ops.hll import (hash_key_columns,
+                                               hll_registers, hll_estimate)
+            keys, vm = [], m
+            for v in vals:
+                data = _dense(v)
+                if v.dictionary is not None:
+                    keys.append(data.astype(jnp.int32))
+                elif jnp.issubdtype(data.dtype, jnp.floating):
+                    keys.append(float_bits_key(data))
+                else:
+                    keys.append(data)
+                if v.valid is not None:
+                    vm = jnp.logical_and(vm, v.valid)
+            h64 = hash_key_columns(keys)
+            regs = hll_registers(h64, gid, vm, G)
+            est = hll_estimate(regs)
+            return Column.from_numpy("x", np.asarray(est)[present],
+                                     build_zonemap=False)
         first_hit = _distinct_first_hit(vals)
         counts = _seg_sum(jnp.ones(n, dtype=jnp.int64), first_hit, jnp.int64)
         return Column.from_numpy("x", np.asarray(counts)[present],
@@ -1820,36 +1847,91 @@ def _zonemap_block_mask(table: Table, conjuncts) -> Optional[np.ndarray]:
     index: contiguous runs of candidate blocks fall out of the same min/max
     test a mark-range binary search would answer).  Returns a boolean
     possible-mask over 64k-row blocks, or None when no term is prunable."""
+    def _col_of(e):
+        if not isinstance(e, Ident):
+            return None
+        name = e.qualified if e.table else e.name
+        if name not in table:
+            return None
+        return table[name]
+
+    def _lit_key(col, v):
+        """Translate a literal into the column's zone-map key space.
+        Numeric columns: the number itself.  Dictionary-encoded strings:
+        the dictionary id (None when absent -> provably empty blocks).
+        Returns (ok, key)."""
+        if isinstance(v, (int, float)) and not isinstance(v, bool) \
+                and col.dictionary is None:
+            return True, v
+        if isinstance(v, str) and col.dictionary is not None:
+            did = col.dictionary.encode_one(v)
+            return True, (None if did < 0 else did)   # absent: no block
+        return False, None
+
     possible = None
     for term in conjuncts:
-        if not (isinstance(term, BinOp) and
-                term.op in ("=", "<", "<=", ">", ">=")):
-            continue
-        lhs, rhs, op = term.left, term.right, term.op
-        if isinstance(rhs, Ident) and isinstance(lhs, Literal):
-            lhs, rhs = rhs, lhs
-            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
-        if not (isinstance(lhs, Ident) and isinstance(rhs, Literal)
-                and isinstance(rhs.value, (int, float))):
-            continue
-        name = lhs.qualified if lhs.table else lhs.name
-        if name not in table:
-            continue
-        zm = table[name].zonemap
-        if zm is None:
-            continue
-        lit = rhs.value
-        if op == "=":
-            ok = (zm.mins <= lit) & (zm.maxs >= lit)
-        elif op == "<":
-            ok = zm.mins < lit
-        elif op == "<=":
-            ok = zm.mins <= lit
-        elif op == ">":
-            ok = zm.maxs > lit
-        else:
-            ok = zm.maxs >= lit
-        possible = ok if possible is None else (possible & ok)
+        ok = None
+        if isinstance(term, InList) and not term.negated:
+            col = _col_of(term.expr)
+            if col is None or col.zonemap is None:
+                continue
+            zm = col.zonemap
+            keys = []
+            translatable = True
+            for it in term.items:
+                if not isinstance(it, Literal):
+                    translatable = False
+                    break
+                t_ok, key = _lit_key(col, it.value)
+                if not t_ok:
+                    translatable = False
+                    break
+                if key is not None:
+                    keys.append(key)
+            if not translatable:
+                continue
+            # IN (v1..vk): a block is possible iff some value falls in its
+            # [min,max] (KeyCondition::mayBeTrueInRange over set elements)
+            ok = np.zeros(len(zm.mins), dtype=bool)
+            for key in keys:
+                ok |= (zm.mins <= key) & (zm.maxs >= key)
+        elif isinstance(term, BinOp) and term.op in ("=", "<", "<=", ">",
+                                                     ">="):
+            lhs, rhs, op = term.left, term.right, term.op
+            if isinstance(rhs, Ident) and isinstance(lhs, Literal):
+                lhs, rhs = rhs, lhs
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+            if not (isinstance(lhs, Ident) and isinstance(rhs, Literal)):
+                continue
+            col = _col_of(lhs)
+            if col is None or col.zonemap is None:
+                continue
+            zm = col.zonemap
+            t_ok, lit = _lit_key(col, rhs.value)
+            if not t_ok:
+                continue
+            if col.dictionary is not None:
+                # dictionary ids are insertion-ordered, not value-ordered:
+                # only equality may consult the id zone map (sound: id in
+                # [min,max] is necessary for presence); ranges cannot
+                if op != "=":
+                    continue
+                if lit is None:
+                    ok = np.zeros(len(zm.mins), dtype=bool)
+                else:
+                    ok = (zm.mins <= lit) & (zm.maxs >= lit)
+            elif op == "=":
+                ok = (zm.mins <= lit) & (zm.maxs >= lit)
+            elif op == "<":
+                ok = zm.mins < lit
+            elif op == "<=":
+                ok = zm.mins <= lit
+            elif op == ">":
+                ok = zm.maxs > lit
+            else:
+                ok = zm.maxs >= lit
+        if ok is not None:
+            possible = ok if possible is None else (possible & ok)
     return possible
 
 

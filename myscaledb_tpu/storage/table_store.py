@@ -17,6 +17,7 @@ import shutil
 import numpy as np
 
 from myscaledb_tpu.core.table import Table, concat_tables
+from myscaledb_tpu.runtime.faults import INJECTOR, with_retries
 from myscaledb_tpu.storage.part import write_part, read_part, part_rows
 
 _PART_RE = re.compile(r"^part_(\d+)_(\d+)$")
@@ -82,8 +83,11 @@ class TableStore:
         with self._lock:
             seq = self._next_seq()
             name = f"part_{seq}_{table.n_rows}"
-            out = write_part(os.path.join(self.path, name), table,
-                             sort_key=sort_key)
+            out = with_retries(
+                lambda: (INJECTOR.maybe_fail("part_write"),
+                         write_part(os.path.join(self.path, name), table,
+                                    sort_key=sort_key))[1],
+                retries=3, site="part_write")
             self.epoch += 1
             return out
 
@@ -96,7 +100,10 @@ class TableStore:
             if not parts:
                 return Table([])
             try:
-                tables = [read_part(p, columns) for p in parts]
+                tables = [with_retries(
+                    lambda p=p: (INJECTOR.maybe_fail("part_read"),
+                                 read_part(p, columns))[1],
+                    retries=3, site="part_read") for p in parts]
             except FileNotFoundError:
                 if attempt:
                     raise
@@ -151,7 +158,13 @@ class TableStore:
         def task():
             try:
                 from myscaledb_tpu.runtime import metrics as M
-                out = self.merge_parts(max_parts=max_parts)
+                # merges are idempotent (commit under lock, snapshot-based
+                # retire) so the background task retries injected/transient
+                # failures like the reference's re-queued merge entries
+                out = with_retries(
+                    lambda: (INJECTOR.maybe_fail("merge"),
+                             self.merge_parts(max_parts=max_parts))[1],
+                    retries=3, site="merge")
                 if out is not None:
                     M.increment(M.PARTS_MERGED)
             finally:

@@ -1,0 +1,66 @@
+"""Fault injection + deterministic retries (the engine's
+ZooKeeperWithFaultInjection analog, SURVEY.md §5 failure handling)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.runtime.faults import (FaultInjector, InjectedFault,
+                                          INJECTOR, with_retries)
+
+
+def test_injector_deterministic():
+    a = FaultInjector(probability=0.5, seed=42)
+    b = FaultInjector(probability=0.5, seed=42)
+    pat_a = []
+    pat_b = []
+    for i in range(50):
+        try:
+            a.maybe_fail("x"); pat_a.append(0)
+        except InjectedFault:
+            pat_a.append(1)
+        try:
+            b.maybe_fail("x"); pat_b.append(0)
+        except InjectedFault:
+            pat_b.append(1)
+    assert pat_a == pat_b and sum(pat_a) > 0
+
+
+def test_with_retries_recovers():
+    inj = FaultInjector(probability=0.6, seed=7)
+    calls = []
+
+    def op():
+        calls.append(1)
+        inj.maybe_fail("op")
+        return "done"
+
+    assert with_retries(op, retries=20) == "done"
+    assert len(calls) >= 1
+
+
+def test_with_retries_exhausts():
+    def op():
+        raise InjectedFault("always")
+    with pytest.raises(InjectedFault):
+        with_retries(op, retries=2)
+
+
+def test_storage_survives_injected_faults(tmp_path, rng):
+    from myscaledb_tpu.core.table import Table
+    from myscaledb_tpu.storage.table_store import TableStore
+    INJECTOR.configure(probability=0.3, seed=123)
+    try:
+        st = TableStore(str(tmp_path / "t"))
+        for i in range(6):
+            t = Table.from_dict({
+                "a": np.arange(i * 10, i * 10 + 10, dtype=np.int64)})
+            st.insert(t)
+        out = st.load()
+        assert out.n_rows == 60
+        st.merge_parts()
+        out = st.load()
+        assert out.n_rows == 60
+        assert sorted(np.asarray(out["a"].data).tolist()) == list(range(60))
+        assert sum(INJECTOR.injected.values()) > 0   # faults really fired
+    finally:
+        INJECTOR.configure(probability=0.0)

@@ -72,3 +72,19 @@ def test_empty_and_unpadded_tail(rng):
     sums, _, cnt = _ref(gid, mask, vals, G)
     np.testing.assert_array_equal(np.asarray(states[0]), sums)
     np.testing.assert_array_equal(np.asarray(gc), cnt)
+
+
+def test_dedup_sum_avg_share_arg(rng):
+    n, G = 20_000, 9
+    gid = rng.integers(0, G, n).astype(np.int32)
+    mask = rng.random(n) < 0.6
+    vals = rng.integers(-500, 500, n).astype(np.int32)
+    jv = jnp.asarray(vals)
+    # sum(v), count(), avg(v): the two int stats share one argument object
+    states, gc, _ = pallas_group_aggregate(
+        jnp.asarray(gid), jnp.asarray(mask), (jv, None, jv),
+        ("int", "count", "int"), G, interpret=True)
+    sums, _, cnt = _ref(gid, mask, vals, G)
+    np.testing.assert_array_equal(np.asarray(states[0]), sums)
+    np.testing.assert_array_equal(np.asarray(states[1]), cnt)
+    np.testing.assert_array_equal(np.asarray(states[2]), sums)

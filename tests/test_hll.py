@@ -1,0 +1,60 @@
+"""HLL sketch (uniqHLL12/uniqCombined) accuracy + SQL wiring."""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def test_hll_accuracy_ungrouped(rng):
+    from myscaledb_tpu.ops.hll import (hash_key_columns, hll_registers,
+                                       hll_estimate)
+    for true_n in (100, 5_000, 200_000):
+        keys = rng.integers(0, true_n, 500_000).astype(np.int64)
+        h = hash_key_columns((jnp.asarray(keys),))
+        regs = hll_registers(h, jnp.zeros(len(keys), dtype=jnp.int32),
+                             jnp.ones(len(keys), dtype=bool), 1)
+        est = int(np.asarray(hll_estimate(regs))[0])
+        true = len(np.unique(keys))
+        assert abs(est - true) / true < 0.08, (true, est)
+
+
+def test_hll_merge_equals_union(rng):
+    from myscaledb_tpu.ops.hll import (hash_key_columns, hll_registers,
+                                       hll_estimate, hll_merge)
+    a = rng.integers(0, 50_000, 100_000).astype(np.int64)
+    b = rng.integers(25_000, 80_000, 100_000).astype(np.int64)
+    ones = lambda n: jnp.ones(n, dtype=bool)
+    z = lambda n: jnp.zeros(n, dtype=jnp.int32)
+    ra = hll_registers(hash_key_columns((jnp.asarray(a),)), z(len(a)),
+                       ones(len(a)), 1)
+    rb = hll_registers(hash_key_columns((jnp.asarray(b),)), z(len(b)),
+                       ones(len(b)), 1)
+    rab = hll_registers(hash_key_columns((jnp.asarray(np.concatenate([a, b])),)),
+                        z(len(a) + len(b)), ones(len(a) + len(b)), 1)
+    merged = hll_merge(ra, rb)
+    assert (np.asarray(merged) == np.asarray(rab)).all()
+
+
+def test_uniq_sql_dispatch(rng):
+    from myscaledb_tpu import connect
+    s = connect()
+    n = 4000
+    rng = np.random.default_rng(3)
+    s.create_table("u", {
+        "g": rng.integers(0, 4, n).astype(np.int32),
+        "v": rng.integers(0, 500, n).astype(np.int64),
+    })
+    exact = s.sql("SELECT g, uniqExact(v) FROM u GROUP BY g ORDER BY g"
+                  ).to_rows()
+    comb = s.sql("SELECT g, uniqCombined(v) FROM u GROUP BY g ORDER BY g"
+                 ).to_rows()
+    # below the exact threshold uniqCombined is bit-identical to uniqExact
+    assert comb == exact
+    hll = s.sql("SELECT g, uniqHLL12(v) FROM u GROUP BY g ORDER BY g"
+                ).to_rows()
+    for (g1, e), (g2, h) in zip(exact, hll):
+        assert g1 == g2 and abs(h - e) / max(e, 1) < 0.1, (e, h)
+    # sketch path forced for uniqCombined via the threshold setting
+    hll2 = s.sql("SELECT g, uniqCombined(v) FROM u GROUP BY g ORDER BY g "
+                 "SETTINGS uniq_combined_exact_rows=1").to_rows()
+    for (g1, e), (g2, h) in zip(exact, hll2):
+        assert abs(h - e) / max(e, 1) < 0.1

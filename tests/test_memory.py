@@ -1,0 +1,50 @@
+"""Memory budget tracker (MemoryTracker.h:50 analog)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.runtime.memory import (MemoryTracker, MemoryLimitExceeded,
+                                          query_scope, charge, PROCESS)
+
+
+def test_tracker_hierarchy():
+    parent = MemoryTracker(limit=1000, name="p")
+    child = MemoryTracker(limit=600, parent=parent, name="c")
+    child.charge(500, "a")
+    assert parent.used == 500
+    with pytest.raises(MemoryLimitExceeded):
+        child.charge(200, "b")      # child limit
+    assert parent.used == 500       # failed charge rolled back
+    child2 = MemoryTracker(limit=None, parent=parent, name="c2")
+    with pytest.raises(MemoryLimitExceeded):
+        child2.charge(600, "c")     # parent limit
+    assert parent.used == 500
+
+
+def test_query_scope_releases():
+    base = PROCESS.used
+    with query_scope(10_000):
+        charge(5_000, "x")
+        assert PROCESS.used == base + 5_000
+    assert PROCESS.used == base
+
+
+def test_sql_query_over_budget(rng):
+    from myscaledb_tpu import connect
+    s = connect()
+    n = 200_000
+    s.create_table("big", {
+        "a": rng.integers(0, 1 << 30, n).astype(np.int64),
+        "b": rng.integers(0, 1 << 30, n).astype(np.int64),
+    })
+    # a GROUP BY over the hash path must exceed a tiny budget cleanly
+    s.settings.max_memory_bytes_per_query = 1 << 16
+    try:
+        with pytest.raises(Exception) as ei:
+            s.sql("SELECT a, count() FROM big GROUP BY a")
+        assert "memory limit" in str(ei.value).lower()
+    finally:
+        s.settings.max_memory_bytes_per_query = 512 * 1024 * 1024
+    # and run fine under the default budget
+    r = s.sql("SELECT count() FROM (SELECT a, count() AS c FROM big GROUP BY a)")
+    assert r.to_rows()[0][0] > 0

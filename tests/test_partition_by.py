@@ -1,0 +1,49 @@
+"""PARTITION BY: batch clustering + pruning + DROP PARTITION
+(reference: MergeTreeData partitions, PartitionPruner.h:13)."""
+
+import numpy as np
+
+from myscaledb_tpu import connect
+
+
+def test_partition_clustering_prunes(rng):
+    s = connect()
+    s.sql("CREATE TABLE p (d Int32, id Int64, v Int64) ENGINE = MergeTree "
+          "PARTITION BY d ORDER BY id")
+    n = 400_000
+    d = rng.integers(0, 4, n).astype(np.int32)       # unsorted partitions
+    rows_tab = {"d": d, "id": np.arange(n, dtype=np.int64),
+                "v": rng.integers(0, 100, n).astype(np.int64)}
+    # bulk insert through the session API goes through INSERT SELECT-less
+    # path: build a staging table and INSERT ... SELECT
+    s.create_table("stage", rows_tab)
+    s.sql("INSERT INTO p SELECT d, id, v FROM stage")
+    # correctness
+    r = s.sql("SELECT count() FROM p WHERE d = 2").to_rows()
+    assert r[0][0] == int((d == 2).sum())
+    # pruning: batch clustered by d -> blocks cover ~1 partition each
+    est = s.sql("EXPLAIN ESTIMATE SELECT count() FROM p WHERE d = 2"
+                ).to_rows()
+    _, rows, blocks, pruned = est[0]
+    assert pruned > 0, est
+
+
+def test_drop_partition(rng):
+    s = connect()
+    s.sql("CREATE TABLE p (d Int32, v Int64) ENGINE = MergeTree "
+          "PARTITION BY d ORDER BY v")
+    s.sql("INSERT INTO p VALUES (0, 1), (1, 2), (0, 3), (2, 4), (1, 5)")
+    s.sql("ALTER TABLE p DROP PARTITION 1")
+    rows = s.sql("SELECT d, v FROM p ORDER BY v").to_rows()
+    assert rows == [(0, 1), (0, 3), (2, 4)]
+
+
+def test_multi_column_partition_key(rng):
+    s = connect()
+    s.sql("CREATE TABLE p (a Int32, b Int32, v Int64) ENGINE = MergeTree "
+          "PARTITION BY (a, b) ORDER BY v")
+    s.sql("INSERT INTO p VALUES (1, 9, 10), (0, 5, 20), (1, 1, 30), "
+          "(0, 2, 40)")
+    rows = s.sql("SELECT a, b FROM p").to_rows()
+    # batch clustered by (a, b)
+    assert rows == [(0, 2), (0, 5), (1, 1), (1, 9)]

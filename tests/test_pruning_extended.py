@@ -1,0 +1,52 @@
+"""Zone-map pruning: IN lists and dictionary-string equality
+(KeyCondition.h:217 set/equality terms)."""
+
+import numpy as np
+
+from myscaledb_tpu import connect
+
+
+def _mk(rng, n=300_000):
+    s = connect()
+    # clustered layout so zone maps are tight: id ascending, grp blocky
+    grp = np.repeat(np.arange(5), n // 5).astype(np.int64)
+    name = np.repeat(np.array(["aa", "bb", "cc", "dd", "ee"]), n // 5)
+    s.create_table("t", {
+        "id": np.arange(n, dtype=np.int64),
+        "grp": grp,
+        "name": name,
+        "v": rng.integers(0, 100, n).astype(np.int64),
+    })
+    return s, n
+
+
+def _estimate(s, sql):
+    rows = s.sql("EXPLAIN ESTIMATE " + sql).to_rows()
+    d = {r[0]: r[1] for r in rows} if rows and len(rows[0]) == 2 else {}
+    return d
+
+
+def test_in_list_prunes(rng):
+    s, n = _mk(rng)
+    full = s.sql("SELECT count() FROM t WHERE grp IN (1, 3)").to_rows()
+    assert full[0][0] == 2 * (n // 5)
+    est = _estimate(s, "SELECT count() FROM t WHERE grp IN (1, 3)")
+    if "blocks_pruned" in est:
+        assert est["blocks_pruned"] > 0
+
+
+def test_string_equality_prunes(rng):
+    s, n = _mk(rng)
+    r = s.sql("SELECT count() FROM t WHERE name = 'cc'").to_rows()
+    assert r[0][0] == n // 5
+    r = s.sql("SELECT count() FROM t WHERE name = 'zz'").to_rows()
+    assert r[0][0] == 0
+    est = _estimate(s, "SELECT count() FROM t WHERE name = 'cc'")
+    if "blocks_pruned" in est:
+        assert est["blocks_pruned"] > 0
+
+
+def test_in_with_absent_string(rng):
+    s, n = _mk(rng)
+    r = s.sql("SELECT count() FROM t WHERE name IN ('bb', 'zz')").to_rows()
+    assert r[0][0] == n // 5
