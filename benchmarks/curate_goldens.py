@@ -1,0 +1,169 @@
+"""Curate a golden corpus from the reference test tree.
+
+Tries reference stateless `.sql` tests and vector-search `.sh` tests
+against this engine; cases whose output matches the `.reference` file
+BIT-EXACTLY are copied into tests/goldens/ (sql + reference pairs) and
+re-run forever after by tests/test_goldens.py.  Non-matching or
+unsupported cases are skipped (the reference suite leans on hundreds of
+ClickHouse features deliberately out of scope here).
+
+Usage:  python benchmarks/curate_goldens.py [--limit N] [--verbose]
+"""
+
+import argparse
+import os
+import re
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+REF = "/root/reference/tests/queries"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+
+BLACKLIST = (
+    "serverError", "clientError", "system.numbers", "system.one",
+    "remote(", "cluster(", "file(", "url(", "Log;", "TinyLog",
+    "$CLICKHOUSE", "${CLICKHOUSE", "SET ", "set ", "Memory;",
+    "toTypeName", "materialize(",
+)
+
+
+def run_statements(session, sqls):
+    """Execute statements, returning concatenated SELECT output lines."""
+    from myscaledb_tpu.runtime.formats import ch_tsv_lines
+    lines = []
+    for sql in sqls:
+        s = sql.strip().rstrip(";").strip()
+        if not s:
+            continue
+        up = s.upper()
+        t = session.sql(s)
+        if up.startswith(("SELECT", "WITH")) and t is not None:
+            lines.extend(ch_tsv_lines(t))
+    return lines
+
+
+def split_sql(text):
+    # strip comments, split on top-level semicolons (no ; inside strings in
+    # the curated candidates — files with tricky quoting simply fail)
+    text = re.sub(r"--[^\n]*", "", text)
+    return [p for p in text.split(";") if p.strip()]
+
+
+def try_stateless(path, verbose=False):
+    from myscaledb_tpu import connect
+    sql_text = open(path).read()
+    ref_path = path[:-4] + ".reference"
+    if not os.path.exists(ref_path):
+        return None
+    expected = open(ref_path).read().rstrip("\n").split("\n")
+    if expected == [""]:
+        expected = []
+    try:
+        s = connect()
+        got = run_statements(s, split_sql(sql_text))
+    except Exception as e:
+        if verbose:
+            print(f"  {os.path.basename(path)}: {type(e).__name__}: "
+                  f"{str(e)[:80]}")
+        return None
+    return got == expected
+
+
+_Q_RE = re.compile(r'clickhouse-client\s+(?:[^"\n]*?)-q\s+"((?:[^"\\]|\\.)*)"')
+
+
+def extract_sh_sql(path):
+    text = open(path).read()
+    sqls = []
+    if "00000_prepare_index.sh" in text:
+        helper = os.path.join(os.path.dirname(path), "helpers",
+                              "00000_prepare_index.sh")
+        for m in _Q_RE.finditer(open(helper).read()):
+            q = m.group(1)
+            if "system.vector_indices" in q:
+                continue
+            sqls.append(q)
+    for m in _Q_RE.finditer(text):
+        sqls.append(m.group(1))
+    return [q.replace('\\"', '"') for q in sqls]
+
+
+def try_vector(path, verbose=False):
+    from myscaledb_tpu import connect
+    ref_path = path[:-3] + ".reference"
+    if not os.path.exists(ref_path):
+        return None, None
+    expected = open(ref_path).read().rstrip("\n").split("\n")
+    if expected == [""]:
+        expected = []
+    sqls = extract_sh_sql(path)
+    if not sqls:
+        return None, None
+    try:
+        s = connect()
+        got = run_statements(s, sqls)
+    except Exception as e:
+        if verbose:
+            print(f"  {os.path.basename(path)}: {type(e).__name__}: "
+                  f"{str(e)[:80]}")
+        return None, None
+    return got == expected, sqls
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--limit", type=int, default=400,
+                    help="max stateless candidates to try")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(os.path.join(OUT, "stateless"), exist_ok=True)
+    os.makedirs(os.path.join(OUT, "vector"), exist_ok=True)
+
+    kept = 0
+    tried = 0
+    stateless = sorted(
+        f for f in os.listdir(os.path.join(REF, "0_stateless"))
+        if f.endswith(".sql"))
+    for f in stateless:
+        path = os.path.join(REF, "0_stateless", f)
+        if os.path.getsize(path) > 1500:
+            continue
+        text = open(path).read()
+        if any(b in text for b in BLACKLIST):
+            continue
+        tried += 1
+        if tried > args.limit:
+            break
+        ok = try_stateless(path, args.verbose)
+        if ok:
+            shutil.copy(path, os.path.join(OUT, "stateless", f))
+            shutil.copy(path[:-4] + ".reference",
+                        os.path.join(OUT, "stateless", f[:-4] + ".reference"))
+            kept += 1
+            print(f"KEEP stateless/{f}")
+    print(f"stateless: tried {min(tried, args.limit)}, kept {kept}")
+
+    vkept = 0
+    for f in sorted(os.listdir(os.path.join(REF, "2_vector_search"))):
+        if not f.endswith(".sh") or f.startswith("helpers"):
+            continue
+        path = os.path.join(REF, "2_vector_search", f)
+        ok, sqls = try_vector(path, args.verbose)
+        if ok:
+            base = f[:-3]
+            with open(os.path.join(OUT, "vector", base + ".sql"), "w") as fh:
+                fh.write(";\n".join(sqls) + ";\n")
+            shutil.copy(path[:-3] + ".reference",
+                        os.path.join(OUT, "vector", base + ".reference"))
+            vkept += 1
+            print(f"KEEP vector/{base}")
+    print(f"vector: kept {vkept}")
+    print(f"TOTAL goldens: {kept + vkept}")
+
+
+if __name__ == "__main__":
+    main()

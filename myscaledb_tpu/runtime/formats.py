@@ -788,3 +788,55 @@ INPUT_FORMATS = ["CSV", "CSVWithNames", "TSV", "TabSeparated",
                  "RowBinary", "RowBinaryWithNamesAndTypes", "Values"]
 OUTPUT_FORMATS = INPUT_FORMATS + ["JSON", "JSONCompact", "Pretty",
                                   "PrettyCompact", "CSVWithNamesAndTypes"]
+
+
+def ch_tsv_lines(table: Table) -> list:
+    """Render result rows in ClickHouse's default TSV value style (the
+    format golden `.reference` files in the reference test tree use):
+    shortest-roundtrip floats with integral values printed as integers,
+    arrays as [1,2,3] / ['a','b'], NULL as \\N, dates ISO.  Used by the
+    golden-corpus harness (tests/test_goldens.py)."""
+    import datetime as _dtm
+
+    def fmt(v, f32=False):
+        if v is None:
+            return "\\N"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "[" + ",".join(
+                ("'" + str(e) + "'") if isinstance(e, str) else fmt(e, f32)
+                for e in v) + "]"
+        if isinstance(v, bool) or isinstance(v, np.bool_):
+            return "true" if v else "false"
+        if isinstance(v, (_dtm.datetime,)):
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dtm.date):
+            return v.isoformat()
+        if isinstance(v, (float, np.floating)):
+            fv = float(v)
+            if fv != fv:
+                return "nan"
+            if fv == float("inf"):
+                return "inf"
+            if fv == float("-inf"):
+                return "-inf"
+            if fv == int(fv) and abs(fv) < 1e15:
+                return str(int(fv))
+            if f32 or isinstance(v, np.float32):
+                s = np.format_float_positional(np.float32(fv), unique=True,
+                                               trim="-")
+            else:
+                s = repr(fv)
+            return s
+        return str(v)
+
+    names = [n for n in table.column_names if not n.startswith("__")]
+    cols = []
+    for n in names:
+        c = table[n]
+        f32 = str(getattr(c.data, "dtype", "")) == "float32" or \
+            getattr(c.field, "vector_dim", 0)
+        cols.append((c.to_python(), bool(f32)))
+    out = []
+    for i in range(table.n_rows):
+        out.append("\t".join(fmt(vals[i], f32) for vals, f32 in cols))
+    return out

@@ -1125,18 +1125,43 @@ def execute_statement(session, stmt) -> Table:
         if "metric_type" in params:
             ts = session.table_settings.setdefault(stmt.table, TableSettings())
             ts.float_vector_search_metric_type = params["metric_type"]
-        idxs.append({"table": stmt.table, "name": stmt.name,
-                     "column": stmt.column, "type": stmt.index_type,
-                     # exact brute-force scans serve every query, so the
-                     # index is immediately usable ("Built")
-                     "status": "Built", "params": stmt.params})
+        entry = {"table": stmt.table, "name": stmt.name,
+                 "column": stmt.column, "type": stmt.index_type,
+                 "status": "InProgress", "params": stmt.params}
+        idxs.append(entry)
         # lifecycle events (reference: VIEventLog,
         # src/VectorIndex/Interpreters/VIEventLog.h:30 event enum)
         import time as _time
-        for ev in ("DEFINITION_CREATED", "BUILD_START", "BUILD_SUCCEED"):
+        for ev in ("DEFINITION_CREATED", "BUILD_START"):
             session.vi_events.append({
                 "event_time": _time.time(), "table": stmt.table,
                 "index_name": stmt.name, "event_type": ev})
+
+        # build the real scan artifact (squared norms + SQ8 sidecar) on the
+        # background executor — VIBuilderUpdater::buildVI analog
+        # (VIBuilderUpdater.h:97, scheduled by StorageMergeTree's background
+        # round).  Queries arriving earlier build it lazily on first use;
+        # status reflects the actual artifact's existence either way.
+        def _build(table_name=stmt.table, col=stmt.column, e=entry):
+            try:
+                from myscaledb_tpu.sql.executor import _vector_sidecar
+                t_now = session.tables.get(table_name)
+                if t_now is not None:
+                    _vector_sidecar(session, table_name, t_now, col)
+                e["status"] = "Built"
+                session.vi_events.append({
+                    "event_time": _time.time(), "table": table_name,
+                    "index_name": e["name"],
+                    "event_type": "BUILD_SUCCEED"})
+            except Exception as err:       # noqa: BLE001
+                e["status"] = "Error"
+                session.vi_events.append({
+                    "event_time": _time.time(), "table": table_name,
+                    "index_name": e["name"], "event_type": "BUILD_ERROR",
+                    "error": str(err)[:200]})
+
+        from myscaledb_tpu.storage.background import default_executor
+        default_executor().schedule(_build)
         return T([])
 
     if isinstance(stmt, DropVectorIndex):

@@ -132,6 +132,18 @@ def execute_query(session, sql: str, params=None) -> Table:
                     execution_time=entry["duration_ms"] / 1e3,
                     errors=int(entry["status"] != "QueryFinish"))
     if upper.startswith("EXPLAIN"):
+
+        def _plan_lines(session_, s_, kind_):
+            """EXPLAIN PLAN renders the plan-DAG (sql/plan.py pass output);
+            PIPELINE keeps the stage-line view its annotator expects."""
+            if kind_ == "PLAN":
+                try:
+                    from myscaledb_tpu.sql.plan import build_plan, render_plan
+                    return render_plan(build_plan(session_, s_))
+                except Exception:
+                    pass
+            return explain_select(session_, s_)
+
         rest = stripped[len("EXPLAIN"):].lstrip()
         kind = "PLAN"
         for kw in ("PLAN", "PIPELINE", "ESTIMATE", "AST", "SYNTAX"):
@@ -197,9 +209,9 @@ def execute_query(session, sql: str, params=None) -> Table:
             lines = []
             for i, s in enumerate(q.selects):
                 lines.append(f"Union branch {i}")
-                lines.extend("  " + l for l in explain_select(session, s))
+                lines.extend("  " + l for l in _plan_lines(session, s, kind))
             return Table.from_dict({"explain": lines})
-        lines = explain_select(session, q)
+        lines = _plan_lines(session, q, kind)
         if kind == "PIPELINE":
             # physical view: each logical step is one fused XLA program;
             # annotate the kernel strategy per step (the reference prints

@@ -786,11 +786,14 @@ def _distributed_join(session, left: Table, right: Table, jc, ralias: str,
         return None
 
     mesh, axis = left.mesh, left.mesh_axis
-    right_dist = is_distributed(right)
-    if right.n_rows > st.distributed_broadcast_join_threshold:
-        if right_dist:
-            return _distributed_shuffle_join(session, left, right, jc, ralias,
-                                             alias_prefixes, pairs, st)
+    # strategy decision shared with the plan layer (EXPLAIN PLAN prints the
+    # same choice this executes — sql/plan.py choose_join_strategy)
+    from myscaledb_tpu.sql.plan import choose_join_strategy
+    strategy = choose_join_strategy(left, right, st, how, strict)
+    if strategy == "shuffle":
+        return _distributed_shuffle_join(session, left, right, jc, ralias,
+                                         alias_prefixes, pairs, st)
+    if strategy != "broadcast":
         return None
     right = _compact_distributed(right)
     if any(c.offsets is not None for c in right.columns.values()):

@@ -18,9 +18,15 @@ def lines(s, q):
 
 
 def test_plan_default(s):
+    # EXPLAIN [PLAN] renders the plan DAG (sql/plan.py)
     out = lines(s, "EXPLAIN SELECT a FROM t WHERE a < 5")
-    assert any(l.startswith("Filter") for l in out)
-    assert any(l.startswith("ReadFromTable") for l in out)
+    assert any(l.lstrip().startswith("Filter") for l in out)
+    assert any(l.lstrip().startswith("Scan") for l in out)
+
+
+def test_plan_shows_pruning_and_columns(s):
+    out = lines(s, "EXPLAIN SELECT a FROM t WHERE a < 5")
+    assert any("blocks_possible" in l for l in out)
 
 
 def test_pipeline_annotations(s):

@@ -1,0 +1,53 @@
+"""Golden corpus: curated reference tests replayed bit-exact.
+
+Fixtures live in tests/goldens/{stateless,vector}/ as (.sql, .reference)
+pairs curated from the reference tree by benchmarks/curate_goldens.py —
+the engine's analog of tests/queries/0_stateless + 2_vector_search golden
+runs (SURVEY.md §4).  Every case asserts byte-identical TSV output.
+"""
+
+import os
+import re
+
+import pytest
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _cases():
+    out = []
+    for sub in ("stateless", "vector"):
+        d = os.path.join(GOLDENS, sub)
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".sql"):
+                out.append((sub, f[:-4]))
+    return out
+
+
+def _split_sql(text):
+    text = re.sub(r"--[^\n]*", "", text)
+    return [p for p in text.split(";") if p.strip()]
+
+
+@pytest.mark.parametrize("sub,name", _cases(),
+                         ids=[f"{s}/{n}" for s, n in _cases()])
+def test_golden(sub, name):
+    from myscaledb_tpu import connect
+    from myscaledb_tpu.runtime.formats import ch_tsv_lines
+    sql_text = open(os.path.join(GOLDENS, sub, name + ".sql")).read()
+    expected = open(os.path.join(GOLDENS, sub, name + ".reference")
+                    ).read().rstrip("\n").split("\n")
+    if expected == [""]:
+        expected = []
+    s = connect()
+    got = []
+    for stmt in _split_sql(sql_text):
+        stmt = stmt.strip().rstrip(";").strip()
+        if not stmt:
+            continue
+        t = s.sql(stmt)
+        if stmt.upper().startswith(("SELECT", "WITH")) and t is not None:
+            got.extend(ch_tsv_lines(t))
+    assert got == expected
