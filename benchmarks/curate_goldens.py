@@ -58,7 +58,10 @@ def try_stateless(path, verbose=False):
     ref_path = path[:-4] + ".reference"
     if not os.path.exists(ref_path):
         return None
-    expected = open(ref_path).read().rstrip("\n").split("\n")
+    try:
+        expected = open(ref_path).read().rstrip("\n").split("\n")
+    except UnicodeDecodeError:
+        return None
     if expected == [""]:
         expected = []
     try:
@@ -96,7 +99,10 @@ def try_vector(path, verbose=False):
     ref_path = path[:-3] + ".reference"
     if not os.path.exists(ref_path):
         return None, None
-    expected = open(ref_path).read().rstrip("\n").split("\n")
+    try:
+        expected = open(ref_path).read().rstrip("\n").split("\n")
+    except UnicodeDecodeError:
+        return None, None
     if expected == [""]:
         expected = []
     sqls = extract_sh_sql(path)

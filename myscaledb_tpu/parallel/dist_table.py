@@ -59,3 +59,90 @@ def distribute_table(table: Table, mesh: Mesh, axis: str = SHARD_AXIS) -> Table:
 
 def is_distributed(table: Table) -> bool:
     return getattr(table, "mesh", None) is not None
+
+
+def insert_distributed(existing: Table, new: Table, shard_key: str | None
+                       = None) -> Table:
+    """Append rows to a distributed table WITHOUT resharding the resident
+    rows (DistributedSink analog, src/Storages/Distributed/DistributedSink.cpp:
+    blocks are split by sharding key and sent per shard).  New rows route to
+    shards by hash of ``shard_key`` (when given and integer-typed) or
+    round-robin; each shard's region grows in place, so only the new rows
+    move across the host-device boundary.
+
+    Global row order becomes shard-major (like the reference, where
+    per-shard local tables have no global order).
+    """
+    mesh = existing.mesh
+    axis = existing.mesh_axis
+    nsh = mesh.shape[axis]
+    n_old_pad = existing.n_rows           # padded length
+    cap_old = n_old_pad // nsh
+    m = new.n_rows
+    if m == 0:
+        return existing
+
+    # route new rows to shards
+    if shard_key and shard_key in new and \
+            np.issubdtype(np.asarray(new[shard_key].data).dtype, np.integer):
+        from myscaledb_tpu.ops.hash import hash32
+        dest = np.asarray(hash32(jnp.asarray(new[shard_key].data))
+                          ) % np.uint32(nsh)
+        dest = dest.astype(np.int64)
+    else:
+        dest = np.arange(m, dtype=np.int64) % nsh
+    order = np.argsort(dest, kind="stable")
+    counts = np.bincount(dest, minlength=nsh)
+    cap_new = int(counts.max())
+    cap = cap_old + cap_new
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    old_rv = np.asarray(existing[ROW_VALID].data).reshape(nsh, cap_old)
+    cols = []
+    for c in existing.columns.values():
+        if c.name == ROW_VALID:
+            continue
+        old = np.asarray(c.data)
+        tail_shape = old.shape[1:]
+        old = old.reshape((nsh, cap_old) + tail_shape)
+        nc = new[c.name]
+        nd = np.asarray(nc.data)
+        if c.dictionary is not None and nc.dictionary is not c.dictionary:
+            # re-encode through the existing dictionary
+            nd = c.dictionary.encode(nc.dictionary.decode(nd))
+        buf = np.zeros((nsh, cap) + tail_shape, dtype=old.dtype)
+        buf[:, :cap_old] = old
+        for p in range(nsh):
+            sel = order[starts[p]:starts[p] + counts[p]]
+            buf[p, cap_old:cap_old + counts[p]] = nd[sel]
+        sharding = NamedSharding(mesh, P(axis) if buf.ndim == 2
+                                 else P(axis, None))
+        data = jax.device_put(jnp.asarray(
+            buf.reshape((nsh * cap,) + tail_shape)), sharding)
+        valid = None
+        if c.valid is not None or nc.valid is not None:
+            ov = np.asarray(c.valid).reshape(nsh, cap_old) \
+                if c.valid is not None else np.ones((nsh, cap_old), bool)
+            nv = np.asarray(nc.valid) if nc.valid is not None else \
+                np.ones(m, dtype=bool)
+            vb = np.zeros((nsh, cap), dtype=bool)
+            vb[:, :cap_old] = ov
+            for p in range(nsh):
+                sel = order[starts[p]:starts[p] + counts[p]]
+                vb[p, cap_old:cap_old + counts[p]] = nv[sel]
+            valid = jax.device_put(jnp.asarray(vb.reshape(-1)),
+                                   NamedSharding(mesh, P(axis)))
+        cols.append(Column(c.field, data, valid, c.dictionary, None))
+
+    rv = np.zeros((nsh, cap), dtype=bool)
+    rv[:, :cap_old] = old_rv
+    for p in range(nsh):
+        rv[p, cap_old:cap_old + counts[p]] = True
+    rvd = jax.device_put(jnp.asarray(rv.reshape(-1)),
+                         NamedSharding(mesh, P(axis)))
+    cols.append(Column(Field(ROW_VALID, DataType.BOOL), rvd))
+    out = Table(cols, name=existing.name)
+    out.mesh = mesh
+    out.mesh_axis = axis
+    out.real_rows = getattr(existing, "real_rows", n_old_pad) + m
+    return out

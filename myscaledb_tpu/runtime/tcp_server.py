@@ -1,0 +1,204 @@
+"""Native TCP protocol server + client.
+
+Reference analog: the native TCP protocol (src/Core/Protocol.h:67 — client
+Hello/Query/Cancel/Ping, server Hello/Data/Exception/Progress/EndOfStream)
+with blocks serialized columnar by NativeWriter (src/Formats/NativeWriter.h:20)
+and handled per connection by TCPHandler::runImpl (src/Server/TCPHandler.cpp:159).
+
+TPU-native framing: 1-byte packet type + 4-byte big-endian length + payload.
+Data packets carry COLUMNAR blocks (names, dtypes, then raw little-endian
+column buffers — the NativeWriter idea without the 142-format machinery);
+hello/query/exception packets are small JSON.  One thread per connection
+(the reference's handler-per-connection model).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import struct
+import threading
+
+import numpy as np
+
+PROTO_VERSION = 1
+
+# packet types (client->server and server->client share the id space,
+# like Protocol.h's two enums)
+HELLO = 0
+QUERY = 1
+PING = 2
+DATA = 3
+EXCEPTION = 4
+END_OF_STREAM = 5
+PONG = 6
+
+
+def _send_packet(sock, ptype: int, payload: bytes) -> None:
+    sock.sendall(struct.pack(">BI", ptype, len(payload)) + payload)
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def _recv_packet(sock):
+    hdr = _recv_exact(sock, 5)
+    ptype, ln = struct.unpack(">BI", hdr)
+    return ptype, _recv_exact(sock, ln)
+
+
+def _encode_block(table) -> bytes:
+    """Columnar block: JSON header (names, dtypes, n_rows, per-column byte
+    lengths) + concatenated raw column buffers.  Strings travel as their
+    dictionary ids + the dictionary (NativeWriter's LowCardinality idea)."""
+    names = [n for n in table.column_names if not n.startswith("__")]
+    header = {"n_rows": table.n_rows, "columns": []}
+    bufs = []
+    for n in names:
+        c = table[n]
+        data = np.asarray(c.data)
+        col = {"name": n, "dtype": str(data.dtype),
+               "shape": list(data.shape)}
+        if c.dictionary is not None:
+            col["dictionary"] = list(c.dictionary.values)
+        if c.valid is not None:
+            vbuf = np.asarray(c.valid).astype(np.uint8).tobytes()
+            col["valid_len"] = len(vbuf)
+            bufs.append(vbuf)
+        raw = np.ascontiguousarray(data).tobytes()
+        col["len"] = len(raw)
+        bufs.append(raw)
+        header["columns"].append(col)
+    hj = json.dumps(header).encode()
+    return struct.pack(">I", len(hj)) + hj + b"".join(bufs)
+
+
+def _decode_block(payload: bytes):
+    (hlen,) = struct.unpack(">I", payload[:4])
+    header = json.loads(payload[4:4 + hlen])
+    off = 4 + hlen
+    cols = {}
+    for col in header["columns"]:
+        valid = None
+        if "valid_len" in col:
+            valid = np.frombuffer(payload[off:off + col["valid_len"]],
+                                  dtype=np.uint8).astype(bool)
+            off += col["valid_len"]
+        raw = payload[off:off + col["len"]]
+        off += col["len"]
+        arr = np.frombuffer(raw, dtype=np.dtype(col["dtype"])
+                            ).reshape(col["shape"])
+        if "dictionary" in col:
+            vals = col["dictionary"]
+            arr = [None if (valid is not None and not valid[i]) or
+                   arr[i] < 0 else vals[arr[i]] for i in range(len(arr))]
+        cols[col["name"]] = (arr, valid)
+    return header["n_rows"], cols
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        sock = self.request
+        session = self.server.engine_session
+        try:
+            ptype, payload = _recv_packet(sock)
+            if ptype != HELLO:
+                _send_packet(sock, EXCEPTION,
+                             json.dumps({"error": "expected Hello"}).encode())
+                return
+            _send_packet(sock, HELLO, json.dumps(
+                {"server": "myscaledb_tpu", "version": PROTO_VERSION}
+            ).encode())
+            while True:
+                ptype, payload = _recv_packet(sock)
+                if ptype == PING:
+                    _send_packet(sock, PONG, b"")
+                    continue
+                if ptype != QUERY:
+                    break
+                req = json.loads(payload)
+                try:
+                    result = session.sql(req["query"])
+                    _send_packet(sock, DATA, _encode_block(result))
+                    _send_packet(sock, END_OF_STREAM, b"")
+                except Exception as e:       # noqa: BLE001
+                    _send_packet(sock, EXCEPTION, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}).encode())
+        except (ConnectionError, OSError):
+            pass
+
+
+class TcpServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, session, host: str = "127.0.0.1", port: int = 9000):
+        super().__init__((host, port), _Handler)
+        self.engine_session = session
+
+
+def make_tcp_server(session, host: str = "127.0.0.1", port: int = 9000
+                    ) -> TcpServer:
+    return TcpServer(session, host, port)
+
+
+def serve_tcp(session, host: str = "127.0.0.1", port: int = 9000
+              ) -> TcpServer:
+    srv = make_tcp_server(session, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+class TcpClient:
+    """Native-protocol client (the `Connection` analog, src/Client/Connection.h)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 9000,
+                 timeout: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        _send_packet(self.sock, HELLO, json.dumps(
+            {"client": "myscaledb_tpu-client",
+             "version": PROTO_VERSION}).encode())
+        ptype, payload = _recv_packet(self.sock)
+        if ptype != HELLO:
+            raise ConnectionError("bad server hello")
+        self.server_info = json.loads(payload)
+
+    def ping(self) -> bool:
+        _send_packet(self.sock, PING, b"")
+        ptype, _ = _recv_packet(self.sock)
+        return ptype == PONG
+
+    def query(self, sql: str):
+        """Run a query; returns (n_rows, {name: (array, valid)})."""
+        _send_packet(self.sock, QUERY, json.dumps({"query": sql}).encode())
+        blocks = []
+        n_rows = 0
+        while True:
+            ptype, payload = _recv_packet(self.sock)
+            if ptype == DATA:
+                nr, cols = _decode_block(payload)
+                n_rows += nr
+                blocks.append(cols)
+            elif ptype == END_OF_STREAM:
+                break
+            elif ptype == EXCEPTION:
+                raise RuntimeError(json.loads(payload)["error"])
+            else:
+                raise ConnectionError(f"unexpected packet {ptype}")
+        cols = blocks[0] if blocks else {}
+        return n_rows, cols
+
+    def close(self):
+        try:
+            self.sock.close()
+        except OSError:
+            pass

@@ -1017,7 +1017,12 @@ def execute_statement(session, stmt) -> Table:
                                       None, src.offsets))
             new = T(renamed)
         else:
-            new = rows_to_table(existing, stmt.columns, stmt.rows)
+            target = existing
+            if "__row_valid__" in existing:
+                target = existing.select(
+                    [n for n in existing.column_names
+                     if n != "__row_valid__"])
+            new = rows_to_table(target, stmt.columns, stmt.rows)
         pkeys = getattr(session, "_table_partition_keys", {}).get(
             stmt.table) or []
         if pkeys and all(k in new for k in pkeys) and new.n_rows > 1:
@@ -1030,7 +1035,20 @@ def execute_statement(session, stmt) -> Table:
             if not (order == np.arange(len(order))).all():
                 import jax.numpy as jnp
                 new = new.take(jnp.asarray(order))
-        if existing.n_rows == 0 and set(new.column_names) == \
+        from myscaledb_tpu.parallel.dist_table import (is_distributed,
+                                                        insert_distributed,
+                                                        ROW_VALID)
+        if is_distributed(existing):
+            # distributed INSERT: route new rows to shards by the first
+            # ORDER BY key (sharding-key analog) without resharding the
+            # resident rows (P10, DistributedSink.cpp)
+            okeys = getattr(session, "_table_order_keys", {}).get(
+                stmt.table) or []
+            names = [n for n in existing.column_names if n != ROW_VALID]
+            merged = insert_distributed(existing, new.select(names),
+                                        shard_key=okeys[0] if okeys
+                                        else None)
+        elif existing.n_rows == 0 and set(new.column_names) == \
                 set(existing.column_names):
             # first insert fixes unknown vector dims
             merged = new.select(existing.column_names)

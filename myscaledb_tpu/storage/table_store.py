@@ -93,17 +93,30 @@ class TableStore:
 
     def load(self, columns: list[str] | None = None) -> Table:
         """Materialize all parts into one resident Table (dictionary merge
-        handled by concat_tables).  Retries once if a background merge
-        retires a part between the snapshot and the read."""
+        handled by concat_tables).  Part files are read CONCURRENTLY on a
+        small thread pool (the reference reads parts on the IO pool with
+        prefetch, MergeTreePrefetchedReadPool; numpy IO releases the GIL).
+        Retries once if a background merge retires a part between the
+        snapshot and the read."""
+        from concurrent.futures import ThreadPoolExecutor
         for attempt in (0, 1):
             parts = self.parts()
             if not parts:
                 return Table([])
+
+            def _read(p):
+                return with_retries(
+                    lambda: (INJECTOR.maybe_fail("part_read"),
+                             read_part(p, columns))[1],
+                    retries=3, site="part_read")
+
             try:
-                tables = [with_retries(
-                    lambda p=p: (INJECTOR.maybe_fail("part_read"),
-                                 read_part(p, columns))[1],
-                    retries=3, site="part_read") for p in parts]
+                if len(parts) > 1:
+                    with ThreadPoolExecutor(
+                            max_workers=min(8, len(parts))) as ex:
+                        tables = list(ex.map(_read, parts))
+                else:
+                    tables = [_read(parts[0])]
             except FileNotFoundError:
                 if attempt:
                     raise

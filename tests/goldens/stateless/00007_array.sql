@@ -1,0 +1,3 @@
+SELECT ['Hello', 'Goodbye'];
+SELECT ['Hello'], ['Goodbye'];
+SELECT [];

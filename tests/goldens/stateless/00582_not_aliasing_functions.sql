@@ -1,0 +1,1 @@
+SELECT count() FROM (SELECT count() FROM numbers(10));

@@ -1,0 +1,35 @@
+"""P10 insert sharding: INSERT into a distributed table routes new rows to
+shards without resharding resident rows (DistributedSink.cpp analog)."""
+
+import numpy as np
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.parallel.mesh import make_mesh
+
+
+def test_insert_into_distributed_table(rng):
+    s = connect()
+    n = 64
+    s.sql("CREATE TABLE t (id Int64, v Int64) ENGINE = MergeTree ORDER BY id")
+    s.sql("INSERT INTO t VALUES " +
+          ",".join(f"({i},{i*2})" for i in range(n)))
+    s.distribute("t", make_mesh(8))
+    s.sql("INSERT INTO t VALUES " +
+          ",".join(f"({i},{i*2})" for i in range(n, n + 20)))
+    t = s.tables["t"]
+    assert getattr(t, "mesh", None) is not None
+    r = s.sql("SELECT count(), sum(v) FROM t").to_rows()
+    assert r[0] == (n + 20, sum(i * 2 for i in range(n + 20)))
+    r = s.sql("SELECT v FROM t ORDER BY id DESC LIMIT 3").to_rows()
+    assert r == [(166,), (164,), (162,)]
+
+
+def test_insert_distributed_with_nullable(rng):
+    s = connect()
+    s.sql("CREATE TABLE t (id Int64, name String) ENGINE = MergeTree "
+          "ORDER BY id")
+    s.sql("INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    s.distribute("t", make_mesh(8))
+    s.sql("INSERT INTO t VALUES (5,'e'),(6,'f')")
+    r = s.sql("SELECT name FROM t ORDER BY id").to_rows()
+    assert [x[0] for x in r] == list("abcdef")

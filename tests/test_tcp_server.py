@@ -1,0 +1,61 @@
+"""Native TCP protocol server/client (Protocol.h:67 analog)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.runtime.tcp_server import TcpClient, serve_tcp
+
+
+@pytest.fixture
+def srv(rng):
+    s = connect()
+    n = 100
+    s.create_table("t", {
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 50, n).astype(np.int64),
+        "name": rng.choice(["x", "y", "z"], n),
+    })
+    server = serve_tcp(s, port=0)          # ephemeral port
+    yield server, s
+    server.shutdown()
+    server.server_close()
+
+
+def test_hello_ping_query(srv):
+    server, s = srv
+    port = server.server_address[1]
+    c = TcpClient(port=port)
+    assert c.server_info["server"] == "myscaledb_tpu"
+    assert c.ping()
+    n, cols = c.query("SELECT id, v FROM t ORDER BY id LIMIT 5")
+    assert n == 5
+    assert cols["id"][0].tolist() == [0, 1, 2, 3, 4]
+    c.close()
+
+
+def test_strings_and_errors(srv):
+    server, s = srv
+    port = server.server_address[1]
+    c = TcpClient(port=port)
+    n, cols = c.query("SELECT name FROM t ORDER BY id LIMIT 3")
+    expected = [str(x) for x in np.asarray(s.sql(
+        "SELECT name FROM t ORDER BY id LIMIT 3").to_rows())[:, 0]]
+    assert [v for v in cols["name"][0]] == expected
+    with pytest.raises(RuntimeError):
+        c.query("SELECT nonsense_column FROM t")
+    # the connection survives an exception (TCPHandler keeps serving)
+    n, _ = c.query("SELECT count() FROM t")
+    assert n == 1
+    c.close()
+
+
+def test_aggregate_roundtrip(srv):
+    server, s = srv
+    port = server.server_address[1]
+    c = TcpClient(port=port)
+    n, cols = c.query("SELECT sum(v), count() FROM t")
+    exp = s.sql("SELECT sum(v), count() FROM t").to_rows()[0]
+    got = (int(cols["sum(v)"][0][0]), int(cols["count()"][0][0]))
+    assert got == tuple(int(x) for x in exp)
+    c.close()
