@@ -27,6 +27,13 @@ from myscaledb_tpu.core.table import Table, Column, ZoneMap, BLOCK_ROWS
 from myscaledb_tpu.core.dictionary import StringDictionary
 from myscaledb_tpu.storage import codecs
 
+# rows per on-disk granule: the mark-addressable read unit (reference:
+# index_granularity 8192 rows + .mrk files mapping granule -> compressed
+# offset, MergeTreeIndexGranularity.h:14 / MergeTreeMarksLoader).  64k here
+# to match the in-memory zone-map block, so a pruned block maps 1:1 to a
+# granule read.
+GRANULE_ROWS = BLOCK_ROWS
+
 
 class PartError(RuntimeError):
     pass
@@ -42,11 +49,25 @@ def write_part(dir_path: str, table: Table, sort_key: list[str] | None = None,
                        uuid.uuid4().hex[:8])
     os.makedirs(tmp)
     try:
-        meta = {"rows": table.n_rows, "columns": [], "sort_key": sort_key or []}
+        meta = {"rows": table.n_rows, "columns": [], "sort_key": sort_key or [],
+                "granule_rows": GRANULE_ROWS}
         for c in table.columns.values():
             arr = np.asarray(c.data)
             codec = codec_overrides.get(c.name, codecs.default_codec(arr.dtype))
-            buf = codecs.encode(arr, codec)
+            # granule-framed column file: one compressed frame per
+            # GRANULE_ROWS rows + a marks table of (byte offset, rows) so a
+            # range read decompresses only covering granules (.mrk analog)
+            marks = []
+            frames = []
+            off = 0
+            n = arr.shape[0]
+            for g0 in range(0, max(n, 1), GRANULE_ROWS):
+                chunk = arr[g0:g0 + GRANULE_ROWS]
+                fbuf = codecs.encode(np.ascontiguousarray(chunk), codec)
+                marks.append([off, int(chunk.shape[0])])
+                frames.append(fbuf)
+                off += len(fbuf)
+            buf = b"".join(frames)
             fn = f"{c.name}.bin"
             with open(os.path.join(tmp, fn), "wb") as f:
                 f.write(buf)
@@ -57,6 +78,7 @@ def write_part(dir_path: str, table: Table, sort_key: list[str] | None = None,
                 "shape": list(arr.shape),
                 "codec": codec,
                 "bytes": len(buf),
+                "marks": marks,
                 "nullable": c.valid is not None,
                 "vector_dim": c.field.vector_dim,
             }
@@ -83,24 +105,76 @@ def write_part(dir_path: str, table: Table, sort_key: list[str] | None = None,
         raise
 
 
-def read_part(dir_path: str, columns: list[str] | None = None) -> Table:
-    """Load a part back into an in-memory Table (device arrays)."""
+def read_part(dir_path: str, columns: list[str] | None = None,
+              row_range: tuple[int, int] | None = None) -> Table:
+    """Load a part back into an in-memory Table (device arrays).
+
+    row_range=(start, stop) reads ONLY the granules covering that row span
+    (mark-addressed ranged read — MergeTreeRangeReader's read unit), then
+    trims to the exact rows.  Granule-framed parts only; whole-column parts
+    written before the marks format load fully and slice."""
     import jax.numpy as jnp
     with open(os.path.join(dir_path, "meta.json")) as f:
         meta = json.load(f)
     cols = []
+    g_rows = meta.get("granule_rows", 0)
     for cm in meta["columns"]:
         if columns is not None and cm["name"] not in columns:
             continue
-        with open(os.path.join(dir_path, f"{cm['name']}.bin"), "rb") as f:
-            buf = f.read()
-        count = int(np.prod(cm["shape"]))
-        arr = codecs.decode(buf, cm["dtype"], count).reshape(cm["shape"])
+        marks = cm.get("marks")
+        if marks and row_range is not None and g_rows:
+            start, stop = row_range
+            g0 = max(0, start // g_rows)
+            g1 = min(len(marks), -(-stop // g_rows)) if stop > 0 else 0
+            tail = cm["shape"][1:]
+            row_elems = int(np.prod(tail)) if tail else 1
+            pieces = []
+            with open(os.path.join(dir_path, f"{cm['name']}.bin"),
+                      "rb") as f:
+                for g in range(g0, g1):
+                    off, nrows = marks[g]
+                    end = marks[g + 1][0] if g + 1 < len(marks) else                         cm["bytes"]
+                    f.seek(off)
+                    fbuf = f.read(end - off)
+                    pieces.append(codecs.decode(
+                        fbuf, cm["dtype"], nrows * row_elems
+                    ).reshape([nrows] + tail))
+            if pieces:
+                arr = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+            else:
+                arr = np.zeros([0] + tail, dtype=np.dtype(cm["dtype"]))
+            lo = start - g0 * g_rows
+            hi = lo + (stop - start)
+            arr = arr[max(lo, 0):hi]
+        elif marks:
+            tail = cm["shape"][1:]
+            row_elems = int(np.prod(tail)) if tail else 1
+            with open(os.path.join(dir_path, f"{cm['name']}.bin"),
+                      "rb") as f:
+                raw = f.read()
+            pieces = []
+            for g, (off, nrows) in enumerate(marks):
+                end = marks[g + 1][0] if g + 1 < len(marks) else cm["bytes"]
+                pieces.append(codecs.decode(
+                    raw[off:end], cm["dtype"], nrows * row_elems
+                ).reshape([nrows] + tail))
+            arr = (np.concatenate(pieces) if len(pieces) > 1 else pieces[0])                 if pieces else np.zeros(cm["shape"],
+                                        dtype=np.dtype(cm["dtype"]))
+        else:
+            with open(os.path.join(dir_path, f"{cm['name']}.bin"),
+                      "rb") as f:
+                buf = f.read()
+            count = int(np.prod(cm["shape"]))
+            arr = codecs.decode(buf, cm["dtype"], count).reshape(cm["shape"])
+            if row_range is not None:
+                arr = arr[row_range[0]:row_range[1]]
         valid = None
         if cm["nullable"]:
             with open(os.path.join(dir_path, f"{cm['name']}.null.bin"), "rb") as f:
                 vbuf = f.read()
             valid = codecs.decode(vbuf, "bool", meta["rows"]).copy()
+            if row_range is not None:
+                valid = valid[row_range[0]:row_range[1]]
         dictionary = None
         dpath = os.path.join(dir_path, f"{cm['name']}.dict.json")
         if os.path.exists(dpath):
@@ -111,7 +185,7 @@ def read_part(dir_path: str, columns: list[str] | None = None) -> Table:
         fld = Field(cm["name"], dt, nullable=cm["nullable"],
                     vector_dim=cm.get("vector_dim", 0))
         zm = None
-        if "zonemap" in cm:
+        if "zonemap" in cm and row_range is None:   # maps are part-aligned
             zm = ZoneMap(np.asarray(cm["zonemap"]["mins"]),
                          np.asarray(cm["zonemap"]["maxs"]))
         cols.append(Column(fld, jnp.asarray(arr.copy()),

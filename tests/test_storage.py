@@ -200,3 +200,28 @@ def test_background_merge_with_concurrent_inserts(tmp_path):
     # second scheduling round is a no-op below min_parts
     assert not store.maybe_schedule_merge(ex, min_parts=8)
     ex.shutdown()
+
+
+def test_granule_range_read(tmp_path, rng):
+    """Mark-addressed ranged reads decompress only covering granules
+    (.mrk analog — storage/part.py GRANULE_ROWS framing)."""
+    from myscaledb_tpu.core.table import Table, BLOCK_ROWS
+    from myscaledb_tpu.storage.part import write_part, read_part
+    n = BLOCK_ROWS * 2 + 1234
+    t = Table.from_dict({
+        "a": np.arange(n, dtype=np.int64),
+        "f": rng.standard_normal(n).astype(np.float32),
+    })
+    p = write_part(str(tmp_path / "part_0_x"), t)
+    # span crossing a granule boundary
+    lo, hi = BLOCK_ROWS - 10, BLOCK_ROWS + 25
+    sub = read_part(p, row_range=(lo, hi))
+    assert sub.n_rows == hi - lo
+    assert np.asarray(sub["a"].data).tolist() == list(range(lo, hi))
+    # full read still round-trips
+    full = read_part(p)
+    assert full.n_rows == n
+    assert np.asarray(full["a"].data)[-1] == n - 1
+    # tail range
+    sub = read_part(p, row_range=(n - 5, n))
+    assert np.asarray(sub["a"].data).tolist() == list(range(n - 5, n))
