@@ -78,16 +78,20 @@ def try_stateless(path, verbose=False):
 _Q_RE = re.compile(r'clickhouse-client\s+(?:[^"\n]*?)-q\s+"((?:[^"\\]|\\.)*)"')
 
 
+_HELPER_RE = re.compile(r'helpers/(\S+?\.sh)')
+
+
 def extract_sh_sql(path):
     text = open(path).read()
     sqls = []
-    if "00000_prepare_index.sh" in text:
-        helper = os.path.join(os.path.dirname(path), "helpers",
-                              "00000_prepare_index.sh")
+    for hm in _HELPER_RE.finditer(text.split("clickhouse-client")[0]):
+        helper = os.path.join(os.path.dirname(path), "helpers", hm.group(1))
+        if not os.path.exists(helper):
+            continue
         for m in _Q_RE.finditer(open(helper).read()):
             q = m.group(1)
-            if "system.vector_indices" in q:
-                continue
+            if "select status from system.vector_indices" in q:
+                continue       # the poll loop; builds block synchronously
             sqls.append(q)
     for m in _Q_RE.finditer(text):
         sqls.append(m.group(1))

@@ -827,6 +827,9 @@ def ch_tsv_lines(table: Table) -> list:
             else:
                 s = repr(fv)
             return s
+        if isinstance(v, str):
+            return (v.replace("\\", "\\\\").replace("\t", "\\t")
+                     .replace("\n", "\\n").replace("'", "\\'"))
         return str(v)
 
     names = [n for n in table.column_names if not n.startswith("__")]

@@ -87,11 +87,17 @@ def build_system_table(session, name: str) -> Table:
 
     if name == "system.vector_indices":
         idxs = getattr(session, "vector_indices", [])
+
+        def _expr(i):
+            base = f"{i['name']} {i['column']} TYPE {i['type']}"
+            return base + (f"('{i['params']}')" if i.get("params") else "")
+
         return Table.from_dict({
             "table": [i["table"] for i in idxs],
             "name": [i["name"] for i in idxs],
             "column": [i["column"] for i in idxs],
             "type": [i["type"] for i in idxs],
+            "expr": [_expr(i) for i in idxs],
             "status": [i["status"] for i in idxs],
         })
 

@@ -56,6 +56,16 @@ class InsertInfile:
 
 
 @dataclass
+class DetachTable:
+    table: str
+
+
+@dataclass
+class AttachTable:
+    table: str
+
+
+@dataclass
 class DropPartition:
     table: str
     value: object
@@ -237,6 +247,14 @@ class DDLParser(Parser):
             self.next()
             self.take_kw("TABLE")
             return TruncateTable(self.parse_table_name())
+        if up == "DETACH":
+            self.next()
+            self.expect_kw("TABLE")
+            return DetachTable(self.parse_table_name())
+        if up == "ATTACH":
+            self.next()
+            self.expect_kw("TABLE")
+            return AttachTable(self.parse_table_name())
         if up == "SET":
             return self.parse_set()
         if up == "SYSTEM":
@@ -1080,6 +1098,26 @@ def execute_statement(session, stmt) -> Table:
         session.import_file(stmt.table, stmt.path, fmt)
         return T([])
 
+    if isinstance(stmt, DetachTable):
+        # table leaves the catalog but its data survives for ATTACH
+        # (InterpreterDropQuery detach kind; parts stay on disk)
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        det = session._detached = getattr(session, "_detached", {})
+        det[stmt.table] = (session.tables.pop(stmt.table),
+                           session.table_settings.pop(stmt.table, None))
+        return T([])
+
+    if isinstance(stmt, AttachTable):
+        det = getattr(session, "_detached", {})
+        if stmt.table not in det:
+            raise ValueError(f"no detached table {stmt.table!r}")
+        tbl, ts = det.pop(stmt.table)
+        session.tables[stmt.table] = tbl
+        if ts is not None:
+            session.table_settings[stmt.table] = ts
+        return T([])
+
     if isinstance(stmt, DropPartition):
         # DROP PARTITION value = delete every row whose (first) partition
         # key equals value (MergeTreeData::dropPartition analog; partition
@@ -1179,7 +1217,13 @@ def execute_statement(session, stmt) -> Table:
                     "error": str(err)[:200]})
 
         from myscaledb_tpu.storage.background import default_executor
-        default_executor().schedule(_build)
+        if t.n_rows < (1 << 20):
+            # small build: run inline so the status a follow-up query sees
+            # is deterministic (the reference's fast-mode builds finish
+            # before a client can observe NotBuilt on tiny parts)
+            _build()
+        else:
+            default_executor().schedule(_build)
         return T([])
 
     if isinstance(stmt, DropVectorIndex):

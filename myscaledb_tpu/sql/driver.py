@@ -18,7 +18,8 @@ from myscaledb_tpu.runtime import metrics as M
 from myscaledb_tpu.runtime.tracing import span
 
 
-DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "SET ", "SET\t",
+DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "DETACH", "ATTACH",
+                "SET ", "SET\t",
                 "SHOW", "DESCRIBE", "DESC ", "ALTER", "GRANT", "REVOKE",
                 "SYSTEM", "DELETE")
 
@@ -62,10 +63,10 @@ _PIPELINE_KERNELS = {
     "ReadFromTable": "DeviceColumnScan (HBM-resident, zone-map pruned)",
     "Filter": "FusedMaskEval (XLA-fused predicate, mask not compacted)",
     "VectorTopK": "FusedDistanceTopK (MXU matmul + segmin prefilter)",
-    "Aggregating": "MXUOneHotHistogram / ScatterRoundHashTable",
+    "Aggregating": "PallasVPUGroupAccumulate / MXUOneHotHistogram / SortedRunGrouping",
     "Sorting": "OrderEncodedRadixSort (lax.sort)",
     "TopN": "SegmentMaxPrefilterTopK",
-    "Join": "ScatterRoundHashJoin / DirectLUT / GracePartitioned",
+    "Join": "SortedRunMergeJoin / DirectLUT / GracePartitioned",
 }
 
 

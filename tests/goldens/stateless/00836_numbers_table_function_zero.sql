@@ -1,0 +1,8 @@
+SELECT count() FROM numbers(0);
+SELECT count() FROM numbers(1);
+SELECT count() FROM numbers(10);
+SELECT count() FROM numbers(100000);
+
+SELECT * FROM numbers(0);
+SELECT * FROM numbers(1);
+SELECT * FROM numbers(10);

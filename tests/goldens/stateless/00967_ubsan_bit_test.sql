@@ -1,0 +1,1 @@
+SELECT sum(ignore(bitTest(number, 65))) FROM numbers(10);

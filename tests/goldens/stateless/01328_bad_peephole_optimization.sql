@@ -1,0 +1,1 @@
+select max(a + b) from (SELECT 1 AS a, 2 AS b);

@@ -1,0 +1,3 @@
+-- Tags: no-fasttest
+
+SELECT HEX(10);
