@@ -53,5 +53,51 @@ def E12b(N=100_000_000, k=100):
     print(f"E12b full strided topn exact-ish: {dt*1e3:.2f} ms")
 
 
+def E13_sort_variants(N=135_000_000):
+    import jax, numpy as np
+    import jax.numpy as jnp
+    from jax import lax
+    k32 = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, 1 << 30,
+                             dtype=jnp.int32)
+    jax.block_until_ready(k32)
+
+    def single32(k, acc):
+        ks = lax.sort(k + (acc * 1e-30).astype(jnp.int32))
+        return ks[0].astype(jnp.float32) * 1e-12
+
+    dt = timed(single32, k32, iters=2, reps=2)
+    print(f"E13 sort single i32 {N}: {dt*1e3:.0f} ms")
+
+    v = jnp.arange(N, dtype=jnp.int32)
+
+    def pair(k, v, acc):
+        ks, vs = lax.sort_key_val(k + (acc * 1e-30).astype(jnp.int32), v)
+        return ks[0].astype(jnp.float32) * 1e-12 + \
+            vs[-1].astype(jnp.float32) * 0
+
+    dt = timed(pair, k32, v, iters=2, reps=2)
+    print(f"E13 sort (i32,i32) {N}: {dt*1e3:.0f} ms")
+
+    k64 = (k32.astype(jnp.int64) << 1) | 1
+
+    def single64(k, acc):
+        ks = lax.sort(k + (acc * 1e-30).astype(jnp.int64))
+        return ks[0].astype(jnp.float32) * 1e-12
+
+    dt = timed(single64, k64, iters=2, reps=2)
+    print(f"E13 sort single i64 {N}: {dt*1e3:.0f} ms")
+
+    def triple(k, v, acc):
+        out = lax.sort((k + (acc * 1e-30).astype(jnp.int32), v, v),
+                       dimension=0, num_keys=2)
+        return out[0][0].astype(jnp.float32) * 1e-12
+
+    dt = timed(triple, k32, v, iters=2, reps=2)
+    print(f"E13 sort (i32,i32,i32) 2keys {N}: {dt*1e3:.0f} ms")
+
+
 if __name__ == "__main__":
-    E12b()
+    import sys
+    which = sys.argv[1:] or ["E12b"]
+    for w in which:
+        globals()[w]()

@@ -8,6 +8,8 @@ on a real pod slice it measures the true 1 -> N curve.
 """
 
 import argparse
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import json
 import time
 

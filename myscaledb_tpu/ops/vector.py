@@ -58,14 +58,33 @@ def exact_distance(xc, q, metric: str):
     """
     if metric == "L2":
         diff = xc - q
-        return jnp.sum(diff * diff, axis=-1)
+        return _f32_sum(diff * diff)
     if metric == "Cosine":
         xn = jnp.sqrt(jnp.sum(xc * xc, axis=-1, keepdims=True))
         qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
         xu = jnp.where(xn > 0, xc / xn, 0.0)
         qu = jnp.where(qn > 0, q / qn, 0.0)
-        return 1.0 - jnp.sum(xu * qu, axis=-1)
-    return jnp.sum(xc * q, axis=-1)   # IP
+        return 1.0 - _f32_sum(xu * qu)
+    return _f32_sum(xc * q)   # IP
+
+
+def _f32_sum(terms: jnp.ndarray) -> jnp.ndarray:
+    """Sum over the last axis with per-step f32 rounding for small dims.
+
+    XLA's reduce accumulates in f64 under allow_excess_precision and rounds
+    once — off by 1 ulp vs the reference's sequential-f32 faiss values at
+    small d (the golden corpus is d=3).  A lax.scan forces the f32 carry at
+    every step (loop-carried dependency defeats reassociation).  Large d
+    keeps the fused reduce: matching faiss's SIMD summation order there is
+    neither possible nor required by any golden, and 128 scan passes over a
+    materialized rowwise column would be pure waste."""
+    d = terms.shape[-1]
+    if d > 8:
+        return jnp.sum(terms, axis=-1)
+    moved = jnp.moveaxis(terms, -1, 0)
+    out, _ = lax.scan(lambda c, t: (c + t, None),
+                      jnp.zeros(moved.shape[1:], dtype=terms.dtype), moved)
+    return out
 
 
 # score-matrix budget for the one-shot path: nq * n_pad * 4 bytes
