@@ -305,13 +305,81 @@ def bench_config4():
         f"vs nominal-spec roofline={rows_per_sec/sol_nom:.4f}")
 
 
+def bench_config5():
+    """Distributed pipeline (BASELINE config 5: hash-partitioned embeddings,
+    distributed top-k + join + aggregate).  Runs the REAL distributed
+    dispatch — shard_map over a mesh of every local device (1 on the bench
+    chip; the 1->8 scaling curve for the same operators is recorded
+    separately in SCALING_r03.json on the CPU mesh) — as ONE jitted program
+    per iteration: exact top-k over (n, 768) fp32 embeddings
+    (sharded_distance_topk: butterfly/all_gather merge), an on-device
+    shuffle join of fact keys against a dim table
+    (sharded_shuffle_join_count), and a distributed GROUP BY
+    (sharded_group_aggregate).  n is the per-chip slice of the 100M-row
+    multi-host layout (100M/n chips would hold the full set)."""
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.parallel.mesh import make_mesh, shard_rows
+    from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
+                                            sharded_group_aggregate)
+    from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_count
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    n = 2_000_000 * n_dev
+    d, nq, k, G = 768, 10, 10, 256
+    n_dim = 1_000_000
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    x = shard_rows(mesh, jax.random.normal(k1, (n, d), dtype=jnp.float32))
+    q = jax.random.normal(k2, (nq, d), dtype=jnp.float32)
+    fact_key = shard_rows(mesh, jax.random.randint(
+        k3, (n,), 0, 2 * n_dim, dtype=jnp.int32))
+    dim_key = shard_rows(mesh, jax.random.randint(
+        k4, (n_dim,), 0, 2 * n_dim, dtype=jnp.int32))
+    gid = shard_rows(mesh, jax.random.randint(k5, (n,), 0, G,
+                                              dtype=jnp.int32))
+    vals = shard_rows(mesh, jnp.ones(n, dtype=jnp.int32))
+    mask = shard_rows(mesh, jnp.ones(n, dtype=bool))
+    jax.block_until_ready((x, q, fact_key, dim_key, gid, vals, mask))
+
+    def body(x, q, fact_key, dim_key, gid, vals, mask, acc):
+        dd, ii = sharded_distance_topk(mesh, x, q + acc * 1e-30, "L2", k)
+        cnt = sharded_shuffle_join_count(mesh, fact_key, dim_key)
+        states, gc = sharded_group_aggregate(mesh, gid, mask, (vals,),
+                                             ("sum",), G)
+        return (jnp.sum(dd) + cnt.astype(jnp.float32) * 1e-9 +
+                states[0].astype(jnp.float32).sum() * 1e-9 +
+                jnp.sum(ii).astype(jnp.float32) * 0)
+
+    dt = _timed_repeat(body, x, q, fact_key, dim_key, gid, vals, mask,
+                       iters=4, reps=2)
+    rows_per_sec = n / dt
+    dev = jax.devices()[0]
+    # bytes actually streamed per fact row: the 768-d fp32 embedding
+    # dominates (3072 B) + join key exchange read/write/read (12 B) + sort
+    # passes + gid/vals (8 B); roofline = one pass at measured bandwidth.
+    bytes_per_row = d * 4 + 12 + 8
+    bw = measured_stream_gbps()
+    sol = bw / bytes_per_row
+    sol_nom = hbm_gbps_for_device(dev) / bytes_per_row
+    return {
+        "metric": "distributed_pipeline_rows_per_sec_per_chip",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_sec / sol, 4),
+    }, (f"dt={dt*1000:.1f} ms for {n} rows x {d}d topk+join+groupby on "
+        f"{n_dev}-device mesh; measured bw={bw/1e9:.0f} GB/s; "
+        f"vs nominal-spec roofline={rows_per_sec/sol_nom:.4f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=0)
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
     benches = {1: bench_config1, 2: bench_config2, 3: bench_config3,
-               4: bench_config4}
+               4: bench_config4, 5: bench_config5}
     configs = [args.config] if args.config else sorted(benches)
     for c in configs:
         try:

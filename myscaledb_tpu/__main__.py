@@ -1,0 +1,85 @@
+"""Unified binary dispatcher: ``python -m myscaledb_tpu <tool> ...``.
+
+Reference analog: programs/main.cpp — one entry point dispatching
+``clickhouse server|client|local|benchmark|format``.  Tools:
+
+  server     HTTP (+ optional native TCP) query server  (programs/server)
+  client     remote client / REPL                       (programs/client)
+  local      embedded session over local data           (programs/local)
+  benchmark  QPS/latency load tool                      (programs/benchmark)
+  format     pretty-print a SQL statement               (programs/format)
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _usage() -> int:
+    print(__doc__.strip(), file=sys.stderr)
+    return 2
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        return _usage()
+    tool, rest = argv[0], argv[1:]
+    if tool == "client":
+        from myscaledb_tpu.runtime.client import main as m
+        return m(rest) or 0
+    if tool == "local":
+        from myscaledb_tpu.runtime.client import main as m
+        return m(["--local"] + rest) or 0
+    if tool == "benchmark":
+        from myscaledb_tpu.runtime.benchmark import main as m
+        return m(rest) or 0
+    if tool == "server":
+        import argparse
+        ap = argparse.ArgumentParser(prog="myscaledb-tpu server")
+        ap.add_argument("--host", default="127.0.0.1")
+        ap.add_argument("--port", type=int, default=8123)
+        ap.add_argument("--tcp-port", type=int, default=0,
+                        help="also serve the native TCP protocol")
+        ap.add_argument("--mysql-port", type=int, default=0,
+                        help="also serve the MySQL wire protocol")
+        ap.add_argument("--data-dir", default=None)
+        a = ap.parse_args(rest)
+        from myscaledb_tpu.runtime.server import make_server
+        from myscaledb_tpu.session import Session
+        import os
+        session = Session()
+        if a.data_dir:
+            from myscaledb_tpu.storage.table_store import open_table
+            for d in sorted(os.listdir(a.data_dir)):
+                p = os.path.join(a.data_dir, d)
+                if os.path.isdir(p):
+                    session.register(d, open_table(p))
+        if a.tcp_port:
+            from myscaledb_tpu.runtime.tcp_server import serve_tcp
+            serve_tcp(session, a.host, a.tcp_port)
+        if a.mysql_port:
+            from myscaledb_tpu.runtime.mysql_server import serve_mysql
+            serve_mysql(session, a.host, a.mysql_port)
+        httpd = make_server(session, a.host, a.port)
+        print(f"listening on http://{a.host}:{a.port}"
+              + (f" tcp://{a.host}:{a.tcp_port}" if a.tcp_port else "")
+              + (f" mysql://{a.host}:{a.mysql_port}" if a.mysql_port
+                 else ""))
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
+    if tool == "format":
+        from myscaledb_tpu.session import Session
+        sql = " ".join(rest) or sys.stdin.read()
+        out = Session().sql("EXPLAIN SYNTAX " + sql.strip().rstrip(";"))
+        for (line,) in out.to_rows():
+            print(line)
+        return 0
+    return _usage()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,9 @@ class Settings:
     # sketch above (reference uniqCombined.h small-set optimization)
     uniq_combined_exact_rows: int = 1 << 17
     max_hbm_bytes_per_column: int = 0    # >0: bigger columns stay host-side
+    stream_chunk_rows: int = 8 << 20     # rows per chip chunk when streaming
+                                         # host-resident columns (GROUP BY /
+                                         # top-n spill tier)
                                          # and stream through HBM block-wise
     # join (reference: Settings.h join_algorithm, grace_hash_join_*;
     # GraceHashJoin.cpp) — "auto" switches to partitioned grace join when the

@@ -216,3 +216,130 @@ def finalize(states, group_count, fns) -> list[np.ndarray]:
         else:
             out.append(np.asarray(s))
     return out
+
+
+def streaming_group_aggregate(key_cols, mask, args, fns: tuple,
+                              arg_valids=None, chunk_rows: int = 8 << 20):
+    """Out-of-HBM grouped aggregation: stream host-resident columns through
+    the chip in chunks, aggregate each chunk on device, merge the (small)
+    per-chunk group states on the host.
+
+    Reference analog: Aggregator external aggregation — partial states
+    spilled and merged (Aggregator.cpp:1632 writeToTemporaryFile +
+    MergingAggregatedTransform); here "spill" is the columns already living
+    in host RAM, and the merge runs over per-chunk dense states, so chips
+    never hold more than one chunk.
+
+    key_cols: tuple of 1-D arrays (host numpy or device), physical key
+    values (dictionary ids for strings).  mask: optional (n,) bool.  args /
+    arg_valids / fns as partial_aggregate_matmul (fns limited to the
+    mergeable set: sum/count/avg/min/max/any).
+
+    Returns (rep_keys, states, group_count): rep_keys = tuple of np arrays
+    (G,) with each group's key values; states finalize()-compatible
+    (avg = (sum, count) pair); group_count np (G,) int64.
+    """
+    from myscaledb_tpu.ops.hashtable import build_group_ids, INT32_MAX
+    for fn in fns:
+        if fn not in AGG_FNS:
+            raise ValueError(f"streaming aggregation cannot merge {fn!r}")
+    sized = [a for a in (*key_cols, *args, mask) if a is not None]
+    if not sized:
+        raise ValueError("streaming aggregation needs at least one column")
+    n = sized[0].shape[0]
+    nk = len(key_cols)
+    chunk_keys: list[tuple] = []
+    chunk_states: list[list] = []
+    chunk_gc: list[np.ndarray] = []
+    for s in range(0, max(n, 1), chunk_rows):
+        e = min(s + chunk_rows, n)
+        kc = tuple(jnp.asarray(np.asarray(k[s:e])) for k in key_cols)
+        mk = jnp.asarray(np.asarray(mask[s:e])) if mask is not None else \
+            jnp.ones(e - s, dtype=bool)
+        ag = tuple(jnp.asarray(np.asarray(a[s:e])) if a is not None
+                   else jnp.zeros(e - s, dtype=jnp.int32) for a in args)
+        av = None
+        if arg_valids is not None and any(v is not None for v in arg_valids):
+            av = tuple(jnp.asarray(np.asarray(v[s:e])) if v is not None
+                       else jnp.ones(e - s, dtype=bool) for v in arg_valids)
+        if nk:
+            table, gid, cap = build_group_ids(kc, mask=mk)
+            rep = np.asarray(table.slot_row)
+        else:
+            gid, cap = jnp.zeros(e - s, dtype=jnp.int32), 1
+            rep = np.zeros(1, dtype=np.int64)
+        states, gc = partial_aggregate_matmul(gid, mk, ag, tuple(fns), cap,
+                                              av)
+        gc_np = np.asarray(gc)
+        used = gc_np > 0
+        if not used.any():
+            continue
+        rep_used = np.where(rep[: len(used)][used] == INT32_MAX, 0,
+                            rep[: len(used)][used])
+        chunk_keys.append(tuple(np.asarray(k[s:e])[rep_used]
+                                for k in key_cols))
+        row = []
+        for fn, st in zip(fns, states):
+            if fn == "avg":
+                row.append((np.asarray(st[0])[used], np.asarray(st[1])[used]))
+            else:
+                row.append(np.asarray(st)[used])
+        chunk_states.append(row)
+        chunk_gc.append(gc_np[used].astype(np.int64))
+    if not chunk_gc:
+        empty_keys = tuple(np.asarray(k[:0]) for k in key_cols)
+        empty_states = [(np.zeros(0), np.zeros(0)) if fn == "avg"
+                        else np.zeros(0) for fn in fns]
+        return empty_keys, empty_states, np.zeros(0, dtype=np.int64)
+
+    keys_all = tuple(np.concatenate([ck[i] for ck in chunk_keys])
+                     for i in range(nk))
+    gc_all = np.concatenate(chunk_gc)
+    m_rows = len(gc_all)
+    # final grouping over the (small) union of per-chunk groups
+    if nk:
+        order = np.lexsort(tuple(keys_all[i] for i in range(nk - 1, -1, -1)))
+        run_start = np.zeros(m_rows, dtype=bool)
+        run_start[0] = True
+        for k in keys_all:
+            ks = k[order]
+            run_start[1:] |= ks[1:] != ks[:-1]
+        gid_sorted = np.cumsum(run_start) - 1
+        inv = np.empty(m_rows, dtype=np.int64)
+        inv[order] = gid_sorted
+        G = int(gid_sorted[-1]) + 1
+        # deterministic 'any'/first semantics: lowest input row per group
+        first_of = np.full(G, m_rows, dtype=np.int64)
+        np.minimum.at(first_of, inv, np.arange(m_rows, dtype=np.int64))
+        rep_keys = tuple(k[first_of] for k in keys_all)
+    else:
+        inv = np.zeros(m_rows, dtype=np.int64)
+        G = 1
+        first_of = np.zeros(1, dtype=np.int64)
+        rep_keys = ()
+
+    gc_out = np.zeros(G, dtype=np.int64)
+    np.add.at(gc_out, inv, gc_all)
+    out_states = []
+    for i, fn in enumerate(fns):
+        vals = [cs[i] for cs in chunk_states]
+        if fn == "avg":
+            s0 = np.concatenate([v[0] for v in vals])
+            s1 = np.concatenate([v[1] for v in vals])
+            o0 = np.zeros(G, dtype=np.float64)
+            o1 = np.zeros(G, dtype=np.float64)
+            np.add.at(o0, inv, s0)
+            np.add.at(o1, inv, s1)
+            out_states.append((o0, o1))
+            continue
+        v = np.concatenate(vals)
+        if fn in ("sum", "count"):
+            o = np.zeros(G, dtype=v.dtype)
+            np.add.at(o, inv, v)
+        elif fn in ("min", "max"):
+            o = v[first_of].copy()
+            (np.minimum if fn == "min" else np.maximum).at(o, inv, v)
+        else:                                   # any: first chunk's value
+            o = v[first_of].copy()
+        out_states.append(o)
+    return rep_keys, out_states, gc_out

@@ -212,3 +212,48 @@ def topn_permutation(keys: Sequence[SortKey], k: int, n: int) -> jnp.ndarray:
             code = ~code
         return _topn_single(~code, k)
     return sort_permutation(keys)[:k]
+
+
+def streaming_topn_permutation(keys: Sequence[SortKey], k: int, n: int,
+                               chunk_rows: int = 8 << 20) -> jnp.ndarray:
+    """ORDER BY ... LIMIT k over host-resident columns: stream the sort-key
+    columns through the chip chunk-wise, keep each chunk's top-k candidate
+    rows, and cut the final k from the candidate union (the external-sort
+    analog — MergeSortingTransform.h:29-31 spill + remerge — with host RAM
+    as the spill tier; only ~k * n_chunks candidate rows ever co-reside).
+
+    Exact and deterministic: ties broken by global row id ascending, same
+    as the resident path.  Returns (k,) int32 global row indices.
+    """
+    import numpy as np
+    k = min(k, n)
+    if k == 0 or n == 0:
+        return jnp.zeros(0, dtype=jnp.int32)
+    cand_parts = []
+    for s in range(0, n, chunk_rows):
+        e = min(s + chunk_rows, n)
+        cks = []
+        for sk in keys:
+            vals = jnp.asarray(np.asarray(sk.values[s:e]))
+            valid = None if sk.valid is None else \
+                jnp.asarray(np.asarray(sk.valid[s:e]))
+            cks.append(SortKey(vals, sk.ascending, valid, sk.nulls_last))
+        perm_c = topn_permutation(cks, k, e - s)
+        cand_parts.append(np.asarray(perm_c).astype(np.int64) + s)
+    cand = np.concatenate(cand_parts)
+    fks = []
+    for sk in keys:
+        if isinstance(sk.values, np.ndarray):
+            vals = jnp.asarray(sk.values[cand])
+            valid = None if sk.valid is None else \
+                jnp.asarray(np.asarray(sk.valid)[cand])
+        else:
+            ci = jnp.asarray(cand)
+            vals = jnp.take(jnp.asarray(sk.values), ci, axis=0)
+            valid = None if sk.valid is None else \
+                jnp.take(sk.valid, ci, axis=0)
+        fks.append(SortKey(vals, sk.ascending, valid, sk.nulls_last))
+    # global-row-id tiebreak across chunks (candidates arrive chunk-ordered)
+    fks.append(SortKey(jnp.asarray(cand.astype(np.int32)), ascending=True))
+    perm_f = np.asarray(topn_permutation(fks, k, len(cand)))
+    return jnp.asarray(cand[perm_f].astype(np.int32))

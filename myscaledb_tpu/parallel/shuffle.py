@@ -209,6 +209,39 @@ def sharded_shuffle_join_pairs(mesh: Mesh, left_key, right_key,
     return out_l[o].astype(np.int32), out_r[o].astype(np.int32)
 
 
+def sharded_shuffle_join_count(mesh: Mesh, left_key, right_key,
+                               axis: str = SHARD_AXIS, left_valid=None,
+                               right_valid=None):
+    """Fully-on-device distributed join count: shuffle both sides by key
+    hash, count (left, right) matches per shard, psum.  Jittable — no host
+    syncs — so it composes into larger fused pipelines (the
+    JOIN-feeding-an-aggregate stage split, QueryProcessingStage
+    WithMergeableState).  Returns a replicated int64 scalar."""
+    nsh = mesh.shape[axis]
+    n_l = left_key.shape[0]
+    n_r = right_key.shape[0]
+    cap_l = max(n_l // nsh, 1)
+    cap_r = max(n_r // nsh, 1)
+    lv_in = (left_valid,) if left_valid is not None else ()
+    rv_in = (right_valid,) if right_valid is not None else ()
+    in_specs = tuple(P(axis) for _ in range(2 + len(lv_in) + len(rv_in)))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(),
+             check_vma=False)
+    def step(lk, rk, *rest):
+        i = 0
+        lv = rest[i] if left_valid is not None else \
+            jnp.ones(lk.shape[0], dtype=bool)
+        i += 1 if left_valid is not None else 0
+        rv = rest[i] if right_valid is not None else \
+            jnp.ones(rk.shape[0], dtype=bool)
+        lk_rx, _, lv_rx = _exchange_local(lk, (), lv, nsh, cap_l, axis)
+        rk_rx, _, rv_rx = _exchange_local(rk, (), rv, nsh, cap_r, axis)
+        return lax.psum(_all_pair_count(lk_rx, lv_rx, rk_rx, rv_rx), axis)
+
+    return step(left_key, right_key, *lv_in, *rv_in)
+
+
 def _all_pair_count(lk, lv, rk, rv):
     """Number of (left, right) key matches among valid rows (traced)."""
     from myscaledb_tpu.ops.hashtable import _cat_keys, _ranks, INT32_MAX

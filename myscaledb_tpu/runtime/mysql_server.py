@@ -1,0 +1,168 @@
+"""MySQL wire-protocol server: any MySQL client can query the engine.
+
+Reference analog: src/Server/MySQLHandler.cpp + src/Core/MySQL/ — ClickHouse
+speaks MySQL protocol on port 9004 so mysql-client/BI tools connect
+unchanged.  This implements the text protocol subset those clients use:
+
+  HandshakeV10 greeting -> HandshakeResponse41 (auth accepted; access
+  control happens at the SQL layer like the HTTP server) -> command phase:
+  COM_QUERY (text resultset), COM_PING / COM_INIT_DB (OK), COM_QUIT.
+
+Every value is sent as a text column (MYSQL_TYPE_VAR_STRING), the exact
+behavior of the reference's text-protocol path for untyped clients.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+CAP_PROTOCOL_41 = 0x00000200
+CAP_SECURE_CONNECTION = 0x00008000
+CAP_PLUGIN_AUTH = 0x00080000
+SERVER_CAPS = CAP_PROTOCOL_41 | CAP_SECURE_CONNECTION | CAP_PLUGIN_AUTH
+
+COM_QUIT, COM_INIT_DB, COM_QUERY, COM_PING = 0x01, 0x02, 0x03, 0x0E
+
+
+def _lenenc(n: int) -> bytes:
+    if n < 251:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _lenenc_str(s: bytes) -> bytes:
+    return _lenenc(len(s)) + s
+
+
+def _read_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def read_packet(sock) -> tuple[int, bytes]:
+    head = _read_exact(sock, 4)
+    length = head[0] | (head[1] << 8) | (head[2] << 16)
+    return head[3], _read_exact(sock, length)
+
+
+def write_packet(sock, seq: int, payload: bytes) -> int:
+    sock.sendall(struct.pack("<I", len(payload))[:3] + bytes([seq & 0xFF]) +
+                 payload)
+    return seq + 1
+
+
+def _ok_packet(affected: int = 0) -> bytes:
+    return (b"\x00" + _lenenc(affected) + _lenenc(0) +
+            struct.pack("<HH", 0x0002, 0))          # autocommit, no warnings
+
+
+def _err_packet(msg: str, code: int = 1105) -> bytes:
+    return (b"\xff" + struct.pack("<H", code) + b"#HY000" +
+            msg.encode()[:500])
+
+
+def _eof_packet() -> bytes:
+    return b"\xfe" + struct.pack("<HH", 0, 0x0002)
+
+
+def _column_def(name: str) -> bytes:
+    # catalog, schema, table, org_table, name, org_name all lenenc
+    b = (_lenenc_str(b"def") + _lenenc_str(b"") + _lenenc_str(b"") +
+         _lenenc_str(b"") + _lenenc_str(name.encode()) +
+         _lenenc_str(name.encode()))
+    # fixed tail: charset utf8 (33), column length, type VAR_STRING (253),
+    # flags, decimals, filler
+    b += bytes([0x0c]) + struct.pack("<HIBHBH", 33, 1 << 16, 253, 0, 0, 0)
+    return b
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        sock = self.request
+        session = self.server.engine_session
+        # HandshakeV10 greeting
+        greeting = (bytes([10]) + b"8.0.0-myscaledb-tpu\x00" +
+                    struct.pack("<I", threading.get_ident() & 0xFFFFFFFF) +
+                    b"12345678\x00" +
+                    struct.pack("<H", SERVER_CAPS & 0xFFFF) +
+                    bytes([33]) + struct.pack("<H", 0x0002) +
+                    struct.pack("<H", SERVER_CAPS >> 16) +
+                    bytes([21]) + b"\x00" * 10 +
+                    b"123456789012\x00" + b"mysql_native_password\x00")
+        seq = write_packet(sock, 0, greeting)
+        try:
+            seq, _resp = read_packet(sock)       # HandshakeResponse41
+        except ConnectionError:
+            return
+        seq = write_packet(sock, seq + 1, _ok_packet())
+        while True:
+            try:
+                _seq, payload = read_packet(sock)
+            except (ConnectionError, OSError):
+                return
+            if not payload:
+                return
+            cmd = payload[0]
+            if cmd == COM_QUIT:
+                return
+            if cmd in (COM_PING, COM_INIT_DB):
+                write_packet(sock, 1, _ok_packet())
+                continue
+            if cmd != COM_QUERY:
+                write_packet(sock, 1, _err_packet(
+                    f"unsupported command {cmd:#x}", 1047))
+                continue
+            sql = payload[1:].decode("utf-8", "replace").strip().rstrip(";")
+            try:
+                result = session.sql(sql)
+            except Exception as e:                    # noqa: BLE001
+                write_packet(sock, 1, _err_packet(str(e)))
+                continue
+            names = [c for c in result.column_names
+                     if not c.startswith("__")]
+            if not names:
+                write_packet(sock, 1, _ok_packet())
+                continue
+            seq = write_packet(sock, 1, _lenenc(len(names)))
+            for nm in names:
+                seq = write_packet(sock, seq, _column_def(nm))
+            seq = write_packet(sock, seq, _eof_packet())
+            from myscaledb_tpu.runtime.formats import ch_tsv_lines
+            for line in ch_tsv_lines(result.select(names)):
+                row = b"".join(
+                    b"\xfb" if cell == "\\N" else _lenenc_str(cell.encode())
+                    for cell in line.split("\t"))
+                seq = write_packet(sock, seq, row)
+            write_packet(sock, seq, _eof_packet())
+
+
+class MySQLServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def make_mysql_server(session, host: str = "127.0.0.1",
+                      port: int = 9004) -> MySQLServer:
+    srv = MySQLServer((host, port), _Handler)
+    srv.engine_session = session
+    return srv
+
+
+def serve_mysql(session, host: str = "127.0.0.1",
+                port: int = 9004) -> MySQLServer:
+    srv = make_mysql_server(session, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

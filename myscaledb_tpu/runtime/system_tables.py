@@ -60,6 +60,23 @@ def build_system_table(session, name: str) -> Table:
                 types.append(str(f))
         return Table.from_dict({"table": tabs, "name": cols, "type": types})
 
+    if name == "system.data_skipping_indices":
+        # reference: src/Storages/System/StorageSystemDataSkippingIndices.cpp
+        tabs, names, cols, types, exprs, grans = [], [], [], [], [], []
+        for tname, defs in sorted(
+                getattr(session, "_table_skip_indexes", {}).items()):
+            for d in defs:
+                tabs.append(tname)
+                names.append(d.name)
+                cols.append(d.column)
+                types.append(d.kind)
+                exprs.append(f"{d.kind}({d.param:g})" if d.param else d.kind)
+                grans.append(d.granularity)
+        return Table.from_dict({
+            "table": tabs, "name": names, "column": cols, "type": types,
+            "type_full": exprs,
+            "granularity": np.asarray(grans, dtype=np.int64)})
+
     if name == "system.settings":
         items = sorted(vars(session.settings).items())
         return Table.from_dict({

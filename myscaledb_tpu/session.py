@@ -69,6 +69,9 @@ class Session:
         """Resolve a table name: registered tables first, then virtual
         system.* tables built from live runtime state."""
         if name in self.tables:
+            if name in getattr(self, "_table_engines", {}):
+                from myscaledb_tpu.sql.ddl import refresh_external_table
+                refresh_external_table(self, name)
             return self.tables[name]
         if name.startswith("system."):
             from myscaledb_tpu.runtime.system_tables import build_system_table
@@ -148,6 +151,8 @@ class Session:
     def drop_table(self, name: str) -> None:
         self.tables.pop(name, None)
         self.table_settings.pop(name, None)
+        getattr(self, "_table_engines", {}).pop(name, None)
+        getattr(self, "_table_skip_indexes", {}).pop(name, None)
 
     def sql(self, query: str, **params) -> Table:
         """Parse, plan and execute a SQL query; returns a result Table."""

@@ -38,6 +38,21 @@ class CreateTable:
     if_not_exists: bool = False
     settings: dict = field(default_factory=dict)
     partition_by: list = field(default_factory=list)
+    skip_indexes: list = field(default_factory=list)
+    engine: str = "MergeTree"
+    engine_args: list = field(default_factory=list)
+
+
+@dataclass
+class AddSkipIndex:
+    table: str
+    index: object              # storage.skip_index.SkipIndexDef
+
+
+@dataclass
+class DropSkipIndex:
+    table: str
+    name: str
 
 
 @dataclass
@@ -327,6 +342,8 @@ class DDLParser(Parser):
             self.expect_kw("WHERE")
             return AlterUpdate(table, assignments, self.parse_expr())
         if self.take_kw("ADD"):
+            if self.at_kw("INDEX"):
+                return AddSkipIndex(table, self._parse_skip_index())
             self.expect_kw("VECTOR")
             self.expect_kw("INDEX")
             name = self.next().text
@@ -357,6 +374,8 @@ class DDLParser(Parser):
                     except (TypeError, ValueError):
                         pass
                 return DropPartition(table, val)
+            if self.take_kw("INDEX"):
+                return DropSkipIndex(table, self.next().text)
             self.expect_kw("VECTOR")
             self.expect_kw("INDEX")
             return DropVectorIndex(table, self.next().text)
@@ -441,8 +460,11 @@ class DDLParser(Parser):
         name = self.parse_table_name()
         self.expect_punct("(")
         cols = []
+        skip_defs = []
         while True:
-            if self.take_kw("CONSTRAINT"):
+            if self.at_kw("INDEX"):
+                skip_defs.append(self._parse_skip_index())
+            elif self.take_kw("CONSTRAINT"):
                 # CONSTRAINT x CHECK length(v) = N fixes a vector dim
                 self.next()                       # constraint name
                 self.expect_kw("CHECK")
@@ -466,16 +488,27 @@ class DDLParser(Parser):
         order_by = []
         partition_by = []
         settings = {}
+        engine = "MergeTree"
+        engine_args = []
         # engine / order by / primary key / settings tail
         while self.peek().kind != "eof":
             if self.take_kw("ENGINE"):
                 self.take_punct("=")
-                self.next()                       # engine name (ignored)
+                engine = self.next().text
                 if self.take_punct("("):
                     depth = 1
+                    cur = []
                     while depth and self.peek().kind != "eof":
                         tok = self.next()
                         depth += (tok.text == "(") - (tok.text == ")")
+                        if depth == 1 and tok.text == ",":
+                            engine_args.append(" ".join(cur))
+                            cur = []
+                        elif depth:
+                            cur.append(unquote_string(tok.text)
+                                       if tok.kind == "string" else tok.text)
+                    if cur:
+                        engine_args.append(" ".join(cur))
             elif self.at_kw("ORDER") or self.at_kw("PRIMARY"):
                 self.next()
                 self.expect_kw("BY" if self.toks[self.i - 1].upper == "ORDER"
@@ -513,7 +546,30 @@ class DDLParser(Parser):
             else:
                 self.next()   # tolerate unknown clauses (TTL etc.)
         return CreateTable(name, cols, order_by, ine, settings,
-                           partition_by)
+                           partition_by, skip_defs, engine, engine_args)
+
+    def _parse_skip_index(self):
+        """INDEX name col TYPE minmax|set(N)|bloom_filter([fp]) [GRANULARITY g]
+        (reference grammar: ParserCreateQuery.cpp index declarations; the
+        structures live in storage/skip_index.py)."""
+        from myscaledb_tpu.storage.skip_index import SkipIndexDef
+        self.expect_kw("INDEX")
+        iname = self.next().text
+        col = self.next().text
+        if self.take_punct("("):     # tolerate INDEX n (col) TYPE ...
+            col = self.next().text
+            self.expect_punct(")")
+        self.expect_kw("TYPE")
+        kind = self.next().text.lower()
+        param = 0.0
+        if self.take_punct("("):
+            if not self.take_punct(")"):
+                param = float(self.next().text)
+                self.expect_punct(")")
+        gran = 1
+        if self.take_kw("GRANULARITY"):
+            gran = int(self.next().text)
+        return SkipIndexDef(iname, col, kind, param, gran)
 
     def _apply_length_constraint(self, cols, chk):
         # recognize length(col) = N
@@ -818,6 +874,81 @@ class DDLParser(Parser):
 # ---------------------------------------------------------------------------
 # execution
 
+def refresh_external_table(session, name: str) -> None:
+    """Re-read a File/URL-engine table from its source when stale
+    (StorageFile/StorageURL read the source at query time; File freshness
+    is tracked by mtime so unchanged files cost one stat per query)."""
+    import os
+    info = getattr(session, "_table_engines", {}).get(name)
+    if not info:
+        return
+    tmpl = session.tables[name]
+    schema = [f for f in tmpl.schema() if not f.name.startswith("__")]
+    if info["engine"] == "File":
+        path = info["path"]
+        if not os.path.exists(path):
+            return
+        mtime = os.stat(path).st_mtime_ns
+        if info.get("mtime") == mtime:
+            return
+        from myscaledb_tpu.runtime import formats
+        t = formats.read_file(path, info["format"], schema)
+        info["mtime"] = mtime
+    else:
+        import tempfile
+        import urllib.request
+        from myscaledb_tpu.runtime import formats
+        url = info["url"]
+        fmt = info["format"] or format_from_extension(url)
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            payload = resp.read()
+        suffix = "." + url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1] \
+            else ""
+        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tf:
+            tf.write(payload)
+        try:
+            t = formats.read_file(tf.name, fmt, schema)
+        finally:
+            os.unlink(tf.name)
+    t.name = name
+    session.tables[name] = t
+    session.bump_epoch()
+
+
+def file_engine_writethrough(session, name: str) -> None:
+    """After an INSERT into a File-engine table, persist the table back to
+    its file (StorageFile appends; a full rewrite keeps one code path)."""
+    import os
+    info = getattr(session, "_table_engines", {}).get(name)
+    if not info or info["engine"] != "File":
+        return
+    from myscaledb_tpu.runtime import formats
+    t = session.tables[name]
+    formats.write_file(t.select([c for c in t.column_names
+                                 if not c.startswith("__")]),
+                       info["path"], info["format"])
+    info["mtime"] = os.stat(info["path"]).st_mtime_ns
+
+
+def parse_schema_string(schema: str) -> list[ColumnDef]:
+    """'a Int64, b String' -> ColumnDefs (the structure clause of the
+    file()/url() table functions, TableFunctionFile.cpp)."""
+    p = DDLParser(schema)
+    defs = []
+    while p.peek().kind != "eof":
+        cname = p.next().text
+        ctype, nullable, vdim, elem = p.parse_type()
+        defs.append(ColumnDef(cname, ctype, nullable, vdim, elem))
+        if not p.take_punct(","):
+            break
+    return defs
+
+
+def fields_from_defs(defs: list[ColumnDef]) -> list:
+    return [Field(d.name, d.dtype, d.nullable, d.vector_dim, d.elem)
+            for d in defs]
+
+
 def empty_table_from_defs(name: str, defs: list[ColumnDef]) -> Table:
     import jax.numpy as jnp
     from myscaledb_tpu.core.dictionary import StringDictionary
@@ -972,7 +1103,8 @@ def required_privilege(stmt):
     if isinstance(stmt, TruncateTable):
         return ("TRUNCATE", stmt.name)
     if isinstance(stmt, (AlterDelete, AlterUpdate, AddVectorIndex,
-                         DropVectorIndex, DropPartition)):
+                         DropVectorIndex, DropPartition, AddSkipIndex,
+                         DropSkipIndex)):
         return ("ALTER", stmt.table)
     return None
 
@@ -997,6 +1129,55 @@ def execute_statement(session, stmt) -> Table:
         session._table_partition_keys = getattr(
             session, "_table_partition_keys", {})
         session._table_partition_keys[stmt.name] = stmt.partition_by
+        if stmt.skip_indexes:
+            sk = getattr(session, "_table_skip_indexes", None)
+            if sk is None:
+                sk = session._table_skip_indexes = {}
+            sk[stmt.name] = list(stmt.skip_indexes)
+        eng = stmt.engine.lower()
+        if eng in ("file", "url"):
+            # external-source engines (reference: src/Storages/StorageFile.cpp
+            # / StorageURL.cpp): the data plane is a file/URL; reads refresh
+            # from the source (File: on mtime change; URL: every query) and
+            # File INSERTs write through (session.get_table / ddl insert).
+            engines = getattr(session, "_table_engines", None)
+            if engines is None:
+                engines = session._table_engines = {}
+            if eng == "file":
+                fmt = stmt.engine_args[0] if stmt.engine_args else "CSV"
+                path = (stmt.engine_args[1].strip("'")
+                        if len(stmt.engine_args) > 1
+                        else f"{stmt.name}.{fmt.lower()}")
+                engines[stmt.name] = {"engine": "File", "format": fmt,
+                                      "path": path, "mtime": None}
+            else:
+                if not stmt.engine_args:
+                    raise ValueError("ENGINE = URL needs (url[, format])")
+                url = stmt.engine_args[0].strip("'")
+                fmt = stmt.engine_args[1] if len(stmt.engine_args) > 1 \
+                    else None
+                engines[stmt.name] = {"engine": "URL", "url": url,
+                                      "format": fmt}
+            refresh_external_table(session, stmt.name)
+        return T([])
+
+    if isinstance(stmt, AddSkipIndex):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        sk = getattr(session, "_table_skip_indexes", None)
+        if sk is None:
+            sk = session._table_skip_indexes = {}
+        lst = [i for i in sk.get(stmt.table, ())
+               if i.name != stmt.index.name]
+        lst.append(stmt.index)
+        sk[stmt.table] = lst
+        return T([])
+
+    if isinstance(stmt, DropSkipIndex):
+        sk = getattr(session, "_table_skip_indexes", {})
+        if stmt.table in sk:
+            sk[stmt.table] = [i for i in sk[stmt.table]
+                              if i.name != stmt.name]
         return T([])
 
     if isinstance(stmt, InsertValues):
@@ -1091,6 +1272,7 @@ def execute_statement(session, stmt) -> Table:
                         pass
         session.tables[stmt.table] = merged
         run_materialized_views(session, stmt.table, new)
+        file_engine_writethrough(session, stmt.table)
         return T([])
 
     if isinstance(stmt, InsertInfile):

@@ -198,7 +198,7 @@ def execute_query(session, sql: str, params=None) -> Table:
                 nb = -(-nrows // BLOCK_ROWS) if nrows else 0
                 blocks.append(nb)
                 conj = _split_conjuncts(s.prewhere) + _split_conjuncts(s.where)
-                bm = _zonemap_block_mask(t, conj) if conj else None
+                bm = _zonemap_block_mask(t, conj, session) if conj else None
                 pruned.append(0 if bm is None else int((~bm).sum()))
             import numpy as _np
             return Table.from_dict({

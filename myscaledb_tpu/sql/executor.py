@@ -281,6 +281,46 @@ def analyze_text_search(q: SelectQuery, session, table: Table,
     return info
 
 
+def _guess_format(path: str) -> str:
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    return {"csv": "CSV", "tsv": "TSV", "json": "JSONEachRow",
+            "jsonl": "JSONEachRow", "ndjson": "JSONEachRow",
+            "parquet": "Parquet", "orc": "ORC", "arrow": "Arrow",
+            "native": "Native"}.get(ext, "CSV")
+
+
+def _file_url_table(kind: str, src: str, fmt, schema) -> Table:
+    """file('path', fmt, 'a Int64, ...') / url('http://...', fmt, schema)
+    table functions (reference: src/TableFunctions/TableFunctionFile.cpp,
+    TableFunctionURL.cpp — reads an external source as a one-shot table).
+    Self-describing formats (Parquet/Arrow/ORC/Native) may omit the
+    structure clause."""
+    from myscaledb_tpu.runtime import formats
+    from myscaledb_tpu.sql.ddl import parse_schema_string, fields_from_defs
+    fields = fields_from_defs(parse_schema_string(schema)) if schema else []
+    fmt = fmt or _guess_format(src)
+    if not fields and fmt.replace("_", "").upper() not in (
+            "PARQUET", "ORC", "ARROW", "ARROWSTREAM", "NATIVE"):
+        raise ExecError(f"{kind}() needs a structure argument for "
+                        f"format {fmt!r} (e.g. 'a Int64, b String')")
+    if kind == "url":
+        import tempfile
+        import urllib.request
+        with urllib.request.urlopen(src, timeout=30) as resp:
+            payload = resp.read()
+        with tempfile.NamedTemporaryFile(suffix="." + src.rsplit(".", 1)[-1]
+                                         if "." in src else "",
+                                         delete=False) as tf:
+            tf.write(payload)
+            path = tf.name
+        try:
+            return formats.read_file(path, fmt, fields)
+        finally:
+            import os as _os
+            _os.unlink(path)
+    return formats.read_file(src, fmt, fields)
+
+
 def _ftsindex_table(session, table_name: str, col: str, query: str) -> Table:
     """ftsIndex(table, column, 'query') — the FTS-statistics table function
     (reference: TableFunctionFtsIndex.h:23 + StorageFtsIndex.h exposing
@@ -1246,10 +1286,112 @@ def _mask_or_true(mask, n):
     return mask if mask is not None else jnp.ones(n, dtype=bool)
 
 
+def _maybe_streaming_aggregate(env: Env, q: SelectQuery, mask, session,
+                               alias_exprs: dict):
+    """Out-of-HBM GROUP BY: when the aggregation touches host-resident
+    columns and every piece is mergeable + a plain column reference, stream
+    chunks through the chip and merge per-chunk states (reference: external
+    aggregation, Aggregator.cpp:1632 writeToTemporaryFile; here host RAM is
+    the spill tier).  Returns (agg_table, mapping) or None to fall through
+    to the resident path."""
+    table = env.table
+    if is_distributed(table) or table.n_rows == 0:
+        return None
+    MERGEABLE = {"sum", "count", "avg", "min", "max", "any"}
+
+    def _ident_col(e):
+        if not isinstance(e, Ident):
+            return None
+        name = e.qualified if e.table else e.name
+        return table[name] if name in table else None
+
+    # group keys: plain non-null column references
+    key_cols = []
+    key_names = []
+    for k in q.group_by:
+        ke = _expand_item_aliases(k, alias_exprs, table)
+        col = _ident_col(ke)
+        if col is None or col.valid is not None or col.offsets is not None:
+            return None
+        key_cols.append(col)
+        key_names.append(render(ke))
+    # aggregate calls: mergeable over plain column references
+    agg_calls: dict[str, FuncCall] = {}
+    scan_exprs = [it.expr for it in q.items] + [o.expr for o in q.order_by]
+    if q.having is not None:
+        scan_exprs.append(q.having)
+    for e in scan_exprs:
+        e = _expand_item_aliases(e, alias_exprs, table)
+        for node in walk_outside_windows(e):
+            if isinstance(node, FuncCall) and node.name.lower() in AGG_NAMES:
+                agg_calls[render(node)] = node
+    if not agg_calls:
+        return None
+    fns, args, arg_valids, names, date_tags = [], [], [], [], {}
+    for r, call in agg_calls.items():
+        name = call.name.lower()
+        if name not in MERGEABLE or call.distinct:
+            return None
+        if name == "count" and (not call.args or
+                                isinstance(call.args[0], Star)):
+            fns.append("count")
+            args.append(None)
+            arg_valids.append(None)
+            names.append(r)
+            continue
+        if len(call.args) != 1:
+            return None
+        col = _ident_col(_expand_item_aliases(call.args[0], alias_exprs,
+                                              table))
+        if col is None or col.offsets is not None or \
+                getattr(col.data, "ndim", 1) != 1:
+            return None
+        fns.append(name)
+        args.append(col)
+        arg_valids.append(col.valid)
+        names.append(r)
+        if name in ("min", "max", "any") and col.dtype in (DataType.DATE,
+                                                           DataType.DATETIME):
+            date_tags[r] = col.dtype
+    # only stream when a host column is actually involved
+    involved = key_cols + [a for a in args if a is not None]
+    if not any(c.is_host for c in involved):
+        return None
+
+    from myscaledb_tpu.ops.aggregate import streaming_group_aggregate
+    M.increment("StreamingAggregations")
+    rep_keys, states, gc = streaming_group_aggregate(
+        tuple(c.data for c in key_cols), mask,
+        tuple(a.data if a is not None else None for a in args), tuple(fns),
+        tuple(arg_valids) if any(v is not None for v in arg_valids)
+        else None,
+        chunk_rows=session.settings.stream_chunk_rows)
+    outs = finalize(states, gc, tuple(fns))
+    if not key_cols and len(gc) == 0:
+        # global aggregation over an empty selection still yields one row
+        outs = [np.asarray([np.nan]) if fn == "avg"
+                else np.zeros(1, dtype=o.dtype if o.size else np.int64)
+                for fn, o in zip(fns, outs)]
+    cols, mapping = [], {}
+    for kname, kcol, rep in zip(key_names, key_cols, rep_keys):
+        cols.append(Column(Field(kname, kcol.dtype, False,
+                                 kcol.field.vector_dim, kcol.field.elem),
+                           jnp.asarray(rep), None, kcol.dictionary))
+        mapping[kname] = kname
+    for r, out in zip(names, outs):
+        cols.append(Column.from_numpy(r, out, dtype=date_tags.get(r),
+                                      build_zonemap=False))
+        mapping[r] = r
+    return Table(cols, name=table.name), mapping
+
+
 def run_aggregate(env: Env, q: SelectQuery, mask, session,
                   alias_exprs: dict) -> tuple[Table, dict]:
     table = env.table
     n = table.n_rows
+    streamed = _maybe_streaming_aggregate(env, q, mask, session, alias_exprs)
+    if streamed is not None:
+        return streamed
     # collect aggregate calls across all clauses
     agg_calls: dict[str, FuncCall] = {}
     scan_exprs = [it.expr for it in q.items] + [o.expr for o in q.order_by]
@@ -1835,14 +1977,16 @@ def execute_any(session, q) -> Table:
     return execute_select(session, q)
 
 
-def _zonemap_possible_blocks(table: Table, conjuncts) -> Optional[int]:
+def _zonemap_possible_blocks(table: Table, conjuncts,
+                             session=None) -> Optional[int]:
     """Number of blocks that can possibly satisfy the ANDed comparisons, or
     None when no term is prunable.  Zero means the scan is provably empty."""
-    mask = _zonemap_block_mask(table, conjuncts)
+    mask = _zonemap_block_mask(table, conjuncts, session)
     return None if mask is None else int(mask.sum())
 
 
-def _zonemap_block_mask(table: Table, conjuncts) -> Optional[np.ndarray]:
+def _zonemap_block_mask(table: Table, conjuncts,
+                        session=None) -> Optional[np.ndarray]:
     """Per-block min/max pruning (reference: KeyCondition RPN over zone maps
     + PK mark-range selection, src/Storages/MergeTree/KeyCondition.h:217,
     MergeTreeDataSelectExecutor.h:195-210 — parts are sorted by the table's
@@ -1935,6 +2079,103 @@ def _zonemap_block_mask(table: Table, conjuncts) -> Optional[np.ndarray]:
                 ok = zm.maxs >= lit
         if ok is not None:
             possible = ok if possible is None else (possible & ok)
+    sk = _skipindex_block_mask(table, conjuncts, session)
+    if sk is not None:
+        possible = sk if possible is None else (possible & sk)
+    return possible
+
+
+def _skipindex_block_mask(table: Table, conjuncts, session) -> \
+        Optional[np.ndarray]:
+    """Per-block set/bloom skip-index pruning (reference:
+    MergeTreeIndexSet.cpp / MergeTreeIndexBloomFilter.cpp consulted through
+    KeyCondition during range selection).  Declared via ``INDEX name col
+    TYPE set(N)|bloom_filter(fp)`` (sql/ddl.py); sidecars built host-side
+    and cached per mutation epoch (storage/skip_index.py)."""
+    if session is None or not table.name:
+        return None
+    defs = getattr(session, "_table_skip_indexes", {}).get(table.name)
+    if not defs:
+        return None
+    from myscaledb_tpu.storage.skip_index import (
+        sidecar_for, set_blocks_possible, set_blocks_possible_in,
+        BloomSidecar, _to_u64_keys)
+    by_col = {}
+    for idx in defs:
+        by_col.setdefault(idx.column, []).append(idx)
+
+    def _term_parts(term):
+        """-> (col_name, op, [literal values]) or None."""
+        if isinstance(term, InList) and not term.negated:
+            if not isinstance(term.expr, Ident):
+                return None
+            if not all(isinstance(it, Literal) for it in term.items):
+                return None
+            name = term.expr.qualified if term.expr.table else term.expr.name
+            return name, "in", [it.value for it in term.items]
+        if isinstance(term, BinOp) and term.op in ("=", "<", "<=", ">", ">="):
+            lhs, rhs, op = term.left, term.right, term.op
+            if isinstance(rhs, Ident) and isinstance(lhs, Literal):
+                lhs, rhs = rhs, lhs
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+            if not (isinstance(lhs, Ident) and isinstance(rhs, Literal)):
+                return None
+            name = lhs.qualified if lhs.table else lhs.name
+            return name, op, [rhs.value]
+        return None
+
+    possible = None
+    for term in conjuncts:
+        parts = _term_parts(term)
+        if parts is None:
+            continue
+        name, op, lits = parts
+        if name not in by_col or name not in table:
+            continue
+        col = table[name]
+        # translate literals into the column's stored key space
+        keys = []
+        provably_absent = False
+        for v in lits:
+            if isinstance(v, str) and col.dictionary is not None:
+                did = col.dictionary.encode_one(v)
+                if did < 0:
+                    provably_absent = True
+                else:
+                    keys.append(did)
+            elif isinstance(v, (int, float)) and not isinstance(v, bool) \
+                    and col.dictionary is None:
+                keys.append(v)
+            else:
+                keys = None
+                break
+        if keys is None:
+            continue
+        # dictionary ids are insertion-ordered: range ops are untranslatable
+        if col.dictionary is not None and op not in ("=", "in"):
+            continue
+        for idx in by_col[name]:
+            sc = sidecar_for(session, table, name, idx)
+            if sc is None:
+                continue
+            if isinstance(sc, BloomSidecar):
+                if op not in ("=", "in"):
+                    continue
+                if not keys:
+                    ok = np.zeros(sc.bits.shape[0], dtype=bool)
+                else:
+                    dt = np.asarray(col.data[:0]).dtype
+                    ku = _to_u64_keys(np.asarray(keys).astype(dt))
+                    ok = sc.may_contain(ku)
+            else:                                   # set sidecar
+                if op == "in" or (op == "=" and provably_absent and not keys):
+                    ok = set_blocks_possible_in(sc, keys)
+                elif not keys:
+                    ok = np.zeros(len(sc), dtype=bool)
+                else:
+                    ok = set_blocks_possible(sc, op, keys[0])
+            M.increment("SkipIndexChecks")
+            possible = ok if possible is None else (possible & ok)
     return possible
 
 
@@ -2018,6 +2259,8 @@ def execute_select(session, q: SelectQuery) -> Table:
                 build_zonemap=False)])
         elif kind == "ftsindex":
             base = _ftsindex_table(session, *params)
+        elif kind in ("file", "url"):
+            base = _file_url_table(kind, *params)
         else:
             raise ExecError(f"unknown table function {kind!r}")
     elif q.subquery is not None:
@@ -2091,7 +2334,7 @@ def execute_select(session, q: SelectQuery) -> Table:
     if pre_terms and not is_distributed(table):
         bmask = _zonemap_block_mask(
             table, [_expand_item_aliases(c, alias_exprs, table)
-                    for c in pre_terms])
+                    for c in pre_terms], session)
         if bmask is not None and not bmask.all():
             from myscaledb_tpu.core.table import BLOCK_ROWS
             nblocks = int(bmask.sum())
@@ -2382,7 +2625,17 @@ def execute_select(session, q: SelectQuery) -> Table:
         has_fill = any(o.fill is not None for o in order_by)
         with span("sort", rows=n2, keys=len(sks)):
             if q.limit is not None and q.limit_by is None and not has_fill:
-                perm = topn_permutation(sks, q.limit + q.offset, n2)
+                if any(isinstance(sk.values, np.ndarray) for sk in sks):
+                    # host-resident sort key: external top-n (spill tier =
+                    # host RAM, MergeSortingTransform.h:29 analog)
+                    from myscaledb_tpu.ops.sort import \
+                        streaming_topn_permutation
+                    M.increment("StreamingTopN")
+                    perm = streaming_topn_permutation(
+                        sks, q.limit + q.offset, n2,
+                        settings.stream_chunk_rows)
+                else:
+                    perm = topn_permutation(sks, q.limit + q.offset, n2)
             else:
                 perm = sort_permutation(sks)
         proj_table = proj_table.take(perm)

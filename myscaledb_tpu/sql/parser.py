@@ -203,6 +203,29 @@ class Parser:
                     raise ParseError("ftsIndex() query must be a string")
                 self.expect_punct(")")
                 q.table_function = ("ftsindex", (tname, cname, qtok.text))
+            elif self.peek().kind == "ident" and \
+                    self.peek().text.lower() in ("file", "url") and \
+                    self.peek(1).text == "(":
+                # file('path'[, 'Format'[, 'a Int64, b String']]) and
+                # url('http://...'[, Format[, schema]]) table functions
+                # (reference: src/TableFunctions/TableFunctionFile.cpp,
+                # TableFunctionURL.cpp)
+                from myscaledb_tpu.sql.lexer import unquote_string
+
+                def _unq(tok):
+                    return unquote_string(tok.text) if tok.kind == "string" \
+                        else tok.text
+                kind = self.next().text.lower()
+                self.next()
+                src = _unq(self.next())
+                fmt = None
+                schema = None
+                if self.take_punct(","):
+                    fmt = _unq(self.next())
+                    if self.take_punct(","):
+                        schema = _unq(self.next())
+                self.expect_punct(")")
+                q.table_function = (kind, (src, fmt, schema))
             elif self.take_punct("("):
                 q.subquery = self.parse_select()
                 self.expect_punct(")")

@@ -135,7 +135,8 @@ def build_plan(session, q) -> PlanNode:
                 prunable.append(term)
         blocks_possible = None
         try:
-            blocks_possible = _zonemap_possible_blocks(table, conjuncts)
+            blocks_possible = _zonemap_possible_blocks(table, conjuncts,
+                                                       session)
         except Exception:
             pass
         props = {}

@@ -1,0 +1,215 @@
+"""Data-skipping indexes: per-block set and bloom-filter sidecars.
+
+Reference analog: MergeTree skip indexes (src/Storages/MergeTree/
+MergeTreeIndexSet.cpp, MergeTreeIndexBloomFilter.cpp, registry
+MergeTreeIndices.h) declared as ``INDEX name col TYPE set(N) GRANULARITY g``
+in CREATE TABLE and consulted by KeyCondition during range selection.
+
+The TPU engine's unit of skipping is the 64k-row zone-map block
+(core/table.py BLOCK_ROWS — the granule analog).  A skip index adds, per
+block, either
+
+  set(N)        the sorted distinct values of the block (None when the
+                block has more than N distinct values — that block can
+                never be pruned), supporting =, IN and range terms
+                ("some stored value satisfies the comparison"), or
+
+  bloom_filter  an m-bit double-hashed bloom filter over the block's
+                values, supporting = and IN with a configurable false-
+                positive rate (misses are impossible: absence is proof).
+
+Sidecars are built host-side from the column's host copy and cached per
+(table, column, mutation epoch) on the session — the same lifecycle as the
+SQ8 vector sidecar (VICacheManager analog).  All structures are numpy;
+nothing here touches the device.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from myscaledb_tpu.core.table import BLOCK_ROWS
+
+
+@dataclass(frozen=True)
+class SkipIndexDef:
+    """One declared skipping index (system.data_skipping_indices row)."""
+    name: str
+    column: str
+    kind: str              # "set" | "bloom_filter" | "minmax"
+    param: float = 0.0     # set: max distinct values; bloom: fp rate
+    granularity: int = 1
+
+
+# --- set index -------------------------------------------------------------
+
+def build_set_sidecar(data_np: np.ndarray, max_values: int,
+                      block_rows: int = BLOCK_ROWS) -> list:
+    """Per-block sorted distinct values; None marks an over-full block."""
+    n = len(data_np)
+    nblocks = max(1, -(-n // block_rows))
+    out = []
+    for b in range(nblocks):
+        chunk = data_np[b * block_rows:(b + 1) * block_rows]
+        uniq = np.unique(chunk)
+        out.append(uniq if len(uniq) <= max_values else None)
+    return out
+
+
+def set_blocks_possible(sidecar: list, op: str, key) -> np.ndarray:
+    """Which blocks may contain a row satisfying ``col <op> key``.
+
+    A block is possible iff SOME stored value satisfies the comparison
+    (MergeTreeIndexSet's mayBeTrueOnGranule).  Over-full blocks are always
+    possible."""
+    ok = np.ones(len(sidecar), dtype=bool)
+    for b, vals in enumerate(sidecar):
+        if vals is None or len(vals) == 0:
+            ok[b] = vals is None     # empty block proves emptiness
+            continue
+        if op == "=":
+            i = np.searchsorted(vals, key)
+            ok[b] = bool(i < len(vals) and vals[i] == key)
+        elif op == "<":
+            ok[b] = bool(vals[0] < key)
+        elif op == "<=":
+            ok[b] = bool(vals[0] <= key)
+        elif op == ">":
+            ok[b] = bool(vals[-1] > key)
+        elif op == ">=":
+            ok[b] = bool(vals[-1] >= key)
+        else:                        # unknown op: cannot prune
+            ok[b] = True
+    return ok
+
+
+def set_blocks_possible_in(sidecar: list, keys) -> np.ndarray:
+    """IN-list variant: block possible iff it stores any of the keys."""
+    ok = np.zeros(len(sidecar), dtype=bool)
+    keys = np.asarray(sorted(keys))
+    for b, vals in enumerate(sidecar):
+        if vals is None:
+            ok[b] = True
+            continue
+        if len(vals) == 0 or len(keys) == 0:
+            continue
+        pos = np.searchsorted(vals, keys)
+        pos = np.minimum(pos, len(vals) - 1)
+        ok[b] = bool((vals[pos] == keys).any())
+    return ok
+
+
+# --- bloom filter ----------------------------------------------------------
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — a full-avalanche 64-bit mix (public domain
+    constant schedule; the reference uses CityHash for the same role)."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def _bloom_geometry(block_rows: int, fp_rate: float) -> tuple[int, int]:
+    """(m bits rounded up to a word multiple, k hash functions)."""
+    fp_rate = min(max(fp_rate, 1e-6), 0.5)
+    m = int(math.ceil(-block_rows * math.log(fp_rate) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, round(m / block_rows * math.log(2)))
+    return m, min(k, 8)
+
+
+def _bloom_positions(keys_u64: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions via double hashing h1 + i*h2."""
+    h1 = _splitmix64(keys_u64)
+    h2 = _splitmix64(keys_u64 ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(m))
+
+
+def _to_u64_keys(data_np: np.ndarray) -> np.ndarray:
+    """Canonical 64-bit key image of a column for hashing.  Integers and
+    dictionary ids widen losslessly; floats hash their binary64 image with
+    -0.0 folded to +0.0 so 0.0 == -0.0 keeps one image."""
+    if data_np.dtype.kind == "f":
+        d = data_np.astype(np.float64)
+        d = np.where(d == 0.0, 0.0, d)
+        return d.view(np.uint64)
+    return data_np.astype(np.int64).view(np.uint64)
+
+
+class BloomSidecar:
+    """Per-block bloom filters: ``bits`` is (nblocks, m//64) uint64."""
+
+    __slots__ = ("bits", "m", "k")
+
+    def __init__(self, bits: np.ndarray, m: int, k: int):
+        self.bits = bits
+        self.m = m
+        self.k = k
+
+    def may_contain(self, key_u64: np.ndarray) -> np.ndarray:
+        """(nblocks,) bool: block may contain ANY of the given keys."""
+        key_u64 = np.atleast_1d(np.asarray(key_u64, dtype=np.uint64))
+        if len(key_u64) == 0:
+            return np.zeros(self.bits.shape[0], dtype=bool)
+        pos = _bloom_positions(key_u64, self.m, self.k)      # (nk, k)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        # block x key: all k bits set for that key
+        present = (self.bits[:, word] & bit[None, :, :]) != 0  # (nb, nk, k)
+        return present.all(axis=2).any(axis=1)
+
+
+def build_bloom_sidecar(data_np: np.ndarray, fp_rate: float = 0.025,
+                        block_rows: int = BLOCK_ROWS) -> BloomSidecar:
+    n = len(data_np)
+    nblocks = max(1, -(-n // block_rows))
+    m, k = _bloom_geometry(min(block_rows, max(n, 1)), fp_rate or 0.025)
+    bits = np.zeros((nblocks, m // 64), dtype=np.uint64)
+    keys = _to_u64_keys(np.asarray(data_np))
+    for b in range(nblocks):
+        chunk = keys[b * block_rows:(b + 1) * block_rows]
+        if len(chunk) == 0:
+            continue
+        pos = _bloom_positions(np.unique(chunk), m, k).ravel()
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        np.bitwise_or.at(bits[b], word, bit)
+    return BloomSidecar(bits, m, k)
+
+
+# --- session-cached lookup -------------------------------------------------
+
+def sidecar_for(session, table, column_name: str, idx: SkipIndexDef):
+    """Build-or-fetch the sidecar for one (table, column, index) at the
+    current mutation epoch.  Returns the set list or BloomSidecar, or None
+    when the column cannot be indexed (vector/array columns)."""
+    cache = getattr(session, "_skip_sidecars", None)
+    if cache is None:
+        cache = session._skip_sidecars = {}
+    key = (table.name, idx.name, session._mutation_epoch)
+    if key in cache:
+        return cache[key]
+    col = table[column_name]
+    if col.offsets is not None or np.asarray(col.data).ndim != 1:
+        return None
+    data_np = np.asarray(col.data)
+    if idx.kind == "set":
+        sc = build_set_sidecar(data_np, int(idx.param) or 100)
+    elif idx.kind == "bloom_filter":
+        sc = build_bloom_sidecar(data_np, float(idx.param) or 0.025)
+    else:
+        return None
+    # drop stale epochs of the same index before caching the new one
+    for k_ in [k_ for k_ in cache if k_[:2] == key[:2] and k_ != key]:
+        del cache[k_]
+    cache[key] = sc
+    return sc

@@ -1,0 +1,114 @@
+"""file()/url() table functions and File/URL table engines (reference:
+src/TableFunctions/TableFunctionFile.cpp, TableFunctionURL.cpp,
+src/Storages/StorageFile.cpp, StorageURL.cpp)."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+
+@pytest.fixture
+def csvdir(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("1,aa,1.5\n2,bb,2.5\n3,aa,3.5\n")
+    return tmp_path
+
+
+def test_file_table_function(csvdir):
+    s = connect()
+    path = csvdir / "data.csv"
+    rows = s.sql(f"SELECT id, name, v FROM file('{path}', 'CSV', "
+                 "'id Int64, name String, v Float64') ORDER BY id").to_rows()
+    assert rows == [(1, "aa", 1.5), (2, "bb", 2.5), (3, "aa", 3.5)]
+    r = s.sql(f"SELECT name, sum(v) FROM file('{path}', 'CSV', "
+              "'id Int64, name String, v Float64') GROUP BY name "
+              "ORDER BY name").to_rows()
+    assert r == [("aa", 5.0), ("bb", 2.5)]
+
+
+def test_file_table_function_parquet_self_describing(tmp_path):
+    pytest.importorskip("pyarrow")
+    s = connect()
+    s.create_table("src", {"a": np.arange(5, dtype=np.int64),
+                           "b": np.arange(5, dtype=np.float64) * 2})
+    path = tmp_path / "t.parquet"
+    s.export_file("SELECT * FROM src", str(path), "Parquet")
+    rows = s.sql(f"SELECT a, b FROM file('{path}') ORDER BY a").to_rows()
+    assert rows == [(i, 2.0 * i) for i in range(5)]
+
+
+def test_file_function_missing_schema_errors(csvdir):
+    s = connect()
+    path = csvdir / "data.csv"
+    with pytest.raises(Exception, match="structure"):
+        s.sql(f"SELECT * FROM file('{path}', 'CSV')")
+
+
+def test_file_engine_create_insert_select(tmp_path):
+    s = connect()
+    path = tmp_path / "t.csv"
+    s.sql(f"CREATE TABLE ft (id Int64, name String) "
+          f"ENGINE = File(CSV, '{path}')")
+    s.sql("INSERT INTO ft VALUES (1, 'x'), (2, 'y')")
+    assert path.exists()
+    assert s.sql("SELECT count() FROM ft").to_rows()[0][0] == 2
+    # a second session sees the data through the file
+    s2 = connect()
+    s2.sql(f"CREATE TABLE ft (id Int64, name String) "
+           f"ENGINE = File(CSV, '{path}')")
+    assert s2.sql("SELECT id, name FROM ft ORDER BY id").to_rows() == \
+        [(1, "x"), (2, "y")]
+
+
+def test_file_engine_sees_external_modification(tmp_path):
+    s = connect()
+    path = tmp_path / "t.csv"
+    path.write_text("1,aa\n")
+    s.sql(f"CREATE TABLE ft (id Int64, name String) "
+          f"ENGINE = File(CSV, '{path}')")
+    assert s.sql("SELECT count() FROM ft").to_rows()[0][0] == 1
+    path.write_text("1,aa\n2,bb\n3,cc\n")
+    os.utime(path, ns=(1, 10 ** 18))       # force a distinct mtime
+    assert s.sql("SELECT count() FROM ft").to_rows()[0][0] == 3
+
+
+def _serve(directory):
+    """Serve `directory` on an ephemeral localhost port."""
+    import http.server
+    import functools
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(directory))
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+def test_url_table_function(csvdir):
+    httpd, base = _serve(csvdir)
+    try:
+        s = connect()
+        rows = s.sql(f"SELECT id, v FROM url('{base}/data.csv', 'CSV', "
+                     "'id Int64, name String, v Float64') "
+                     "ORDER BY id").to_rows()
+        assert rows == [(1, 1.5), (2, 2.5), (3, 3.5)]
+    finally:
+        httpd.shutdown()
+
+
+def test_url_engine(csvdir):
+    httpd, base = _serve(csvdir)
+    try:
+        s = connect()
+        s.sql(f"CREATE TABLE ut (id Int64, name String, v Float64) "
+              f"ENGINE = URL('{base}/data.csv', CSV)")
+        assert s.sql("SELECT sum(v) FROM ut").to_rows()[0][0] == 7.5
+        # URL tables re-read the source each query
+        (csvdir / "data.csv").write_text("9,zz,10.0\n")
+        assert s.sql("SELECT sum(v) FROM ut").to_rows()[0][0] == 10.0
+    finally:
+        httpd.shutdown()

@@ -1,0 +1,34 @@
+"""Unified entry-point dispatcher (programs/main.cpp analog)."""
+
+import numpy as np
+
+from myscaledb_tpu.__main__ import main
+
+
+def test_format_tool(capsys):
+    assert main(["format", "SELECT a, sum(b) FROM t WHERE a > 1",
+                 "GROUP BY a"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0] == "SELECT a, sum(b)"
+    assert "WHERE a > 1" in out
+    assert "GROUP BY a" in out
+
+
+def test_local_tool(capsys):
+    assert main(["local", "-q", "SELECT 1 + 2"]) == 0
+    assert capsys.readouterr().out.strip() == "3"
+
+
+def test_local_tool_with_data_dir(tmp_path, capsys):
+    from myscaledb_tpu.storage.table_store import TableStore
+    from myscaledb_tpu.core.table import Table
+    t = Table.from_dict({"v": np.arange(10, dtype=np.int64)})
+    TableStore(str(tmp_path / "nums")).insert(t)
+    assert main(["local", "--data-dir", str(tmp_path),
+                 "-q", "SELECT sum(v) FROM nums"]) == 0
+    assert capsys.readouterr().out.strip() == "45"
+
+
+def test_usage_on_no_args(capsys):
+    assert main([]) == 2
+    assert "server" in capsys.readouterr().err

@@ -1,0 +1,129 @@
+"""MySQL wire protocol server (MySQLHandler.cpp analog) exercised by a
+minimal protocol-41 text client implemented here."""
+
+import socket
+import struct
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.runtime.mysql_server import (serve_mysql, read_packet,
+                                                write_packet)
+
+
+class MiniMySQLClient:
+    def __init__(self, host, port):
+        self.sock = socket.create_connection((host, port), timeout=10)
+        seq, greeting = read_packet(self.sock)
+        assert greeting[0] == 10                      # HandshakeV10
+        self.server_version = greeting[1:greeting.index(b"\x00", 1)]
+        # HandshakeResponse41: caps, max packet, charset, filler, user
+        resp = (struct.pack("<IIB", 0x0200 | 0x8000, 1 << 24, 33) +
+                b"\x00" * 23 + b"default\x00" + b"\x00")
+        seq = write_packet(self.sock, seq + 1, resp)
+        _seq, ok = read_packet(self.sock)
+        assert ok[0] == 0x00                          # OK
+
+    def _lenenc(self, data, pos):
+        first = data[pos]
+        if first < 251:
+            return first, pos + 1
+        if first == 0xFC:
+            return struct.unpack_from("<H", data, pos + 1)[0], pos + 3
+        if first == 0xFD:
+            return int.from_bytes(data[pos + 1:pos + 4], "little"), pos + 4
+        return struct.unpack_from("<Q", data, pos + 1)[0], pos + 9
+
+    def query(self, sql):
+        write_packet(self.sock, 0, b"\x03" + sql.encode())
+        _seq, first = read_packet(self.sock)
+        if first[0] == 0xFF:
+            raise RuntimeError(first[9:].decode())
+        if first[0] == 0x00:
+            return None                               # OK (no resultset)
+        ncols, _ = self._lenenc(first, 0)
+        names = []
+        for _ in range(ncols):
+            _s, coldef = read_packet(self.sock)
+            pos = 0
+            vals = []
+            for _f in range(6):                       # six lenenc strings
+                ln, pos = self._lenenc(coldef, pos)
+                vals.append(coldef[pos:pos + ln])
+                pos += ln
+            names.append(vals[4].decode())
+        _s, eof = read_packet(self.sock)
+        assert eof[0] == 0xFE
+        rows = []
+        while True:
+            _s, pkt = read_packet(self.sock)
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                break
+            row, pos = [], 0
+            while pos < len(pkt):
+                if pkt[pos] == 0xFB:                  # NULL
+                    row.append(None)
+                    pos += 1
+                    continue
+                ln, pos = self._lenenc(pkt, pos)
+                row.append(pkt[pos:pos + ln].decode())
+                pos += ln
+            rows.append(row)
+        return names, rows
+
+    def ping(self):
+        write_packet(self.sock, 0, b"\x0e")
+        _s, ok = read_packet(self.sock)
+        return ok[0] == 0x00
+
+    def close(self):
+        try:
+            write_packet(self.sock, 0, b"\x01")
+        finally:
+            self.sock.close()
+
+
+@pytest.fixture
+def server():
+    s = connect()
+    s.create_table("t", {"id": np.arange(10, dtype=np.int64),
+                         "name": np.array([f"n{i}" for i in range(10)]),
+                         "v": np.arange(10, dtype=np.float64) * 1.5})
+    srv = serve_mysql(s, "127.0.0.1", 0)
+    yield srv.server_address
+    srv.shutdown()
+
+
+def test_handshake_and_select(server):
+    c = MiniMySQLClient(*server)
+    assert b"myscaledb" in c.server_version
+    names, rows = c.query("SELECT id, name, v FROM t ORDER BY id LIMIT 3")
+    assert names == ["id", "name", "v"]
+    assert rows == [["0", "n0", "0"], ["1", "n1", "1.5"], ["2", "n2", "3"]]
+    c.close()
+
+
+def test_aggregate_and_ping(server):
+    c = MiniMySQLClient(*server)
+    assert c.ping()
+    names, rows = c.query("SELECT count(), sum(id) FROM t")
+    assert rows == [["10", "45"]]
+    c.close()
+
+
+def test_error_packet(server):
+    c = MiniMySQLClient(*server)
+    with pytest.raises(RuntimeError, match="nope"):
+        c.query("SELECT * FROM nope")
+    # connection stays usable after an error
+    names, rows = c.query("SELECT 1 + 1")
+    assert rows == [["2"]]
+    c.close()
+
+
+def test_null_cell(server):
+    c = MiniMySQLClient(*server)
+    _names, rows = c.query("SELECT nullIf(id, 1) FROM t ORDER BY id LIMIT 3")
+    assert rows == [["0"], [None], ["2"]]
+    c.close()

@@ -95,3 +95,67 @@ def test_shuffle_join_any(rng):
         assert lk[i] == rk[j]
         # ANY = lowest right row id with this key
         assert j == min(np.flatnonzero(rk == lk[i]))
+
+
+def test_sharded_shuffle_join_count_matches_numpy(rng):
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.parallel.mesh import make_mesh, shard_rows
+    from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_count
+    mesh = make_mesh(8)
+    n_l, n_r = 4096, 2048
+    lk = rng.integers(0, 500, n_l).astype(np.int32)
+    rk = rng.integers(0, 500, n_r).astype(np.int32)
+    expect = 0
+    rcounts = {}
+    for k in rk:
+        rcounts[int(k)] = rcounts.get(int(k), 0) + 1
+    for k in lk:
+        expect += rcounts.get(int(k), 0)
+    got = sharded_shuffle_join_count(mesh, shard_rows(mesh, jnp.asarray(lk)),
+                                     shard_rows(mesh, jnp.asarray(rk)))
+    assert int(np.asarray(got)) == expect
+
+
+def test_config5_pipeline_composes_under_jit(rng):
+    """The bench config-5 shape: distance top-k + shuffle-join count +
+    group aggregate fused into ONE jitted program over the mesh."""
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.parallel.mesh import make_mesh, shard_rows
+    from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
+                                            sharded_group_aggregate)
+    from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_count
+    mesh = make_mesh(8)
+    n, d, G = 2048, 16, 8
+    x = shard_rows(mesh, jnp.asarray(
+        rng.normal(size=(n, d)).astype(np.float32)))
+    q = jnp.asarray(rng.normal(size=(2, d)).astype(np.float32))
+    fk = shard_rows(mesh, jnp.asarray(
+        rng.integers(0, 100, n).astype(np.int32)))
+    dk = shard_rows(mesh, jnp.asarray(
+        rng.integers(0, 100, n // 2).astype(np.int32)))
+    gid = shard_rows(mesh, jnp.asarray(
+        rng.integers(0, G, n).astype(np.int32)))
+    vals = shard_rows(mesh, jnp.ones(n, dtype=jnp.int32))
+    mask = shard_rows(mesh, jnp.ones(n, dtype=bool))
+
+    @jax.jit
+    def pipeline(x, q, fk, dk, gid, vals, mask):
+        dd, ii = sharded_distance_topk(mesh, x, q, "L2", 5)
+        cnt = sharded_shuffle_join_count(mesh, fk, dk)
+        states, gc = sharded_group_aggregate(mesh, gid, mask, (vals,),
+                                             ("sum",), G)
+        return dd, ii, cnt, states[0], gc
+
+    dd, ii, cnt, sums, gc = pipeline(x, q, fk, dk, gid, vals, mask)
+    # distances: exact vs dense numpy
+    xs = np.asarray(x)
+    qs = np.asarray(q)
+    d2 = ((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.sort(np.asarray(dd), axis=1),
+                               np.sort(np.sort(d2, axis=1)[:, :5], axis=1),
+                               rtol=1e-4)
+    # group sums: every row counts once
+    assert int(np.asarray(sums).sum()) == n
+    assert int(np.asarray(cnt)) > 0

@@ -1,0 +1,137 @@
+"""Set / bloom-filter data-skipping indexes (reference:
+MergeTreeIndexSet.cpp, MergeTreeIndexBloomFilter.cpp; declared per
+ParserCreateQuery.cpp INDEX grammar).  The layouts below defeat min/max
+zone maps on purpose (every block contains the global min and max) so any
+pruning observed comes from the skip index alone."""
+
+import numpy as np
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.core.table import BLOCK_ROWS
+
+
+def _mk(nblocks=4):
+    """v: every block holds {0, 99999} (zone maps useless) plus one unique
+    per-block marker 10+b filling the rest of the block."""
+    n = nblocks * BLOCK_ROWS
+    v = np.zeros(n, dtype=np.int64)
+    for b in range(nblocks):
+        blk = slice(b * BLOCK_ROWS, (b + 1) * BLOCK_ROWS)
+        v[blk] = 10 + b
+        v[b * BLOCK_ROWS] = 0
+        v[b * BLOCK_ROWS + 1] = 99999
+    s = connect()
+    s.create_table("t", {"id": np.arange(n, dtype=np.int64), "v": v})
+    return s, n, nblocks
+
+
+def _estimate(s, sql):
+    t = s.sql("EXPLAIN ESTIMATE " + sql)
+    rows = t.to_rows()
+    return dict(zip(t.column_names, rows[0])) if rows else {}
+
+
+def test_set_index_prunes_where_zonemap_cannot():
+    s, n, nb = _mk()
+    s.sql("ALTER TABLE t ADD INDEX iv v TYPE set(100) GRANULARITY 1")
+    r = s.sql("SELECT count() FROM t WHERE v = 12").to_rows()
+    assert r[0][0] == BLOCK_ROWS - 2
+    est = _estimate(s, "SELECT count() FROM t WHERE v = 12")
+    assert est.get("blocks_pruned", 0) == nb - 1
+
+
+def test_set_index_range_terms():
+    s, n, nb = _mk()
+    s.sql("ALTER TABLE t ADD INDEX iv v TYPE set(100)")
+    # v > 20000: only the 99999 sentinels qualify -- every block keeps one
+    r = s.sql("SELECT count() FROM t WHERE v > 20000").to_rows()
+    assert r[0][0] == nb
+    # v > 99999: provably empty everywhere
+    est = _estimate(s, "SELECT count() FROM t WHERE v > 99999")
+    assert est.get("blocks_pruned", 0) == nb
+    assert s.sql("SELECT count() FROM t WHERE v > 99999").to_rows()[0][0] == 0
+
+
+def test_set_index_in_list():
+    s, n, nb = _mk()
+    s.sql("ALTER TABLE t ADD INDEX iv v TYPE set(100)")
+    r = s.sql("SELECT count() FROM t WHERE v IN (11, 13)").to_rows()
+    assert r[0][0] == 2 * (BLOCK_ROWS - 2)
+    est = _estimate(s, "SELECT count() FROM t WHERE v IN (11, 13)")
+    assert est.get("blocks_pruned", 0) == nb - 2
+
+
+def test_set_index_overfull_blocks_never_prune(rng):
+    n = 2 * BLOCK_ROWS
+    s = connect()
+    v = rng.integers(10, 1 << 20, n).astype(np.int64)
+    for b in range(2):                        # defeat min/max zone maps
+        v[b * BLOCK_ROWS] = 0
+        v[b * BLOCK_ROWS + 1] = 1 << 21
+    s.create_table("t", {"v": v})
+    s.sql("ALTER TABLE t ADD INDEX iv v TYPE set(8)")   # >8 distinct: no-op
+    expect = s.sql("SELECT count() FROM t WHERE v = 7").to_rows()[0][0]
+    est = _estimate(s, "SELECT count() FROM t WHERE v = 7")
+    assert est.get("blocks_pruned", 0) == 0
+    assert s.sql("SELECT count() FROM t WHERE v = 7").to_rows()[0][0] == expect
+
+
+def test_bloom_index_prunes_equality():
+    s, n, nb = _mk()
+    s.sql("ALTER TABLE t ADD INDEX bv v TYPE bloom_filter(0.01)")
+    r = s.sql("SELECT count() FROM t WHERE v = 11").to_rows()
+    assert r[0][0] == BLOCK_ROWS - 2
+    est = _estimate(s, "SELECT count() FROM t WHERE v = 11")
+    # bloom may false-positive a block but never false-negatives
+    assert est.get("blocks_pruned", 0) >= nb - 2
+    est = _estimate(s, "SELECT count() FROM t WHERE v = 424242")
+    assert est.get("blocks_pruned", 0) >= nb - 1
+
+
+def test_bloom_index_string_column():
+    nb = 3
+    n = nb * BLOCK_ROWS
+    names = np.concatenate([np.repeat(f"name_{b}", BLOCK_ROWS)
+                            for b in range(nb)])
+    s = connect()
+    s.create_table("t", {"id": np.arange(n, dtype=np.int64), "name": names})
+    s.sql("ALTER TABLE t ADD INDEX bn name TYPE bloom_filter")
+    r = s.sql("SELECT count() FROM t WHERE name = 'name_1'").to_rows()
+    assert r[0][0] == BLOCK_ROWS
+    est = _estimate(s, "SELECT count() FROM t WHERE name = 'name_1'")
+    assert est.get("blocks_pruned", 0) >= nb - 2
+
+
+def test_create_table_index_clause_and_system_table():
+    s = connect()
+    s.sql("CREATE TABLE ti (id Int64, v Int64, "
+          "INDEX iv v TYPE set(50) GRANULARITY 2, "
+          "INDEX bv v TYPE bloom_filter(0.01)) "
+          "ENGINE = MergeTree ORDER BY id")
+    s.sql("INSERT INTO ti VALUES (1, 10), (2, 20)")
+    rows = s.sql("SELECT table, name, column, type, granularity FROM "
+                 "system.data_skipping_indices ORDER BY name").to_rows()
+    assert ("ti", "bv", "v", "bloom_filter", 1) in rows
+    assert ("ti", "iv", "v", "set", 2) in rows
+    assert s.sql("SELECT count() FROM ti WHERE v = 10").to_rows()[0][0] == 1
+
+
+def test_drop_index_stops_pruning():
+    s, n, nb = _mk()
+    s.sql("ALTER TABLE t ADD INDEX iv v TYPE set(100)")
+    est = _estimate(s, "SELECT count() FROM t WHERE v = 12")
+    assert est.get("blocks_pruned", 0) == nb - 1
+    s.sql("ALTER TABLE t DROP INDEX iv")
+    est = _estimate(s, "SELECT count() FROM t WHERE v = 12")
+    assert est.get("blocks_pruned", 0) == 0
+
+
+def test_index_survives_insert_epoch():
+    s, n, nb = _mk()
+    s.sql("ALTER TABLE t ADD INDEX iv v TYPE set(100)")
+    assert _estimate(s, "SELECT count() FROM t WHERE v = 12").get(
+        "blocks_pruned", 0) == nb - 1
+    # mutate the table: the sidecar must rebuild at the new epoch
+    s.sql("INSERT INTO t VALUES (%d, 12)" % n)
+    r = s.sql("SELECT count() FROM t WHERE v = 12").to_rows()
+    assert r[0][0] == BLOCK_ROWS - 2 + 1

@@ -62,3 +62,94 @@ def test_host_table_sql_matches_device(rng):
         "SELECT v, count(*) FROM t GROUP BY v ORDER BY v LIMIT 5",
     ]:
         assert streamed.sql_tsv(q) == resident.sql_tsv(q), q
+
+
+def test_streaming_group_by_matches_resident(rng):
+    """GROUP BY over a host-resident column streams chunk-wise (external
+    aggregation analog) and matches the resident session bit-for-bit."""
+    n = 200_000
+    data = {
+        "grp": rng.integers(0, 97, n).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "f": rng.standard_normal(n).astype(np.float64),
+    }
+    resident = connect()
+    resident.create_table("t", {k: v.copy() for k, v in data.items()})
+    streamed = connect(Settings(max_hbm_bytes_per_column=1 << 10))
+    streamed.settings.stream_chunk_rows = 1 << 15   # force many chunks
+    streamed.create_table("t", data)
+    assert streamed.tables["t"]["v"].is_host
+    q = ("SELECT grp, count(), sum(v), min(v), max(v), avg(v) FROM t "
+         "GROUP BY grp ORDER BY grp")
+    r0 = resident.sql(q).to_rows()
+    r1 = streamed.sql(q).to_rows()
+    assert len(r0) == len(r1) == 97
+    for a, b in zip(r0, r1):
+        assert a[:5] == b[:5]
+        assert abs(a[5] - b[5]) < 1e-9
+    m = streamed.sql("SELECT value FROM system.events WHERE "
+                     "event = 'StreamingAggregations'").to_rows()
+    assert m and m[0][0] >= 1
+
+
+def test_streaming_global_aggregate_and_where(rng):
+    n = 150_000
+    data = {"v": rng.integers(0, 1000, n).astype(np.int64),
+            "w": rng.integers(0, 100, n).astype(np.int64)}
+    resident = connect()
+    resident.create_table("t", {k: v.copy() for k, v in data.items()})
+    streamed = connect(Settings(max_hbm_bytes_per_column=1 << 10))
+    streamed.settings.stream_chunk_rows = 1 << 14
+    streamed.create_table("t", data)
+    for q in ["SELECT count(), sum(v), max(v) FROM t",
+              "SELECT sum(v), avg(v) FROM t WHERE w < 50",
+              "SELECT count() FROM t WHERE w > 1000"]:
+        r0 = resident.sql(q).to_rows()
+        r1 = streamed.sql(q).to_rows()
+        assert len(r0) == len(r1)
+        for a, b in zip(r0, r1):
+            for x, y in zip(a, b):
+                assert x == y or abs(x - y) < 1e-9, q
+
+
+def test_streaming_group_by_string_key(rng):
+    n = 120_000
+    names = np.array(["aa", "bb", "cc", "dd"])[rng.integers(0, 4, n)]
+    data = {"name": names, "v": rng.integers(0, 100, n).astype(np.int64)}
+    resident = connect()
+    resident.create_table("t", {k: v.copy() for k, v in data.items()})
+    streamed = connect(Settings(max_hbm_bytes_per_column=1 << 10))
+    streamed.settings.stream_chunk_rows = 1 << 14
+    streamed.create_table("t", data)
+    q = "SELECT name, sum(v), count() FROM t GROUP BY name ORDER BY name"
+    assert resident.sql(q).to_rows() == streamed.sql(q).to_rows()
+
+
+def test_streaming_topn_matches_resident(rng):
+    n = 300_000
+    data = {"id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 1 << 30, n).astype(np.int64)}
+    resident = connect()
+    resident.create_table("t", {k: v.copy() for k, v in data.items()})
+    streamed = connect(Settings(max_hbm_bytes_per_column=1 << 10))
+    streamed.settings.stream_chunk_rows = 1 << 15
+    streamed.create_table("t", data)
+    assert streamed.tables["t"]["v"].is_host
+    for q in ["SELECT id, v FROM t ORDER BY v DESC LIMIT 25",
+              "SELECT id, v FROM t ORDER BY v ASC LIMIT 10",
+              "SELECT id, v FROM t ORDER BY v DESC LIMIT 5 OFFSET 7"]:
+        assert resident.sql(q).to_rows() == streamed.sql(q).to_rows(), q
+
+
+def test_streaming_topn_tie_break(rng):
+    """Equal keys across chunk boundaries: ids ascending, as resident."""
+    n = 100_000
+    data = {"id": np.arange(n, dtype=np.int64),
+            "v": np.zeros(n, dtype=np.int64)}
+    resident = connect()
+    resident.create_table("t", {k: v.copy() for k, v in data.items()})
+    streamed = connect(Settings(max_hbm_bytes_per_column=1 << 10))
+    streamed.settings.stream_chunk_rows = 1 << 14
+    streamed.create_table("t", data)
+    q = "SELECT id FROM t ORDER BY v LIMIT 12"
+    assert resident.sql(q).to_rows() == streamed.sql(q).to_rows()
