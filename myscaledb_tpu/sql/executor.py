@@ -308,8 +308,9 @@ def _file_url_table(kind: str, src: str, fmt, schema) -> Table:
         import urllib.request
         with urllib.request.urlopen(src, timeout=30) as resp:
             payload = resp.read()
-        with tempfile.NamedTemporaryFile(suffix="." + src.rsplit(".", 1)[-1]
-                                         if "." in src else "",
+        base = src.rsplit("/", 1)[-1]
+        with tempfile.NamedTemporaryFile(suffix="." + base.rsplit(".", 1)[-1]
+                                         if "." in base else "",
                                          delete=False) as tf:
             tf.write(payload)
             path = tf.name
