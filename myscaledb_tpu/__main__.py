@@ -44,11 +44,15 @@ def main(argv=None) -> int:
         ap.add_argument("--mysql-port", type=int, default=0,
                         help="also serve the MySQL wire protocol")
         ap.add_argument("--data-dir", default=None)
+        ap.add_argument("--user-files", default="user_files",
+                        help="directory file()/File-engine paths are "
+                             "confined to (reference: user_files_path)")
         a = ap.parse_args(rest)
         from myscaledb_tpu.runtime.server import make_server
         from myscaledb_tpu.session import Session
         import os
         session = Session()
+        session.settings.user_files_path = os.path.abspath(a.user_files)
         if a.data_dir:
             from myscaledb_tpu.storage.table_store import open_table
             for d in sorted(os.listdir(a.data_dir)):

@@ -68,6 +68,10 @@ class Settings:
     max_result_rows: int = 0          # 0 = unlimited
     max_execution_time: float = 0.0   # seconds; checked post-execution
     readonly: int = 0                 # 1 = reject DDL/DML (reference semantics)
+    # filesystem confinement for file()/File-engine/INFILE paths (reference:
+    # StorageFile::checkCreationIsAllowed + user_files_path in config.xml).
+    # Empty = unconfined (embedded/library use); servers set it at startup.
+    user_files_path: str = ""
 
     def copy(self, **kw) -> "Settings":
         return replace(self, **kw)
@@ -77,4 +81,5 @@ class Settings:
 class TableSettings:
     """Per-table settings (reference: MergeTreeSettings.h)."""
     float_vector_search_metric_type: str = "L2"    # ref :183
+    binary_vector_search_metric_type: str = "Hamming"   # ref :184 (HAMMING)
     partition_block_rows: int = 65536

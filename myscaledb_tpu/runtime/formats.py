@@ -790,17 +790,23 @@ OUTPUT_FORMATS = INPUT_FORMATS + ["JSON", "JSONCompact", "Pretty",
                                   "PrettyCompact", "CSVWithNamesAndTypes"]
 
 
-def ch_tsv_lines(table: Table) -> list:
-    """Render result rows in ClickHouse's default TSV value style (the
-    format golden `.reference` files in the reference test tree use):
-    shortest-roundtrip floats with integral values printed as integers,
-    arrays as [1,2,3] / ['a','b'], NULL as \\N, dates ISO.  Used by the
-    golden-corpus harness (tests/test_goldens.py)."""
+def ch_cells(table: Table, escape: bool = False) -> list:
+    """Render result rows as per-cell values in ClickHouse's value style
+    (shortest-roundtrip floats, arrays as [1,2,3] / ['a','b'], dates ISO).
+
+    escape=False (wire protocols with length framing, e.g. the MySQL text
+    resultset): top-level strings stay RAW and NULL is Python ``None`` —
+    lenenc framing needs no escaping, and escaping would corrupt values
+    containing tabs/quotes/backslashes.  escape=True: TSV escaping on
+    top-level strings and NULL as the literal ``\\N`` (the reference's
+    TabSeparated output, used by ch_tsv_lines / the golden harness).
+    Array ELEMENTS are always escaped: they are part of the array literal
+    in both modes, exactly as the reference prints them."""
     import datetime as _dtm
 
-    def fmt(v, f32=False):
+    def fmt(v, f32=False, top=False):
         if v is None:
-            return "\\N"
+            return None if (top and not escape) else "\\N"
         if isinstance(v, (list, tuple, np.ndarray)):
             return "[" + ",".join(
                 ("'" + str(e) + "'") if isinstance(e, str) else fmt(e, f32)
@@ -828,18 +834,52 @@ def ch_tsv_lines(table: Table) -> list:
                 s = repr(fv)
             return s
         if isinstance(v, str):
+            if top and not escape:
+                return v
             return (v.replace("\\", "\\\\").replace("\t", "\\t")
                      .replace("\n", "\\n").replace("'", "\\'"))
         return str(v)
 
     names = [n for n in table.column_names if not n.startswith("__")]
-    cols = []
+    # tuple groups (batch_distance's (q, dist) pairs): members collapse
+    # into one "(a,b)" cell at the first member's position, exactly like
+    # sql/format.format_tsv and the reference's Tuple rendering
+    tuple_groups: dict = getattr(table, "tuple_groups", {}) or {}
+    member_to_group = {m: g for g, ms in tuple_groups.items() for m in ms}
+    plan = []
+    emitted = set()
+    for n in names:
+        g = member_to_group.get(n)
+        if g is None:
+            plan.append(("col", n))
+        elif g not in emitted:
+            plan.append(("tuple", [m for m in tuple_groups[g]
+                                   if m in table]))
+            emitted.add(g)
+    cols = {}
     for n in names:
         c = table[n]
         f32 = str(getattr(c.data, "dtype", "")) == "float32" or \
             getattr(c.field, "vector_dim", 0)
-        cols.append((c.to_python(), bool(f32)))
+        cols[n] = (c.to_python(), bool(f32))
     out = []
     for i in range(table.n_rows):
-        out.append("\t".join(fmt(vals[i], f32) for vals, f32 in cols))
+        row = []
+        for kind, ref in plan:
+            if kind == "col":
+                vals, f32 = cols[ref]
+                row.append(fmt(vals[i], f32, top=True))
+            else:
+                row.append("(" + ",".join(
+                    fmt(cols[m][0][i], cols[m][1]) for m in ref) + ")")
+        out.append(row)
     return out
+
+
+def ch_tsv_lines(table: Table) -> list:
+    """Render result rows in ClickHouse's default TSV value style (the
+    format golden `.reference` files in the reference test tree use):
+    shortest-roundtrip floats with integral values printed as integers,
+    arrays as [1,2,3] / ['a','b'], NULL as \\N, dates ISO.  Used by the
+    golden-corpus harness (tests/test_goldens.py)."""
+    return ["\t".join(row) for row in ch_cells(table, escape=True)]

@@ -4,12 +4,22 @@ Reference analog: src/Server/MySQLHandler.cpp + src/Core/MySQL/ — ClickHouse
 speaks MySQL protocol on port 9004 so mysql-client/BI tools connect
 unchanged.  This implements the text protocol subset those clients use:
 
-  HandshakeV10 greeting -> HandshakeResponse41 (auth accepted; access
-  control happens at the SQL layer like the HTTP server) -> command phase:
+  HandshakeV10 greeting -> HandshakeResponse41 (parsed: capabilities,
+  username, auth response, database) -> authentication -> command phase:
   COM_QUERY (text resultset), COM_PING / COM_INIT_DB (OK), COM_QUIT.
 
-Every value is sent as a text column (MYSQL_TYPE_VAR_STRING), the exact
-behavior of the reference's text-protocol path for untyped clients.
+Authentication mirrors MySQLHandler::authenticate: users without a password
+connect directly; users WITH a password get an AuthSwitchRequest to
+``mysql_clear_password`` (the reference does the same for its SHA-256
+double-hash credential store, src/Server/MySQLHandler.cpp:authenticate —
+the scramble of mysql_native_password cannot be verified against a SHA-256
+hash).  Credentials are checked by runtime/access.py exactly like the HTTP
+server, and every query runs as the authenticated user.
+
+Every value is sent as a text column (MYSQL_TYPE_VAR_STRING) with lenenc
+framing of the RAW cell value (no TSV escaping — lenenc needs none), the
+exact behavior of the reference's text-protocol path for untyped clients.
+Packets are split/reassembled at the protocol's 0xFFFFFF payload limit.
 """
 
 from __future__ import annotations
@@ -22,9 +32,14 @@ import threading
 CAP_PROTOCOL_41 = 0x00000200
 CAP_SECURE_CONNECTION = 0x00008000
 CAP_PLUGIN_AUTH = 0x00080000
-SERVER_CAPS = CAP_PROTOCOL_41 | CAP_SECURE_CONNECTION | CAP_PLUGIN_AUTH
+CAP_CONNECT_WITH_DB = 0x00000008
+CAP_PLUGIN_AUTH_LENENC = 0x00200000
+SERVER_CAPS = (CAP_PROTOCOL_41 | CAP_SECURE_CONNECTION | CAP_PLUGIN_AUTH |
+               CAP_CONNECT_WITH_DB)
 
 COM_QUIT, COM_INIT_DB, COM_QUERY, COM_PING = 0x01, 0x02, 0x03, 0x0E
+
+MAX_PACKET = 0xFFFFFF
 
 
 def _lenenc(n: int) -> bytes:
@@ -52,21 +67,36 @@ def _read_exact(sock, n: int) -> bytes:
 
 
 def read_packet(sock) -> tuple[int, bytes]:
-    head = _read_exact(sock, 4)
-    length = head[0] | (head[1] << 8) | (head[2] << 16)
-    return head[3], _read_exact(sock, length)
+    """Read one logical packet, reassembling 16 MiB wire splits: a payload
+    of exactly 0xFFFFFF is always followed by a continuation packet."""
+    payload = b""
+    while True:
+        head = _read_exact(sock, 4)
+        length = head[0] | (head[1] << 8) | (head[2] << 16)
+        seq = head[3]
+        payload += _read_exact(sock, length)
+        if length < MAX_PACKET:
+            return seq, payload
 
 
 def write_packet(sock, seq: int, payload: bytes) -> int:
-    sock.sendall(struct.pack("<I", len(payload))[:3] + bytes([seq & 0xFF]) +
-                 payload)
-    return seq + 1
+    """Write one logical packet, splitting at the 0xFFFFFF wire limit (a
+    payload that is an exact multiple ends with an empty terminator packet
+    per the protocol)."""
+    pos = 0
+    while True:
+        chunk = payload[pos:pos + MAX_PACKET]
+        sock.sendall(struct.pack("<I", len(chunk))[:3] + bytes([seq & 0xFF]) +
+                     chunk)
+        seq += 1
+        pos += len(chunk)
+        if len(chunk) < MAX_PACKET:
+            return seq
 
 
 def _ok_packet(affected: int = 0) -> bytes:
     return (b"\x00" + _lenenc(affected) + _lenenc(0) +
             struct.pack("<HH", 0x0002, 0))          # autocommit, no warnings
-
 
 def _err_packet(msg: str, code: int = 1105) -> bytes:
     return (b"\xff" + struct.pack("<H", code) + b"#HY000" +
@@ -88,6 +118,41 @@ def _column_def(name: str) -> bytes:
     return b
 
 
+def _parse_handshake_response(payload: bytes) -> tuple[int, str, bytes, str]:
+    """Parse HandshakeResponse41 -> (client_caps, user, auth_resp, db)."""
+    caps = struct.unpack_from("<I", payload, 0)[0]
+    if not caps & CAP_PROTOCOL_41:
+        raise ValueError("pre-4.1 clients not supported")
+    pos = 4 + 4 + 1 + 23                        # caps, max packet, charset, 0s
+    end = payload.index(b"\x00", pos)
+    user = payload[pos:end].decode("utf-8", "replace")
+    pos = end + 1
+    if caps & CAP_PLUGIN_AUTH_LENENC:
+        alen = payload[pos]
+        pos += 1
+        if alen == 0xFC:
+            alen = struct.unpack_from("<H", payload, pos)[0]
+            pos += 2
+        auth = payload[pos:pos + alen]
+        pos += alen
+    elif caps & CAP_SECURE_CONNECTION:
+        alen = payload[pos]
+        pos += 1
+        auth = payload[pos:pos + alen]
+        pos += alen
+    else:
+        end = payload.index(b"\x00", pos)
+        auth = payload[pos:end]
+        pos = end + 1
+    db = ""
+    if caps & CAP_CONNECT_WITH_DB and pos < len(payload):
+        end = payload.find(b"\x00", pos)
+        if end < 0:
+            end = len(payload)
+        db = payload[pos:end].decode("utf-8", "replace")
+    return caps, user, auth, db
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
         sock = self.request
@@ -103,8 +168,30 @@ class _Handler(socketserver.BaseRequestHandler):
                     b"123456789012\x00" + b"mysql_native_password\x00")
         seq = write_packet(sock, 0, greeting)
         try:
-            seq, _resp = read_packet(sock)       # HandshakeResponse41
-        except ConnectionError:
+            seq, resp = read_packet(sock)        # HandshakeResponse41
+            _caps, user, _auth, _db = _parse_handshake_response(resp)
+        except (ConnectionError, ValueError, IndexError):
+            return
+        access = session.access
+        known = access.users.get(user)
+        try:
+            if known is not None and known.password_hash is not None:
+                # the native scramble cannot be checked against our SHA-256
+                # store: switch the client to cleartext (MySQLHandler.cpp
+                # does the same for SHA-256 users).
+                seq = write_packet(sock, seq + 1,
+                                   b"\xfe" + b"mysql_clear_password\x00")
+                seq, auth2 = read_packet(sock)
+                password = auth2.rstrip(b"\x00").decode("utf-8", "replace")
+                auth_user = access.authenticate(user, password)
+            else:
+                auth_user = access.authenticate(user or "default", None)
+        except Exception as e:                          # noqa: BLE001
+            try:
+                write_packet(sock, seq + 1, _err_packet(
+                    f"Access denied for user {user!r}: {e}", 1045))
+            except OSError:
+                pass
             return
         seq = write_packet(sock, seq + 1, _ok_packet())
         while True:
@@ -125,11 +212,15 @@ class _Handler(socketserver.BaseRequestHandler):
                     f"unsupported command {cmd:#x}", 1047))
                 continue
             sql = payload[1:].decode("utf-8", "replace").strip().rstrip(";")
+            prev = session.current_user
+            session.current_user = auth_user
             try:
                 result = session.sql(sql)
             except Exception as e:                    # noqa: BLE001
                 write_packet(sock, 1, _err_packet(str(e)))
                 continue
+            finally:
+                session.current_user = prev
             names = [c for c in result.column_names
                      if not c.startswith("__")]
             if not names:
@@ -139,11 +230,11 @@ class _Handler(socketserver.BaseRequestHandler):
             for nm in names:
                 seq = write_packet(sock, seq, _column_def(nm))
             seq = write_packet(sock, seq, _eof_packet())
-            from myscaledb_tpu.runtime.formats import ch_tsv_lines
-            for line in ch_tsv_lines(result.select(names)):
+            from myscaledb_tpu.runtime.formats import ch_cells
+            for cells in ch_cells(result.select(names)):
                 row = b"".join(
-                    b"\xfb" if cell == "\\N" else _lenenc_str(cell.encode())
-                    for cell in line.split("\t"))
+                    b"\xfb" if cell is None else _lenenc_str(cell.encode())
+                    for cell in cells)
                 seq = write_packet(sock, seq, row)
             write_packet(sock, seq, _eof_packet())
 
