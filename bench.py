@@ -171,6 +171,11 @@ def bench_config2():
     jax.block_until_ready((gid, vals))
     fns = ("sum", "count", "avg")
 
+    # value range from the column zone map (built at INSERT; the SQL path
+    # passes it via executor._column_range) -> single-limb kernel dispatch
+    vrange = (int(jnp.min(vals)), int(jnp.max(vals)))
+    ranges = (vrange, vrange, vrange)
+
     def body(gid, vals, acc):
         # live dependency: (acc * 1e-30) is not constant-foldable, evaluates
         # to 0 at runtime.  An integer `acc * 0` gets folded and the whole
@@ -178,7 +183,7 @@ def bench_config2():
         # artifact: the real cost was 8x the report).
         mask = vals > jnp.int32(-500) + (acc * 1e-30).astype(jnp.int32)
         states, gc = partial_aggregate_matmul(gid, mask, (vals, vals, vals),
-                                              fns, G)
+                                              fns, G, arg_ranges=ranges)
         return (states[0].astype(jnp.float32).sum() +
                 gc.astype(jnp.float32).sum() * 0)
 
@@ -278,7 +283,8 @@ def bench_config4():
 
     def body(bkeys, bvalid, bgid, probe_keys, acc):
         from myscaledb_tpu.ops.hashtable import HashTable
-        t = HashTable((bkeys,), bvalid, bgid, table.slot_row, table.capacity)
+        t = HashTable((bkeys,), bvalid, bgid, table.slot_row, table.capacity,
+                      table.sorted_keys2d, table.sorted_has_max)
         cnt = ht_count_matches(
             t, (probe_keys + (acc * 1e-30).astype(jnp.int32),))
         return cnt.astype(jnp.float32) * 1e-9
@@ -320,9 +326,7 @@ def bench_config5():
     import jax
     import jax.numpy as jnp
     from myscaledb_tpu.parallel.mesh import make_mesh, shard_rows
-    from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
-                                            sharded_group_aggregate)
-    from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_count
+    from myscaledb_tpu.parallel.pipeline import fused_topk_join_agg
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
@@ -344,10 +348,12 @@ def bench_config5():
     jax.block_until_ready((x, q, fact_key, dim_key, gid, vals, mask))
 
     def body(x, q, fact_key, dim_key, gid, vals, mask, acc):
-        dd, ii = sharded_distance_topk(mesh, x, q + acc * 1e-30, "L2", k)
-        cnt = sharded_shuffle_join_count(mesh, fact_key, dim_key)
-        states, gc = sharded_group_aggregate(mesh, gid, mask, (vals,),
-                                             ("sum",), G)
+        # ONE fused shard_map: join exchange issued before the top-k
+        # matmul so the all_to_all hides behind the MXU/HBM scan
+        # (parallel/pipeline.py — SURVEY §7 exchange/compute overlap)
+        dd, ii, cnt, states, gc = fused_topk_join_agg(
+            mesh, x, q + acc * 1e-30, "L2", k, fact_key, dim_key,
+            gid, mask, vals, ("sum",), G)
         return (jnp.sum(dd) + cnt.astype(jnp.float32) * 1e-9 +
                 states[0].astype(jnp.float32).sum() * 1e-9 +
                 jnp.sum(ii).astype(jnp.float32) * 0)

@@ -1,0 +1,223 @@
+"""Pallas windowed merge-count: the TPU replacement for the hash-join
+probe loop on the count path (reference: HashJoin probe,
+src/Interpreters/HashJoin.cpp:2091 joinRightColumns; the count shape is a
+JOIN feeding an aggregate, QueryProcessingStage::WithMergeableState).
+
+Why this shape: the chip has no usable random access (XLA gather/scatter
+~0.25 G elem/s measured on v5e) so a streamed hash probe is impossible; the
+previous engine paid a full `lax.sort` of build+probe per probe call
+(0.21 G pairs/s -> 1.29 s for 125M probes).  This path instead:
+
+  1. sorts the probe keys in CHUNKS (batched 1D sorts are ~1.8x cheaper
+     than one giant sort: 84 ms per 32M chunk vs 584 ms for 125M, measured);
+  2. computes, per 1024-probe tile, the build-key WINDOW [searchsorted of
+     the tile head, searchsorted of the tile tail] — sorted probes make
+     windows tiny (avg = build_n * 1024 / chunk_n keys);
+  3. a Pallas kernel DMAs each 64-tile block's window into VMEM and
+     compares every probe tile against its window rows with a lane-roll
+     sweep: 128 rotate+compare steps cover all (probe, window-key) pairs
+     at 3 VPU ops per pair — no scalar loops, no gathers.
+
+Duplicate build keys are fine (a probe counts once via `acc > 0`);
+INT32_MAX is the padding sentinel and genuine INT32_MAX keys are counted
+exactly by a scalar XLA correction term.  Adversarial distributions where
+a 64-tile block's window exceeds the static VMEM window (128K keys) fall
+back to an exact XLA searchsorted count under `lax.cond`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+TILE_ROWS = 8                 # (8,128) = 1024 probes per tile
+TILES_PER_BLOCK = 64          # 64K probes per grid step
+BLOCK_ROWS = TILE_ROWS * TILES_PER_BLOCK      # 512 probe rows per block
+WIN_ROWS = 1024               # VMEM window: 128K build keys (512 KB)
+IMAX = jnp.iinfo(jnp.int32).max
+
+
+def _kernel(offs_ref, build_ref, probe_ref, out_ref, win, sem):
+    """offs_ref: SMEM (1, 128): [0:64] per-tile window start row relative to
+    the block's DMA base, [64:128] per-tile window row count, [126] the
+    block's DMA base row.  build_ref: HBM (rows, 128) sorted keys (invalid /
+    padding = INT32_MAX).  probe_ref: VMEM (512, 128) sorted probes.
+    out: VMEM (8, 128) per-block matched-probe partial counts."""
+    row0 = offs_ref[1, 0]
+    cp = pltpu.make_async_copy(build_ref.at[pl.ds(row0, WIN_ROWS), :],
+                               win, sem)
+    cp.start()
+    cp.wait()
+    total = jnp.zeros((TILE_ROWS, LANES), dtype=jnp.int32)
+    for t in range(TILES_PER_BLOCK):
+        p = probe_ref[t * TILE_ROWS:(t + 1) * TILE_ROWS, :]
+        r0 = offs_ref[0, t]
+        nch = offs_ref[0, 64 + t]
+
+        def wbody(j, acc):
+            wrow = win[pl.ds(r0 + j, 1), :]
+            w = jnp.broadcast_to(wrow, (TILE_ROWS, LANES))
+            # lane-roll sweep: after 128 rotations every probe lane has
+            # been compared against every window key of this row
+            for s in range(LANES):
+                ws = pltpu.roll(w, s, 1) if s else w
+                acc = acc + (p == ws).astype(jnp.int32)
+            return acc
+
+        acc = lax.fori_loop(0, nch, wbody, jnp.zeros((TILE_ROWS, LANES),
+                                                     dtype=jnp.int32))
+        matched = jnp.logical_and(acc > 0, p != IMAX)
+        total = total + matched.astype(jnp.int32)
+    out_ref[...] = total
+
+
+@partial(jax.jit, static_argnames=("chunk_elems", "interpret"))
+def _merge_count_jit(build2d, probe, chunk_elems: int, interpret: bool):
+    n = probe.shape[0]
+    b1d = build2d.reshape(-1)
+    nb_rows = build2d.shape[0]
+    # pad probes to whole chunks of whole blocks
+    c = -(-n // chunk_elems)
+    n_pad = c * chunk_elems
+    probe = jnp.pad(probe, (0, n_pad - n), constant_values=IMAX)
+    chunks = probe.reshape(c, chunk_elems)
+    chunks = jnp.concatenate(
+        [lax.sort(chunks[i])[None] for i in range(c)], axis=0)
+    ps2d = chunks.reshape(-1, LANES)
+
+    tiles = n_pad // (TILE_ROWS * LANES)
+    heads = ps2d[::TILE_ROWS, 0]                       # (tiles,)
+    tails = ps2d[TILE_ROWS - 1::TILE_ROWS, LANES - 1]  # (tiles,)
+    # clamp windows to the non-sentinel region: MAX build keys (genuine or
+    # padding) are never window-matched — MAX probes go via the caller's
+    # correction term.  Without the clamp, padded probe tiles get windows
+    # spanning the whole MAX-padded tail and trip the overflow fallback.
+    nb_eff = jnp.searchsorted(b1d, jnp.int32(IMAX),
+                              side="left").astype(jnp.int32)
+    starts = jnp.searchsorted(b1d, heads, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(b1d, tails, side="right").astype(jnp.int32)
+    starts = jnp.minimum(starts, nb_eff)
+    ends = jnp.minimum(ends, nb_eff)
+    row_lo = starts // LANES
+    row_hi = jnp.maximum(ends - 1, starts) // LANES
+    nch = jnp.where(ends > starts, row_hi - row_lo + 1, 0)
+
+    nblocks = tiles // TILES_PER_BLOCK
+    row_lo_b = row_lo.reshape(nblocks, TILES_PER_BLOCK)
+    nch_b = nch.reshape(nblocks, TILES_PER_BLOCK)
+    base = row_lo_b[:, 0]                              # monotone per block
+    r0rel = row_lo_b - base[:, None]
+    overflow = jnp.any(r0rel + nch_b > WIN_ROWS)
+
+    # per-block SMEM rows: row 0 = [r0rel(64) | nch(64)], row 1 = [base, ...]
+    # (8 rows per block: Mosaic requires sublane-divisible block shapes)
+    offs = jnp.zeros((nblocks, 8, LANES), dtype=jnp.int32)
+    offs = offs.at[:, 0, 0:TILES_PER_BLOCK].set(r0rel)
+    offs = offs.at[:, 0, 64:64 + TILES_PER_BLOCK].set(nch_b)
+    offs = offs.at[:, 1, 0].set(base)
+    offs = offs.reshape(nblocks * 8, LANES)
+
+    def fast(_):
+        if interpret:
+            # exact emulation of the kernel's window semantics (per-tile
+            # [row_lo, row_lo+nch) build slice) for the CPU test mesh: the
+            # Mosaic kernel interpreted runs ~1000x slower than this.  A
+            # probe matches iff its equal-key run in b1d intersects its
+            # tile's window — identical to the kernel's windowed compare.
+            ps1d = ps2d.reshape(-1)               # sorted layout, like kernel
+            tile_of = jnp.arange(n_pad) // (TILE_ROWS * LANES)
+            pos_l = jnp.searchsorted(b1d, ps1d, side="left")
+            pos_r = jnp.searchsorted(b1d, ps1d, side="right")
+            lo_pos = (row_lo[tile_of] * LANES).astype(pos_l.dtype)
+            hi_pos = ((row_lo + nch)[tile_of] * LANES).astype(pos_l.dtype)
+            hit = jnp.logical_and(
+                pos_r > pos_l,                   # the key exists in b1d
+                jnp.logical_and(pos_l < hi_pos, pos_r > lo_pos))
+            hit = jnp.logical_and(hit, ps1d != IMAX)
+            return jnp.sum(hit, dtype=jnp.int64)
+        with jax.enable_x64(False):
+            parts = pl.pallas_call(
+                _kernel,
+                grid=(nblocks,),
+                in_specs=[
+                    pl.BlockSpec((8, LANES), lambda b: (b, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec((BLOCK_ROWS, LANES), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda b: (b, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nblocks * TILE_ROWS, LANES),
+                                               jnp.int32),
+                scratch_shapes=[pltpu.VMEM((WIN_ROWS, LANES), jnp.int32),
+                                pltpu.SemaphoreType.DMA],
+                interpret=interpret,
+            )(offs, build2d, ps2d)
+        return jnp.sum(parts.astype(jnp.int64))
+
+    def slow(_):
+        # exact fallback: per-probe binary search (gather-bound; only on
+        # adversarial window distributions)
+        pos = jnp.searchsorted(b1d, probe, side="left")
+        pos = jnp.minimum(pos, b1d.shape[0] - 1)
+        hit = jnp.logical_and(b1d[pos] == probe, probe != IMAX)
+        return jnp.sum(hit, dtype=jnp.int64)
+
+    count = lax.cond(overflow, slow, fast, None)
+    # probes equal to INT32_MAX (the padding sentinel) are excluded in both
+    # paths; the caller adds them back iff a genuine MAX build key exists.
+    return count, jnp.sum((probe[:n] == IMAX).astype(jnp.int64))
+
+
+def merge_count(build_sorted_2d, probe_keys, build_has_max,
+                chunk_elems: int = 1 << 25, interpret: bool | None = None):
+    """Count probe keys present in the sorted build table.
+
+    build_sorted_2d: (rows, 128) int32, ascending flattened, invalid and
+    padding slots = INT32_MAX, with >= WIN_ROWS extra all-MAX rows at the
+    end (DMA overread margin).  probe_keys: (n,) int32.  build_has_max:
+    scalar bool — a genuine valid INT32_MAX build key exists.
+    Returns scalar int64 count of matched probes (ANY semantics).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    probe_keys = jnp.asarray(probe_keys, dtype=jnp.int32)
+    n = probe_keys.shape[0]
+    chunk_elems = min(chunk_elems, _round_up(max(n, 1),
+                                             TILE_ROWS * LANES *
+                                             TILES_PER_BLOCK))
+    count, n_max_probes = _merge_count_jit(build_sorted_2d, probe_keys,
+                                           chunk_elems, interpret)
+    return count + jnp.where(jnp.asarray(build_has_max), n_max_probes,
+                             jnp.int64(0))
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def prepare_build(keys, valid=None):
+    """Sort + sentinel-clean the build keys for merge_count: returns
+    (build2d (rows,128) int32, has_max bool scalar).  Invalid rows become
+    INT32_MAX; WIN_ROWS of all-MAX margin rows are appended so every block
+    window DMA stays in bounds."""
+    keys = jnp.asarray(keys, dtype=jnp.int32)
+    if valid is not None:
+        keys = jnp.where(jnp.asarray(valid, dtype=bool), keys, IMAX)
+        has_max = jnp.any(jnp.logical_and(jnp.asarray(valid, dtype=bool),
+                                          keys == IMAX))
+    else:
+        has_max = jnp.any(keys == IMAX)
+    s = lax.sort(keys)
+    n_pad = _round_up(max(keys.shape[0], 1), LANES)
+    s = jnp.pad(s, (0, n_pad - keys.shape[0]), constant_values=IMAX)
+    s = jnp.concatenate([s, jnp.full(WIN_ROWS * LANES, IMAX,
+                                     dtype=jnp.int32)])
+    return s.reshape(-1, LANES), has_max

@@ -1,0 +1,80 @@
+"""Windowed merge-count join probe (ops/pallas/merge_count.py) — the count
+path of the hash join (reference: HashJoin.cpp:2091 probe loop feeding an
+aggregate).  On the CPU mesh the window semantics run through the exact
+jnp emulation; the Mosaic kernel itself is exercised on real TPU by
+bench.py config 4 (bit-compared against the packed-sort path)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from myscaledb_tpu.ops.pallas.merge_count import (merge_count, prepare_build,
+                                                  IMAX)
+from myscaledb_tpu.ops.hashtable import build_group_ids, ht_count_matches
+
+
+def _want(build, valid, probe):
+    bset = set(np.asarray(build)[np.asarray(valid)].tolist())
+    return sum(1 for p in np.asarray(probe).tolist() if p in bset)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_count_random(seed, rng):
+    r = np.random.default_rng(seed)
+    nb = int(r.integers(1, 5000))
+    npr = int(r.integers(1, 150_000))
+    build = r.integers(-100, 3000, nb).astype(np.int32)
+    valid = r.random(nb) > 0.15
+    probe = r.integers(-200, 4000, npr).astype(np.int32)
+    b2d, hm = prepare_build(jnp.asarray(build), jnp.asarray(valid))
+    got = int(merge_count(b2d, jnp.asarray(probe), hm, chunk_elems=1 << 16))
+    assert got == _want(build, valid, probe)
+
+
+def test_merge_count_sentinel_and_dups():
+    build = np.array([5, 5, 5, IMAX, -7, IMAX], dtype=np.int32)
+    valid = np.array([True, True, False, True, True, False])
+    probe = np.array([5, 5, IMAX, IMAX, -7, 0, IMAX], dtype=np.int32)
+    b2d, hm = prepare_build(jnp.asarray(build), jnp.asarray(valid))
+    got = int(merge_count(b2d, jnp.asarray(probe), hm, chunk_elems=1 << 16))
+    assert got == _want(build, valid, probe)  # 2 + 3 MAX + 1 = 6
+
+
+def test_merge_count_no_valid_max():
+    build = np.array([1, 2, IMAX], dtype=np.int32)
+    valid = np.array([True, True, False])
+    probe = np.array([IMAX, 1, 3], dtype=np.int32)
+    b2d, hm = prepare_build(jnp.asarray(build), jnp.asarray(valid))
+    got = int(merge_count(b2d, jnp.asarray(probe), hm, chunk_elems=1 << 16))
+    assert got == 1
+
+
+def test_merge_count_multichunk():
+    r = np.random.default_rng(3)
+    build = r.integers(0, 1000, 800).astype(np.int32)
+    valid = np.ones(800, dtype=bool)
+    probe = r.integers(0, 2000, 200_000).astype(np.int32)
+    b2d, hm = prepare_build(jnp.asarray(build), jnp.asarray(valid))
+    got = int(merge_count(b2d, jnp.asarray(probe), hm, chunk_elems=1 << 16))
+    assert got == _want(build, valid, probe)
+
+
+def test_ht_count_matches_dispatches_merge_path(rng):
+    """build_group_ids caches the sorted layout for single int32 keys and
+    ht_count_matches must agree with the packed-sort path."""
+    r = np.random.default_rng(7)
+    build = r.integers(0, 500, 2000).astype(np.int32)
+    probe = r.integers(0, 900, 30_000).astype(np.int32)
+    table, _, _ = build_group_ids((jnp.asarray(build),))
+    assert table.sorted_keys2d is not None
+    got = int(ht_count_matches(table, (jnp.asarray(probe),)))
+    assert got == _want(build, np.ones(2000, dtype=bool), probe)
+
+
+def test_ht_count_matches_multikey_keeps_sort_path():
+    a = jnp.asarray(np.array([1, 2, 3], dtype=np.int32))
+    b = jnp.asarray(np.array([9, 8, 7], dtype=np.int32))
+    table, _, _ = build_group_ids((a, b))
+    assert table.sorted_keys2d is None
+    got = int(ht_count_matches(table, (a, b)))
+    assert got == 3
