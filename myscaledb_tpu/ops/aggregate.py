@@ -70,23 +70,28 @@ def _matmul_kind(fn: str, arg) -> str | None:
 
 
 def partial_aggregate_matmul(gid, mask, args, fns: tuple, num_groups: int,
-                             arg_valids=None):
+                             arg_valids=None, arg_ranges=None):
     """partial_aggregate with sum/count/avg routed through the Pallas VPU
     group-accumulate kernel for small G (ops/pallas/group_agg.py), falling
     back to the MXU one-hot histogram when ineligible (per-arg validity
     masks, G > 256); min/max/any keep the scatter path.  Bit-identical
     integer results; float sums differ only in accumulation order
-    (unspecified, as in the reference's parallel aggregation)."""
+    (unspecified, as in the reference's parallel aggregation).
+    arg_ranges: optional per-arg (min, max) bounds (column zone maps) —
+    narrow int args take the single-limb kernel path."""
     from myscaledb_tpu.ops.aggregate_matmul import matmul_group_aggregate
     from myscaledb_tpu.ops.pallas.group_agg import (pallas_group_aggregate,
                                                     MAX_G)
     kinds, mm_args, mm_valids, mm_slots = [], [], [], []
+    mm_ranges = []
     for i, (fn, a) in enumerate(zip(fns, args)):
         k = _matmul_kind(fn, a)
         if k is not None:
             kinds.append(k)
             mm_args.append(a if k != "count" else jnp.zeros_like(gid))
             mm_valids.append(None if arg_valids is None else arg_valids[i])
+            mm_ranges.append(arg_ranges[i] if arg_ranges is not None
+                             and i < len(arg_ranges) else None)
             mm_slots.append(i)
     scatter_idx = [i for i in range(len(fns)) if i not in mm_slots]
 
@@ -95,7 +100,8 @@ def partial_aggregate_matmul(gid, mask, args, fns: tuple, num_groups: int,
     if mm_slots:
         if num_groups <= MAX_G and all(v is None for v in mm_valids):
             mm_states, gc, mm_counts = pallas_group_aggregate(
-                gid, mask, tuple(mm_args), tuple(kinds), num_groups)
+                gid, mask, tuple(mm_args), tuple(kinds), num_groups,
+                arg_ranges=tuple(mm_ranges))
         else:
             mm_states, gc, mm_counts = matmul_group_aggregate(
                 gid, mask, tuple(mm_args), tuple(kinds), num_groups,

@@ -13,15 +13,17 @@ pair with everything resident in VMEM:
         sel     = gid_tile == g                      # (ROWS, 128)
         acc[g] += sum_over_sublanes(sel * feat)      # lane-parallel
 
-Each of the 128 lanes owns an independent partial per group; XLA combines
-lanes (and 16-bit limbs) afterwards.  Integer sums are exact: values are
-biased to uint32 (sign-bit flip) and split into two 16-bit limbs accumulated
-in int32 — overflow-free while rows per (group, lane) stay under
-2^31/65535 = 32K, which the wrapper guarantees by chunking calls at 4M rows
-(rows round-robin over lanes, so a lane sees at most n/128 rows of one
-group).  Float sums accumulate f32 in a fixed (tile-major) order, identical
-run-to-run; accumulation order differs from the reference, like its own
-parallel aggregation.
+Each of the 1024 accumulator cells (8 sublanes x 128 lanes per group) owns
+an independent partial; XLA combines cells (and 16-bit limbs) afterwards.
+Integer sums are exact: values are biased to uint32 (sign-bit flip) and
+split into two 16-bit limbs accumulated in int32 — overflow-free while rows
+per accumulator cell stay under 2^31/65535 = 32K, which the wrapper
+guarantees by chunking calls at 16M rows (rows round-robin over the 1024
+cells, so a cell sees at most n/1024 rows of one group).  Args with a
+known 16-bit value span (zone maps) take a single-limb path.  Float sums
+accumulate f32 in a fixed (tile-major) order, identical run-to-run;
+accumulation order differs from the reference, like its own parallel
+aggregation.
 """
 
 from __future__ import annotations
@@ -38,20 +40,46 @@ LANES = 128
 ROWS = 128                    # sublane rows per grid step (tile = 16384 rows)
 TILE = ROWS * LANES
 MAX_G = 256
-CHUNK = 4_000_000             # rows per kernel call: 16-bit limb exactness
+CHUNK = 16_000_000            # rows per kernel call: 16-bit limb
+                              # exactness (<= 2^31 / 65535 rows per
+                              # accumulator cell; cells are (8,128))
+
+
+def _limb_rows(kinds) -> int:
+    """int32 accumulator limb rows: 1 (count) + 2 per wide int + 1 per
+    narrow (single-limb) int."""
+    return 1 + sum(2 if k[0] == "int" else 1 for k in kinds
+                   if k[0] in ("int", "i16"))
+
+
+def _tree8(x):
+    """(ROWS, LANES) -> (8, LANES): sum the 16 sublane slabs pairwise —
+    full-vreg adds only, no cross-sublane reduction inside the kernel (the
+    host reduces the 8x128 partials once at the end)."""
+    parts = [x[i * 8:(i + 1) * 8] for i in range(ROWS // 8)]
+    while len(parts) > 1:
+        parts = [parts[i] + parts[i + 1] for i in range(0, len(parts), 2)]
+    return parts[0]
 
 
 def _make_kernel(kinds, G: int):
-    """Kernel for a static (kinds, G) signature.
+    """Kernel for a static (kinds, G) signature.  kinds entries:
+    ("int",)        exact int64 sum via two 16-bit limbs,
+    ("i16", bias)   exact sum via ONE limb — the argument's value range
+                    (from the column zone map) spans < 2^16, so v - bias
+                    fits 16 bits; the host adds bias * count back.  This is
+                    the analog of the reference's width-specialized
+                    aggregators (Aggregator.h typed method dispatch) and
+                    saves ~2 of the ~7 VPU ops per (row, group).
+    ("float",)      f32 sum.
 
-    int accumulator rows (int32, shape (n_int_rows*G, LANES)):
-      row 0*G+g: masked count of group g
-      then per int arg two rows: lo-limb sum, hi-limb sum
-    float accumulator rows (f32, (n_f32_rows*G, LANES)): one per float arg.
+    Accumulators are (8, LANES) vregs per (quantity, group) — row block
+    q*G*8 + g*8 — accumulated with full-vreg adds; sublane/lane reduction
+    happens on the host side once.
+    int32 rows: count first, then per int arg lo[,hi] limb blocks.
     """
-    n_int = sum(1 for k in kinds if k == "int")
-    n_f32 = sum(1 for k in kinds if k == "float")
-    n_int_rows = 1 + 2 * n_int
+    n_f32 = sum(1 for k in kinds if k[0] == "float")
+    n_int_rows = _limb_rows(kinds)
     n_f32_rows = max(n_f32, 1)
 
     def kernel(gid_ref, mask_ref, *rest):
@@ -71,10 +99,10 @@ def _make_kernel(kinds, G: int):
         # `and` + re-mask (~20% of the inner loop, measured round 3)
         g_tile = jnp.where(m_tile, gid_ref[...], jnp.int32(-1))
 
-        int_limbs = []                            # per int arg: (lo, hi)
+        int_limbs = []                            # per int arg: (lo[, hi])
         floats = []
         for kind, ref in zip(kinds, args):
-            if kind == "int":
+            if kind[0] == "int":
                 # bias to "unsigned" by flipping the sign bit, then split
                 # into 16-bit limbs — all in int32 (Mosaic has no u32->i32
                 # convert; logical shift keeps the high limb non-negative)
@@ -82,27 +110,26 @@ def _make_kernel(kinds, G: int):
                 lo = v & jnp.int32(0xFFFF)
                 hi = lax.shift_right_logical(v, jnp.int32(16))
                 int_limbs.append((lo, hi))
-            elif kind == "float":
+            elif kind[0] == "i16":
+                int_limbs.append((ref[...] - jnp.int32(kind[1]),))
+            else:
                 floats.append(ref[...])
 
         for g in range(G):
             sel = g_tile == jnp.int32(g)          # masked rows never match
-            iacc_ref[g:g + 1, :] += jnp.sum(
-                sel.astype(jnp.int32), axis=0, dtype=jnp.int32,
-                keepdims=True)
-            for a, (lo, hi) in enumerate(int_limbs):
-                r = (1 + 2 * a) * G + g
-                iacc_ref[r:r + 1, :] += jnp.sum(
-                    jnp.where(sel, lo, 0), axis=0, dtype=jnp.int32,
-                    keepdims=True)
-                iacc_ref[r + G:r + G + 1, :] += jnp.sum(
-                    jnp.where(sel, hi, 0), axis=0, dtype=jnp.int32,
-                    keepdims=True)
+            seli = sel.astype(jnp.int32)
+            iacc_ref[g * 8:(g + 1) * 8, :] += _tree8(seli)
+            row = G
+            for limbs in int_limbs:
+                for limb in limbs:
+                    r = (row + g) * 8
+                    iacc_ref[r:r + 8, :] += _tree8(
+                        jnp.where(sel, limb, 0))
+                    row += G
             for f, fv in enumerate(floats):
-                r = f * G + g
-                facc_ref[r:r + 1, :] += jnp.sum(
-                    jnp.where(sel, fv, jnp.float32(0)), axis=0,
-                    dtype=jnp.float32, keepdims=True)
+                r = (f * G + g) * 8
+                facc_ref[r:r + 8, :] += _tree8(
+                    jnp.where(sel, fv, jnp.float32(0)))
 
     return kernel, n_int_rows, n_f32_rows
 
@@ -129,28 +156,38 @@ def _chunk_call(gid, mask, args, kinds, num_groups: int, interpret: bool):
             grid=(nt,),
             in_specs=[row_spec, row_spec] + [row_spec] * len(args),
             out_specs=(
-                pl.BlockSpec((n_int_rows * num_groups, LANES),
+                pl.BlockSpec((n_int_rows * num_groups * 8, LANES),
                              lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_f32_rows * num_groups, LANES),
+                pl.BlockSpec((n_f32_rows * num_groups * 8, LANES),
                              lambda i: (0, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_int_rows * num_groups, LANES),
+                jax.ShapeDtypeStruct((n_int_rows * num_groups * 8, LANES),
                                      jnp.int32),
-                jax.ShapeDtypeStruct((n_f32_rows * num_groups, LANES),
+                jax.ShapeDtypeStruct((n_f32_rows * num_groups * 8, LANES),
                                      jnp.float32),
             ),
             interpret=interpret,
         )(gid2, mask2, *args2)
+    # reduce the (8, LANES) per-group partial vregs to one scalar per
+    # (quantity, group) — outside the kernel, once per chunk
+    iacc = jnp.sum(iacc.reshape(n_int_rows * num_groups, 8 * LANES)
+                   .astype(jnp.int64), axis=-1)
+    facc = jnp.sum(facc.reshape(n_f32_rows * num_groups, 8 * LANES),
+                   axis=-1, dtype=jnp.float32)
     return iacc, facc
 
 
 def pallas_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None, arg_ranges=None):
     """Grouped sums/counts with the VPU accumulate kernel.
 
     Same contract as ops.aggregate_matmul.matmul_group_aggregate:
     kinds per arg: "int" (exact int64 sum) | "float" (f32 sum) | "count".
+    arg_ranges: optional per-arg (min, max) value bounds (from the column
+    zone maps) — an int arg whose span fits 16 bits takes the single-limb
+    kernel path (~30% fewer VPU ops), the analog of the reference's
+    width-specialized aggregator dispatch (Aggregator.h).
     Returns (states, group_count, arg_counts); arg_counts == group_count
     (callers with per-arg validity use the fallback path).
     Eligibility: num_groups <= MAX_G, int args <= 32-bit.
@@ -173,16 +210,22 @@ def pallas_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
     uniq_map = {}              # (kind, arg id) -> slot in unique lists
     slot_of = []               # per original arg: unique slot or None=count
     u_kinds, u_args = [], []
-    for k, a in zip(kinds, args):
+    for i, (k, a) in enumerate(zip(kinds, args)):
         if k == "count":
             slot_of.append(None)
             continue
-        key = (k, id(a))
+        kk = (k,)
+        if k == "int" and arg_ranges is not None and \
+                arg_ranges[i] is not None:
+            lo_r, hi_r = int(arg_ranges[i][0]), int(arg_ranges[i][1])
+            if 0 <= hi_r - lo_r <= 0xFFFF:
+                kk = ("i16", lo_r)
+        key = (kk, id(a))
         if key not in uniq_map:
             uniq_map[key] = len(u_kinds)
-            u_kinds.append(k)
+            u_kinds.append(kk)
             u_args.append(jnp.asarray(a).astype(
-                jnp.int32 if k == "int" else jnp.float32))
+                jnp.float32 if kk[0] == "float" else jnp.int32))
         slot_of.append(uniq_map[key])
     kinds = tuple(u_kinds)
     args = tuple(u_args)
@@ -194,22 +237,24 @@ def pallas_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
         ia, fa = _chunk_call(gid[lo:hi], mask[lo:hi],
                              tuple(a[lo:hi] for a in args), kinds, G,
                              interpret)
-        ia = jnp.sum(ia.astype(jnp.int64), axis=-1)       # (rows*G,)
-        fa = jnp.sum(fa, axis=-1, dtype=jnp.float32)
         iacc64 = ia if iacc64 is None else iacc64 + ia
         facc64 = fa if facc64 is None else facc64 + fa
 
     group_count = iacc64[:G]
     # assemble unique states, then fan back out to the original arg order
     u_states = []
-    ai, fi = 0, 0
+    row, fi = 1, 0
     for k in kinds:
-        if k == "int":
-            lo_s = iacc64[(1 + 2 * ai) * G:(2 + 2 * ai) * G]
-            hi_s = iacc64[(2 + 2 * ai) * G:(3 + 2 * ai) * G]
+        if k[0] == "int":
+            lo_s = iacc64[row * G:(row + 1) * G]
+            hi_s = iacc64[(row + 1) * G:(row + 2) * G]
             biased = lo_s + (hi_s << jnp.int64(16))
             u_states.append(biased - (group_count << jnp.int64(31)))
-            ai += 1
+            row += 2
+        elif k[0] == "i16":
+            lo_s = iacc64[row * G:(row + 1) * G]
+            u_states.append(lo_s + group_count * jnp.int64(k[1]))
+            row += 1
         else:
             u_states.append(facc64[fi * G:(fi + 1) * G])
             fi += 1
