@@ -25,7 +25,7 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 BLACKLIST = (
     "serverError", "clientError", "system.numbers", "system.one",
     "remote(", "cluster(", "file(", "url(", "Log;", "TinyLog",
-    "$CLICKHOUSE", "${CLICKHOUSE", "SET ", "set ", "Memory;",
+    "$CLICKHOUSE", "${CLICKHOUSE",
     "toTypeName", "materialize(",
 )
 

@@ -1,0 +1,187 @@
+"""Round-4 primitive measurements on the real chip (informs the config-4
+join redesign).  Run standalone: /opt/venv/bin/python benchmarks/microbench_r4.py
+
+Questions:
+  a. lax.sort single-operand u32 at 135M vs (u32,u32) pairs (operand scaling)
+  b. packed-count merge trick end-to-end (sort + cummax + compare)
+  c. XLA scatter with unique_indices=True (permutation routing speed)
+  d. Pallas dynamic_gather along lanes (128-entry per-row LUT): supported? rate?
+  e. XLA batched row sort (n/128, 128) along lanes (informs Pallas-sort design)
+  f. Pallas broadcast-compare rate (W scalar compares per probe tile)
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def timed(fn, *args, iters=4, reps=2, label=""):
+    run = jax.jit(fn)
+    np.asarray(run(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run(*args))
+        best = min(best, (time.perf_counter() - t0))
+    print(f"{label}: {best*1e3:.1f} ms")
+    return best
+
+
+def main():
+    dev = jax.devices()[0]
+    print("device:", dev.device_kind, dev.platform)
+    n = 135_000_000
+    key = jax.random.PRNGKey(0)
+    a = jax.random.randint(key, (n,), 0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
+    b = jnp.arange(n, dtype=jnp.uint32)
+    jax.block_until_ready((a, b))
+
+    # a. sorts
+    timed(lambda x: lax.sort(x)[-1], a, iters=1, label="sort u32 single 135M")
+    timed(lambda x, y: lax.sort((x, y), dimension=0, num_keys=1)[0][-1], a, b,
+          iters=1, label="sort (u32,u32) pair 135M")
+    timed(lambda x, y: lax.sort((x, y), dimension=0, num_keys=2)[0][-1], a, b,
+          iters=1, label="sort (u32,u32) 2-key 135M")
+    ai = a.astype(jnp.int32)
+    timed(lambda x: lax.sort(x)[-1], ai, iters=1, label="sort i32 single 135M")
+    af = a.astype(jnp.float32)
+    timed(lambda x: lax.sort(x)[-1], af, iters=1, label="sort f32 single 135M")
+
+    # b. packed count trick: sort single u32 then cummax/compare
+    def packed_count(x):
+        s = lax.sort(x)
+        even = jnp.where(s % 2 == 0, s, jnp.uint32(0))
+        cm = lax.cummax(even)
+        return jnp.sum(jnp.logical_and(s % 2 == 1, cm == s - 1), dtype=jnp.int64)
+    timed(packed_count, a, label="packed sort+cummax+count 135M")
+
+    # c. scatter with unique indices (permutation)
+    nsc = 125_000_000
+    perm_src = jax.random.randint(jax.random.PRNGKey(1), (nsc,), 0, nsc,
+                                  dtype=jnp.int32)  # not a true perm, but unique-ish claim
+    vals = jnp.arange(nsc, dtype=jnp.int32)
+    jax.block_until_ready((perm_src, vals))
+    def scat(idx, v):
+        return jnp.zeros(nsc, dtype=jnp.int32).at[idx].set(
+            v, mode="drop", unique_indices=True)[-1]
+    timed(scat, perm_src, vals, label="scatter 125M unique_indices")
+
+    # e. batched row sorts
+    m = n // 128
+    a2 = a[:m*128].reshape(m, 128)
+    timed(lambda x: lax.sort(x, dimension=1)[-1, -1], a2, iters=1,
+          label="row-sort (1.05M,128) lanes 135M")
+    m2 = n // 2048
+    a3 = a[:m2*2048].reshape(m2, 2048)
+    timed(lambda x: lax.sort(x, dimension=1)[-1, -1], a3, iters=1,
+          label="row-sort (66K,2048) 135M")
+    a4 = a[:m2*2048].reshape(2048, m2)
+    timed(lambda x: lax.sort(x, dimension=0)[-1, -1], a4, iters=1,
+          label="col-sort (2048 cols of 66K) 135M")
+
+    # d. Pallas dynamic_gather along lanes
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def lut_kernel(x_ref, idx_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(x_ref[:], idx_ref[:], axis=1)
+
+    try:
+        R = 512
+        x = jax.random.randint(jax.random.PRNGKey(2), (R, 128), 0, 1000,
+                               dtype=jnp.int32)
+        idx = jax.random.randint(jax.random.PRNGKey(3), (R, 128), 0, 128,
+                                 dtype=jnp.int32)
+        out = pl.pallas_call(
+            lut_kernel,
+            out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x, idx)
+        ref = np.take_along_axis(np.asarray(x), np.asarray(idx), axis=1)
+        ok = np.array_equal(np.asarray(out), ref)
+        print(f"pallas lane-gather (take_along_axis axis=1): OK correct={ok}")
+
+        # rate: big grid
+        NROW = 512 * 2048
+        xb = jax.random.randint(jax.random.PRNGKey(4), (NROW, 128), 0, 2**20,
+                                dtype=jnp.int32)
+        ib = jax.random.randint(jax.random.PRNGKey(5), (NROW, 128), 0, 128,
+                                dtype=jnp.int32)
+        jax.block_until_ready((xb, ib))
+        grid = NROW // 512
+        f = pl.pallas_call(
+            lut_kernel,
+            out_shape=jax.ShapeDtypeStruct((NROW, 128), jnp.int32),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((512, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec((512, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        dt = timed(lambda u, v: f(u, v)[-1, -1], xb, ib,
+                   label=f"pallas lane-gather {NROW*128/1e6:.0f}M elems")
+        print(f"  -> {NROW*128/dt/1e9:.2f} G gathers/s")
+    except Exception as e:
+        print("pallas lane-gather FAILED:", type(e).__name__, str(e)[:300])
+
+    # d2. gather along sublanes (axis=0): per-lane column table
+    def lut0_kernel(x_ref, idx_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(x_ref[:], idx_ref[:], axis=0)
+    try:
+        R = 512
+        x = jax.random.randint(jax.random.PRNGKey(6), (R, 128), 0, 1000,
+                               dtype=jnp.int32)
+        idx = jax.random.randint(jax.random.PRNGKey(7), (R, 128), 0, R,
+                                 dtype=jnp.int32)
+        out = pl.pallas_call(
+            lut0_kernel,
+            out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x, idx)
+        ref = np.take_along_axis(np.asarray(x), np.asarray(idx), axis=0)
+        ok = np.array_equal(np.asarray(out), ref)
+        print(f"pallas sublane-gather (axis=0, R={R}): OK correct={ok}")
+    except Exception as e:
+        print("pallas sublane-gather FAILED:", type(e).__name__, str(e)[:200])
+
+    # f. broadcast-compare rate: count matches of probe tile vs W keys in SMEM
+    def bc_kernel(keys_smem, probe_ref, o_ref):
+        W = keys_smem.shape[0]
+        t = probe_ref[:]
+        acc = jnp.zeros_like(t, dtype=jnp.int32)
+        def body(j, acc):
+            return acc + (t == keys_smem[j]).astype(jnp.int32)
+        acc = lax.fori_loop(0, W, body, acc)
+        o_ref[0, 0] = jnp.sum(acc)
+    try:
+        W = 256
+        NP = 8 * 2048 * 1024  # 16.7M probes
+        probe = jax.random.randint(jax.random.PRNGKey(8), (NP // 128, 128),
+                                   0, 1000, dtype=jnp.int32)
+        keys = jax.random.randint(jax.random.PRNGKey(9), (W,), 0, 1000,
+                                  dtype=jnp.int32)
+        jax.block_until_ready((probe, keys))
+        TROWS = 2048
+        grid = (NP // 128) // TROWS
+        f = pl.pallas_call(
+            bc_kernel,
+            out_shape=jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec((TROWS, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.SMEM),
+        )
+        dt = timed(lambda k, p: f(k, p).sum(), keys, probe,
+                   label=f"pallas broadcast-compare W={W} over {NP/1e6:.0f}M")
+        print(f"  -> {NP*W/dt/1e12:.2f} T cmp/s; {NP/dt/1e9:.2f} G probes/s")
+    except Exception as e:
+        print("pallas broadcast-compare FAILED:", type(e).__name__, str(e)[:300])
+
+
+if __name__ == "__main__":
+    main()

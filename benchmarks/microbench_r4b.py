@@ -1,0 +1,134 @@
+"""Round-4 measurements part 2: columnsort building blocks + fence-merge.
+Run: /opt/venv/bin/python benchmarks/microbench_r4b.py"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def timed(fn, *args, reps=3, label=""):
+    run = jax.jit(fn)
+    np.asarray(run(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run(*args))
+        best = min(best, (time.perf_counter() - t0))
+    print(f"{label}: {best*1e3:.1f} ms", flush=True)
+    return best
+
+
+def main():
+    n = 135_000_000
+    key = jax.random.PRNGKey(0)
+    a = jax.random.randint(key, (n,), 0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
+    jax.block_until_ready(a)
+
+    # 1D sort scaling
+    for m in (1 << 22, 1 << 24, 1 << 25):
+        timed(lambda x: lax.sort(x)[-1], a[:m], label=f"1D sort {m/1e6:.0f}M u32")
+
+    # row sorts, wide rows (VMEM-resident rows)
+    for C in (16384, 1 << 20):
+        R = n // C
+        a2 = a[:R*C].reshape(R, C)
+        timed(lambda x: lax.sort(x, dimension=1)[-1, -1], a2,
+              label=f"row-sort ({R},{C}) dim1")
+
+    # column sorts for columnsort shapes
+    for (R, C) in ((1_054_687, 128), (527_343, 256)):
+        a3 = a[:R*C].reshape(R, C)
+        timed(lambda x: lax.sort(x, dimension=0)[-1, -1], a3,
+              label=f"col-sort ({R},{C}) dim0")
+
+    # transpose / reshape passes
+    R, C = 1_054_687, 128
+    a4 = a[:R*C].reshape(R, C)
+    timed(lambda x: x.T.reshape(R, C)[-1, -1], a4, label="transpose-reshape (R,128)")
+    timed(lambda x: (lax.cummax(x))[-1], a, label="cummax 135M u32")
+
+    # pair row-sort: (key,payload) as 2 operands, dim1
+    R2, C2 = n // 16384, 16384
+    k2 = a[:R2*C2].reshape(R2, C2)
+    v2 = jnp.arange(R2*C2, dtype=jnp.uint32).reshape(R2, C2)
+    jax.block_until_ready(v2)
+    timed(lambda x, y: lax.sort((x, y), dimension=1, num_keys=1)[0][-1, -1],
+          k2, v2, label=f"row-sort pair ({R2},{C2}) dim1")
+
+    # Pallas fence-merge-count prototype rate: probe tiles vs W-window
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = 128
+    TR = 8  # probe tile rows -> 8*128=1024 probes per grid step
+
+    def merge_kernel(win_ref, probe_ref, o_ref):
+        t = probe_ref[:]
+        acc = jnp.zeros_like(t, dtype=jnp.int32)
+        def body(j, acc):
+            return acc + (t == win_ref[j // 128, j % 128]).astype(jnp.int32)
+        acc = lax.fori_loop(0, W, body, acc)
+        o_ref[:] = acc
+
+    NP = 16_777_216
+    probe = a[:NP].astype(jnp.int32).reshape(NP // 128, 128)
+    win = jax.random.randint(jax.random.PRNGKey(9), (NP // 1024, W), 0,
+                             1 << 30, dtype=jnp.int32)
+    jax.block_until_ready((probe, win))
+    grid = NP // (TR * 128)
+    f = pl.pallas_call(
+        merge_kernel,
+        out_shape=jax.ShapeDtypeStruct((NP // 128, 128), jnp.int32),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((W // 128, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TR, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TR, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    try:
+        dt = timed(lambda w, p: f(w, p).sum(), win, probe,
+                   label=f"pallas bcast-compare W={W} {NP/1e6:.0f}M probes")
+        print(f"  -> {NP*W/dt/1e12:.2f} T cmp/s, {NP/dt/1e9:.2f} G probes/s",
+              flush=True)
+    except Exception as e:
+        print("bcast-compare FAILED:", type(e).__name__, str(e)[:300])
+
+    # same but window as one (8,128) VMEM tile compared via roll-free
+    # whole-tile ops: compare all 1024 probes against all 128 window keys by
+    # materializing (8,128) compares per window ELEMENT is the loop above;
+    # alternative: per 8-row window block outer-product via broadcast in
+    # sublane dim: probe (8,128) vs win (8,128) -> use jnp.isin-style:
+    def merge_kernel2(win_ref, probe_ref, o_ref):
+        t = probe_ref[:]                      # (TR,128)
+        w = win_ref[:]                        # (W//128,128)
+        acc = jnp.zeros_like(t, dtype=jnp.int32)
+        for r in range(W // 128):
+            row = w[r:r+1, :]                 # (1,128)
+            for s in range(128):
+                acc = acc + (t == jax.lax.dynamic_slice(
+                    row, (0, s), (1, 1))).astype(jnp.int32)
+        o_ref[:] = acc
+    f2 = pl.pallas_call(
+        merge_kernel2,
+        out_shape=jax.ShapeDtypeStruct((NP // 128, 128), jnp.int32),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((W // 128, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TR, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TR, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    try:
+        dt = timed(lambda w, p: f2(w, p).sum(), win, probe,
+                   label=f"pallas bcast-compare-unrolled W={W}")
+        print(f"  -> {NP*W/dt/1e12:.2f} T cmp/s", flush=True)
+    except Exception as e:
+        print("unrolled FAILED:", type(e).__name__, str(e)[:200])
+
+
+if __name__ == "__main__":
+    main()

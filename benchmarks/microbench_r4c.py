@@ -1,0 +1,169 @@
+"""Find the cost center of the merge-count kernel: roll sweep vs window
+read vs fori overhead.  Runs a (8,128) probe-tile kernel over a big grid
+with variants."""
+import time, functools
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES, TR, TPB = 128, 8, 64
+BR = TR * TPB
+
+
+def make(variant, nch):
+    def kernel(probe_ref, win_ref, out_ref):
+        total = jnp.zeros((TR, LANES), dtype=jnp.int32)
+        for t in range(TPB):
+            p = probe_ref[t * TR:(t + 1) * TR, :]
+            acc = jnp.zeros((TR, LANES), dtype=jnp.int32)
+
+            def wbody(j, acc):
+                wrow = win_ref[pl.ds(j, 1), :]
+                w = jnp.broadcast_to(wrow, (TR, LANES))
+                if variant == "roll128":
+                    for s in range(LANES):
+                        ws = pltpu.roll(w, s, 1) if s else w
+                        acc = acc + (p == ws).astype(jnp.int32)
+                elif variant == "chain":
+                    ws = w
+                    for s in range(LANES):
+                        acc = acc + (p == ws).astype(jnp.int32)
+                        ws = pltpu.roll(ws, 1, 1)
+                elif variant == "noroll":
+                    for s in range(LANES):
+                        acc = acc + (p == w).astype(jnp.int32)
+                elif variant == "single":
+                    acc = acc + (p == w).astype(jnp.int32)
+                return acc
+
+            acc = lax.fori_loop(0, nch, wbody, acc)
+            total = total + (acc > 0).astype(jnp.int32)
+        out_ref[...] = total
+    return kernel
+
+
+def run(variant, nch, nblocks=256):
+    probe = jax.random.randint(jax.random.PRNGKey(0),
+                               (nblocks * BR, LANES), 0, 1000, jnp.int32)
+    win = jax.random.randint(jax.random.PRNGKey(1), (1024, LANES), 0, 1000,
+                             jnp.int32)
+    jax.block_until_ready((probe, win))
+    f = pl.pallas_call(
+        make(variant, nch),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((BR, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1024, LANES), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TR, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * TR, LANES), jnp.int32),
+    )
+    g = jax.jit(lambda a, b: f(a, b).sum())
+    np.asarray(g(probe, win))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(g(probe, win))
+        best = min(best, time.perf_counter() - t0)
+    nprobe = nblocks * BR * LANES
+    print(f"{variant} nch={nch}: {best*1e3:.1f} ms for {nprobe/1e6:.1f}M "
+          f"probes -> {nprobe/best/1e9:.2f} G probes/s", flush=True)
+
+
+def main1():
+    run("single", 3)
+    run("noroll", 3)
+    run("chain", 3)
+    run("roll128", 3)
+    run("roll128", 1)
+
+
+def make2(nch_mode, win_mode):
+    LANES, TR, TPB = 128, 8, 64
+
+    def kernel(offs_ref, probe_ref, win_in, out_ref, win_scratch, sem):
+        if win_mode == "dma":
+            row0 = offs_ref[1, 0]
+            cp = pltpu.make_async_copy(
+                win_in.at[pl.ds(row0, 1024), :], win_scratch, sem)
+            cp.start()
+            cp.wait()
+            win = win_scratch
+        else:
+            win = win_in
+        total = jnp.zeros((TR, LANES), dtype=jnp.int32)
+        for t in range(TPB):
+            p = probe_ref[t * TR:(t + 1) * TR, :]
+            r0 = offs_ref[0, t]
+            nch = offs_ref[0, 64 + t] if nch_mode == "dyn" else 3
+
+            def wbody(j, acc):
+                wrow = win[pl.ds(r0 + j, 1), :]
+                w = jnp.broadcast_to(wrow, (TR, LANES))
+                for s in range(LANES):
+                    ws = pltpu.roll(w, s, 1) if s else w
+                    acc = acc + (p == ws).astype(jnp.int32)
+                return acc
+
+            acc = lax.fori_loop(0, nch, wbody,
+                                jnp.zeros((TR, LANES), dtype=jnp.int32))
+            total = total + (acc > 0).astype(jnp.int32)
+        out_ref[...] = total
+    return kernel
+
+
+def run2(nch_mode, win_mode, nblocks=256):
+    BR = 512
+    probe = jax.random.randint(jax.random.PRNGKey(0),
+                               (nblocks * BR, 128), 0, 1000, jnp.int32)
+    win = jax.random.randint(jax.random.PRNGKey(1), (4096, 128), 0, 1000,
+                             jnp.int32)
+    offs = np.zeros((nblocks, 8, 128), dtype=np.int32)
+    offs[:, 0, 0:64] = np.arange(64)[None, :] % 16
+    offs[:, 0, 64:128] = 3
+    offs[:, 1, 0] = 7
+    offs = jnp.asarray(offs.reshape(nblocks * 8, 128))
+    jax.block_until_ready((probe, win, offs))
+    win_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if win_mode == "dma"
+                else pl.BlockSpec((1024, 128), lambda b: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM((1024, 128), jnp.int32), pltpu.SemaphoreType.DMA]
+    f = pl.pallas_call(
+        make2(nch_mode, win_mode),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((8, 128), lambda b: (b, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((BR, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+                  win_spec],
+        out_specs=pl.BlockSpec((8, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * 8, 128), jnp.int32),
+        scratch_shapes=scratch,
+    )
+    g = jax.jit(lambda a, b, c: f(a, b, c).sum())
+    np.asarray(g(offs, probe, win))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(g(offs, probe, win))
+        best = min(best, time.perf_counter() - t0)
+    nprobe = nblocks * BR * 128
+    print(f"nch={nch_mode} win={win_mode}: {best*1e3:.1f} ms "
+          f"-> {nprobe/best/1e9:.2f} G probes/s", flush=True)
+
+
+def main2():
+    run2("static", "vmem")
+    run2("dyn", "vmem")
+    run2("static", "dma")
+    run2("dyn", "dma")
+
+
+if __name__ == "__main__":
+    import sys
+    main2() if "2" in sys.argv else main1()

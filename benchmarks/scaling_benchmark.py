@@ -4,8 +4,17 @@ size available and reports per-size throughput + efficiency vs 1 shard.
 
 On the single-chip CI environment this measures virtual-device overheads
 (set XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu);
-on a real pod slice it measures the true 1 -> N curve.
-"""
+on a real pod slice it measures the true 1 -> N curve.  The virtual-mesh
+caveat: all N "devices" share the host's cores, so absolute rows/s stays
+flat with N and the interesting signal is the efficiency column — how much
+of the ideal N-fold work increase the collective layout gives back (compute
+scales with rows; a collapse would show as efficiency << 1/N... the metric
+normalizes by N so perfect sharing of a fixed host = 1/N per-shard).
+
+Budget handling (the round-3 failure was a blown 20-minute run that wrote
+an empty file): --budget-seconds degrades gracefully — the JSON is written
+after EVERY measurement, so a partial curve always lands on disk; the join
+uses the count path (no ALL-expansion, which was CPU-sort-bound)."""
 
 import argparse
 import os, sys
@@ -18,24 +27,39 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows-per-shard", type=int, default=1 << 18)
+    ap.add_argument("--rows-per-shard", type=int, default=1 << 16)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--queries", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--groups", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--budget-seconds", type=float, default=900.0)
+    ap.add_argument("--out", default="")
     args = ap.parse_args()
+    deadline = time.monotonic() + args.budget_seconds
 
     import jax
     import jax.numpy as jnp
     from myscaledb_tpu.parallel.mesh import make_mesh, shard_rows
     from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
                                             sharded_group_aggregate)
+    from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_count
 
     n_dev = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
     results = []
-    base_scan = base_agg = None
+    state = {"devices": n_dev, "backend": jax.default_backend(),
+             "rows_per_shard": args.rows_per_shard, "iters": args.iters,
+             "complete": False, "scaling": results}
+
+    def flush():
+        payload = json.dumps(state)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(payload + "\n")
+
+    base = {}
+    flush()
     for nsh in sizes:
         mesh = make_mesh(nsh)
         n = nsh * args.rows_per_shard
@@ -50,61 +74,42 @@ def main():
         vals = shard_rows(mesh, jax.random.randint(k4, (n,), -100, 100,
                                                    dtype=jnp.int32))
         mask = shard_rows(mesh, jnp.ones(n, dtype=bool))
-        jax.block_until_ready((x, q, gid, vals))
-
-        from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_pairs
         rkey = shard_rows(mesh, jax.random.randint(
             jax.random.PRNGKey(7), (n,), 0, 1 << 16, dtype=jnp.int64))
         lkey = shard_rows(mesh, jax.random.randint(
             jax.random.PRNGKey(8), (n,), 0, 1 << 16, dtype=jnp.int64))
+        jax.block_until_ready((x, q, gid, vals, rkey, lkey))
 
-        def run_scan():
-            return sharded_distance_topk(mesh, x, q, "L2", args.k)
-
-        def run_agg():
-            return sharded_group_aggregate(mesh, gid, mask, (vals,),
-                                           ("sum",), args.groups)
-
-        def run_join():
-            return sharded_shuffle_join_pairs(mesh, lkey, rkey, how="ANY")
-
-        out = run_scan(); jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = run_scan()
-        jax.block_until_ready(out)
-        scan_dt = (time.perf_counter() - t0) / args.iters
-
-        out = run_agg(); jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = run_agg()
-        jax.block_until_ready(out)
-        agg_dt = (time.perf_counter() - t0) / args.iters
-
-        run_join()                     # compile + warm (host sync inside)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            run_join()
-        join_dt = (time.perf_counter() - t0) / args.iters
-
-        scan_rps = n / scan_dt
-        agg_rps = n / agg_dt
-        join_rps = n / join_dt
-        if nsh == 1:
-            base_scan, base_agg, base_join = scan_rps, agg_rps, join_rps
-        results.append({
-            "shards": nsh, "rows": n,
-            "scan_rows_per_s": round(scan_rps, 1),
-            "agg_rows_per_s": round(agg_rps, 1),
-            "join_rows_per_s": round(join_rps, 1),
-            "scan_efficiency": round(scan_rps / (base_scan * nsh), 4),
-            "agg_efficiency": round(agg_rps / (base_agg * nsh), 4),
-            "join_efficiency": round(join_rps / (base_join * nsh), 4),
-        })
-    print(json.dumps({"devices": n_dev,
-                      "backend": jax.default_backend(),
-                      "scaling": results}))
+        ops = {
+            "scan": lambda: sharded_distance_topk(mesh, x, q, "L2", args.k),
+            "agg": lambda: sharded_group_aggregate(mesh, gid, mask, (vals,),
+                                                   ("sum",), args.groups),
+            "join": lambda: sharded_shuffle_join_count(mesh, lkey, rkey),
+        }
+        row = {"shards": nsh, "rows": n}
+        results.append(row)
+        for name, fn in ops.items():
+            if time.monotonic() > deadline:
+                state["budget_exhausted_at"] = f"{nsh} shards / {name}"
+                flush()
+                print(json.dumps(state))
+                return
+            out = fn()
+            jax.block_until_ready(out)           # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = fn()
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / args.iters
+            rps = n / dt
+            if nsh == 1:
+                base[name] = rps
+            row[f"{name}_rows_per_s"] = round(rps, 1)
+            row[f"{name}_efficiency"] = round(rps / (base[name] * nsh), 4)
+            flush()
+    state["complete"] = True
+    flush()
+    print(json.dumps(state))
 
 
 if __name__ == "__main__":

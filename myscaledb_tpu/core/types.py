@@ -128,6 +128,12 @@ class Field:
     nullable: bool = False
     vector_dim: int = 0   # for FLOAT32_VECTOR
     elem: "Optional[DataType]" = None   # element type for ARRAY
+    # FixedString(N) byte width (0 = not fixed).  A FixedString column is
+    # the reference's BINARY VECTOR carrier: distance()/batch_distance()
+    # over it dispatches to Hamming/Jaccard XOR+popcount scans
+    # (src/VectorIndex/Utils/VIUtils.cpp:666 — BinaryVector requires
+    # FixedString; dim = 8 * N bits).
+    fixed_len: int = 0
 
     def __str__(self) -> str:
         base = self.dtype.value
@@ -135,4 +141,6 @@ class Field:
             base = f"Array(Float32, {self.vector_dim})"
         elif self.dtype is DataType.ARRAY:
             base = f"Array({self.elem.value if self.elem else '?'})"
+        elif self.fixed_len:
+            base = f"FixedString({self.fixed_len})"
         return f"{self.name} {'Nullable(' + base + ')' if self.nullable else base}"

@@ -1049,7 +1049,9 @@ def _f_halfmd5(args, env):
 def _f_hex(args, env):
     v = args[0]
     if v.is_string:
-        return _dict_transform(v, lambda s: s.encode().hex().upper())
+        # latin-1: strings are byte-transparent (unhex/char round-trip)
+        return _dict_transform(
+            v, lambda s: s.encode("latin-1", "replace").hex().upper())
     x = np.asarray(_numeric(v, env.n_rows))
     if np.issubdtype(x.dtype, np.floating):
         def fmt(r):
@@ -1077,6 +1079,83 @@ def _f_hex(args, env):
 def _f_unhex(args, env):
     return _dict_transform(args[0],
                            lambda s: bytes.fromhex(s).decode("latin-1"))
+
+
+@func("finalizeAggregation")
+def _f_finalize_aggregation(args, env):
+    """Finalize an aggregate -State value to its result (reference:
+    src/Functions/finalizeAggregation.cpp).  States are the engine's JSON
+    wire form produced by the -State combinators."""
+    import json as _j
+
+    def fin(s: str):
+        st = _j.loads(s)
+        f = st.get("f")
+        if f == "avg":
+            return st["s"] / st["c"] if st["c"] else float("nan")
+        if f == "uniq":
+            import base64
+            import numpy as _np
+            from myscaledb_tpu.ops.hll import hll_estimate
+            regs = _np.frombuffer(base64.b64decode(st["r"]), dtype=_np.uint8)
+            return int(_np.asarray(hll_estimate(
+                jnp.asarray(regs[None, :])))[0])
+        if f == "qtd":
+            from myscaledb_tpu.ops.tdigest import (deserialize_digest,
+                                                   digest_quantile)
+            return float(np.float32(digest_quantile(
+                *deserialize_digest(st["d"]), 0.5)))
+        return st.get("v")
+
+    v = args[0]
+    if v.is_scalar:
+        if not isinstance(v.py, str):
+            raise EvalError("finalizeAggregation expects a state string")
+        return Value(None, is_scalar=True, py=fin(v.py))
+    if v.dictionary is None:
+        raise EvalError("finalizeAggregation expects a state column")
+    vals = [fin(s) if s is not None else None for s in v.dictionary.values]
+    ids = np.asarray(v.data)
+    out = np.asarray([vals[i] if 0 <= i < len(vals) else np.nan
+                      for i in ids], dtype=np.float64)
+    return Value(jnp.asarray(out), v.valid)
+
+
+@func("unbin")
+def _f_unbin(args, env):
+    def conv(s: str) -> str:
+        if not s:
+            return ""
+        pad = (-len(s)) % 8
+        i = int(s, 2)
+        return i.to_bytes((len(s) + pad) // 8, "big").decode("latin-1")
+    return _dict_transform(args[0], conv)
+
+
+@func("char")
+def _f_char(args, env):
+    """char(n1, n2, ...) -> string of bytes n_i mod 256 (vectorized over
+    rows like the reference's FunctionChar)."""
+    if not args:
+        raise EvalError("char expects at least one argument")
+    cols = [_numeric(a, env.n_rows) for a in args]
+    if all(a.is_scalar for a in args):
+        b = bytes(int(np.asarray(c)[()]) & 0xFF for c in cols)
+        return Value(None, is_scalar=True, py=b.decode("latin-1"))
+    n = env.n_rows
+    mats = []
+    for a, c in zip(args, cols):
+        arr = np.asarray(c)
+        mats.append(np.full(n, arr[()] if arr.ndim == 0 else arr)
+                    if a.is_scalar else arr)
+    out = ["".join(chr(int(m[i]) & 0xFF) for m in mats) for i in range(n)]
+    sd = StringDictionary()
+    ids = sd.encode(out)
+    valid = None
+    for a in args:
+        if not a.is_scalar and a.valid is not None:
+            valid = a.valid if valid is None else valid & a.valid
+    return Value(jnp.asarray(np.asarray(ids).astype(np.int32)), valid, sd)
 
 @func("bin")
 def _f_bin(args, env):

@@ -79,31 +79,42 @@ def sharded_distance_topk(mesh: Mesh, x, q, metric: str = "L2", k: int = 10,
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
              out_specs=(P(), P()), check_vma=False)
     def step(x_loc, q_rep, mask_loc):
-        x_loc = x_loc.astype(jnp.float32)
-        q_rep = q_rep.astype(jnp.float32)
-        sqn = jnp.sum(x_loc * x_loc, axis=1)
-        dloc, iloc = _distance_scan_impl(
-            x_loc, q_rep, mask_loc if has_mask else jnp.zeros(0, dtype=bool),
-            sqn, metric, k, min(block_rows, n_loc), has_mask)
-        # native distance -> internal min-score
-        s = jnp.where(jnp.isneginf(dloc) | jnp.isposinf(dloc), jnp.inf,
-                      -dloc if metric == "IP" else dloc)
-        p = lax.axis_index(axis).astype(jnp.int32)
-        gids = jnp.where(iloc == INVALID_ID, INVALID_ID, iloc + p * n_loc)
-        if nsh & (nsh - 1) == 0 and nsh >= 4:
-            ms, mi = _butterfly_topk(s, gids, k, nsh, axis)
-        else:
-            all_s = lax.all_gather(s, axis)          # (nsh, nq, k)
-            all_i = lax.all_gather(gids, axis)
-            all_s = jnp.moveaxis(all_s, 0, 1).reshape(s.shape[0], nsh * k)
-            all_i = jnp.moveaxis(all_i, 0, 1).reshape(s.shape[0], nsh * k)
-            ms, mi = _merge_minscore_topk(all_s, all_i, k)
-        md = jnp.where(jnp.isposinf(ms),
-                       jnp.float32(-jnp.inf if metric == "IP" else jnp.inf),
-                       -ms if metric == "IP" else ms)
-        return md, mi
+        return _local_distance_topk(
+            x_loc, q_rep, mask_loc if has_mask else None, metric, k,
+            block_rows, nsh, n_loc, axis)
 
     return step(x, q, mask)
+
+
+def _local_distance_topk(x_loc, q_rep, mask_loc, metric: str, k: int,
+                         block_rows: int, nsh: int, n_loc: int, axis: str):
+    """Shard-local exact top-k + cross-shard merge; usable inside any
+    shard_map (the fused distributed pipeline reuses it so the join
+    exchange can overlap this matmul)."""
+    has_mask = mask_loc is not None
+    x_loc = x_loc.astype(jnp.float32)
+    q_rep = q_rep.astype(jnp.float32)
+    sqn = jnp.sum(x_loc * x_loc, axis=1)
+    dloc, iloc = _distance_scan_impl(
+        x_loc, q_rep, mask_loc if has_mask else jnp.zeros(0, dtype=bool),
+        sqn, metric, k, min(block_rows, n_loc), has_mask)
+    # native distance -> internal min-score
+    s = jnp.where(jnp.isneginf(dloc) | jnp.isposinf(dloc), jnp.inf,
+                  -dloc if metric == "IP" else dloc)
+    p = lax.axis_index(axis).astype(jnp.int32)
+    gids = jnp.where(iloc == INVALID_ID, INVALID_ID, iloc + p * n_loc)
+    if nsh & (nsh - 1) == 0 and nsh >= 4:
+        ms, mi = _butterfly_topk(s, gids, k, nsh, axis)
+    else:
+        all_s = lax.all_gather(s, axis)          # (nsh, nq, k)
+        all_i = lax.all_gather(gids, axis)
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(s.shape[0], nsh * k)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(s.shape[0], nsh * k)
+        ms, mi = _merge_minscore_topk(all_s, all_i, k)
+    md = jnp.where(jnp.isposinf(ms),
+                   jnp.float32(-jnp.inf if metric == "IP" else jnp.inf),
+                   -ms if metric == "IP" else ms)
+    return md, mi
 
 
 def sharded_group_aggregate(mesh: Mesh, gid, mask, args, fns: tuple,
@@ -128,30 +139,36 @@ def sharded_group_aggregate(mesh: Mesh, gid, mask, args, fns: tuple,
         valids_loc = rest[n_args:] if has_valids else None
         states, gc = partial_aggregate_matmul(gid_loc, mask_loc, args_loc,
                                               fns, num_groups, valids_loc)
-        gc_tot = lax.psum(gc, axis)
-        merged = []
-        for fn, s in zip(fns, states):
-            if fn in ("sum", "count"):
-                merged.append(lax.psum(s, axis))
-            elif fn == "avg":
-                merged.append((lax.psum(s[0], axis), lax.psum(s[1], axis)))
-            elif fn == "min":
-                merged.append(lax.pmin(s, axis))
-            elif fn == "max":
-                merged.append(lax.pmax(s, axis))
-            elif fn == "any":
-                # value from the lowest-indexed shard whose group is non-empty
-                all_v = lax.all_gather(s, axis)            # (nsh, G)
-                all_has = lax.all_gather(gc > 0, axis)     # (nsh, G)
-                first = jnp.argmax(all_has, axis=0)        # first shard with rows
-                merged.append(jnp.take_along_axis(all_v, first[None, :],
-                                                  axis=0)[0])
-            else:
-                raise ValueError(fn)
-        return tuple(merged), gc_tot
+        return _merge_agg_states(fns, states, gc, axis)
 
     extra = tuple(arg_valids) if has_valids else ()
     return step(gid, mask, *args, *extra)
+
+
+def _merge_agg_states(fns, states, gc, axis: str):
+    """Cross-shard merge of dense per-group partial states (P3/P6
+    WithMergeableState combine); usable inside any shard_map."""
+    gc_tot = lax.psum(gc, axis)
+    merged = []
+    for fn, s in zip(fns, states):
+        if fn in ("sum", "count"):
+            merged.append(lax.psum(s, axis))
+        elif fn == "avg":
+            merged.append((lax.psum(s[0], axis), lax.psum(s[1], axis)))
+        elif fn == "min":
+            merged.append(lax.pmin(s, axis))
+        elif fn == "max":
+            merged.append(lax.pmax(s, axis))
+        elif fn == "any":
+            # value from the lowest-indexed shard whose group is non-empty
+            all_v = lax.all_gather(s, axis)            # (nsh, G)
+            all_has = lax.all_gather(gc > 0, axis)     # (nsh, G)
+            first = jnp.argmax(all_has, axis=0)        # first shard with rows
+            merged.append(jnp.take_along_axis(all_v, first[None, :],
+                                              axis=0)[0])
+        else:
+            raise ValueError(fn)
+    return tuple(merged), gc_tot
 
 
 def sharded_topn(mesh: Mesh, keys: Sequence[SortKey], k: int,

@@ -1,0 +1,83 @@
+"""Fused distributed pipeline: exchange/compute overlap inside ONE shard_map.
+
+Reference analog: the initiator overlaps RemoteQueryExecutor reads with
+local pipeline execution (src/QueryPipeline/RemoteQueryExecutor.h:36 async
+reads + src/Processors/Executors/ — exchange and compute proceed
+concurrently).  On TPU the analog is issuing the join shuffle's
+`all_to_all`s BEFORE the top-k distance matmul in the same shard_map body:
+XLA's async collectives (all-to-all-start/done) then ride ICI while the MXU
+streams the embedding scan — the exchange cost hides behind the dominant
+compute instead of serializing after it (SURVEY.md §7 design pillar).
+
+BASELINE config 5 shape: hash-partitioned embeddings, distributed top-k +
+join + aggregate.  The separate-op formulation (three shard_maps) forces
+sequential phases; this fused form is what bench_config5 runs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from myscaledb_tpu.parallel.mesh import SHARD_AXIS
+from myscaledb_tpu.parallel.ops import (_local_distance_topk,
+                                        _merge_agg_states)
+from myscaledb_tpu.parallel.shuffle import _exchange_local, _all_pair_count
+from myscaledb_tpu.ops.aggregate import partial_aggregate_matmul
+
+
+def fused_topk_join_agg(mesh: Mesh, x, q, metric: str, k: int,
+                        fact_key, dim_key, gid, mask, vals, fns: tuple,
+                        num_groups: int, axis: str = SHARD_AXIS,
+                        block_rows: int = 32768):
+    """One jitted shard_map running BASELINE config 5's whole pipeline:
+
+      1. issue the join shuffle (both sides' all_to_all) — async,
+      2. local top-k distance scan over the row-sharded embeddings
+         (the big MXU/HBM phase the exchange hides behind),
+      3. top-k cross-shard merge,
+      4. local join count on the received buckets + psum,
+      5. local dense group-aggregate partials + psum merge.
+
+    Returns replicated (topk_dist (nq,k), topk_ids (nq,k), join_count,
+    agg_states, group_count).
+    """
+    nsh = mesh.shape[axis]
+    n, d = x.shape
+    assert n % nsh == 0
+    n_loc = n // nsh
+    n_dim = dim_key.shape[0]
+    cap_f = max(n_loc, 1)
+    cap_d = max(n_dim // nsh, 1)
+    fns = tuple(fns)
+    state_specs = tuple((P(), P()) if fn == "avg" else P() for fn in fns)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis),
+                       P(axis)),
+             out_specs=(P(), P(), P(), state_specs, P()), check_vma=False)
+    def step(x_loc, q_rep, fk_loc, dk_loc, gid_loc, mask_loc, vals_loc):
+        # 1. exchange first: the all_to_alls are issued before the matmul
+        #    so the async scheduler overlaps them with the distance scan
+        fk_rx, _, fv_rx = _exchange_local(
+            fk_loc, (), jnp.ones(fk_loc.shape[0], dtype=bool), nsh, cap_f,
+            axis)
+        dk_rx, _, dv_rx = _exchange_local(
+            dk_loc, (), jnp.ones(dk_loc.shape[0], dtype=bool), nsh, cap_d,
+            axis)
+        # 2-3. local scan + merge (dominant compute)
+        md, mi = _local_distance_topk(x_loc, q_rep, None, metric, k,
+                                      block_rows, nsh, n_loc, axis)
+        # 4. local join count on colocated keys
+        cnt = lax.psum(_all_pair_count(fk_rx, fv_rx, dk_rx, dv_rx), axis)
+        # 5. distributed GROUP BY partials + merge
+        states, gc = partial_aggregate_matmul(gid_loc, mask_loc, (vals_loc,),
+                                              fns, num_groups)
+        states, gc = _merge_agg_states(fns, states, gc, axis)
+        return md, mi, cnt, states, gc
+
+    return step(x, q, fact_key, dim_key, gid, mask, vals)

@@ -40,6 +40,12 @@ def _exchange_local(key_loc, cols, vmask, nsh: int, cap: int, axis: str):
     """Shard-local body of the shuffle: route rows to destination buckets
     and all_to_all them.  Usable inside any shard_map."""
     n_loc = key_loc.shape[0]
+    if nsh == 1 and cap == n_loc:
+        # single-shard identity: every row is already local — skip the
+        # route sort, packing and self-all_to_all entirely (the reference
+        # likewise bypasses remote exchange for local-only plans,
+        # StorageDistributed single-shard optimization)
+        return key_loc, tuple(cols), jnp.asarray(vmask, dtype=bool)
     dest = jnp.where(vmask, _dest_of(key_loc, nsh), nsh)   # invalid -> drop
     order = jnp.argsort(dest, stable=True)                 # group by dest
     sdest = dest[order]

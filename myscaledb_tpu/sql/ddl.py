@@ -41,6 +41,7 @@ class CreateTable:
     skip_indexes: list = field(default_factory=list)
     engine: str = "MergeTree"
     engine_args: list = field(default_factory=list)
+    ttl: object = None          # table-level row TTL expression (AST)
 
 
 @dataclass
@@ -97,6 +98,24 @@ class AlterUpdate:
     table: str
     assignments: list           # [(col, expr)]
     where: object
+
+
+@dataclass
+class OptimizeTable:
+    """OPTIMIZE TABLE t [FINAL]: force a merge cycle — here it applies
+    the table's row TTL (TTLDeleteAlgorithm at merge time) and compacts
+    durable parts (reference: InterpreterOptimizeQuery)."""
+    table: str
+    final: bool = False
+
+
+@dataclass
+class ModifyTableSetting:
+    """ALTER TABLE t MODIFY SETTING name = value (AlterCommands::
+    MODIFY_SETTING over MergeTreeSettings)."""
+    table: str
+    name: str
+    value: object
 
 
 @dataclass
@@ -258,6 +277,12 @@ class DDLParser(Parser):
             return self.parse_drop()
         if up == "ALTER":
             return self.parse_alter()
+        if up == "OPTIMIZE":
+            self.next()
+            self.expect_kw("TABLE")
+            name = self.parse_table_name()
+            final = bool(self.take_kw("FINAL"))
+            return OptimizeTable(name, final)
         if up == "TRUNCATE":
             self.next()
             self.take_kw("TABLE")
@@ -365,7 +390,7 @@ class DDLParser(Parser):
             if self.take_kw("PARTITION"):
                 from myscaledb_tpu.sql.ast import BinOp, Ident, Literal
                 tok = self.next()
-                val = tok.text.strip("'") if tok.kind == "str" else tok.text
+                val = tok.text.strip("'") if tok.kind == "string" else tok.text
                 try:
                     val = int(val)
                 except (TypeError, ValueError):
@@ -379,6 +404,19 @@ class DDLParser(Parser):
             self.expect_kw("VECTOR")
             self.expect_kw("INDEX")
             return DropVectorIndex(table, self.next().text)
+        if self.take_kw("MODIFY"):
+            # ALTER TABLE t MODIFY SETTING name = value (reference:
+            # MergeTreeSettings runtime changes, AlterCommands::MODIFY_SETTING)
+            self.expect_kw("SETTING")
+            name = self.next().text
+            self.expect_punct("=")
+            tok = self.next()
+            val = tok.text.strip("'") if tok.kind == "string" else tok.text
+            try:
+                val = int(val)
+            except (TypeError, ValueError):
+                pass
+            return ModifyTableSetting(table, name, val)
         raise ParseError("unsupported ALTER TABLE clause")
 
     def parse_create(self):
@@ -490,6 +528,7 @@ class DDLParser(Parser):
         settings = {}
         engine = "MergeTree"
         engine_args = []
+        ttl = None
         # engine / order by / primary key / settings tail
         while self.peek().kind != "eof":
             if self.take_kw("ENGINE"):
@@ -535,6 +574,12 @@ class DDLParser(Parser):
                     self.expect_punct(")")
                 else:
                     partition_by.append(self.next().text)
+            elif self.take_kw("TTL"):
+                # table-level row TTL: rows whose TTL timestamp has passed
+                # are deleted at merge/OPTIMIZE time (reference:
+                # MergeTreeData TTL handling, TTLDeleteAlgorithm)
+                ttl = self.parse_expr()
+                self.take_kw("DELETE")
             elif self.take_kw("SETTINGS"):
                 while self.peek().kind != "eof":
                     sname = self.next().text
@@ -544,9 +589,10 @@ class DDLParser(Parser):
                     if not self.take_punct(","):
                         break
             else:
-                self.next()   # tolerate unknown clauses (TTL etc.)
+                self.next()   # tolerate unknown clauses
         return CreateTable(name, cols, order_by, ine, settings,
-                           partition_by, skip_defs, engine, engine_args)
+                           partition_by, skip_defs, engine, engine_args,
+                           ttl)
 
     def _parse_skip_index(self):
         """INDEX name col TYPE minmax|set(N)|bloom_filter([fp]) [GRANULARITY g]
@@ -601,10 +647,16 @@ class DDLParser(Parser):
             return dtype, nullable, vdim, elem
         low = name.lower()
         if low == "fixedstring":
-            # FixedString(N) -> dictionary-encoded String (fixed width is a
-            # storage detail the dictionary already optimizes away)
-            self._paren_blob()
-            return DataType.STRING, False, 0, None
+            # FixedString(N) -> dictionary-encoded String; the byte width N
+            # rides the vdim slot and lands in Field.fixed_len — it marks
+            # the column as a BINARY VECTOR carrier for Hamming/Jaccard
+            # distance() (VIUtils.cpp:666: BinaryVector requires FixedString)
+            toks = self._paren_blob()
+            try:
+                fixed_n = int(toks[0].text) if toks else 0
+            except (ValueError, IndexError):
+                fixed_n = 0
+            return DataType.STRING, False, fixed_n, None
         if low == "uuid":
             return DataType.STRING, False, 0, None
         if low in ("enum8", "enum16", "enum"):
@@ -874,6 +926,43 @@ class DDLParser(Parser):
 # ---------------------------------------------------------------------------
 # execution
 
+def apply_table_ttl(session, name: str) -> int:
+    """Delete rows whose TTL timestamp has passed (reference:
+    TTLDeleteAlgorithm applied during merges; here at merge/OPTIMIZE time).
+    Returns the number of rows removed."""
+    import time as _time
+    ttl = getattr(session, "_table_ttls", {}).get(name)
+    if ttl is None:
+        return 0
+    import numpy as np
+    import jax.numpy as jnp
+    from myscaledb_tpu.exec.expr import Env, eval_expr
+    from myscaledb_tpu.core.types import DataType
+    t = session.tables[name]
+    if t.n_rows == 0:
+        return 0
+    env = Env(t)
+    v = eval_expr(ttl, env)
+    data = v.data
+    if v.is_scalar:
+        data = jnp.full((t.n_rows,), jnp.asarray(data))
+    now = _time.time()
+    if getattr(v, "dt", None) is DataType.DATE:
+        now = now / 86400.0           # Date columns count days
+    expired = jnp.asarray(data).astype(jnp.float64) <= jnp.float64(now)
+    if v.valid is not None:
+        expired = jnp.logical_and(expired, v.valid)   # NULL TTL -> keep
+    n_exp = int(jnp.sum(expired))
+    if n_exp == 0:
+        return 0
+    from myscaledb_tpu.sql.executor import compact_table_host
+    kept, _ = compact_table_host(t, jnp.logical_not(expired))
+    kept.name = name
+    session.tables[name] = kept
+    session.bump_epoch()
+    return n_exp
+
+
 def refresh_external_table(session, name: str) -> None:
     """Re-read a File/URL-engine table from its source when stale
     (StorageFile/StorageURL read the source at query time; File freshness
@@ -945,7 +1034,10 @@ def parse_schema_string(schema: str) -> list[ColumnDef]:
 
 
 def fields_from_defs(defs: list[ColumnDef]) -> list:
-    return [Field(d.name, d.dtype, d.nullable, d.vector_dim, d.elem)
+    # STRING defs carry FixedString's byte width in the vdim slot
+    return [Field(d.name, d.dtype, d.nullable,
+                  0 if d.dtype is DataType.STRING else d.vector_dim, d.elem,
+                  fixed_len=d.vector_dim if d.dtype is DataType.STRING else 0)
             for d in defs]
 
 
@@ -966,8 +1058,10 @@ def empty_table_from_defs(name: str, defs: list[ColumnDef]) -> Table:
             data = jnp.zeros((0,), dtype=physical_dtype(d.dtype))
         dictionary = StringDictionary() if d.dtype is DataType.STRING or (
             d.dtype is DataType.ARRAY and d.elem is DataType.STRING) else None
-        cols.append(Column(Field(d.name, d.dtype, d.nullable, d.vector_dim,
-                                 d.elem),
+        is_str = d.dtype is DataType.STRING
+        cols.append(Column(Field(d.name, d.dtype, d.nullable,
+                                 0 if is_str else d.vector_dim, d.elem,
+                                 fixed_len=d.vector_dim if is_str else 0),
                            data, None, dictionary, None, offsets))
     return Table(cols, name=name)
 
@@ -1104,8 +1198,10 @@ def required_privilege(stmt):
         return ("TRUNCATE", stmt.name)
     if isinstance(stmt, (AlterDelete, AlterUpdate, AddVectorIndex,
                          DropVectorIndex, DropPartition, AddSkipIndex,
-                         DropSkipIndex)):
+                         DropSkipIndex, ModifyTableSetting)):
         return ("ALTER", stmt.table)
+    if isinstance(stmt, OptimizeTable):
+        return ("OPTIMIZE", stmt.table)
     return None
 
 
@@ -1120,15 +1216,21 @@ def execute_statement(session, stmt) -> Table:
             raise ValueError(f"table {stmt.name!r} already exists")
         t = empty_table_from_defs(stmt.name, stmt.columns)
         ts = TableSettings()
-        if "float_vector_search_metric_type" in stmt.settings:
-            ts.float_vector_search_metric_type = \
-                stmt.settings["float_vector_search_metric_type"]
+        for k in ("float_vector_search_metric_type",
+                  "binary_vector_search_metric_type"):
+            if k in stmt.settings:
+                setattr(ts, k, stmt.settings[k])
         session.register(stmt.name, t, ts)
         session._table_order_keys = getattr(session, "_table_order_keys", {})
         session._table_order_keys[stmt.name] = stmt.order_by
         session._table_partition_keys = getattr(
             session, "_table_partition_keys", {})
         session._table_partition_keys[stmt.name] = stmt.partition_by
+        if stmt.ttl is not None:
+            ttls = getattr(session, "_table_ttls", None)
+            if ttls is None:
+                ttls = session._table_ttls = {}
+            ttls[stmt.name] = stmt.ttl
         if stmt.skip_indexes:
             sk = getattr(session, "_table_skip_indexes", None)
             if sk is None:
@@ -1140,6 +1242,7 @@ def execute_statement(session, stmt) -> Table:
             # / StorageURL.cpp): the data plane is a file/URL; reads refresh
             # from the source (File: on mtime change; URL: every query) and
             # File INSERTs write through (session.get_table / ddl insert).
+            from myscaledb_tpu.sql.executor import check_external_source
             engines = getattr(session, "_table_engines", None)
             if engines is None:
                 engines = session._table_engines = {}
@@ -1148,11 +1251,13 @@ def execute_statement(session, stmt) -> Table:
                 path = (stmt.engine_args[1].strip("'")
                         if len(stmt.engine_args) > 1
                         else f"{stmt.name}.{fmt.lower()}")
+                path = check_external_source(session, "file", path)
                 engines[stmt.name] = {"engine": "File", "format": fmt,
                                       "path": path, "mtime": None}
             else:
                 if not stmt.engine_args:
                     raise ValueError("ENGINE = URL needs (url[, format])")
+                check_external_source(session, "url")
                 url = stmt.engine_args[0].strip("'")
                 fmt = stmt.engine_args[1] if len(stmt.engine_args) > 1 \
                     else None
@@ -1211,7 +1316,8 @@ def execute_statement(session, stmt) -> Table:
                 renamed.append(Column(Field(tgt.name, src.dtype,
                                             src.field.nullable,
                                             src.field.vector_dim,
-                                            src.field.elem),
+                                            src.field.elem,
+                                            fixed_len=tgt.field.fixed_len),
                                       src.data, src.valid, src.dictionary,
                                       None, src.offsets))
             new = T(renamed)
@@ -1276,8 +1382,10 @@ def execute_statement(session, stmt) -> Table:
         return T([])
 
     if isinstance(stmt, InsertInfile):
+        from myscaledb_tpu.sql.executor import check_external_source
+        path = check_external_source(session, "file", stmt.path)
         fmt = stmt.format or format_from_extension(stmt.path)
-        session.import_file(stmt.table, stmt.path, fmt)
+        session.import_file(stmt.table, path, fmt)
         return T([])
 
     if isinstance(stmt, DetachTable):
@@ -1324,6 +1432,25 @@ def execute_statement(session, stmt) -> Table:
         keep, _ = compact_table_host(t, jnp.logical_not(kill))
         keep.name = stmt.table
         session.tables[stmt.table] = keep
+        return T([])
+
+    if isinstance(stmt, OptimizeTable):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        apply_table_ttl(session, stmt.table)
+        return T([])
+
+    if isinstance(stmt, ModifyTableSetting):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        ts = session.table_settings.setdefault(stmt.table, TableSettings())
+        val = stmt.value
+        if isinstance(val, str) and stmt.name == \
+                "binary_vector_search_metric_type":
+            val = val.capitalize()          # HAMMING/Jaccard spellings
+        # unknown knobs are accepted and recorded, like the reference's
+        # free-form MergeTreeSettings bag
+        setattr(ts, stmt.name, val)
         return T([])
 
     if isinstance(stmt, AlterUpdate):

@@ -21,7 +21,7 @@ from myscaledb_tpu.runtime.tracing import span
 DDL_KEYWORDS = ("CREATE", "INSERT", "DROP", "TRUNCATE", "DETACH", "ATTACH",
                 "SET ", "SET\t",
                 "SHOW", "DESCRIBE", "DESC ", "ALTER", "GRANT", "REVOKE",
-                "SYSTEM", "DELETE")
+                "SYSTEM", "DELETE", "OPTIMIZE")
 
 
 def _ast_lines(q, depth: int = 0) -> list:

@@ -58,7 +58,13 @@ AGG_NAMES = {"count", "sum", "min", "max", "avg", "any", "uniqexact",
              "sumdistinct", "avgdistinct", "countdistinct",
              "groupbitand", "groupbitor", "groupbitxor",
              "quantileexact", "quantileexactlow",
-             "grouparray", "groupuniqarray", "quantiles", "topk"}
+             "grouparray", "groupuniqarray", "quantiles", "topk",
+             "quantiletdigest",
+             # -State / -Merge combinator spellings
+             "sumstate", "summerge", "countstate", "countmerge",
+             "minstate", "minmerge", "maxstate", "maxmerge",
+             "avgstate", "avgmerge", "uniqstate", "uniqmerge",
+             "quantiletdigeststate", "quantiletdigestmerge"}
 SPECIAL_AGGS = {"uniqexact", "argmin", "argmax", "quantile", "median",
                 "varpop", "varsamp", "stddevpop", "stddevsamp",
                 "covarpop", "covarsamp", "corr", "anylast",
@@ -66,7 +72,8 @@ SPECIAL_AGGS = {"uniqexact", "argmin", "argmax", "quantile", "median",
                 "sumdistinct", "avgdistinct", "countdistinct",
                 "groupbitand", "groupbitor", "groupbitxor",
                 "quantileexact", "quantileexactlow",
-                "grouparray", "groupuniqarray", "quantiles", "topk"}
+                "grouparray", "groupuniqarray", "quantiles", "topk",
+                "quantiletdigest"}
 # exact-distinct implementations; the reference's uniq/uniqCombined/uniqHLL12
 # are approximate sketches (src/AggregateFunctions/AggregateFunctionUniq.h) —
 # exact counts are a strict-precision superset of that contract.
@@ -96,10 +103,13 @@ class VSInfo:
     alias: Optional[str]
     metric: str
     col: str
-    qvec: np.ndarray             # (nq, d) float32
+    qvec: np.ndarray             # (nq, d) float32; packed (nq, words)
+                                 # uint32 when binary
     is_batch: bool
     fused: bool = False
     k: int = 0
+    binary: bool = False         # FixedString column -> Hamming/Jaccard
+                                 # (BruteForceSearch.h:95-110)
 
 
 def _metric_for(call: FuncCall, tsettings: TableSettings) -> str:
@@ -136,15 +146,20 @@ def analyze_vector_search(q: SelectQuery, session, table: Table,
     col_arg, vec_arg = call.args
     if not isinstance(col_arg, Ident):
         raise ExecError(f"{call.name}: first argument must be a vector column")
-    if not isinstance(vec_arg, VectorLiteral):
-        raise ExecError(f"{call.name}: second argument must be a vector literal")
     col = col_arg.name
     if col not in table:
         # reference wording: "There is no column 'x'." (00007 golden)
         raise ExecError(f"There is no column {col!r}")
+    is_batch = call.name.lower() == "batch_distance"
+    if table[col].field.fixed_len > 0:
+        # FixedString column = BINARY VECTOR (VIUtils.cpp:666): the query
+        # argument is any constant string expression (char/unhex/unbin/...)
+        return _analyze_binary_vector_search(q, session, table, call, col,
+                                             vec_arg, is_batch, alias_exprs)
+    if not isinstance(vec_arg, VectorLiteral):
+        raise ExecError(f"{call.name}: second argument must be a vector literal")
     if not table[col].dtype.is_vector:
         raise ExecError(f"{call.name}: {col!r} is not a vector column of the table")
-    is_batch = call.name.lower() == "batch_distance"
     qv = np.asarray(vec_arg.values, dtype=np.float32)
     if qv.size == 0:
         raise ExecError("empty query vector")
@@ -165,8 +180,15 @@ def analyze_vector_search(q: SelectQuery, session, table: Table,
             alias = it.alias
     info = VSInfo(call, render(call), alias, _metric_for(call, tsettings),
                   col, qv, is_batch)
+    return _apply_vs_fusion(info, q)
 
-    # fusion check: ORDER BY <distance expr|alias> [dir matches metric] LIMIT k
+
+def _apply_vs_fusion(info: VSInfo, q: SelectQuery) -> VSInfo:
+    """Fusion check: ORDER BY <distance expr|alias> [dir matching the
+    metric] LIMIT k -> fold the top-k into the scan (the reference's
+    TreeRewriter LIMIT pushdown into vector search)."""
+    alias = info.alias
+
     def refs_distance(e: Expr) -> bool:
         r = render(e)
         if r == info.name or (alias and isinstance(e, Ident)
@@ -174,8 +196,8 @@ def analyze_vector_search(q: SelectQuery, session, table: Table,
             return True
         return False
 
-    want_asc = info.metric != "IP"
-    if not is_batch:
+    want_asc = info.metric != "IP"          # Hamming/Jaccard/L2/Cosine asc
+    if not info.is_batch:
         if (q.order_by and q.limit is not None and not q.group_by
                 and refs_distance(q.order_by[0].expr)
                 and q.order_by[0].ascending == want_asc):
@@ -189,6 +211,56 @@ def analyze_vector_search(q: SelectQuery, session, table: Table,
         else:
             raise ExecError("batch_distance requires LIMIT n BY <alias>.1")
     return info
+
+
+def _const_string(e: Expr, table: Table, what: str) -> bytes:
+    """Evaluate a constant string expression (char()/unhex()/unbin()/literal)
+    to raw bytes (latin-1 — the engine's byte-transparent string encoding)."""
+    if isinstance(e, Literal) and isinstance(e.value, str):
+        return e.value.encode("latin-1", "replace")
+    v = eval_expr(e, Env(Table([])))
+    if not v.is_scalar or not isinstance(v.py, str):
+        raise ExecError(f"{what}: query vector must be a constant string "
+                        f"(char()/unhex()/unbin()) for binary vectors")
+    return v.py.encode("latin-1", "replace")
+
+
+def _analyze_binary_vector_search(q, session, table, call, col, vec_arg,
+                                  is_batch, alias_exprs) -> "VSInfo":
+    """distance()/batch_distance() over a FixedString column — the binary
+    vector path (BruteForceSearch.h:95-110; metric default from
+    binary_vector_search_metric_type, MergeTreeSettings.h:184)."""
+    from myscaledb_tpu.ops.binary_vector import pack_binary, BINARY_METRICS
+    nbytes = table[col].field.fixed_len
+    if is_batch:
+        args = getattr(vec_arg, "values", None)
+        if args is None:
+            # [expr, expr, ...] parses as an array FuncCall
+            if isinstance(vec_arg, FuncCall) and \
+                    vec_arg.name.lower() == "array":
+                args = vec_arg.args
+            else:
+                raise ExecError("batch_distance expects [q1, q2, ...]")
+        raws = [_const_string(a, table, call.name) for a in args]
+    else:
+        raws = [_const_string(vec_arg, table, call.name)]
+    for r in raws:
+        if len(r) != nbytes:
+            raise ExecError(
+                f"{call.name}: query vector has {len(r)} bytes, column "
+                f"{col!r} is FixedString({nbytes})")
+    qw = pack_binary(raws, nbytes)
+    tsettings = session.table_settings.get(table.name, TableSettings())
+    metric = str(tsettings.binary_vector_search_metric_type).capitalize()
+    if metric not in BINARY_METRICS:
+        raise ExecError(f"unknown binary vector metric {metric!r}")
+    alias = None
+    for it in q.items:
+        if it.alias and render(it.expr) == render(call):
+            alias = it.alias
+    info = VSInfo(call, render(call), alias, metric, col, qw, is_batch,
+                  binary=True)
+    return _apply_vs_fusion(info, q)
 
 
 # ---------------------------------------------------------------------------
@@ -289,12 +361,44 @@ def _guess_format(path: str) -> str:
             "native": "Native"}.get(ext, "CSV")
 
 
-def _file_url_table(kind: str, src: str, fmt, schema) -> Table:
+def check_external_source(session, kind: str, path: str | None = None) -> str:
+    """Gate + confine external-source access (file()/url() table functions,
+    File/URL engines, INFILE).  Reference: StorageFile::checkCreationIsAllowed
+    (src/Storages/StorageFile.cpp) restricts paths to user_files_path, and
+    ContextAccess checks the FILE/URL source privileges
+    (src/Access/Common/AccessType.h).  Returns the resolved path.
+
+    * privilege: the current user needs FILE (or URL) — the implicit
+      'default' user holds ALL, so embedded/library sessions are unaffected;
+      servers can create restricted users that cannot touch the filesystem.
+    * confinement: when ``settings.user_files_path`` is set (servers set it
+      at startup), relative paths resolve under it and absolute paths must
+      stay inside it."""
+    import os
+    session.access.check(session.current_user,
+                         "URL" if kind == "url" else "FILE", "*")
+    if path is None or kind == "url":
+        return path
+    root = session.settings.user_files_path
+    if not root:
+        return path
+    root = os.path.realpath(root)
+    resolved = os.path.realpath(
+        path if os.path.isabs(path) else os.path.join(root, path))
+    if resolved != root and not resolved.startswith(root + os.sep):
+        raise ExecError(
+            f"path {path!r} is outside the user_files directory {root!r} "
+            f"(reference: StorageFile::checkCreationIsAllowed)")
+    return resolved
+
+
+def _file_url_table(session, kind: str, src: str, fmt, schema) -> Table:
     """file('path', fmt, 'a Int64, ...') / url('http://...', fmt, schema)
     table functions (reference: src/TableFunctions/TableFunctionFile.cpp,
     TableFunctionURL.cpp — reads an external source as a one-shot table).
     Self-describing formats (Parquet/Arrow/ORC/Native) may omit the
     structure clause."""
+    src = check_external_source(session, kind, src) or src
     from myscaledb_tpu.runtime import formats
     from myscaledb_tpu.sql.ddl import parse_schema_string, fields_from_defs
     fields = fields_from_defs(parse_schema_string(schema)) if schema else []
@@ -579,6 +683,26 @@ def _vector_sidecar(session, table_name, table, col):
         del session._vector_sidecars[k]
     session._vector_sidecars[key] = out
     return out
+
+
+def _binary_sidecar(session, table_name, table, col):
+    """Packed uint32 layout of a FixedString binary-vector column, cached
+    per (table, column, mutation epoch) like the SQ8 sidecar."""
+    epoch = session._mutation_epoch
+    key = (table_name, col + "\x00binary", epoch)
+    hit = session._vector_sidecars.get(key)
+    if hit is not None:
+        return hit
+    from myscaledb_tpu.ops.binary_vector import pack_binary
+    c = table[col]
+    raws = [("" if s is None else s).encode("latin-1", "replace")
+            for s in c.to_python()]
+    xw = jnp.asarray(pack_binary(raws, c.field.fixed_len))
+    stale = [k for k in session._vector_sidecars if k[2] != epoch]
+    for k in stale:
+        del session._vector_sidecars[k]
+    session._vector_sidecars[key] = xw
+    return xw
 
 
 def _distributed_topn_ids(q, table, env, mask, alias_exprs):
@@ -1369,10 +1493,18 @@ def _maybe_streaming_aggregate(env: Env, q: SelectQuery, mask, session,
         chunk_rows=session.settings.stream_chunk_rows)
     outs = finalize(states, gc, tuple(fns))
     if not key_cols and len(gc) == 0:
-        # global aggregation over an empty selection still yields one row
-        outs = [np.asarray([np.nan]) if fn == "avg"
-                else np.zeros(1, dtype=o.dtype if o.size else np.int64)
-                for fn, o in zip(fns, outs)]
+        # global aggregation over an empty selection still yields one row.
+        # Derive it by finalizing the SAME identity states the resident path
+        # uses (present=[0] over untouched slots) — a synthesized zero row
+        # would diverge from the resident path for min/max/avg identities.
+        from myscaledb_tpu.ops.aggregate import partial_aggregate_matmul
+        d_args = tuple(
+            jnp.zeros(1, dtype=np.asarray(a.data[:0]).dtype)
+            if a is not None else None for a in args)
+        id_states, id_gc = partial_aggregate_matmul(
+            jnp.zeros(1, dtype=jnp.int32), jnp.zeros(1, dtype=bool),
+            d_args, tuple(fns), 1)
+        outs = [o[:1] for o in finalize(id_states, id_gc, tuple(fns))]
     cols, mapping = [], {}
     for kname, kcol, rep in zip(key_names, key_cols, rep_keys):
         cols.append(Column(Field(kname, kcol.dtype, False,
@@ -1384,6 +1516,25 @@ def _maybe_streaming_aggregate(env: Env, q: SelectQuery, mask, session,
                                       build_zonemap=False))
         mapping[r] = r
     return Table(cols, name=table.name), mapping
+
+
+def _column_range(expr, table):
+    """(min, max) bounds for a bare integer column reference, from its zone
+    map (built at INSERT) — lets the Pallas group-aggregate use the
+    single-limb narrow-value kernel (the analog of the reference's
+    width-specialized aggregator dispatch, Aggregator.h)."""
+    if not isinstance(expr, Ident):
+        return None
+    try:
+        col = table[expr.name]
+    except (KeyError, Exception):
+        return None
+    zm = getattr(col, "zonemap", None)
+    if zm is None or not len(zm.mins):
+        return None
+    if not np.issubdtype(np.asarray(zm.mins).dtype, np.integer):
+        return None
+    return (int(zm.mins.min()), int(zm.maxs.max()))
 
 
 def run_aggregate(env: Env, q: SelectQuery, mask, session,
@@ -1409,7 +1560,7 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
                             raise ExecError("nested aggregate functions")
                 agg_calls[render(node)] = node
 
-    fns, args, arg_valids = [], [], []
+    fns, args, arg_valids, arg_ranges = [], [], [], []
     special: dict[str, tuple] = {}       # render -> (kind, arg Values)
     normal_order: list[str] = []
     date_tags = {}
@@ -1434,6 +1585,7 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
                 fns.append("count")
                 args.append(jnp.zeros(n, dtype=jnp.int32))
                 arg_valids.append(cond)
+                arg_ranges.append(None)
                 continue
             v = eval_expr(_expand_item_aliases(call.args[0], alias_exprs,
                                                table), env)
@@ -1444,11 +1596,34 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
             fns.append(base)
             args.append(data)
             arg_valids.append(valid)
+            arg_ranges.append(_column_range(call.args[0], table))
+            continue
+        # -State/-Merge combinators (AggregateFunctionState.h/...Merge.h):
+        # rewrite sumState -> (aggstate, base=sum) etc. before dispatch
+        for suffix, ckind in (("state", "aggstate"), ("merge", "aggmerge")):
+            if name.endswith(suffix) and name[:-len(suffix)] in STATE_BASES:
+                sbase = name[:-len(suffix)]
+                cargs = list(call.args)
+                lvl = None
+                if sbase == "quantiletdigest" and len(cargs) == 2 and \
+                        isinstance(cargs[0], Literal):
+                    lvl = float(cargs[0].value)
+                    cargs = cargs[1:]
+                vals = [eval_expr(_expand_item_aliases(a, alias_exprs,
+                                                       table), env)
+                        for a in cargs]
+                if len(vals) != 1:
+                    raise ExecError(f"{call.name} expects one argument")
+                special[r] = (ckind, vals, (sbase, lvl))
+                name = None
+                break
+        if name is None:
             continue
         if name in SPECIAL_AGGS:
             params = None
             cargs = list(call.args)
-            if name in ("quantile", "quantileexact", "quantileexactlow") \
+            if name in ("quantile", "quantileexact", "quantileexactlow",
+                        "quantiletdigest") \
                     and len(cargs) == 2 and isinstance(cargs[0], Literal):
                 params = float(cargs[0].value)   # quantile(0.9)(x)
                 cargs = cargs[1:]
@@ -1485,16 +1660,19 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
             fns.append("count")
             args.append(jnp.zeros(n, dtype=jnp.int32))
             arg_valids.append(None)
+            arg_ranges.append(None)
             continue
         if not call.args:
             raise ExecError(f"{call.name} requires an argument")
-        v = eval_expr(_expand_item_aliases(call.args[0], alias_exprs, table), env)
+        arg_e = _expand_item_aliases(call.args[0], alias_exprs, table)
+        v = eval_expr(arg_e, env)
         data = v.data
         if v.is_scalar:
             data = jnp.full((n,), jnp.asarray(data))
         fns.append("count" if name == "count" else name)
         args.append(data)
         arg_valids.append(v.valid)
+        arg_ranges.append(_column_range(arg_e, table))
         if name in ("min", "max", "any") and v.dt is not None:
             date_tags[r] = v.dt   # min/max/any of a Date stays a Date
 
@@ -1533,7 +1711,8 @@ def run_aggregate(env: Env, q: SelectQuery, mask, session,
     else:
         states, gc = partial_aggregate_matmul(gid, m, tuple(args),
                                               tuple(fns), G,
-                                              tuple(arg_valids))
+                                              tuple(arg_valids),
+                                              tuple(arg_ranges))
     outs = finalize(states, gc, tuple(fns))
     gc_np = np.asarray(gc)
     present = np.flatnonzero(gc_np > 0)
@@ -1652,6 +1831,144 @@ def _totals_table(env, q, mask, session, alias_exprs,
     return Table(out, name="totals")
 
 
+STATE_BASES = {"sum", "count", "min", "max", "avg", "uniq",
+               "quantiletdigest"}
+
+
+def _state_combinator(kind, vals, gid, m, OOB, present, n, params):
+    """-State / -Merge combinators (reference:
+    src/AggregateFunctions/Combinators/AggregateFunctionState.h /
+    ...Merge.h over IAggregateFunction's serialize/merge contract): -State
+    returns the engine's mergeable partial state as an opaque string
+    column; -Merge combines state columns and finalizes.  States are
+    sketch-sized (HLL registers for uniq, t-digest centroids for
+    quantileTDigest) so distributed merges never re-gather rows."""
+    import json
+    from myscaledb_tpu.core.dictionary import StringDictionary
+    base, level = params if isinstance(params, tuple) else (params, None)
+    v = vals[0]
+    data = v.data
+    if v.is_scalar:
+        data = jnp.full((n,), jnp.asarray(data))
+    vm = m if v.valid is None else jnp.logical_and(m, v.valid)
+    gid_np = np.asarray(jnp.where(vm, gid, OOB))
+
+    if kind == "aggstate":
+        is_float = np.issubdtype(np.asarray(data[:0]).dtype, np.floating)
+        if base == "uniq":
+            from myscaledb_tpu.ops.hll import (hash_key_columns,
+                                               hll_registers)
+            import base64
+            if v.dictionary is not None:
+                # hash string VALUES, not dictionary ids — states from
+                # different shards/sessions have different dictionaries
+                import hashlib
+                dv = np.asarray(
+                    [int.from_bytes(hashlib.blake2b(
+                        ("" if s is None else s).encode("latin-1",
+                                                        "replace"),
+                        digest_size=8).digest(), "little")
+                     for s in v.dictionary.values], dtype=np.uint64)
+                if not len(dv):
+                    dv = np.zeros(1, dtype=np.uint64)
+                keyed = jnp.asarray(
+                    dv[np.clip(np.asarray(data), 0, len(dv) - 1)])
+            else:
+                keyed = data
+            h64 = hash_key_columns((keyed,))
+            regs = np.asarray(hll_registers(
+                h64, jnp.asarray(gid_np), jnp.asarray(gid_np < int(OOB)),
+                int(OOB)))
+            states = [json.dumps({"f": "uniq", "r": base64.b64encode(
+                regs[g].astype(np.uint8).tobytes()).decode()})
+                for g in present]
+        else:
+            if v.dictionary is not None:
+                raise ExecError(f"{base}State over string columns is not "
+                                f"supported")
+            data_np = np.asarray(data, dtype=np.float64 if is_float
+                                 else np.int64)
+            states = []
+            for g in present:
+                sel = data_np[gid_np == g]
+                if base == "sum":
+                    s = float(sel.sum()) if is_float else int(sel.sum())
+                    st = {"f": "sum", "v": s}
+                elif base == "count":
+                    st = {"f": "count", "v": int(len(sel))}
+                elif base in ("min", "max"):
+                    val = None if not len(sel) else (
+                        float(sel.min() if base == "min" else sel.max())
+                        if is_float else
+                        int(sel.min() if base == "min" else sel.max()))
+                    st = {"f": base, "v": val}
+                elif base == "avg":
+                    st = {"f": "avg", "s": float(sel.sum()),
+                          "c": int(len(sel))}
+                else:   # quantiletdigest
+                    from myscaledb_tpu.ops.tdigest import (build_digest,
+                                                           serialize_digest)
+                    st = {"f": "qtd", "d": serialize_digest(
+                        *build_digest(sel))}
+                states.append(json.dumps(st))
+        sd = StringDictionary()
+        ids = sd.encode(states)
+        return Column(Field("x", DataType.STRING),
+                      jnp.asarray(np.asarray(ids).astype(np.int32)), None,
+                      sd)
+
+    # aggmerge: vals[0] is a state string column
+    if v.dictionary is None:
+        raise ExecError(f"{base}Merge expects a state column")
+    strings = v.dictionary.values
+    ids_np = np.asarray(data)
+    out_vals = []
+    for g in present:
+        sts = [json.loads(strings[i]) for i in ids_np[gid_np == g]
+               if 0 <= i < len(strings)]
+        if base == "sum":
+            out_vals.append(sum(s["v"] for s in sts))
+        elif base == "count":
+            out_vals.append(sum(s["v"] for s in sts))
+        elif base in ("min", "max"):
+            vv = [s["v"] for s in sts if s["v"] is not None]
+            out_vals.append((min(vv) if base == "min" else max(vv))
+                            if vv else None)
+        elif base == "avg":
+            tot = sum(s["s"] for s in sts)
+            cnt = sum(s["c"] for s in sts)
+            out_vals.append(tot / cnt if cnt else float("nan"))
+        elif base == "uniq":
+            import base64
+            from myscaledb_tpu.ops.hll import hll_estimate
+            regs = None
+            for s in sts:
+                r = np.frombuffer(base64.b64decode(s["r"]), dtype=np.uint8)
+                regs = r if regs is None else np.maximum(regs, r)
+            out_vals.append(0 if regs is None else
+                            int(np.asarray(hll_estimate(
+                                jnp.asarray(regs[None, :])))[0]))
+        else:   # quantiletdigest
+            from myscaledb_tpu.ops.tdigest import (deserialize_digest,
+                                                   merge_digests,
+                                                   digest_quantile)
+            dig = merge_digests([deserialize_digest(s["d"]) for s in sts])
+            out_vals.append(np.float32(digest_quantile(
+                *dig, level if level is not None else 0.5)))
+    if base in ("count", "uniq"):
+        arr = np.asarray(out_vals, dtype=np.int64)
+    elif base == "quantiletdigest":
+        arr = np.asarray(out_vals, dtype=np.float32)
+    elif base == "avg":
+        arr = np.asarray(out_vals, dtype=np.float64)
+    else:
+        has_none = any(o is None for o in out_vals)
+        arr = np.asarray([np.nan if o is None else o for o in out_vals],
+                         dtype=np.float64) if has_none else \
+            np.asarray(out_vals)
+    return Column.from_numpy("x", arr, build_zonemap=False)
+
+
 def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
                        params=None, settings=None):
     """uniqExact / argMin / argMax — computed outside the mergeable-state
@@ -1706,6 +2023,27 @@ def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
             dictionary = None
         return Column(Field("x", DataType.ARRAY, elem=elem),
                       jnp.asarray(flat), None, dictionary, None, off)
+    if kind == "quantiletdigest":
+        # t-digest sketch quantile (QuantileTDigest.h): fixed-size centroid
+        # state; approximate by design, unlike the exact-sort quantile
+        from myscaledb_tpu.ops.tdigest import build_digest, digest_quantile
+        level = params if params is not None else 0.5
+        v = vals[0]
+        data = v.data
+        if v.is_scalar:
+            data = jnp.full((n,), jnp.asarray(data))
+        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
+        gid_np = np.asarray(jnp.where(vm, gid, OOB))
+        data_np = np.asarray(data)
+        out = np.full(len(present), np.nan)
+        for i, g in enumerate(present):
+            sel = data_np[gid_np == g]
+            if len(sel):
+                out[i] = digest_quantile(*build_digest(sel), level)
+        return Column.from_numpy("x", out.astype(np.float32),
+                                 build_zonemap=False)
+    if kind in ("aggstate", "aggmerge"):
+        return _state_combinator(kind, vals, gid, m, OOB, present, n, params)
     if kind in ("quantile", "median"):
         # exact quantile via per-group sorted layout (reference default is
         # sampling-based quantile; exact matches quantileExact)
@@ -2261,7 +2599,7 @@ def execute_select(session, q: SelectQuery) -> Table:
         elif kind == "ftsindex":
             base = _ftsindex_table(session, *params)
         elif kind in ("file", "url"):
-            base = _file_url_table(kind, *params)
+            base = _file_url_table(session, kind, *params)
         else:
             raise ExecError(f"unknown table function {kind!r}")
     elif q.subquery is not None:
@@ -2378,6 +2716,24 @@ def execute_select(session, q: SelectQuery) -> Table:
         if table.n_rows == 0:
             d = jnp.zeros((vs.qvec.shape[0], 0), dtype=jnp.float32)
             ids = jnp.zeros((vs.qvec.shape[0], 0), dtype=jnp.int32)
+        elif vs.binary:
+            # binary vector scan: XOR/AND/OR + popcount on packed uint32
+            # lanes (BruteForceSearch.h:95-110); the packed sidecar is
+            # cached per table epoch like the SQ8 sidecar
+            from myscaledb_tpu.ops.binary_vector import (binary_distance_scan,
+                                                         pack_binary)
+            base_tab = session.tables.get(q.table) if q.table else None
+            if base_tab is not None and vs.col in base_tab and \
+                    base_tab[vs.col].data is table[vs.col].data:
+                xw = _binary_sidecar(session, q.table, table, vs.col)
+            else:                      # scanned column was replaced (join/
+                c = table[vs.col]      # subquery): pack ad hoc
+                xw = jnp.asarray(pack_binary(
+                    [("" if s is None else s).encode("latin-1", "replace")
+                     for s in c.to_python()], c.field.fixed_len))
+            d, ids = binary_distance_scan(xw, jnp.asarray(vs.qvec),
+                                          metric=vs.metric, k=vs.k,
+                                          mask=mask)
         elif is_distributed(table):
             d, ids = sharded_distance_topk(
                 table.mesh, x, jnp.asarray(vs.qvec), vs.metric, vs.k,
@@ -2624,26 +2980,47 @@ def execute_select(session, q: SelectQuery) -> Table:
             sks.append(_sort_key_from_value(v, o.ascending, nl, n2))
         M.increment(M.SORTED_ROWS, n2)
         has_fill = any(o.fill is not None for o in order_by)
-        with span("sort", rows=n2, keys=len(sks)):
-            if q.limit is not None and q.limit_by is None and not has_fill:
-                if any(isinstance(sk.values, np.ndarray) for sk in sks):
-                    # host-resident sort key: external top-n (spill tier =
-                    # host RAM, MergeSortingTransform.h:29 analog)
-                    from myscaledb_tpu.ops.sort import \
-                        streaming_topn_permutation
-                    M.increment("StreamingTopN")
-                    perm = streaming_topn_permutation(
-                        sks, q.limit + q.offset, n2,
-                        settings.stream_chunk_rows)
+        # read-in-order (optimizeReadInOrder.cpp analog): for one plain
+        # ascending key over a large table, ONE monotonicity pass (memory
+        # bound, ~100x cheaper than lax.sort) detects already-ordered data
+        # — parts are written PK-sorted (storage/table_store.py) so ORDER
+        # BY pk LIMIT k streams without ever materializing a sort.  The
+        # identity permutation is bit-identical to the stable sort.
+        if (len(sks) == 1 and not has_fill and n2 >= (1 << 20)
+                and sks[0].ascending and sks[0].valid is None
+                and not isinstance(sks[0].values, np.ndarray)
+                and getattr(sks[0].values, "ndim", 0) == 1):
+            d0 = sks[0].values
+            if bool(jnp.all(d0[1:] >= d0[:-1])):
+                M.increment("ReadInOrderSorts")
+                if q.limit is not None and q.limit_by is None:
+                    hi = min(q.limit + q.offset, n2)
+                    proj_table = proj_table.take(
+                        jnp.arange(hi, dtype=jnp.int32))
+                proj_table.tuple_groups = tuple_groups
+                sks = None
+        if sks is not None:
+            with span("sort", rows=n2, keys=len(sks)):
+                if q.limit is not None and q.limit_by is None \
+                        and not has_fill:
+                    if any(isinstance(sk.values, np.ndarray) for sk in sks):
+                        # host-resident sort key: external top-n (spill tier
+                        # = host RAM, MergeSortingTransform.h:29 analog)
+                        from myscaledb_tpu.ops.sort import \
+                            streaming_topn_permutation
+                        M.increment("StreamingTopN")
+                        perm = streaming_topn_permutation(
+                            sks, q.limit + q.offset, n2,
+                            settings.stream_chunk_rows)
+                    else:
+                        perm = topn_permutation(sks, q.limit + q.offset, n2)
                 else:
-                    perm = topn_permutation(sks, q.limit + q.offset, n2)
-            else:
-                perm = sort_permutation(sks)
-        proj_table = proj_table.take(perm)
-        proj_table.tuple_groups = tuple_groups
-        if has_fill:
-            proj_table = _apply_with_fill(proj_table, order_by)
+                    perm = sort_permutation(sks)
+            proj_table = proj_table.take(perm)
             proj_table.tuple_groups = tuple_groups
+            if has_fill:
+                proj_table = _apply_with_fill(proj_table, order_by)
+                proj_table.tuple_groups = tuple_groups
 
     # 7. LIMIT BY
     if q.limit_by is not None:

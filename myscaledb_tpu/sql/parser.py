@@ -642,6 +642,22 @@ class Parser:
 
     def parse_primary(self) -> Expr:
         t = self.peek()
+        if t.upper == "INTERVAL":
+            # INTERVAL n UNIT -> seconds literal (DateTime arithmetic; the
+            # reference's IntervalKind tree, ParserCreateQuery TTL clauses).
+            # Date columns count days, not seconds — use toIntervalDay-less
+            # plain numbers there (documented limitation).
+            self.next()
+            num = self.parse_unary()
+            unit = self.next().upper.rstrip("S")
+            scale = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+                     "WEEK": 604800, "MONTH": 2592000, "QUARTER": 7776000,
+                     "YEAR": 31536000}.get(unit)
+            if scale is None:
+                raise ParseError(f"unknown INTERVAL unit {unit!r}")
+            if isinstance(num, Literal):
+                return Literal(num.value * scale)
+            return BinOp("*", num, Literal(scale))
         if t.kind == "number":
             self.next()
             txt = t.text

@@ -251,8 +251,21 @@ def build_plan(session, q) -> PlanNode:
     if q.order_by:
         keys = ", ".join(render(o.expr) + ("" if o.ascending else " DESC")
                          for o in q.order_by)
+        # read-in-order (reference: optimizeReadInOrder.cpp): ORDER BY that
+        # prefix-matches the table sort key can stream rows in stored order
+        # — the executor verifies monotonicity at run time (one cheap pass)
+        # and skips the sort entirely when it holds
+        in_order = False
+        okeys = getattr(session, "_table_order_keys", {}).get(
+            getattr(q, "table", None)) or []
+        if okeys and not q.group_by and not q.distinct and \
+                all(o.ascending for o in q.order_by):
+            names = [render(o.expr) for o in q.order_by]
+            in_order = names == okeys[:len(names)]
         if q.limit is not None:
             props = {}
+            if in_order:
+                props["read_in_order"] = "in_order"
             if table is not None and is_distributed(table) and \
                     not q.group_by and not q.distinct and \
                     q.limit_by is None:
@@ -263,7 +276,9 @@ def build_plan(session, q) -> PlanNode:
                             children=[node], props=props)
         else:
             node = PlanNode("Sorting", detail=f"keys=[{keys}]",
-                            children=[node])
+                            children=[node],
+                            props={"read_in_order": "in_order"}
+                            if in_order else {})
     if q.limit_by is not None:
         node = PlanNode("LimitBy", detail=f"n={q.limit_by[0]}",
                         children=[node])

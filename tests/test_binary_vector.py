@@ -1,0 +1,175 @@
+"""Binary vectors (FixedString columns) with Hamming/Jaccard distance —
+bit-exact against the reference's binary-vector feature test
+(tests/queries/2_vector_search/00038_mqvs_binary_vector_feature.sql +
+.reference; semantics from src/VectorIndex/Common/BruteForceSearch.h:95-110,
+default metric MergeTreeSettings.h:184)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.session import Session
+from myscaledb_tpu.runtime.formats import ch_tsv_lines
+
+
+@pytest.fixture
+def sess():
+    s = Session()
+    s.sql("CREATE TABLE test_binary(id UInt32, vector FixedString(4)) "
+          "engine MergeTree primary key id")
+    s.sql("INSERT INTO test_binary SELECT number, "
+          "char(number, number, number, number) FROM numbers(1024)")
+    return s
+
+
+def lines(s, q):
+    return ch_tsv_lines(s.sql(q))
+
+
+HAMMING_TOP20 = """100\t4
+101\t4
+102\t4
+103\t4
+356\t4
+357\t4
+358\t4
+359\t4
+612\t4
+613\t4
+614\t4
+615\t4
+868\t4
+869\t4
+870\t4
+871\t4
+36\t8
+37\t8
+38\t8
+39\t8""".split("\n")
+
+HAMMING_FILTERED = """101\t4
+102\t4
+103\t4
+108\t8
+109\t8
+110\t8
+111\t8
+116\t8
+117\t8
+118\t8
+119\t8
+104\t12
+105\t12
+106\t12
+107\t12
+112\t12
+113\t12
+114\t12
+115\t12""".split("\n")
+
+JACCARD_TOP20 = """103\t0.2
+359\t0.2
+615\t0.2
+871\t0.2
+101\t0.22222222
+102\t0.22222222
+357\t0.22222222
+358\t0.22222222
+613\t0.22222222
+614\t0.22222222
+869\t0.22222222
+870\t0.22222222
+100\t0.25
+356\t0.25
+612\t0.25
+868\t0.25
+111\t0.33333334
+119\t0.33333334
+231\t0.33333334
+367\t0.33333334""".split("\n")
+
+BATCH_HAMMING = """85\t(0,0)
+341\t(0,0)
+597\t(0,0)
+853\t(0,0)
+21\t(0,4)
+69\t(0,4)
+81\t(0,4)
+84\t(0,4)
+87\t(0,4)
+93\t(0,4)
+0\t(1,16)
+1\t(1,16)
+2\t(1,16)
+3\t(1,16)
+4\t(1,16)
+5\t(1,16)
+6\t(1,16)
+7\t(1,16)
+8\t(1,16)
+9\t(1,16)
+255\t(2,0)
+511\t(2,0)
+767\t(2,0)
+1023\t(2,0)
+127\t(2,4)
+191\t(2,4)
+223\t(2,4)
+239\t(2,4)
+247\t(2,4)
+251\t(2,4)""".split("\n")
+
+
+def test_hamming_brute_force(sess):
+    got = lines(sess, "SELECT id, distance(vector, char(100, 101, 102, 103))"
+                      " AS dist FROM test_binary ORDER BY dist,id LIMIT 20")
+    assert got == HAMMING_TOP20
+
+
+def test_hamming_with_filter(sess):
+    got = lines(sess, "SELECT id, distance(vector, char(100, 101, 102, 103))"
+                      " AS dist FROM test_binary WHERE id > 100 and id < 120"
+                      " ORDER BY dist,id LIMIT 20")
+    assert got == HAMMING_FILTERED
+
+
+def test_jaccard_brute_force(sess):
+    sess.sql("ALTER TABLE test_binary MODIFY SETTING "
+             "binary_vector_search_metric_type = 'Jaccard'")
+    got = lines(sess, "SELECT id, distance(vector, char(100, 101, 102, 103))"
+                      " AS dist FROM test_binary ORDER BY dist,id LIMIT 20")
+    assert got == JACCARD_TOP20
+
+
+def test_batch_distance_hamming(sess):
+    got = lines(sess, "SELECT id, batch_distance(vector, "
+                      "[unbin('01010101010101010101010101010101'), "
+                      "char(0, 255, 1, 254), unhex('FFFFFFFF')]) AS dist "
+                      "FROM test_binary ORDER BY dist.1 ASC, dist.2 ASC, "
+                      "id ASC LIMIT 10 BY dist.1")
+    assert got == BATCH_HAMMING
+
+
+def test_unbin_unhex_char_scalars():
+    s = Session()
+    assert lines(s, "SELECT hex(unbin('0101'))") == ["05"]
+    assert lines(s, "SELECT hex(unhex('FFAA'))") == ["FFAA"]
+    assert lines(s, "SELECT hex(char(65, 255))") == ["41FF"]
+
+
+def test_query_vector_width_mismatch(sess):
+    with pytest.raises(Exception, match="bytes"):
+        sess.sql("SELECT id, distance(vector, char(1, 2)) AS d "
+                 "FROM test_binary ORDER BY d LIMIT 1")
+
+
+def test_ops_jaccard_empty_union():
+    from myscaledb_tpu.ops.binary_vector import (pack_binary,
+                                                 binary_distance_scan)
+    import jax.numpy as jnp
+    xw = pack_binary([b"\x00\x00", b"\x03\x00"], 2)
+    qw = pack_binary([b"\x00\x00"], 2)
+    d, ids = binary_distance_scan(jnp.asarray(xw), jnp.asarray(qw),
+                                  metric="Jaccard", k=2)
+    # empty union -> distance 1 (both all-zero); row 1 has union 2, inter 0
+    got = sorted(zip(np.asarray(ids)[0].tolist(), np.asarray(d)[0].tolist()))
+    assert got == [(0, 1.0), (1, 1.0)]

@@ -1,0 +1,150 @@
+"""-State/-Merge combinators + quantileTDigest + read-in-order.
+
+Reference: src/AggregateFunctions/Combinators (State/Merge over the
+IAggregateFunction serialize/merge contract), QuantileTDigest.h, and
+Processors/QueryPlan/Optimizations/optimizeReadInOrder.cpp."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.session import Session
+from myscaledb_tpu.runtime.formats import ch_tsv_lines
+
+
+@pytest.fixture
+def sess():
+    s = Session()
+    s.sql("CREATE TABLE t (k UInt32, v Int64, s String) "
+          "ENGINE = MergeTree ORDER BY k")
+    rows = ",".join(f"({i % 4}, {i * 3 - 50}, 'u{i % 10}')"
+                    for i in range(100))
+    s.sql(f"INSERT INTO t VALUES {rows}")
+    return s
+
+
+def test_sum_state_merge_roundtrip(sess):
+    # two-phase: per-key states, then a global merge — must equal sum(v)
+    sess.sql("CREATE TABLE st (k UInt32, st String) ENGINE = Memory")
+    got = sess.sql("SELECT k, sumState(v) AS st FROM t GROUP BY k")
+    assert got.n_rows == 4
+    merged = ch_tsv_lines(sess.sql(
+        "SELECT sumMerge(st) FROM (SELECT k, sumState(v) AS st "
+        "FROM t GROUP BY k)"))
+    want = ch_tsv_lines(sess.sql("SELECT sum(v) FROM t"))
+    assert merged == want
+
+
+def test_avg_min_max_count_state_merge(sess):
+    for fn in ("avg", "min", "max", "count"):
+        merged = ch_tsv_lines(sess.sql(
+            f"SELECT {fn}Merge(st) FROM (SELECT k, {fn}State(v) AS st "
+            f"FROM t GROUP BY k)"))
+        want = ch_tsv_lines(sess.sql(f"SELECT {fn}(v) FROM t"))
+        assert merged == want, fn
+
+
+def test_uniq_state_merge_strings(sess):
+    merged = int(np.asarray(sess.sql(
+        "SELECT uniqMerge(st) FROM (SELECT k, uniqState(s) AS st "
+        "FROM t GROUP BY k)").columns.popitem()[1].data)[0])
+    # HLL sketch: exact answer is 10; 2^12 registers are near-exact here
+    assert abs(merged - 10) <= 1
+
+
+def test_finalize_aggregation(sess):
+    got = ch_tsv_lines(sess.sql(
+        "SELECT finalizeAggregation(st) FROM (SELECT k, sumState(v) AS st "
+        "FROM t GROUP BY k) ORDER BY st"))
+    vals = sorted(int(x) for x in got)
+    want = sorted(int(x) for x in ch_tsv_lines(sess.sql(
+        "SELECT sum(v) FROM t GROUP BY k")))
+    assert vals == want
+
+
+def test_quantile_tdigest_accuracy():
+    s = Session()
+    s.sql("CREATE TABLE q (v Float64) ENGINE = Memory")
+    rng = np.random.default_rng(0)
+    vals = rng.standard_normal(20000)
+    rows = ",".join(f"({x:.6f})" for x in vals)
+    s.sql(f"INSERT INTO q VALUES {rows}")
+    got = float(ch_tsv_lines(s.sql(
+        "SELECT quantileTDigest(0.9)(v) FROM q"))[0])
+    want = float(np.quantile(vals, 0.9))
+    assert abs(got - want) < 0.03          # sketch tolerance
+
+
+def test_quantile_tdigest_state_merge_distributed_shape():
+    """The distributed-quantile shape: per-shard digests merged WITHOUT
+    re-gathering rows (the whole point of the sketch)."""
+    s = Session()
+    s.sql("CREATE TABLE q (shard UInt32, v Float64) ENGINE = Memory")
+    rng = np.random.default_rng(1)
+    vals = rng.standard_normal(8000)
+    rows = ",".join(f"({i % 8}, {x:.6f})" for i, x in enumerate(vals))
+    s.sql(f"INSERT INTO q VALUES {rows}")
+    got = float(ch_tsv_lines(s.sql(
+        "SELECT quantileTDigestMerge(0.5)(st) FROM "
+        "(SELECT shard, quantileTDigestState(v) AS st FROM q "
+        "GROUP BY shard)"))[0])
+    want = float(np.quantile(vals, 0.5))
+    assert abs(got - want) < 0.03
+
+
+def test_read_in_order_skips_sort():
+    """ORDER BY over already-sorted data takes the monotonicity shortcut:
+    results identical, ReadInOrderSorts metric incremented, and EXPLAIN
+    carries the in_order marker."""
+    from myscaledb_tpu.runtime import metrics as M
+    s = Session()
+    s.sql("CREATE TABLE big (v Int64) ENGINE = MergeTree ORDER BY v")
+    import jax.numpy as jnp
+    from myscaledb_tpu.core.table import Table, Column
+    from myscaledb_tpu.core.types import Field, DataType
+    n = 1 << 20
+    col = Column(Field("v", DataType.INT64),
+                 jnp.arange(n, dtype=jnp.int64))
+    s.tables["big"] = Table([col], name="big")
+    before = M.events_snapshot().get("ReadInOrderSorts", 0)
+    r = s.sql("SELECT v FROM big ORDER BY v LIMIT 5")
+    assert [int(x) for x in ch_tsv_lines(r)] == [0, 1, 2, 3, 4]
+    assert M.events_snapshot().get("ReadInOrderSorts", 0) == before + 1
+    plan = "\n".join(ch_tsv_lines(s.sql(
+        "EXPLAIN PLAN SELECT v FROM big ORDER BY v LIMIT 5")))
+    assert "in_order" in plan
+
+
+def test_read_in_order_falls_back_when_unsorted():
+    s = Session()
+    import jax.numpy as jnp
+    from myscaledb_tpu.core.table import Table, Column
+    from myscaledb_tpu.core.types import Field, DataType
+    n = 1 << 20
+    rng = np.random.default_rng(2)
+    vals = rng.permutation(n).astype(np.int64)
+    s.tables["big"] = Table([Column(Field("v", DataType.INT64),
+                                    jnp.asarray(vals))], name="big")
+    r = s.sql("SELECT v FROM big ORDER BY v LIMIT 3")
+    assert [int(x) for x in ch_tsv_lines(r)] == [0, 1, 2]
+
+
+def test_ttl_enforced_on_optimize():
+    """TTL rows are deleted at OPTIMIZE/merge time (TTLDeleteAlgorithm);
+    accepted-and-ignored TTL was round-3's 'worst of both' finding."""
+    import time
+    s = Session()
+    s.sql("CREATE TABLE ev (id UInt32, ts DateTime) ENGINE = MergeTree "
+          "ORDER BY id TTL ts + INTERVAL 1 HOUR")
+    now = int(time.time())
+    s.sql(f"INSERT INTO ev VALUES (1, {now - 7200}), (2, {now - 60}), "
+          f"(3, {now})")
+    assert s.sql("SELECT count() FROM ev").to_rows()[0][0] == 3
+    s.sql("OPTIMIZE TABLE ev FINAL")
+    got = sorted(r[0] for r in s.sql("SELECT id FROM ev").to_rows())
+    assert got == [2, 3]           # id 1 expired (2h old, 1h TTL)
+
+
+def test_interval_literal_arithmetic():
+    s = Session()
+    r = s.sql("SELECT INTERVAL 2 HOUR + 30").to_rows()[0][0]
+    assert int(r) == 7230

@@ -1,0 +1,80 @@
+"""Fused distributed pipeline (parallel/pipeline.py) must agree with the
+separate sharded operators — the overlap is a scheduling property, not a
+semantic one (reference analog: async RemoteQueryExecutor reads return the
+same blocks as sync reads, RemoteQueryExecutor.h:36)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from myscaledb_tpu.parallel.mesh import make_mesh, shard_rows
+from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
+                                        sharded_group_aggregate)
+from myscaledb_tpu.parallel.shuffle import sharded_shuffle_join_count
+from myscaledb_tpu.parallel.pipeline import fused_topk_join_agg
+
+
+def test_fused_pipeline_matches_separate_ops(rng):
+    nsh = 8
+    mesh = make_mesh(nsh)
+    n, d, nq, k, G = 4096, 32, 3, 5, 16
+    n_dim = 1024
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    fact = rng.integers(0, 2 * n_dim, n).astype(np.int32)
+    dim = rng.integers(0, 2 * n_dim, n_dim).astype(np.int32)
+    gid = rng.integers(0, G, n).astype(np.int32)
+    vals = rng.integers(-100, 100, n).astype(np.int32)
+
+    xs = shard_rows(mesh, jnp.asarray(x))
+    qs = jnp.asarray(q)
+    fs = shard_rows(mesh, jnp.asarray(fact))
+    ds = shard_rows(mesh, jnp.asarray(dim))
+    gs = shard_rows(mesh, jnp.asarray(gid))
+    vs = shard_rows(mesh, jnp.asarray(vals))
+    ms = shard_rows(mesh, jnp.ones(n, dtype=bool))
+
+    dd, ii, cnt, states, gc = fused_topk_join_agg(
+        mesh, xs, qs, "L2", k, fs, ds, gs, ms, vs, ("sum",), G)
+
+    dd2, ii2 = sharded_distance_topk(mesh, xs, qs, "L2", k)
+    cnt2 = sharded_shuffle_join_count(mesh, fs, ds)
+    states2, gc2 = sharded_group_aggregate(mesh, gs, ms, (vs,), ("sum",), G)
+
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(ii2))
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(dd2))
+    assert int(cnt) == int(cnt2)
+    np.testing.assert_array_equal(np.asarray(states[0]),
+                                  np.asarray(states2[0]))
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(gc2))
+
+    # ground truth join count (ALL multiplicity)
+    from collections import Counter
+    dcount = Counter(dim.tolist())
+    want = sum(dcount[p] for p in fact.tolist())
+    assert int(cnt) == want
+
+
+def test_fused_pipeline_single_shard(rng):
+    mesh = make_mesh(1)
+    n, d, nq, k, G = 512, 16, 2, 4, 8
+    n_dim = 128
+    x = shard_rows(mesh, jnp.asarray(
+        rng.standard_normal((n, d)).astype(np.float32)))
+    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    fact = shard_rows(mesh, jnp.asarray(
+        rng.integers(0, 2 * n_dim, n).astype(np.int32)))
+    dim = shard_rows(mesh, jnp.asarray(
+        rng.integers(0, 2 * n_dim, n_dim).astype(np.int32)))
+    gid = shard_rows(mesh, jnp.asarray(rng.integers(0, G, n).astype(np.int32)))
+    vals = shard_rows(mesh, jnp.asarray(
+        rng.integers(-9, 9, n).astype(np.int32)))
+    mask = shard_rows(mesh, jnp.ones(n, dtype=bool))
+    dd, ii, cnt, states, gc = fused_topk_join_agg(
+        mesh, x, q, "L2", k, fact, dim, gid, mask, vals, ("sum",), G)
+    cnt2 = sharded_shuffle_join_count(make_mesh(8),
+                                      shard_rows(make_mesh(8), fact),
+                                      shard_rows(make_mesh(8), dim))
+    assert int(cnt) == int(cnt2)
+    assert np.asarray(dd).shape == (nq, k)
+    assert int(np.asarray(gc).sum()) == n
