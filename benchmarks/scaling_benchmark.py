@@ -24,6 +24,12 @@ import time
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # the axon sitecustomize re-registers the TPU plugin regardless of the
+    # env var; pin the platform through jax.config (wins at backend select)
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     ap = argparse.ArgumentParser()
