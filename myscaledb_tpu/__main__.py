@@ -43,6 +43,8 @@ def main(argv=None) -> int:
                         help="also serve the native TCP protocol")
         ap.add_argument("--mysql-port", type=int, default=0,
                         help="also serve the MySQL wire protocol")
+        ap.add_argument("--pg-port", type=int, default=0,
+                        help="also serve the PostgreSQL wire protocol")
         ap.add_argument("--data-dir", default=None)
         ap.add_argument("--user-files", default="user_files",
                         help="directory file()/File-engine paths are "
@@ -65,11 +67,15 @@ def main(argv=None) -> int:
         if a.mysql_port:
             from myscaledb_tpu.runtime.mysql_server import serve_mysql
             serve_mysql(session, a.host, a.mysql_port)
+        if a.pg_port:
+            from myscaledb_tpu.runtime.pg_server import serve_pg
+            serve_pg(session, a.host, a.pg_port)
         httpd = make_server(session, a.host, a.port)
         print(f"listening on http://{a.host}:{a.port}"
               + (f" tcp://{a.host}:{a.tcp_port}" if a.tcp_port else "")
               + (f" mysql://{a.host}:{a.mysql_port}" if a.mysql_port
-                 else ""))
+                 else "")
+              + (f" pg://{a.host}:{a.pg_port}" if a.pg_port else ""))
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:

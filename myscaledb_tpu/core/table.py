@@ -228,6 +228,8 @@ class Column:
             vals = arr.tolist()
         if self.valid is not None:
             v = np.asarray(self.valid)
+            if v.ndim == 0:                 # scalar validity (projected
+                v = np.full(len(vals), bool(v))   # constant, e.g. nullIf)
             vals = [x if ok else None for x, ok in zip(vals, v)]
         return vals
 

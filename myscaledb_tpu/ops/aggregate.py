@@ -257,17 +257,31 @@ def streaming_group_aggregate(key_cols, mask, args, fns: tuple,
     chunk_keys: list[tuple] = []
     chunk_states: list[list] = []
     chunk_gc: list[np.ndarray] = []
-    for s in range(0, max(n, 1), chunk_rows):
-        e = min(s + chunk_rows, n)
-        kc = tuple(jnp.asarray(np.asarray(k[s:e])) for k in key_cols)
-        mk = jnp.asarray(np.asarray(mask[s:e])) if mask is not None else \
-            jnp.ones(e - s, dtype=bool)
-        ag = tuple(jnp.asarray(np.asarray(a[s:e])) if a is not None
+
+    def _upload(s: int, e: int):
+        """Issue the host->HBM transfers for one chunk (async: device_put
+        returns immediately, the DMA overlaps the PREVIOUS chunk's compute
+        — the double-buffered prefetch of the reference's
+        MergeTreePrefetchedReadPool / AsynchronousReader)."""
+        import jax
+        kc = tuple(jax.device_put(np.asarray(k[s:e])) for k in key_cols)
+        mk = jax.device_put(np.asarray(mask[s:e])) if mask is not None \
+            else jnp.ones(e - s, dtype=bool)
+        ag = tuple(jax.device_put(np.asarray(a[s:e])) if a is not None
                    else jnp.zeros(e - s, dtype=jnp.int32) for a in args)
         av = None
         if arg_valids is not None and any(v is not None for v in arg_valids):
-            av = tuple(jnp.asarray(np.asarray(v[s:e])) if v is not None
+            av = tuple(jax.device_put(np.asarray(v[s:e])) if v is not None
                        else jnp.ones(e - s, dtype=bool) for v in arg_valids)
+        return kc, mk, ag, av
+
+    bounds = [(s, min(s + chunk_rows, n))
+              for s in range(0, max(n, 1), chunk_rows)]
+    pending = _upload(*bounds[0])
+    for ci, (s, e) in enumerate(bounds):
+        kc, mk, ag, av = pending
+        if ci + 1 < len(bounds):
+            pending = _upload(*bounds[ci + 1])   # prefetch next chunk now
         if nk:
             table, gid, cap = build_group_ids(kc, mask=mk)
             rep = np.asarray(table.slot_row)

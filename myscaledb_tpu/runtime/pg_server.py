@@ -1,0 +1,203 @@
+"""PostgreSQL wire-protocol server: psql / any PG driver can query the
+engine.
+
+Reference analog: src/Server/PostgreSQLHandler.cpp + src/Core/PostgreSQL/ —
+ClickHouse speaks the PG v3 protocol on port 9005.  This implements the
+subset interactive clients and drivers use:
+
+  StartupMessage (SSLRequest answered 'N') -> cleartext-password auth when
+  the user has one (PostgreSQLHandler does the same) -> simple query
+  protocol: 'Q' -> RowDescription / DataRow* / CommandComplete /
+  ReadyForQuery; errors as ErrorResponse.  Extended-protocol messages
+  (Parse/Bind/...) get a friendly error instead of a hang.
+
+Values travel as text with lenenc... length-prefixed raw cells
+(ch_cells escape=False — PG framing needs no escaping); NULL is length -1.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import struct
+import threading
+
+SSL_REQUEST = 80877103
+CANCEL_REQUEST = 80877102
+PROTOCOL_V3 = 196608
+
+
+def _read_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def _read_startup(sock) -> tuple[int, dict]:
+    (length,) = struct.unpack("!I", _read_exact(sock, 4))
+    body = _read_exact(sock, length - 4)
+    (code,) = struct.unpack("!I", body[:4])
+    params = {}
+    if code == PROTOCOL_V3:
+        parts = body[4:].split(b"\x00")
+        for k, v in zip(parts[::2], parts[1::2]):
+            if k:
+                params[k.decode()] = v.decode("utf-8", "replace")
+    return code, params
+
+
+def _msg(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack("!I", len(payload) + 4) + payload
+
+
+def _read_msg(sock) -> tuple[bytes, bytes]:
+    tag = _read_exact(sock, 1)
+    (length,) = struct.unpack("!I", _read_exact(sock, 4))
+    return tag, _read_exact(sock, length - 4)
+
+
+def _error(msg: str, code: str = "XX000") -> bytes:
+    fields = (b"SERROR\x00" + b"C" + code.encode() + b"\x00" +
+              b"M" + msg.encode("utf-8", "replace")[:800] + b"\x00\x00")
+    return _msg(b"E", fields)
+
+
+def _ready() -> bytes:
+    return _msg(b"Z", b"I")
+
+
+def _row_description(names: list) -> bytes:
+    body = struct.pack("!H", len(names))
+    for nm in names:
+        # name, table oid 0, attnum 0, type oid 25 (text), typlen -1,
+        # typmod -1, format 0 (text)
+        body += (nm.encode("utf-8", "replace") + b"\x00" +
+                 struct.pack("!IhIhih", 0, 0, 25, -1, -1, 0))
+    return _msg(b"T", body)
+
+
+def _data_row(cells: list) -> bytes:
+    body = struct.pack("!H", len(cells))
+    for cell in cells:
+        if cell is None:
+            body += struct.pack("!i", -1)
+        else:
+            raw = cell.encode("utf-8", "replace")
+            body += struct.pack("!I", len(raw)) + raw
+    return _msg(b"D", body)
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        sock = self.request
+        session = self.server.engine_session
+        try:
+            code, params = _read_startup(sock)
+            if code == SSL_REQUEST:
+                sock.sendall(b"N")                  # no TLS; retry plaintext
+                code, params = _read_startup(sock)
+            if code == CANCEL_REQUEST:
+                return
+            if code != PROTOCOL_V3:
+                sock.sendall(_error(f"unsupported protocol {code:#x}",
+                                    "08P01"))
+                return
+            user = params.get("user", "default")
+            access = session.access
+            known = access.users.get(user)
+            if known is not None and known.password_hash is not None:
+                sock.sendall(_msg(b"R", struct.pack("!I", 3)))  # cleartext
+                tag, body = _read_msg(sock)
+                if tag != b"p":
+                    sock.sendall(_error("expected PasswordMessage", "08P01"))
+                    return
+                password = body.rstrip(b"\x00").decode("utf-8", "replace")
+                auth_user = access.authenticate(user, password)
+            else:
+                auth_user = access.authenticate(user, None)
+        except ConnectionError:
+            return
+        except Exception as e:                        # noqa: BLE001
+            try:
+                sock.sendall(_error(
+                    f"password authentication failed for user "
+                    f"\"{user}\": {e}", "28P01"))
+            except OSError:
+                pass
+            return
+        sock.sendall(_msg(b"R", struct.pack("!I", 0)))          # AuthOk
+        for k, v in (("server_version", "14.0 (myscaledb-tpu)"),
+                     ("server_encoding", "UTF8"),
+                     ("client_encoding", "UTF8"),
+                     ("DateStyle", "ISO")):
+            sock.sendall(_msg(b"S", k.encode() + b"\x00" +
+                              v.encode() + b"\x00"))
+        sock.sendall(_msg(b"K", struct.pack(
+            "!II", threading.get_ident() & 0x7FFFFFFF, 0)))
+        sock.sendall(_ready())
+        while True:
+            try:
+                tag, body = _read_msg(sock)
+            except (ConnectionError, OSError):
+                return
+            if tag == b"X":
+                return
+            if tag != b"Q":
+                sock.sendall(_error(
+                    f"extended protocol message {tag!r} not supported; "
+                    f"use the simple query protocol", "0A000"))
+                sock.sendall(_ready())
+                continue
+            sql = body.rstrip(b"\x00").decode("utf-8", "replace")
+            sql = sql.strip().rstrip(";")
+            if not sql:
+                sock.sendall(_msg(b"I", b""))       # EmptyQueryResponse
+                sock.sendall(_ready())
+                continue
+            prev = session.current_user
+            session.current_user = auth_user
+            try:
+                result = session.sql(sql)
+            except Exception as e:                    # noqa: BLE001
+                sock.sendall(_error(str(e)))
+                sock.sendall(_ready())
+                continue
+            finally:
+                session.current_user = prev
+            names = [c for c in result.column_names
+                     if not c.startswith("__")]
+            if not names:
+                sock.sendall(_msg(b"C", b"OK\x00"))
+                sock.sendall(_ready())
+                continue
+            from myscaledb_tpu.runtime.formats import ch_cells
+            out = [_row_description(names)]
+            nrows = 0
+            for cells in ch_cells(result.select(names)):
+                out.append(_data_row(cells))
+                nrows += 1
+            out.append(_msg(b"C", f"SELECT {nrows}\x00".encode()))
+            out.append(_ready())
+            sock.sendall(b"".join(out))
+
+
+class PGServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def make_pg_server(session, host: str = "127.0.0.1",
+                   port: int = 9005) -> PGServer:
+    srv = PGServer((host, port), _Handler)
+    srv.engine_session = session
+    return srv
+
+
+def serve_pg(session, host: str = "127.0.0.1", port: int = 9005) -> PGServer:
+    srv = make_pg_server(session, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

@@ -607,11 +607,20 @@ class DDLParser(Parser):
             self.expect_punct(")")
         self.expect_kw("TYPE")
         kind = self.next().text.lower()
+        # ngrambf_v1(n, size, hashes, seed) / tokenbf_v1(size, hashes, seed):
+        # the first parameter (ngram size) is the one this engine's sidecar
+        # needs; filter geometry is derived from the data
+        kind = {"ngrambf_v1": "ngrambf", "tokenbf_v1": "tokenbf"}.get(
+            kind, kind)
         param = 0.0
         if self.take_punct("("):
-            if not self.take_punct(")"):
-                param = float(self.next().text)
-                self.expect_punct(")")
+            first = True
+            while not self.take_punct(")"):
+                tok = self.next().text
+                if first:
+                    param = float(tok)
+                    first = False
+                self.take_punct(",")
         gran = 1
         if self.take_kw("GRANULARITY"):
             gran = int(self.next().text)

@@ -2465,6 +2465,31 @@ def _skipindex_block_mask(table: Table, conjuncts, session) -> \
 
     possible = None
     for term in conjuncts:
+        # LIKE pruning through ngram/token blooms (MergeTreeIndexFullText):
+        # blocks lacking ANY required gram of the pattern cannot match
+        if (isinstance(term, FuncCall) and term.name.lower() == "like"
+                and len(term.args) == 2 and isinstance(term.args[0], Ident)
+                and isinstance(term.args[1], Literal)
+                and isinstance(term.args[1].value, str)):
+            lcol = term.args[0]
+            lname = lcol.qualified if lcol.table else lcol.name
+            if lname in by_col and lname in table:
+                from myscaledb_tpu.storage.skip_index import (
+                    NgramBloomSidecar, pattern_required_grams, _hash_grams)
+                for idx in by_col[lname]:
+                    if idx.kind not in ("ngrambf", "tokenbf"):
+                        continue
+                    sc = sidecar_for(session, table, lname, idx)
+                    if not isinstance(sc, NgramBloomSidecar):
+                        continue
+                    grams = pattern_required_grams(
+                        term.args[1].value, idx.kind, int(idx.param) or 3)
+                    if not grams:
+                        continue
+                    ok = sc.may_contain_all(_hash_grams(grams))
+                    M.increment("SkipIndexChecks")
+                    possible = ok if possible is None else (possible & ok)
+            continue
         parts = _term_parts(term)
         if parts is None:
             continue

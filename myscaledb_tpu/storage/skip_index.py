@@ -186,6 +186,115 @@ def build_bloom_sidecar(data_np: np.ndarray, fp_rate: float = 0.025,
     return BloomSidecar(bits, m, k)
 
 
+# --- ngram / token bloom (string LIKE pruning) -----------------------------
+
+def ngrams_of(s: str, n: int) -> set:
+    b = s.encode("latin-1", "replace")
+    return {b[i:i + n] for i in range(len(b) - n + 1)}
+
+
+_TOKEN_SPLIT = None
+
+
+def tokens_of(s: str) -> set:
+    import re
+    global _TOKEN_SPLIT
+    if _TOKEN_SPLIT is None:
+        _TOKEN_SPLIT = re.compile(r"[0-9A-Za-z_]+")
+    return set(t.encode("latin-1", "replace")
+               for t in _TOKEN_SPLIT.findall(s))
+
+
+def _hash_grams(grams) -> np.ndarray:
+    import hashlib
+    return np.asarray(
+        [int.from_bytes(hashlib.blake2b(g, digest_size=8).digest(),
+                        "little") for g in sorted(grams)], dtype=np.uint64)
+
+
+def pattern_required_grams(pattern: str, kind: str, n: int) -> list:
+    """Byte-grams a row MUST contain to match LIKE ``pattern`` — the
+    pruning key extraction of MergeTreeIndexFullText's
+    likeStringToBloomFilter.  ngram: every n-gram of every literal segment
+    (position-free, always safe).  token: only tokens strictly INSIDE a
+    literal segment (bounded by non-word chars on both sides) — a token
+    touching a %%/_ boundary could extend in the data."""
+    import re
+    segs = [seg.replace("\\%", "%").replace("\\_", "_")
+            for seg in re.split(r"(?<!\\)[%_]", pattern)]
+    out = set()
+    if kind == "ngrambf":
+        for seg in segs:
+            out |= ngrams_of(seg, n)
+    else:
+        tok = re.compile(r"[0-9A-Za-z_]+")
+        for seg in segs:
+            for m in tok.finditer(seg):
+                if m.start() > 0 and m.end() < len(seg):
+                    out.add(m.group().encode("latin-1", "replace"))
+    return sorted(out)
+
+
+class NgramBloomSidecar:
+    """Per-block bloom over the ngram/token set of the block's strings
+    (reference: MergeTreeIndexFullText.cpp ngrambf_v1 / tokenbf_v1).
+    Pruning semantics differ from the value bloom: a block is possible
+    only if ALL required grams may be present."""
+
+    __slots__ = ("bits", "m", "k")
+
+    def __init__(self, bits: np.ndarray, m: int, k: int):
+        self.bits = bits
+        self.m = m
+        self.k = k
+
+    def may_contain_all(self, gram_hashes: np.ndarray) -> np.ndarray:
+        """(nblocks,) bool: every gram hash present in the block filter."""
+        gram_hashes = np.atleast_1d(np.asarray(gram_hashes, dtype=np.uint64))
+        if len(gram_hashes) == 0:
+            return np.ones(self.bits.shape[0], dtype=bool)
+        pos = _bloom_positions(gram_hashes, self.m, self.k)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        present = (self.bits[:, word] & bit[None, :, :]) != 0  # (nb, ng, k)
+        return present.all(axis=2).all(axis=1)
+
+
+def build_ngram_sidecar(ids_np: np.ndarray, dictionary, kind: str, n: int,
+                        block_rows: int = BLOCK_ROWS) -> NgramBloomSidecar:
+    """Grams are computed ONCE per dictionary value, then unioned per block
+    over the ids present — dictionary encoding makes the n^2 substring work
+    proportional to distinct strings, not rows."""
+    values = dictionary.values if dictionary is not None else []
+    per_value = []
+    for s in values:
+        s = "" if s is None else str(s)
+        per_value.append(_hash_grams(ngrams_of(s, n) if kind == "ngrambf"
+                                     else tokens_of(s)))
+    nrows = len(ids_np)
+    nblocks = max(1, -(-nrows // block_rows))
+    # geometry sized for the expected gram cardinality per block
+    est = max((len(h) for h in per_value), default=1)
+    m, k = _bloom_geometry(min(block_rows, max(nrows, 1)) * max(est, 1) // 4,
+                           0.01)
+    bits = np.zeros((nblocks, m // 64), dtype=np.uint64)
+    for b in range(nblocks):
+        chunk = ids_np[b * block_rows:(b + 1) * block_rows]
+        hs = [per_value[i] for i in np.unique(chunk)
+              if 0 <= i < len(per_value)]
+        if not hs:
+            continue
+        allh = np.unique(np.concatenate(hs)) if hs else \
+            np.zeros(0, dtype=np.uint64)
+        if not len(allh):
+            continue
+        pos = _bloom_positions(allh, m, k).ravel()
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        np.bitwise_or.at(bits[b], word, bit)
+    return NgramBloomSidecar(bits, m, k)
+
+
 # --- session-cached lookup -------------------------------------------------
 
 def sidecar_for(session, table, column_name: str, idx: SkipIndexDef):
@@ -206,6 +315,11 @@ def sidecar_for(session, table, column_name: str, idx: SkipIndexDef):
         sc = build_set_sidecar(data_np, int(idx.param) or 100)
     elif idx.kind == "bloom_filter":
         sc = build_bloom_sidecar(data_np, float(idx.param) or 0.025)
+    elif idx.kind in ("ngrambf", "tokenbf"):
+        if col.dictionary is None:
+            return None
+        sc = build_ngram_sidecar(data_np, col.dictionary, idx.kind,
+                                 int(idx.param) or 3)
     else:
         return None
     # drop stale epochs of the same index before caching the new one

@@ -127,3 +127,61 @@ def test_null_cell(server):
     _names, rows = c.query("SELECT nullIf(id, 1) FROM t ORDER BY id LIMIT 3")
     assert rows == [["0"], [None], ["2"]]
     c.close()
+
+
+def test_password_auth_switch():
+    """Users with a password get an AuthSwitchRequest to cleartext and are
+    verified through runtime/access.py (the round-3 advisory found the
+    handshake response was discarded entirely)."""
+    s = connect()
+    s.create_table("t2", {"id": np.arange(3, dtype=np.int64)})
+    s.sql("CREATE USER bob IDENTIFIED BY 'pw123'")
+    s.sql("GRANT SELECT ON t2 TO bob")
+    srv = serve_mysql(s, "127.0.0.1", 0)
+    host, port = srv.server_address
+    try:
+        sock = socket.create_connection((host, port), timeout=10)
+        seq, _greeting = read_packet(sock)
+        resp = (struct.pack("<IIB", 0x0200 | 0x8000, 1 << 24, 33) +
+                b"\x00" * 23 + b"bob\x00" + b"\x00")
+        seq = write_packet(sock, seq + 1, resp)
+        seq2, switch = read_packet(sock)
+        assert switch[0] == 0xFE                      # AuthSwitchRequest
+        assert b"mysql_clear_password" in switch
+        seq = write_packet(sock, seq2 + 1, b"pw123\x00")
+        _s, ok = read_packet(sock)
+        assert ok[0] == 0x00
+        # and a query runs as bob
+        write_packet(sock, 0, b"\x03" + b"SELECT count() FROM t2")
+        _s, first = read_packet(sock)
+        assert first[0] != 0xFF
+        sock.close()
+
+        # wrong password is rejected
+        sock = socket.create_connection((host, port), timeout=10)
+        seq, _g = read_packet(sock)
+        seq = write_packet(sock, seq + 1, resp)
+        seq2, _switch = read_packet(sock)
+        write_packet(sock, seq2 + 1, b"nope\x00")
+        _s, err = read_packet(sock)
+        assert err[0] == 0xFF
+        sock.close()
+    finally:
+        srv.shutdown()
+
+
+def test_raw_string_cells():
+    """String cells reach clients RAW (lenenc framing, no TSV escaping) —
+    the round-3 advisory's data-corruption finding."""
+    s = connect()
+    s.create_table("t3", {"id": np.arange(1, dtype=np.int64)})
+    srv = serve_mysql(s, "127.0.0.1", 0)
+    try:
+        c = MiniMySQLClient(*srv.server_address)
+        _names, rows = c.query("SELECT 'a\\tb', 'q\\'x', nullIf(1, 1)")
+        assert rows[0][0] == "a\tb"
+        assert rows[0][1] == "q'x"
+        assert rows[0][2] is None
+        c.close()
+    finally:
+        srv.shutdown()

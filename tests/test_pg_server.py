@@ -1,0 +1,149 @@
+"""PostgreSQL wire protocol server (PostgreSQLHandler.cpp analog) exercised
+by a minimal v3 simple-query client implemented here."""
+
+import socket
+import struct
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.runtime.pg_server import serve_pg
+
+
+class MiniPGClient:
+    def __init__(self, host, port, user="default", password=None,
+                 ssl_probe=False):
+        self.sock = socket.create_connection((host, port), timeout=10)
+        if ssl_probe:
+            self.sock.sendall(struct.pack("!II", 8, 80877103))
+            assert self.sock.recv(1) == b"N"
+        params = (f"user\x00{user}\x00database\x00default\x00\x00"
+                  .encode())
+        body = struct.pack("!I", 196608) + params
+        self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
+        self.params = {}
+        while True:
+            tag, payload = self._read()
+            if tag == b"R":
+                (code,) = struct.unpack("!I", payload[:4])
+                if code == 3:                      # cleartext password
+                    pw = (password or "").encode() + b"\x00"
+                    self.sock.sendall(b"p" + struct.pack("!I", len(pw) + 4)
+                                      + pw)
+                elif code != 0:
+                    raise RuntimeError(f"unsupported auth {code}")
+            elif tag == b"S":
+                k, v = payload.split(b"\x00")[:2]
+                self.params[k.decode()] = v.decode()
+            elif tag == b"E":
+                raise RuntimeError(payload.decode("utf-8", "replace"))
+            elif tag == b"Z":
+                return
+            # 'K' BackendKeyData ignored
+
+    def _read(self):
+        tag = self._exact(1)
+        (length,) = struct.unpack("!I", self._exact(4))
+        return tag, self._exact(length - 4)
+
+    def _exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            c = self.sock.recv(n - len(buf))
+            if not c:
+                raise ConnectionError("closed")
+            buf += c
+        return buf
+
+    def query(self, sql):
+        q = sql.encode() + b"\x00"
+        self.sock.sendall(b"Q" + struct.pack("!I", len(q) + 4) + q)
+        names, rows, err = [], [], None
+        while True:
+            tag, payload = self._read()
+            if tag == b"T":
+                (n,) = struct.unpack("!H", payload[:2])
+                pos = 2
+                for _ in range(n):
+                    end = payload.index(b"\x00", pos)
+                    names.append(payload[pos:end].decode())
+                    pos = end + 1 + 18
+            elif tag == b"D":
+                (n,) = struct.unpack("!H", payload[:2])
+                pos = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", payload[pos:pos + 4])
+                    pos += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(payload[pos:pos + ln].decode())
+                        pos += ln
+                rows.append(row)
+            elif tag == b"E":
+                err = payload.decode("utf-8", "replace")
+            elif tag == b"Z":
+                if err:
+                    raise RuntimeError(err)
+                return names, rows
+
+    def close(self):
+        self.sock.sendall(b"X" + struct.pack("!I", 4))
+        self.sock.close()
+
+
+@pytest.fixture
+def server():
+    s = connect()
+    s.create_table("t", {"id": np.arange(10, dtype=np.int64),
+                         "name": np.array([f"n{i}" for i in range(10)]),
+                         "v": np.arange(10, dtype=np.float64) * 1.5})
+    s.sql("CREATE USER alice IDENTIFIED BY 'secret'")
+    s.sql("GRANT SELECT ON t TO alice")
+    srv = serve_pg(s, "127.0.0.1", 0)
+    yield srv.server_address
+    srv.shutdown()
+
+
+def test_startup_and_select(server):
+    c = MiniPGClient(*server, ssl_probe=True)
+    assert "myscaledb" in c.params.get("server_version", "")
+    names, rows = c.query("SELECT id, name, v FROM t ORDER BY id LIMIT 3")
+    assert names == ["id", "name", "v"]
+    assert rows == [["0", "n0", "0"], ["1", "n1", "1.5"], ["2", "n2", "3"]]
+    c.close()
+
+
+def test_null_and_raw_strings(server):
+    c = MiniPGClient(*server)
+    _, rows = c.query("SELECT nullIf(1, 1), 'tab\\there'")
+    assert rows[0][0] is None
+    assert rows[0][1] == "tab\there"      # raw bytes, no TSV escaping
+    c.close()
+
+
+def test_error_then_reuse(server):
+    c = MiniPGClient(*server)
+    with pytest.raises(RuntimeError, match="nope"):
+        c.query("SELECT * FROM nope")
+    _, rows = c.query("SELECT 1 + 1")
+    assert rows == [["2"]]
+    c.close()
+
+
+def test_password_auth(server):
+    c = MiniPGClient(*server, user="alice", password="secret")
+    _, rows = c.query("SELECT count() FROM t")
+    assert rows == [["10"]]
+    c.close()
+    with pytest.raises((RuntimeError, ConnectionError)):
+        MiniPGClient(*server, user="alice", password="wrong")
+
+
+def test_privilege_enforced(server):
+    c = MiniPGClient(*server, user="alice", password="secret")
+    with pytest.raises(RuntimeError, match="privilege|denied|DROP"):
+        c.query("DROP TABLE t")
+    c.close()

@@ -135,3 +135,50 @@ def test_index_survives_insert_epoch():
     s.sql("INSERT INTO t VALUES (%d, 12)" % n)
     r = s.sql("SELECT count() FROM t WHERE v = 12").to_rows()
     assert r[0][0] == BLOCK_ROWS - 2 + 1
+
+
+def test_ngram_bloom_prunes_like():
+    """ngrambf_v1 prunes LIKE '%needle%' (MergeTreeIndexFullText.cpp) —
+    blocks whose strings lack a required 3-gram cannot match."""
+    nb = 4
+    n = nb * BLOCK_ROWS
+    names = np.concatenate([
+        np.array([f"msg_{b}_{i % 7}" for i in range(BLOCK_ROWS)],
+                 dtype=object)
+        for b in range(nb)])
+    # one block carries the needle
+    names[2 * BLOCK_ROWS + 5] = "the ZEBRA came"
+    s = connect()
+    s.create_table("t", {"id": np.arange(n, dtype=np.int64), "name": names})
+    s.sql("ALTER TABLE t ADD INDEX ng name TYPE ngrambf_v1(3, 256, 2, 0)")
+    r = s.sql("SELECT count() FROM t WHERE name LIKE '%ZEBRA%'").to_rows()
+    assert r[0][0] == 1
+    est = _estimate(s, "SELECT count() FROM t WHERE name LIKE '%ZEBRA%'")
+    assert est.get("blocks_pruned", 0) >= nb - 2
+    # negative: needle nowhere -> everything prunable
+    est0 = _estimate(s, "SELECT count() FROM t WHERE name LIKE '%QWXYZ%'")
+    assert est0.get("blocks_pruned", 0) >= nb - 1
+    r0 = s.sql("SELECT count() FROM t WHERE name LIKE '%QWXYZ%'").to_rows()
+    assert r0[0][0] == 0
+
+
+def test_token_bloom_prunes_inner_tokens():
+    nb = 3
+    n = nb * BLOCK_ROWS
+    names = np.concatenate([
+        np.array([f"log line {b} ok" for _ in range(BLOCK_ROWS)],
+                 dtype=object)
+        for b in range(nb)])
+    names[BLOCK_ROWS + 3] = "fatal error 42 occurred"
+    s = connect()
+    s.create_table("t", {"id": np.arange(n, dtype=np.int64), "name": names})
+    s.sql("ALTER TABLE t ADD INDEX tk name TYPE tokenbf_v1(256, 2, 0)")
+    # 'error' is an inner token of the pattern (bounded by spaces)
+    q2 = "SELECT count() FROM t WHERE name LIKE '% error %'"
+    assert s.sql(q2).to_rows()[0][0] == 1
+    est = _estimate(s, q2)
+    assert est.get("blocks_pruned", 0) >= nb - 2
+    # no row carries the token 'warning': all blocks prune
+    q0 = "SELECT count() FROM t WHERE name LIKE '% warning %'"
+    assert s.sql(q0).to_rows()[0][0] == 0
+    assert _estimate(s, q0).get("blocks_pruned", 0) >= nb - 1
