@@ -19,6 +19,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # the axon sitecustomize re-registers the TPU plugin regardless of the
+    # env var; pin through jax.config (curation must not hog the chip)
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 REF = "/root/reference/tests/queries"
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 

@@ -739,6 +739,19 @@ def read_file(path: str, fmt: str, schema: list) -> Table:
         return read_rowbinary(path, schema, with_names=True)
     if f == "VALUES":
         return read_values(path, schema)
+    from myscaledb_tpu.runtime import formats_extra as fx
+    if f == "MSGPACK":
+        return fx.read_msgpack(path, schema)
+    if f == "AVRO":
+        return fx.read_avro(path, schema)
+    if f == "JSONCOMPACTEACHROW":
+        return fx.read_jsoncompacteachrow(path, schema)
+    if f == "TSKV":
+        return fx.read_tskv(path, schema)
+    if f == "JSONCOLUMNS":
+        return fx.read_jsoncolumns(path, schema)
+    if f == "LINEASSTRING":
+        return fx.read_lineasstring(path, schema)
     raise ValueError(f"unsupported input format {fmt!r}")
 
 
@@ -779,15 +792,35 @@ def write_file(table: Table, path: str, fmt: str) -> int:
             else:
                 fh.write(format_pretty(table))
         return table.n_rows
+    from myscaledb_tpu.runtime import formats_extra as fx
+    if f == "MSGPACK":
+        return fx.write_msgpack(table, path)
+    if f == "AVRO":
+        return fx.write_avro(table, path)
+    if f == "JSONCOMPACTEACHROW":
+        return fx.write_jsoncompacteachrow(table, path)
+    if f == "TSKV":
+        return fx.write_tskv(table, path)
+    if f == "VERTICAL":
+        return fx.write_vertical(table, path)
+    if f == "MARKDOWN":
+        return fx.write_markdown(table, path)
+    if f == "SQLINSERT":
+        return fx.write_sqlinsert(table, path, table.name)
+    if f == "JSONCOLUMNS":
+        return fx.write_jsoncolumns(table, path)
     raise ValueError(f"unsupported output format {fmt!r}")
 
 
 INPUT_FORMATS = ["CSV", "CSVWithNames", "TSV", "TabSeparated",
                  "TSVWithNames", "TSVWithNamesAndTypes", "JSONEachRow",
                  "Parquet", "ORC", "Arrow", "ArrowStream", "Native",
-                 "RowBinary", "RowBinaryWithNamesAndTypes", "Values"]
-OUTPUT_FORMATS = INPUT_FORMATS + ["JSON", "JSONCompact", "Pretty",
-                                  "PrettyCompact", "CSVWithNamesAndTypes"]
+                 "RowBinary", "RowBinaryWithNamesAndTypes", "Values",
+                 "MsgPack", "Avro", "JSONCompactEachRow", "TSKV",
+                 "JSONColumns", "LineAsString"]
+OUTPUT_FORMATS = [f for f in INPUT_FORMATS if f != "LineAsString"] + [
+    "JSON", "JSONCompact", "Pretty", "PrettyCompact",
+    "CSVWithNamesAndTypes", "Vertical", "Markdown", "SQLInsert"]
 
 
 def ch_cells(table: Table, escape: bool = False) -> list:

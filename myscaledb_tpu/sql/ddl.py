@@ -1104,6 +1104,15 @@ def rows_to_table(template: Table, columns: Optional[list],
                               if isinstance(v, str) else v for v in vals]
                              ).astype(physical_dtype(c.dtype))
         else:
+            if any(v is None for v in vals):
+                # NULLs into a Nullable numeric column -> validity mask
+                import jax.numpy as jnp
+                valid = np.asarray([v is not None for v in vals])
+                arr = np.asarray([0 if v is None else v for v in vals]
+                                 ).astype(physical_dtype(c.dtype))
+                data[cname] = Column(Field(cname, c.dtype, True),
+                                     jnp.asarray(arr), jnp.asarray(valid))
+                continue
             arr = np.asarray(vals).astype(physical_dtype(c.dtype))
         data[cname] = arr
     dtypes = {cname: template[cname].dtype for cname in names}

@@ -1,0 +1,76 @@
+"""Extra formats (registerFormats.cpp tier 2): MsgPack, Avro, TSKV,
+JSONCompactEachRow, JSONColumns, LineAsString round-trips + output-only
+renderers (Vertical, Markdown, SQLInsert)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+from myscaledb_tpu.core.types import Field, DataType
+from myscaledb_tpu.runtime.formats import read_file, write_file
+
+
+@pytest.fixture
+def table():
+    s = connect()
+    s.create_table("t", {
+        "id": np.arange(5, dtype=np.int64),
+        "name": np.array(["a", "b\tc", "d", "", "é"], dtype=object),
+        "v": np.array([1.5, -2.25, 0.0, 3.0, 4.5], dtype=np.float64)})
+    return s.tables["t"]
+
+
+SCHEMA = [Field("id", DataType.INT64), Field("name", DataType.STRING),
+          Field("v", DataType.FLOAT64)]
+
+
+@pytest.mark.parametrize("fmt", ["MsgPack", "Avro", "JSONCompactEachRow",
+                                 "TSKV", "JSONColumns"])
+def test_roundtrip(table, fmt, tmp_path):
+    p = str(tmp_path / f"out.{fmt.lower()}")
+    n = write_file(table, p, fmt)
+    assert n == 5
+    back = read_file(p, fmt, SCHEMA)
+    assert back.n_rows == 5
+    got = back.to_rows()
+    want = table.select(["id", "name", "v"]).to_rows()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_lineasstring(tmp_path):
+    p = str(tmp_path / "lines.txt")
+    open(p, "w").write("hello\nworld with spaces\n\nlast\n")
+    t = read_file(p, "LineAsString", [Field("line", DataType.STRING)])
+    assert t.to_rows() == [("hello",), ("world with spaces",), ("",),
+                           ("last",)]
+
+
+def test_output_only_renderers(table, tmp_path):
+    for fmt, probe in (("Vertical", "Row 1:"), ("Markdown", "| id |"),
+                       ("SQLInsert", "INSERT INTO t (id, name, v) VALUES")):
+        p = str(tmp_path / f"o.{fmt}")
+        write_file(table, p, fmt)
+        body = open(p).read()
+        assert probe in body, (fmt, body[:120])
+
+
+def test_avro_nullable(tmp_path):
+    s = connect()
+    s.sql("CREATE TABLE n (id Int64, x Nullable(Int64)) ENGINE = Memory")
+    s.sql("INSERT INTO n VALUES (1, 5), (2, NULL), (3, 7)")
+    t = s.tables["n"]
+    p = str(tmp_path / "n.avro")
+    write_file(t.select(["id", "x"]), p, "Avro")
+    back = read_file(p, "Avro", [Field("id", DataType.INT64),
+                                 Field("x", DataType.INT64, nullable=True)])
+    assert back.to_rows() == [(1, 5), (2, None), (3, 7)]
+
+
+def test_formats_listed():
+    from myscaledb_tpu.runtime.formats import INPUT_FORMATS, OUTPUT_FORMATS
+    for f in ("MsgPack", "Avro", "TSKV", "JSONColumns", "LineAsString"):
+        assert f in INPUT_FORMATS
+    for f in ("Vertical", "Markdown", "SQLInsert"):
+        assert f in OUTPUT_FORMATS
