@@ -288,7 +288,7 @@ def _f_isnotnull(args, env):
     return Value(v.valid)
 
 
-def _like_to_re(pat: str) -> re.Pattern:
+def _like_to_re(pat: str, icase: bool = False) -> re.Pattern:
     out = []
     for ch in pat:
         if ch == "%":
@@ -297,19 +297,42 @@ def _like_to_re(pat: str) -> re.Pattern:
             out.append(".")
         else:
             out.append(re.escape(ch))
-    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+    return re.compile("^" + "".join(out) + "$",
+                      re.DOTALL | (re.IGNORECASE if icase else 0))
 
 
-@func("like", "notLike", "ilike")
-def _f_like(args, env, _name=None):
+def _like_impl(args, negate: bool, icase: bool) -> Value:
     v, pat = args[0], args[1]
     if v.dictionary is None or not isinstance(pat.py, str):
         raise EvalError("LIKE needs a string column and literal pattern")
-    rx = _like_to_re(pat.py)
-    lut = np.array([bool(rx.match(s)) for s in v.dictionary.values], dtype=bool)
+    rx = _like_to_re(pat.py, icase)
+    lut = np.array([bool(rx.match(s)) for s in v.dictionary.values],
+                   dtype=bool)
+    if negate:
+        lut = ~lut
     if len(lut) == 0:
         lut = np.zeros(1, dtype=bool)
     return Value(_dict_map(v, lut), v.valid)
+
+
+@func("like")
+def _f_like(args, env):
+    return _like_impl(args, False, False)
+
+
+@func("notLike")
+def _f_not_like(args, env):
+    return _like_impl(args, True, False)
+
+
+@func("ilike")
+def _f_ilike(args, env):
+    return _like_impl(args, False, True)
+
+
+@func("notILike")
+def _f_not_ilike(args, env):
+    return _like_impl(args, True, True)
 
 
 @func("lower", "upper")

@@ -580,9 +580,12 @@ class Parser:
                 self.expect_kw("AND")
                 hi = self.parse_additive()
                 e = Between(e, lo, hi, neg)
-            elif self.take_kw("LIKE") or self.take_kw("ILIKE"):
+            elif self.take_kw("LIKE"):
                 pat = self.parse_additive()
                 e = FuncCall("notLike" if neg else "like", [e, pat])
+            elif self.take_kw("ILIKE"):
+                pat = self.parse_additive()
+                e = FuncCall("notILike" if neg else "ilike", [e, pat])
             elif self.at_kw("IS"):
                 self.next()
                 n = self.take_kw("NOT")

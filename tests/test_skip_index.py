@@ -182,3 +182,16 @@ def test_token_bloom_prunes_inner_tokens():
     q0 = "SELECT count() FROM t WHERE name LIKE '% warning %'"
     assert s.sql(q0).to_rows()[0][0] == 0
     assert _estimate(s, q0).get("blocks_pruned", 0) >= nb - 1
+
+
+def test_like_variants_semantics():
+    """NOT LIKE and ILIKE act on the match itself (round-4 fix: all three
+    spellings previously aliased to case-sensitive LIKE)."""
+    s = connect()
+    s.create_table("t", {"x": np.array(["Foo", "bar", "foo"], dtype=object)})
+    q = lambda sql: s.sql(sql).to_rows()[0][0]
+    assert q("SELECT count() FROM t WHERE x LIKE 'foo'") == 1
+    assert q("SELECT count() FROM t WHERE x NOT LIKE 'foo'") == 2
+    assert q("SELECT count() FROM t WHERE x ILIKE 'foo'") == 2
+    assert q("SELECT count() FROM t WHERE x NOT ILIKE 'foo'") == 1
+    assert q("SELECT count() FROM t WHERE x ILIKE 'F%'") == 2
