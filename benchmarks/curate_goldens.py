@@ -148,7 +148,10 @@ def main():
         path = os.path.join(REF, "0_stateless", f)
         if os.path.getsize(path) > 1500:
             continue
-        text = open(path).read()
+        try:
+            text = open(path).read()
+        except UnicodeDecodeError:
+            continue
         if any(b in text for b in BLACKLIST):
             continue
         tried += 1

@@ -49,41 +49,9 @@ from myscaledb_tpu.parallel.ops import (sharded_distance_topk,
 from myscaledb_tpu.runtime import metrics as M
 from myscaledb_tpu.runtime.tracing import span
 
-AGG_NAMES = {"count", "sum", "min", "max", "avg", "any", "uniqexact",
-             "argmin", "argmax", "countif", "sumif", "minif", "maxif",
-             "avgif", "quantile", "median",
-             "varpop", "varsamp", "stddevpop", "stddevsamp",
-             "covarpop", "covarsamp", "corr", "anylast",
-             "uniq", "uniqcombined", "uniqhll12", "uniqtheta",
-             "sumdistinct", "avgdistinct", "countdistinct",
-             "groupbitand", "groupbitor", "groupbitxor",
-             "quantileexact", "quantileexactlow",
-             "grouparray", "groupuniqarray", "quantiles", "topk",
-             "quantiletdigest",
-             # -State / -Merge combinator spellings
-             "sumstate", "summerge", "countstate", "countmerge",
-             "minstate", "minmerge", "maxstate", "maxmerge",
-             "avgstate", "avgmerge", "uniqstate", "uniqmerge",
-             "quantiletdigeststate", "quantiletdigestmerge"}
-SPECIAL_AGGS = {"uniqexact", "argmin", "argmax", "quantile", "median",
-                "varpop", "varsamp", "stddevpop", "stddevsamp",
-                "covarpop", "covarsamp", "corr", "anylast",
-                "uniq", "uniqcombined", "uniqhll12", "uniqtheta",
-                "sumdistinct", "avgdistinct", "countdistinct",
-                "groupbitand", "groupbitor", "groupbitxor",
-                "quantileexact", "quantileexactlow",
-                "grouparray", "groupuniqarray", "quantiles", "topk",
-                "quantiletdigest"}
-# exact-distinct implementations; the reference's uniq/uniqCombined/uniqHLL12
-# are approximate sketches (src/AggregateFunctions/AggregateFunctionUniq.h) —
-# exact counts are a strict-precision superset of that contract.
-UNIQ_KINDS = {"uniq", "uniqexact", "uniqcombined", "uniqhll12", "uniqtheta",
-              "countdistinct"}
-VAR_KINDS = {"varpop", "varsamp", "stddevpop", "stddevsamp"}
-COVAR_KINDS = {"covarpop", "covarsamp", "corr"}
-BIT_KINDS = {"groupbitand", "groupbitor", "groupbitxor"}
-IF_COMBINATORS = {"countif": "count", "sumif": "sum", "minif": "min",
-                  "maxif": "max", "avgif": "avg"}
+from myscaledb_tpu.sql.agg_kinds import (  # noqa: E402
+    AGG_NAMES, SPECIAL_AGGS, UNIQ_KINDS, VAR_KINDS,
+    COVAR_KINDS, BIT_KINDS, IF_COMBINATORS)
 DIST_FNS = {"distance", "batch_distance", "l2distance", "cosinedistance",
             "dotproduct"}
 TEXT_FNS = {"textsearch", "hybridsearch"}
@@ -1518,25 +1486,6 @@ def _maybe_streaming_aggregate(env: Env, q: SelectQuery, mask, session,
     return Table(cols, name=table.name), mapping
 
 
-def _column_range(expr, table):
-    """(min, max) bounds for a bare integer column reference, from its zone
-    map (built at INSERT) — lets the Pallas group-aggregate use the
-    single-limb narrow-value kernel (the analog of the reference's
-    width-specialized aggregator dispatch, Aggregator.h)."""
-    if not isinstance(expr, Ident):
-        return None
-    try:
-        col = table[expr.name]
-    except (KeyError, Exception):
-        return None
-    zm = getattr(col, "zonemap", None)
-    if zm is None or not len(zm.mins):
-        return None
-    if not np.issubdtype(np.asarray(zm.mins).dtype, np.integer):
-        return None
-    return (int(zm.mins.min()), int(zm.maxs.max()))
-
-
 def run_aggregate(env: Env, q: SelectQuery, mask, session,
                   alias_exprs: dict) -> tuple[Table, dict]:
     table = env.table
@@ -1830,428 +1779,6 @@ def _totals_table(env, q, mask, session, alias_exprs,
            for nm in agg_table.column_names]
     return Table(out, name="totals")
 
-
-STATE_BASES = {"sum", "count", "min", "max", "avg", "uniq",
-               "quantiletdigest"}
-
-
-def _state_combinator(kind, vals, gid, m, OOB, present, n, params):
-    """-State / -Merge combinators (reference:
-    src/AggregateFunctions/Combinators/AggregateFunctionState.h /
-    ...Merge.h over IAggregateFunction's serialize/merge contract): -State
-    returns the engine's mergeable partial state as an opaque string
-    column; -Merge combines state columns and finalizes.  States are
-    sketch-sized (HLL registers for uniq, t-digest centroids for
-    quantileTDigest) so distributed merges never re-gather rows."""
-    import json
-    from myscaledb_tpu.core.dictionary import StringDictionary
-    base, level = params if isinstance(params, tuple) else (params, None)
-    v = vals[0]
-    data = v.data
-    if v.is_scalar:
-        data = jnp.full((n,), jnp.asarray(data))
-    vm = m if v.valid is None else jnp.logical_and(m, v.valid)
-    gid_np = np.asarray(jnp.where(vm, gid, OOB))
-
-    if kind == "aggstate":
-        is_float = np.issubdtype(np.asarray(data[:0]).dtype, np.floating)
-        if base == "uniq":
-            from myscaledb_tpu.ops.hll import (hash_key_columns,
-                                               hll_registers)
-            import base64
-            if v.dictionary is not None:
-                # hash string VALUES, not dictionary ids — states from
-                # different shards/sessions have different dictionaries
-                import hashlib
-                dv = np.asarray(
-                    [int.from_bytes(hashlib.blake2b(
-                        ("" if s is None else s).encode("latin-1",
-                                                        "replace"),
-                        digest_size=8).digest(), "little")
-                     for s in v.dictionary.values], dtype=np.uint64)
-                if not len(dv):
-                    dv = np.zeros(1, dtype=np.uint64)
-                keyed = jnp.asarray(
-                    dv[np.clip(np.asarray(data), 0, len(dv) - 1)])
-            else:
-                keyed = data
-            h64 = hash_key_columns((keyed,))
-            regs = np.asarray(hll_registers(
-                h64, jnp.asarray(gid_np), jnp.asarray(gid_np < int(OOB)),
-                int(OOB)))
-            states = [json.dumps({"f": "uniq", "r": base64.b64encode(
-                regs[g].astype(np.uint8).tobytes()).decode()})
-                for g in present]
-        else:
-            if v.dictionary is not None:
-                raise ExecError(f"{base}State over string columns is not "
-                                f"supported")
-            data_np = np.asarray(data, dtype=np.float64 if is_float
-                                 else np.int64)
-            states = []
-            for g in present:
-                sel = data_np[gid_np == g]
-                if base == "sum":
-                    s = float(sel.sum()) if is_float else int(sel.sum())
-                    st = {"f": "sum", "v": s}
-                elif base == "count":
-                    st = {"f": "count", "v": int(len(sel))}
-                elif base in ("min", "max"):
-                    val = None if not len(sel) else (
-                        float(sel.min() if base == "min" else sel.max())
-                        if is_float else
-                        int(sel.min() if base == "min" else sel.max()))
-                    st = {"f": base, "v": val}
-                elif base == "avg":
-                    st = {"f": "avg", "s": float(sel.sum()),
-                          "c": int(len(sel))}
-                else:   # quantiletdigest
-                    from myscaledb_tpu.ops.tdigest import (build_digest,
-                                                           serialize_digest)
-                    st = {"f": "qtd", "d": serialize_digest(
-                        *build_digest(sel))}
-                states.append(json.dumps(st))
-        sd = StringDictionary()
-        ids = sd.encode(states)
-        return Column(Field("x", DataType.STRING),
-                      jnp.asarray(np.asarray(ids).astype(np.int32)), None,
-                      sd)
-
-    # aggmerge: vals[0] is a state string column
-    if v.dictionary is None:
-        raise ExecError(f"{base}Merge expects a state column")
-    strings = v.dictionary.values
-    ids_np = np.asarray(data)
-    out_vals = []
-    for g in present:
-        sts = [json.loads(strings[i]) for i in ids_np[gid_np == g]
-               if 0 <= i < len(strings)]
-        if base == "sum":
-            out_vals.append(sum(s["v"] for s in sts))
-        elif base == "count":
-            out_vals.append(sum(s["v"] for s in sts))
-        elif base in ("min", "max"):
-            vv = [s["v"] for s in sts if s["v"] is not None]
-            out_vals.append((min(vv) if base == "min" else max(vv))
-                            if vv else None)
-        elif base == "avg":
-            tot = sum(s["s"] for s in sts)
-            cnt = sum(s["c"] for s in sts)
-            out_vals.append(tot / cnt if cnt else float("nan"))
-        elif base == "uniq":
-            import base64
-            from myscaledb_tpu.ops.hll import hll_estimate
-            regs = None
-            for s in sts:
-                r = np.frombuffer(base64.b64decode(s["r"]), dtype=np.uint8)
-                regs = r if regs is None else np.maximum(regs, r)
-            out_vals.append(0 if regs is None else
-                            int(np.asarray(hll_estimate(
-                                jnp.asarray(regs[None, :])))[0]))
-        else:   # quantiletdigest
-            from myscaledb_tpu.ops.tdigest import (deserialize_digest,
-                                                   merge_digests,
-                                                   digest_quantile)
-            dig = merge_digests([deserialize_digest(s["d"]) for s in sts])
-            out_vals.append(np.float32(digest_quantile(
-                *dig, level if level is not None else 0.5)))
-    if base in ("count", "uniq"):
-        arr = np.asarray(out_vals, dtype=np.int64)
-    elif base == "quantiletdigest":
-        arr = np.asarray(out_vals, dtype=np.float32)
-    elif base == "avg":
-        arr = np.asarray(out_vals, dtype=np.float64)
-    else:
-        has_none = any(o is None for o in out_vals)
-        arr = np.asarray([np.nan if o is None else o for o in out_vals],
-                         dtype=np.float64) if has_none else \
-            np.asarray(out_vals)
-    return Column.from_numpy("x", arr, build_zonemap=False)
-
-
-def _special_aggregate(kind: str, vals, gid, m, G: int, present, n: int,
-                       params=None, settings=None):
-    """uniqExact / argMin / argMax — computed outside the mergeable-state
-    pipeline (reference: these have dedicated state classes in
-    src/AggregateFunctions/AggregateFunctionUniq.h / ...ArgMinMax.h)."""
-    from myscaledb_tpu.ops.sort import _ascending_code
-    OOB = jnp.int32(G)
-    tgt = jnp.where(m, gid, OOB)
-    present_dev = jnp.asarray(present)
-    if kind in ("grouparray", "groupuniqarray", "topk", "quantiles"):
-        # array-valued states (reference: AggregateFunctionGroupArray.h /
-        # ...GroupUniqArray.h / ...TopK.h) — host assembly over the (small)
-        # group list; per-row data stays on device until the final gather
-        v = vals[0]
-        data = v.data
-        if v.is_scalar:
-            data = jnp.full((n,), jnp.asarray(data))
-        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
-        gid_np = np.asarray(jnp.where(vm, gid, OOB))
-        data_np = np.asarray(data)
-        rows = []
-        for g in present:
-            sel = data_np[gid_np == g]
-            if kind == "grouparray":
-                out = sel[:params] if params is not None else sel
-            elif kind == "groupuniqarray":
-                _, first = np.unique(sel, return_index=True)
-                out = sel[np.sort(first)]
-                if params is not None:
-                    out = out[:params]
-            elif kind == "topk":
-                uniq, counts = np.unique(sel, return_counts=True)
-                # count desc, then first-seen order (approximated by value)
-                order = np.lexsort((uniq, -counts))
-                out = uniq[order][:params or 10]
-            else:   # quantiles
-                levels = params or [0.5]
-                out = (np.quantile(sel.astype(np.float64), levels,
-                                   method="inverted_cdf")
-                       if len(sel) else np.zeros(0))
-            rows.append(np.asarray(out))
-        lens = np.array([len(r) for r in rows], dtype=np.int64)
-        off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
-        flat = np.concatenate(rows) if rows and off[-1] else \
-            np.zeros(0, dtype=data_np.dtype)
-        if kind == "quantiles":
-            elem, dictionary = DataType.FLOAT64, None
-        elif v.dictionary is not None:
-            elem, dictionary = DataType.STRING, v.dictionary
-        else:
-            elem = _logical_dtype_of(data, v)
-            dictionary = None
-        return Column(Field("x", DataType.ARRAY, elem=elem),
-                      jnp.asarray(flat), None, dictionary, None, off)
-    if kind == "quantiletdigest":
-        # t-digest sketch quantile (QuantileTDigest.h): fixed-size centroid
-        # state; approximate by design, unlike the exact-sort quantile
-        from myscaledb_tpu.ops.tdigest import build_digest, digest_quantile
-        level = params if params is not None else 0.5
-        v = vals[0]
-        data = v.data
-        if v.is_scalar:
-            data = jnp.full((n,), jnp.asarray(data))
-        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
-        gid_np = np.asarray(jnp.where(vm, gid, OOB))
-        data_np = np.asarray(data)
-        out = np.full(len(present), np.nan)
-        for i, g in enumerate(present):
-            sel = data_np[gid_np == g]
-            if len(sel):
-                out[i] = digest_quantile(*build_digest(sel), level)
-        return Column.from_numpy("x", out.astype(np.float32),
-                                 build_zonemap=False)
-    if kind in ("aggstate", "aggmerge"):
-        return _state_combinator(kind, vals, gid, m, OOB, present, n, params)
-    if kind in ("quantile", "median"):
-        # exact quantile via per-group sorted layout (reference default is
-        # sampling-based quantile; exact matches quantileExact)
-        level = params if params is not None else 0.5
-        v = vals[0]
-        data = v.data
-        if v.is_scalar:
-            data = jnp.full((n,), jnp.asarray(data))
-        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
-        gid_np = np.asarray(jnp.where(vm, gid, OOB))
-        data_np = np.asarray(data)
-        out = np.full(len(present), np.nan)
-        for i, g in enumerate(present):
-            sel = data_np[gid_np == g]
-            if len(sel):
-                out[i] = np.quantile(sel.astype(np.float64), level,
-                                     method="inverted_cdf")
-        return Column.from_numpy("x", out, build_zonemap=False)
-    def _dense(v):
-        data = v.data
-        if v.is_scalar:
-            data = jnp.full((n,), jnp.asarray(data))
-        return data
-
-    def _distinct_first_hit(key_vals):
-        """Mask selecting exactly one row per distinct (gid, value…) tuple."""
-        keys, vm = [], m
-        for v in key_vals:
-            data = _dense(v)
-            if v.dictionary is not None:
-                key = data.astype(jnp.int32)
-            elif jnp.issubdtype(data.dtype, jnp.floating):
-                key = float_bits_key(data)
-            else:
-                key = data
-            keys.append(key)
-            if v.valid is not None:
-                vm = jnp.logical_and(vm, v.valid)
-        _, slot, _cap = build_group_ids(
-            tuple([jnp.where(vm, gid, OOB)] + keys), mask=vm)
-        srow = jnp.full(_cap, INT32_MAX, dtype=jnp.int32).at[
-            jnp.where(vm, slot, _cap)].min(jnp.arange(n, dtype=jnp.int32),
-                                           mode="drop")
-        return jnp.logical_and(vm, srow[jnp.clip(slot, 0, _cap - 1)] ==
-                               jnp.arange(n, dtype=jnp.int32))
-
-    def _seg_sum(x, sel, dtype):
-        return jnp.zeros(G, dtype=dtype).at[
-            jnp.where(sel, gid, OOB)].add(x.astype(dtype), mode="drop")
-
-    if kind in UNIQ_KINDS:
-        exact_cap = getattr(settings, "uniq_combined_exact_rows", 1 << 17) \
-            if settings is not None else 1 << 17
-        use_sketch = kind == "uniqhll12" or (
-            kind == "uniqcombined" and n > exact_cap)
-        if use_sketch:
-            # HLL(2^12) sketch — the reference's uniqHLL12/uniqCombined are
-            # approximate (AggregateFunctionUniq.h); uniq/uniqExact here
-            # stay exact (docs/PARITY.md)
-            from myscaledb_tpu.ops.hll import (hash_key_columns,
-                                               hll_registers, hll_estimate)
-            keys, vm = [], m
-            for v in vals:
-                data = _dense(v)
-                if v.dictionary is not None:
-                    keys.append(data.astype(jnp.int32))
-                elif jnp.issubdtype(data.dtype, jnp.floating):
-                    keys.append(float_bits_key(data))
-                else:
-                    keys.append(data)
-                if v.valid is not None:
-                    vm = jnp.logical_and(vm, v.valid)
-            h64 = hash_key_columns(keys)
-            regs = hll_registers(h64, gid, vm, G)
-            est = hll_estimate(regs)
-            return Column.from_numpy("x", np.asarray(est)[present],
-                                     build_zonemap=False)
-        first_hit = _distinct_first_hit(vals)
-        counts = _seg_sum(jnp.ones(n, dtype=jnp.int64), first_hit, jnp.int64)
-        return Column.from_numpy("x", np.asarray(counts)[present],
-                                 build_zonemap=False)
-    if kind in ("sumdistinct", "avgdistinct"):
-        first_hit = _distinct_first_hit(vals)
-        data = _dense(vals[0])
-        is_float = jnp.issubdtype(data.dtype, jnp.floating)
-        acc = jnp.float64 if is_float or kind == "avgdistinct" else jnp.int64
-        s = _seg_sum(data, first_hit, acc)
-        if kind == "avgdistinct":
-            cnt = _seg_sum(jnp.ones(n, dtype=jnp.int64), first_hit, jnp.int64)
-            s = s / jnp.maximum(cnt, 1).astype(jnp.float64)
-            s = jnp.where(cnt == 0, jnp.nan, s)
-        return Column.from_numpy("x", np.asarray(s)[present],
-                                 build_zonemap=False)
-    if kind in VAR_KINDS:
-        # naive Σx/Σx² moments in f64, matching the reference's Float64
-        # accumulators (src/AggregateFunctions/AggregateFunctionStatisticsSimple.h)
-        v = vals[0]
-        x = _dense(v)
-        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
-        cnt = _seg_sum(jnp.ones(n, dtype=jnp.int64), vm, jnp.int64)
-        cntf = cnt.astype(jnp.float64)
-        mean = _seg_sum(x, vm, jnp.float64) / jnp.maximum(cntf, 1.0)
-        var = _seg_sum(x.astype(jnp.float64) ** 2, vm, jnp.float64) \
-            / jnp.maximum(cntf, 1.0) - mean * mean
-        var = jnp.maximum(var, 0.0)
-        if kind in ("varsamp", "stddevsamp"):
-            var = jnp.where(cnt > 1, var * cntf / (cntf - 1.0), jnp.nan)
-        var = jnp.where(cnt == 0, jnp.nan, var)
-        if kind.startswith("stddev"):
-            var = jnp.sqrt(var)
-        return Column.from_numpy("x", np.asarray(var)[present],
-                                 build_zonemap=False)
-    if kind in COVAR_KINDS:
-        xv, yv = vals
-        x, y = _dense(xv), _dense(yv)
-        vm = m
-        for v in vals:
-            if v.valid is not None:
-                vm = jnp.logical_and(vm, v.valid)
-        xf, yf = x.astype(jnp.float64), y.astype(jnp.float64)
-        cnt = _seg_sum(jnp.ones(n, dtype=jnp.int64), vm, jnp.int64)
-        cntf = jnp.maximum(cnt.astype(jnp.float64), 1.0)
-        mx = _seg_sum(xf, vm, jnp.float64) / cntf
-        my = _seg_sum(yf, vm, jnp.float64) / cntf
-        cov = _seg_sum(xf * yf, vm, jnp.float64) / cntf - mx * my
-        if kind == "covarsamp":
-            cf = cnt.astype(jnp.float64)
-            cov = jnp.where(cnt > 1, cov * cf / (cf - 1.0), jnp.nan)
-        elif kind == "corr":
-            vx = jnp.maximum(_seg_sum(xf * xf, vm, jnp.float64) / cntf
-                             - mx * mx, 0.0)
-            vy = jnp.maximum(_seg_sum(yf * yf, vm, jnp.float64) / cntf
-                             - my * my, 0.0)
-            cov = cov / jnp.sqrt(vx * vy)
-        cov = jnp.where(cnt == 0, jnp.nan, cov)
-        return Column.from_numpy("x", np.asarray(cov)[present],
-                                 build_zonemap=False)
-    if kind in BIT_KINDS:
-        v = vals[0]
-        data = np.asarray(_dense(v)).astype(np.int64)
-        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
-        gid_np = np.asarray(jnp.where(vm, gid, OOB))
-        op = {"groupbitand": np.bitwise_and, "groupbitor": np.bitwise_or,
-              "groupbitxor": np.bitwise_xor}[kind]
-        ident = np.int64(-1) if kind == "groupbitand" else np.int64(0)
-        out = np.full(len(present), ident)
-        for i, g in enumerate(present):
-            sel = data[gid_np == g]
-            if len(sel):
-                out[i] = op.reduce(sel)
-        return Column.from_numpy("x", out, build_zonemap=False)
-    if kind == "anylast":
-        v = vals[0]
-        vm = m if v.valid is None else jnp.logical_and(m, v.valid)
-        winner = jnp.full(G, -1, dtype=jnp.int32).at[
-            jnp.where(vm, gid, OOB)].max(jnp.arange(n, dtype=jnp.int32),
-                                         mode="drop")
-        wsel = np.asarray(winner)[present]
-        has = wsel >= 0
-        wsel = np.where(has, wsel, 0)
-        rdata = _dense(v)
-        out_data = jnp.take(rdata, jnp.asarray(wsel), axis=0)
-        out_valid = None
-        if v.valid is not None:
-            out_valid = jnp.take(v.valid, jnp.asarray(wsel))
-        if not has.all():
-            hv = jnp.asarray(has)
-            out_valid = hv if out_valid is None \
-                else jnp.logical_and(out_valid, hv)
-        dt = _logical_dtype_of(out_data, v)
-        return Column(Field("x", dt, out_valid is not None), out_data,
-                      out_valid, v.dictionary)
-    # argMin / argMax
-    res_v, ord_v = vals
-    data = ord_v.data
-    if ord_v.is_scalar:
-        data = jnp.full((n,), jnp.asarray(data))
-    code = _ascending_code(data)
-    if kind == "argmax":
-        code = ~code
-    om = m if ord_v.valid is None else jnp.logical_and(m, ord_v.valid)
-    otgt = jnp.where(om, gid, OOB)
-    ident = jnp.array(jnp.iinfo(code.dtype).max, dtype=code.dtype)
-    best = jnp.full(G, ident).at[otgt].min(code, mode="drop")
-    is_best = jnp.logical_and(om, code == best[jnp.clip(gid, 0, G - 1)])
-    winner = jnp.full(G, INT32_MAX, dtype=jnp.int32).at[
-        jnp.where(is_best, gid, OOB)].min(jnp.arange(n, dtype=jnp.int32),
-                                          mode="drop")
-    wsel = np.asarray(winner)[present]
-    has = wsel != INT32_MAX
-    wsel = np.where(has, wsel, 0)
-    rdata = res_v.data
-    if res_v.is_scalar:
-        rdata = jnp.full((n,), jnp.asarray(rdata))
-    out_data = jnp.take(rdata, jnp.asarray(wsel), axis=0)
-    out_valid = None
-    if res_v.valid is not None:
-        out_valid = jnp.take(res_v.valid, jnp.asarray(wsel))
-    if not has.all():
-        hv = jnp.asarray(has)
-        out_valid = hv if out_valid is None else jnp.logical_and(out_valid, hv)
-    dt = _logical_dtype_of(out_data, res_v)
-    return Column(Field("x", dt, out_valid is not None), out_data, out_valid,
-                  res_v.dictionary)
-
-
-# ---------------------------------------------------------------------------
-# main entry
 
 def _align_to(first: Table, p: Table) -> Table:
     """Rename p's columns positionally to match first's (set-op alignment)."""
@@ -3519,3 +3046,9 @@ def _limit_by(table: Table, lb_exprs, nlb: int, env, alias_exprs, src_table):
             seen[key] = c + 1
     idx = jnp.asarray(np.flatnonzero(keep))
     return table.take(idx)
+
+
+# aggregation per-kind machinery lives in sql/agg_fns.py (imported at the
+# bottom: agg_fns reaches back into this module for shared leaf helpers)
+from myscaledb_tpu.sql.agg_fns import (STATE_BASES, _state_combinator,  # noqa: E402
+                                       _special_aggregate, _column_range)

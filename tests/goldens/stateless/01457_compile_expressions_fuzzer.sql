@@ -1,0 +1,2 @@
+SET compile_expressions = 1;
+SELECT GREATEST(2,0);
