@@ -385,14 +385,54 @@ def bench_config5():
         f"vs nominal-spec roofline={rows_per_sec/sol_nom:.4f}")
 
 
+def bench_config6():
+    """Binary-vector top-k (Hamming over packed bits) — the FixedString
+    brute-force surface (BruteForceSearch.h:95; off the default 1-5 driver
+    set, run with --config 6).  16M x 256-bit vectors, 10 queries."""
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.binary_vector import binary_distance_scan
+
+    n, words, nq, k = 16_000_000, 8, 10, 10
+    xw = jax.random.randint(jax.random.PRNGKey(11), (n, words),
+                            0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
+    qw = jax.random.randint(jax.random.PRNGKey(12), (nq, words),
+                            0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
+    jax.block_until_ready((xw, qw))
+
+    def body(xw, qw, acc):
+        d, i = binary_distance_scan(
+            jnp.bitwise_xor(xw, (acc * 1e-30).astype(jnp.int32)
+                            .astype(jnp.uint32)), qw, "Hamming", k)
+        return jnp.sum(d) + jnp.sum(i).astype(jnp.float32) * 0
+
+    dt = _timed_repeat(body, xw, qw, iters=16)
+    rows_per_sec = n / dt
+    dev = jax.devices()[0]
+    bytes_per_row = words * 4
+    bw = measured_stream_gbps()
+    sol = bw / bytes_per_row
+    sol_nom = hbm_gbps_for_device(dev) / bytes_per_row
+    return {
+        "metric": "binary_vector_hamming_topk_rows_per_sec_per_chip",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_sec / sol, 4),
+        "vs_baseline_nominal": round(rows_per_sec / sol_nom, 4),
+    }, (f"dt={dt*1000:.3f} ms/scan, {n} x {words*32}-bit vectors, nq={nq}; "
+        f"measured bw={bw/1e9:.0f} GB/s; "
+        f"vs nominal-spec roofline={rows_per_sec/sol_nom:.4f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=0)
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
     benches = {1: bench_config1, 2: bench_config2, 3: bench_config3,
-               4: bench_config4, 5: bench_config5}
-    configs = [args.config] if args.config else sorted(benches)
+               4: bench_config4, 5: bench_config5, 6: bench_config6}
+    configs = [args.config] if args.config else sorted(
+        k for k in benches if k <= 5)
     for c in configs:
         try:
             result, note = benches[c]()

@@ -63,12 +63,17 @@ def _binary_scan_impl(xw, qw, mask, metric: str, k: int, has_mask: bool):
         # reference's faiss jaccard uses the difference form
         score = jnp.where(union > 0, (union - inter) / union,
                           jnp.float32(1))
-    ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], score.shape)
     if has_mask:
         score = jnp.where(mask[None, :], score, jnp.inf)
-        ids = jnp.where(mask[None, :], ids, INVALID_ID)
-    s, i = lax.sort((score, ids), dimension=-1, num_keys=2)
-    return s[:, :kk], i[:, :kk]
+    # lax.top_k on the negated score: ties resolve to the LOWEST index —
+    # exactly the reference's ties-by-id-ascending heap order — and the
+    # partial selection beats a full (nq, n) lax.sort ~30x at 16M rows
+    neg, idx = lax.top_k(-score, kk)
+    s = -neg
+    i = idx.astype(jnp.int32)
+    if has_mask:
+        i = jnp.where(jnp.isposinf(s), INVALID_ID, i)
+    return s, i
 
 
 def binary_distance_scan(xw, qw, metric: str = "Hamming", k: int = 10,
