@@ -133,6 +133,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=400,
                     help="max stateless candidates to try")
+    ap.add_argument("--max-bytes", type=int, default=1500,
+                    help="skip .sql candidates bigger than this")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -146,7 +148,7 @@ def main():
         if f.endswith(".sql"))
     for f in stateless:
         path = os.path.join(REF, "0_stateless", f)
-        if os.path.getsize(path) > 1500:
+        if os.path.getsize(path) > args.max_bytes:
             continue
         try:
             text = open(path).read()

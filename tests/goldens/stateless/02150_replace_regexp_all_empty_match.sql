@@ -1,0 +1,1 @@
+select replaceRegexpAll('Hello, World!', '^', 'here: ');

@@ -1,0 +1,3 @@
+-- Tags: no-upgrade-check
+
+SELECT 'Play ClickHouse' InterSect SELECT 'Play ClickHouse'

@@ -1,0 +1,3 @@
+SET allow_experimental_analyzer = 1;
+
+SELECT number FROM numbers(100) LIMIT 10 OFFSET 10;
