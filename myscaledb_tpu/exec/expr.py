@@ -289,14 +289,26 @@ def _f_isnotnull(args, env):
 
 
 def _like_to_re(pat: str, icase: bool = False) -> re.Pattern:
+    # backslash escapes the next char (\% -> literal %, \_ -> literal _,
+    # \\ -> backslash), matching the reference's likePatternToRegexp
+    # (src/Common/likePatternToRegexp.cpp); gram extraction for bloom
+    # pruning (storage/skip_index.py pattern_required_grams) MUST mirror
+    # this scan exactly or index pruning drops matching rows.
     out = []
-    for ch in pat:
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\" and i + 1 < len(pat):
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
         if ch == "%":
             out.append(".*")
         elif ch == "_":
             out.append(".")
         else:
             out.append(re.escape(ch))
+        i += 1
     return re.compile("^" + "".join(out) + "$",
                       re.DOTALL | (re.IGNORECASE if icase else 0))
 

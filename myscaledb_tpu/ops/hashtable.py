@@ -121,13 +121,18 @@ def _group_ids_impl(key_cols, mask, cap: int):
 
 
 def build_group_ids(key_cols, mask=None, num_groups_hint: int | None = None,
-                    max_probes: int = 256):
+                    max_probes: int = 256, prepare_count_probe: bool = False):
     """Group rows by key tuple.  Returns (table, gid (n,) int32, capacity).
 
     gid is a DENSE group id in [0, capacity); masked-out rows get INT32_MAX.
     Equal keys share a gid; the group representative table.slot_row[g] is the
     lowest original row id of group g.  num_groups_hint/max_probes are
     accepted for API compatibility and ignored (sort needs neither).
+
+    prepare_count_probe: also cache the sorted merge_count layout (an extra
+    full sort of the key column) — pass True only from join-build contexts
+    (ops/join.py build_join_table) where ht_count_matches will consume it;
+    GROUP BY builds never probe, so they skip the O(n log n) sort.
     """
     key_cols = tuple(jnp.asarray(c) for c in key_cols)
     n = key_cols[0].shape[0]
@@ -143,7 +148,8 @@ def build_group_ids(key_cols, mask=None, num_groups_hint: int | None = None,
     cap = max(int(num_groups), 1)           # one host sync, like the
     slot_row = slot_row[:cap]               # reference's table growth
     sorted2d = has_max = None
-    if len(key_cols) == 1 and _merge_count_eligible(key_cols[0]):
+    if (prepare_count_probe and len(key_cols) == 1
+            and _merge_count_eligible(key_cols[0])):
         from myscaledb_tpu.ops.pallas.merge_count import prepare_build
         sorted2d, has_max = prepare_build(key_cols[0], mask)
     table = HashTable(key_cols, jnp.asarray(mask, dtype=bool), gid,

@@ -33,7 +33,8 @@ def build_join_table(build_keys, build_mask=None,
                      num_keys_hint: Optional[int] = None) -> HashTable:
     """Build side -> hash table.  Duplicate keys: lowest row id wins (ANY)."""
     table, _, _ = build_group_ids(tuple(build_keys), mask=build_mask,
-                                  num_groups_hint=num_keys_hint)
+                                  num_groups_hint=num_keys_hint,
+                                  prepare_count_probe=True)
     return table
 
 

@@ -65,10 +65,14 @@ def _tree8(x):
 def _make_kernel(kinds, G: int):
     """Kernel for a static (kinds, G) signature.  kinds entries:
     ("int",)        exact int64 sum via two 16-bit limbs,
-    ("i16", bias)   exact sum via ONE limb — the argument's value range
+    ("i16",)        exact sum via ONE limb — the argument's value range
                     (from the column zone map) spans < 2^16, so v - bias
-                    fits 16 bits; the host adds bias * count back.  This is
-                    the analog of the reference's width-specialized
+                    fits 16 bits; the host adds bias * count back.  The
+                    bias is a RUNTIME scalar (SMEM operand, one slot per
+                    i16 arg) so every narrow-range column shares one
+                    compiled kernel instead of tracing a fresh Mosaic
+                    build per column minimum (ADVICE r4).  This is the
+                    analog of the reference's width-specialized
                     aggregators (Aggregator.h typed method dispatch) and
                     saves ~2 of the ~7 VPU ops per (row, group).
     ("float",)      f32 sum.
@@ -82,7 +86,7 @@ def _make_kernel(kinds, G: int):
     n_int_rows = _limb_rows(kinds)
     n_f32_rows = max(n_f32, 1)
 
-    def kernel(gid_ref, mask_ref, *rest):
+    def kernel(gid_ref, mask_ref, bias_ref, *rest):
         args = rest[:len(kinds)]
         iacc_ref = rest[len(kinds)]
         facc_ref = rest[len(kinds) + 1]
@@ -101,6 +105,7 @@ def _make_kernel(kinds, G: int):
 
         int_limbs = []                            # per int arg: (lo[, hi])
         floats = []
+        i16_slot = 0
         for kind, ref in zip(kinds, args):
             if kind[0] == "int":
                 # bias to "unsigned" by flipping the sign bit, then split
@@ -111,7 +116,8 @@ def _make_kernel(kinds, G: int):
                 hi = lax.shift_right_logical(v, jnp.int32(16))
                 int_limbs.append((lo, hi))
             elif kind[0] == "i16":
-                int_limbs.append((ref[...] - jnp.int32(kind[1]),))
+                int_limbs.append((ref[...] - bias_ref[i16_slot],))
+                i16_slot += 1
             else:
                 floats.append(ref[...])
 
@@ -135,7 +141,8 @@ def _make_kernel(kinds, G: int):
 
 
 @partial(jax.jit, static_argnames=("kinds", "num_groups", "interpret"))
-def _chunk_call(gid, mask, args, kinds, num_groups: int, interpret: bool):
+def _chunk_call(gid, mask, args, biases, kinds, num_groups: int,
+                interpret: bool):
     n = gid.shape[0]
     n_pad = -(-n // TILE) * TILE
     if n_pad != n:
@@ -150,11 +157,13 @@ def _chunk_call(gid, mask, args, kinds, num_groups: int, interpret: bool):
     kernel, n_int_rows, n_f32_rows = _make_kernel(kinds, num_groups)
     row_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(biases.shape, lambda i: (0,),
+                             memory_space=pltpu.SMEM)
     with jax.enable_x64(False):        # Mosaic rejects i64 (index literals)
         iacc, facc = pl.pallas_call(
             kernel,
             grid=(nt,),
-            in_specs=[row_spec, row_spec] + [row_spec] * len(args),
+            in_specs=[row_spec, row_spec, bias_spec] + [row_spec] * len(args),
             out_specs=(
                 pl.BlockSpec((n_int_rows * num_groups * 8, LANES),
                              lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -168,7 +177,7 @@ def _chunk_call(gid, mask, args, kinds, num_groups: int, interpret: bool):
                                      jnp.float32),
             ),
             interpret=interpret,
-        )(gid2, mask2, *args2)
+        )(gid2, mask2, biases, *args2)
     # reduce the (8, LANES) per-group partial vregs to one scalar per
     # (quantity, group) — outside the kernel, once per chunk
     iacc = jnp.sum(iacc.reshape(n_int_rows * num_groups, 8 * LANES)
@@ -207,35 +216,40 @@ def pallas_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
     # dedupe identical (kind, argument) pairs: sum(x) and avg(x) share one
     # set of limb accumulators (the common SELECT sum(v), avg(v) shape
     # would otherwise double the per-group VPU work)
-    uniq_map = {}              # (kind, arg id) -> slot in unique lists
+    uniq_map = {}              # (kind, bias, arg id) -> slot in unique lists
     slot_of = []               # per original arg: unique slot or None=count
-    u_kinds, u_args = [], []
+    u_kinds, u_args, u_biases = [], [], []
     for i, (k, a) in enumerate(zip(kinds, args)):
         if k == "count":
             slot_of.append(None)
             continue
         kk = (k,)
+        bias = 0
         if k == "int" and arg_ranges is not None and \
                 arg_ranges[i] is not None:
             lo_r, hi_r = int(arg_ranges[i][0]), int(arg_ranges[i][1])
             if 0 <= hi_r - lo_r <= 0xFFFF:
-                kk = ("i16", lo_r)
-        key = (kk, id(a))
+                kk = ("i16",)       # bias is a runtime scalar, NOT part of
+                bias = lo_r         # the kernel signature (ADVICE r4)
+        key = (kk, bias, id(a))
         if key not in uniq_map:
             uniq_map[key] = len(u_kinds)
             u_kinds.append(kk)
+            u_biases.append(bias)
             u_args.append(jnp.asarray(a).astype(
                 jnp.float32 if kk[0] == "float" else jnp.int32))
         slot_of.append(uniq_map[key])
     kinds = tuple(u_kinds)
     args = tuple(u_args)
+    i16_biases = [b for kk, b in zip(kinds, u_biases) if kk[0] == "i16"]
+    biases = jnp.asarray(i16_biases or [0], dtype=jnp.int32)
 
     iacc64 = None
     facc64 = None
     for lo in range(0, n, CHUNK):
         hi = min(n, lo + CHUNK)
         ia, fa = _chunk_call(gid[lo:hi], mask[lo:hi],
-                             tuple(a[lo:hi] for a in args), kinds, G,
+                             tuple(a[lo:hi] for a in args), biases, kinds, G,
                              interpret)
         iacc64 = ia if iacc64 is None else iacc64 + ia
         facc64 = fa if facc64 is None else facc64 + fa
@@ -244,7 +258,7 @@ def pallas_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
     # assemble unique states, then fan back out to the original arg order
     u_states = []
     row, fi = 1, 0
-    for k in kinds:
+    for k, b in zip(kinds, u_biases):
         if k[0] == "int":
             lo_s = iacc64[row * G:(row + 1) * G]
             hi_s = iacc64[(row + 1) * G:(row + 2) * G]
@@ -253,7 +267,7 @@ def pallas_group_aggregate(gid, mask, args, kinds: tuple, num_groups: int,
             row += 2
         elif k[0] == "i16":
             lo_s = iacc64[row * G:(row + 1) * G]
-            u_states.append(lo_s + group_count * jnp.int64(k[1]))
+            u_states.append(lo_s + group_count * jnp.int64(b))
             row += 1
         else:
             u_states.append(facc64[fi * G:(fi + 1) * G])

@@ -313,25 +313,37 @@ def write_tskv(table: Table, path: str) -> int:
     return table.n_rows
 
 
-def read_tskv(path: str, schema: list) -> Table:
+def _tskv_unescape(s: str) -> str:
+    # single-pass: ordered str.replace chains corrupt "\\\\t" (escaped
+    # backslash then 't') into backslash+TAB (ADVICE r4)
     import re
+    return re.sub(r"\\(.)",
+                  lambda m: {"t": "\t", "n": "\n"}.get(m.group(1),
+                                                       m.group(1)), s)
+
+
+def read_tskv(path: str, schema: list) -> Table:
     by_name = {f.name: i for i, f in enumerate(schema)}
     rows = []
-    splitter = re.compile(r"(?<!\\)\t")
     with open(path) as fh:
         for line in fh:
             line = line.rstrip("\n")
             if not line:
                 continue
             row = [None] * len(schema)
-            for pair in splitter.split(line):
+            # escaped values contain no raw tabs, so a plain split is the
+            # correct separator (a (?<!\\) lookbehind refuses to split after
+            # a value ending in an escaped backslash — ADVICE r4)
+            for pair in line.split("\t"):
                 if "=" not in pair:
                     continue
-                k, v = pair.split("=", 1)
-                k = k.replace("\\=", "=").replace("\\t", "\t") \
-                     .replace("\\n", "\n").replace("\\\\", "\\")
-                v = v.replace("\\=", "=").replace("\\t", "\t") \
-                     .replace("\\n", "\n").replace("\\\\", "\\")
+                # key ends at the first UNESCAPED '='
+                import re as _re
+                m = _re.match(r"((?:\\.|[^\\=])*)=(.*)", pair, _re.DOTALL)
+                if m is None:
+                    continue
+                k = _tskv_unescape(m.group(1))
+                v = _tskv_unescape(m.group(2))
                 if k in by_name:
                     row[by_name[k]] = v
             rows.append(tuple(row))

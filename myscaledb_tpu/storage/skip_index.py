@@ -220,8 +220,26 @@ def pattern_required_grams(pattern: str, kind: str, n: int) -> list:
     literal segment (bounded by non-word chars on both sides) — a token
     touching a %%/_ boundary could extend in the data."""
     import re
-    segs = [seg.replace("\\%", "%").replace("\\_", "_")
-            for seg in re.split(r"(?<!\\)[%_]", pattern)]
+    # literal segments via the SAME left-to-right escape scan as the
+    # evaluator (exec/expr.py _like_to_re): backslash escapes the next
+    # char.  A regex split on (?<!\\)[%_] mishandles "\\\\%" (escaped
+    # backslash then wildcard) and diverges from the evaluator, wrongly
+    # pruning blocks that contain matching rows.
+    segs, cur = [], []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            cur.append(pattern[i + 1])
+            i += 2
+            continue
+        if ch in "%_":
+            segs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    segs.append("".join(cur))
     out = set()
     if kind == "ngrambf":
         for seg in segs:

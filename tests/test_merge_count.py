@@ -60,12 +60,16 @@ def test_merge_count_multichunk():
 
 
 def test_ht_count_matches_dispatches_merge_path(rng):
-    """build_group_ids caches the sorted layout for single int32 keys and
-    ht_count_matches must agree with the packed-sort path."""
+    """Join builds (prepare_count_probe=True) cache the sorted layout for
+    single int32 keys and ht_count_matches must agree with the packed-sort
+    path; GROUP BY builds skip the extra sort (ADVICE r4)."""
     r = np.random.default_rng(7)
     build = r.integers(0, 500, 2000).astype(np.int32)
     probe = r.integers(0, 900, 30_000).astype(np.int32)
-    table, _, _ = build_group_ids((jnp.asarray(build),))
+    table_g, _, _ = build_group_ids((jnp.asarray(build),))
+    assert table_g.sorted_keys2d is None
+    table, _, _ = build_group_ids((jnp.asarray(build),),
+                                  prepare_count_probe=True)
     assert table.sorted_keys2d is not None
     got = int(ht_count_matches(table, (jnp.asarray(probe),)))
     assert got == _want(build, np.ones(2000, dtype=bool), probe)

@@ -93,6 +93,76 @@ class MiniPGClient:
         self.sock.sendall(b"X" + struct.pack("!I", 4))
         self.sock.close()
 
+    # -- extended protocol --------------------------------------------------
+
+    def _send(self, tag, payload):
+        self.sock.sendall(tag + struct.pack("!I", len(payload) + 4) + payload)
+
+    def parse(self, name, sql, oids=()):
+        p = (name.encode() + b"\x00" + sql.encode() + b"\x00" +
+             struct.pack("!H", len(oids)) +
+             b"".join(struct.pack("!I", o) for o in oids))
+        self._send(b"P", p)
+
+    def bind(self, portal, stmt, params=()):
+        body = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+        body += struct.pack("!H", 0)                     # param fmts: text
+        body += struct.pack("!H", len(params))
+        for v in params:
+            if v is None:
+                body += struct.pack("!i", -1)
+            else:
+                raw = str(v).encode()
+                body += struct.pack("!I", len(raw)) + raw
+        body += struct.pack("!H", 0)                     # result fmts: text
+        self._send(b"B", body)
+
+    def describe(self, kind, name):
+        self._send(b"D", kind.encode() + name.encode() + b"\x00")
+
+    def execute(self, portal, max_rows=0):
+        self._send(b"E", portal.encode() + b"\x00" +
+                   struct.pack("!i", max_rows))
+
+    def sync(self):
+        self._send(b"S", b"")
+
+    def collect_until_ready(self):
+        """Drain messages until ReadyForQuery; returns list of
+        (tag, payload)."""
+        out = []
+        while True:
+            tag, payload = self._read()
+            out.append((tag, payload))
+            if tag == b"Z":
+                return out
+
+    @staticmethod
+    def parse_rows(msgs):
+        names, rows = [], []
+        for tag, payload in msgs:
+            if tag == b"T":
+                (n,) = struct.unpack("!H", payload[:2])
+                pos = 2
+                for _ in range(n):
+                    end = payload.index(b"\x00", pos)
+                    names.append(payload[pos:end].decode())
+                    pos = end + 1 + 18
+            elif tag == b"D":
+                (n,) = struct.unpack("!H", payload[:2])
+                pos = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", payload[pos:pos + 4])
+                    pos += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(payload[pos:pos + ln].decode())
+                        pos += ln
+                rows.append(row)
+        return names, rows
+
 
 @pytest.fixture
 def server():
@@ -146,4 +216,83 @@ def test_privilege_enforced(server):
     c = MiniPGClient(*server, user="alice", password="secret")
     with pytest.raises(RuntimeError, match="privilege|denied|DROP"):
         c.query("DROP TABLE t")
+    c.close()
+
+
+def test_extended_parameterized_select(server):
+    """Full Parse/Bind/Describe/Execute/Sync exchange with $N parameters —
+    the psycopg3 / JDBC prepared-statement flow
+    (src/Server/PostgreSQLHandler.cpp extended-protocol handling)."""
+    c = MiniPGClient(*server)
+    c.parse("s1", "SELECT id, name FROM t WHERE id >= $1 AND name != $2 "
+                  "ORDER BY id LIMIT 3")
+    c.bind("p1", "s1", params=[5, "n6"])
+    c.describe("P", "p1")
+    c.execute("p1")
+    c.sync()
+    msgs = c.collect_until_ready()
+    tags = [t for t, _ in msgs]
+    assert tags[0] == b"1" and tags[1] == b"2"       # Parse/BindComplete
+    assert b"T" in tags and b"C" in tags
+    names, rows = c.parse_rows(msgs)
+    assert names == ["id", "name"]
+    assert rows == [["5", "n5"], ["7", "n7"], ["8", "n8"]]
+    c.close()
+
+
+def test_extended_row_limit_portal_suspended(server):
+    c = MiniPGClient(*server)
+    c.parse("", "SELECT id FROM t ORDER BY id")
+    c.bind("", "")
+    c.execute("", max_rows=4)
+    c.execute("", max_rows=0)        # drain the rest
+    c.sync()
+    msgs = c.collect_until_ready()
+    tags = [t for t, _ in msgs]
+    assert b"s" in tags              # PortalSuspended after the first 4
+    _, rows = c.parse_rows(msgs)
+    assert [r[0] for r in rows] == [str(i) for i in range(10)]
+    c.close()
+
+
+def test_extended_describe_statement(server):
+    c = MiniPGClient(*server)
+    c.parse("s2", "SELECT v FROM t WHERE id = $1")
+    c.describe("S", "s2")
+    c.sync()
+    msgs = c.collect_until_ready()
+    by_tag = dict(msgs)
+    assert b"t" in by_tag            # ParameterDescription
+    (nparams,) = struct.unpack("!H", by_tag[b"t"][:2])
+    assert nparams == 1
+    names, _ = c.parse_rows(msgs)
+    assert names == ["v"]            # RowDescription via NULL-probe
+    c.close()
+
+
+def test_extended_error_skips_until_sync(server):
+    c = MiniPGClient(*server)
+    c.parse("bad", "SELECT * FROM missing_table")
+    c.bind("bp", "bad")
+    c.execute("bp")
+    c.execute("bp")                  # must be skipped after the error
+    c.sync()
+    msgs = c.collect_until_ready()
+    errs = [p for t, p in msgs if t == b"E"]
+    assert len(errs) == 1 and b"missing_table" in errs[0]
+    # connection still usable afterwards
+    _, rows = c.query("SELECT 41 + 1")
+    assert rows == [["42"]]
+    c.close()
+
+
+def test_extended_params_not_substituted_in_strings(server):
+    c = MiniPGClient(*server)
+    c.parse("s3", "SELECT '$1' AS lit, $1 AS param")
+    c.bind("p3", "s3", params=["hello"])
+    c.execute("p3")
+    c.sync()
+    msgs = c.collect_until_ready()
+    _, rows = c.parse_rows(msgs)
+    assert rows == [["$1", "hello"]]
     c.close()
