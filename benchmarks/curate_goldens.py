@@ -36,26 +36,8 @@ BLACKLIST = (
 )
 
 
-def run_statements(session, sqls):
-    """Execute statements, returning concatenated SELECT output lines."""
-    from myscaledb_tpu.runtime.formats import ch_tsv_lines
-    lines = []
-    for sql in sqls:
-        s = sql.strip().rstrip(";").strip()
-        if not s:
-            continue
-        up = s.upper()
-        t = session.sql(s)
-        if up.startswith(("SELECT", "WITH")) and t is not None:
-            lines.extend(ch_tsv_lines(t))
-    return lines
-
-
-def split_sql(text):
-    # strip comments, split on top-level semicolons (no ; inside strings in
-    # the curated candidates — files with tricky quoting simply fail)
-    text = re.sub(r"--[^\n]*", "", text)
-    return [p for p in text.split(";") if p.strip()]
+from myscaledb_tpu.testing import (run_statements, split_statements,
+                                   serialize_statements)
 
 
 def try_stateless(path, verbose=False):
@@ -72,41 +54,102 @@ def try_stateless(path, verbose=False):
         expected = []
     try:
         s = connect()
-        got = run_statements(s, split_sql(sql_text))
+        got = run_statements(s, split_statements(sql_text))
     except Exception as e:
         if verbose:
             print(f"  {os.path.basename(path)}: {type(e).__name__}: "
                   f"{str(e)[:80]}")
         return None
+    if verbose and got != expected:
+        for i, (g, e) in enumerate(zip(got, expected)):
+            if g != e:
+                print(f"  {os.path.basename(path)}: line {i}: got {g!r} "
+                      f"want {e!r}")
+                break
+        if len(got) != len(expected):
+            print(f"  {os.path.basename(path)}: {len(got)} lines, want "
+                  f"{len(expected)}")
     return got == expected
 
 
 _Q_RE = re.compile(r'clickhouse-client\s+(?:[^"\n]*?)-q\s+"((?:[^"\\]|\\.)*)"')
 
+# the suite's expected-error idiom:
+#   clickhouse-client -q "SQL" 2>&1 | grep -q "needle" && echo 'OK' || echo 'FAIL'
+_GREP_RE = re.compile(
+    r'clickhouse-client\s+(?:[^"\n]*?)-q\s+"((?:[^"\\]|\\.)*)"\s*2>&1\s*\|'
+    r'\s*grep\s+-q[a-z]*\s+"((?:[^"\\]|\\.)*)"\s*&&\s*echo\s+'
+    r"'?([A-Za-z]+)'?\s*\|\|\s*echo\s+'?([A-Za-z]+)'?")
 
-_HELPER_RE = re.compile(r'helpers/(\S+?\.sh)')
+_HELPER_RE = re.compile(r'^\s*\.\s+\S*helpers/(\S+?\.sh)"?\s*(.*)$', re.M)
+
+_ASSIGN_RE = re.compile(r'^([A-Za-z_][A-Za-z0-9_]*)=(\$\d+|"[^"$`]*"'
+                        r"|'[^']*'|[^\s`$();|&]*)\s*$", re.M)
+
+
+def _shell_env(text, args=()):
+    """Best-effort simple VAR=value / VAR=$N bindings (the suite's helpers
+    parameterize index types this way: INDEX_TYPE=$1)."""
+    env = {}
+    for m in _ASSIGN_RE.finditer(text):
+        var, val = m.group(1), m.group(2)
+        if val.startswith("$"):
+            idx = int(val[1:]) - 1
+            env[var] = args[idx] if 0 <= idx < len(args) else ""
+        else:
+            env[var] = val.strip("\"'")
+    return env
+
+
+def _subst_vars(q, env):
+    for var, val in env.items():
+        q = q.replace("${%s}" % var, val).replace("$" + var, val)
+    return q
 
 
 def extract_sh_sql(path):
     text = open(path).read()
     sqls = []
-    for hm in _HELPER_RE.finditer(text.split("clickhouse-client")[0]):
+    for hm in _HELPER_RE.finditer(text):
         helper = os.path.join(os.path.dirname(path), "helpers", hm.group(1))
         if not os.path.exists(helper):
             continue
-        for m in _Q_RE.finditer(open(helper).read()):
+        hargs = [a.strip("\"'") for a in hm.group(2).split()] \
+            if hm.group(2) else []
+        htext = open(helper).read()
+        henv = _shell_env(htext, hargs)
+        for m in _Q_RE.finditer(htext):
             q = m.group(1)
             if "select status from system.vector_indices" in q:
                 continue       # the poll loop; builds block synchronously
-            sqls.append(q)
+            sqls.append(_subst_vars(q, henv))
+    env = _shell_env(text)
+    body = []                         # (pos, entry) in file order
+    grep_spans = []
+    for m in _GREP_RE.finditer(text):
+        grep_spans.append((m.start(), m.end()))
+        body.append((m.start(),
+                     (_subst_vars(m.group(1).replace('\\"', '"'), env),
+                      ("grep", m.group(2).replace('\\"', '"'),
+                       m.group(3), m.group(4)))))
     for m in _Q_RE.finditer(text):
-        sqls.append(m.group(1))
-    return [q.replace('\\"', '"') for q in sqls]
+        if any(a <= m.start() < b for a, b in grep_spans):
+            continue
+        q = m.group(1)
+        if "select status from system.vector_indices" in q:
+            continue
+        body.append((m.start(), _subst_vars(q, env)))
+    sqls.extend(e for _pos, e in sorted(body, key=lambda t: t[0]))
+    return [q if isinstance(q, tuple) else q.replace('\\"', '"')
+            for q in sqls]
 
 
 def try_vector(path, verbose=False):
+    """Vector-suite candidate: .sh (extract clickhouse-client calls) or
+    pure .sql.  Returns (matched, entries)."""
     from myscaledb_tpu import connect
-    ref_path = path[:-3] + ".reference"
+    stem = path[:-3] if path.endswith(".sh") else path[:-4]
+    ref_path = stem + ".reference"
     if not os.path.exists(ref_path):
         return None, None
     try:
@@ -115,7 +158,10 @@ def try_vector(path, verbose=False):
         return None, None
     if expected == [""]:
         expected = []
-    sqls = extract_sh_sql(path)
+    if path.endswith(".sh"):
+        sqls = extract_sh_sql(path)
+    else:
+        sqls = split_statements(open(path).read())
     if not sqls:
         return None, None
     try:
@@ -124,8 +170,17 @@ def try_vector(path, verbose=False):
     except Exception as e:
         if verbose:
             print(f"  {os.path.basename(path)}: {type(e).__name__}: "
-                  f"{str(e)[:80]}")
+                  f"{str(e)[:100]}")
         return None, None
+    if verbose and got != expected:
+        for i, (g, e) in enumerate(zip(got, expected)):
+            if g != e:
+                print(f"  {os.path.basename(path)}: line {i}: got {g!r} "
+                      f"want {e!r}")
+                break
+        if len(got) != len(expected):
+            print(f"  {os.path.basename(path)}: {len(got)} lines, want "
+                  f"{len(expected)}")
     return got == expected, sqls
 
 
@@ -136,6 +191,9 @@ def main():
     ap.add_argument("--max-bytes", type=int, default=1500,
                     help="skip .sql candidates bigger than this")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--skip-stateless", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on candidate file names")
     args = ap.parse_args()
 
     os.makedirs(os.path.join(OUT, "stateless"), exist_ok=True)
@@ -145,8 +203,10 @@ def main():
     tried = 0
     stateless = sorted(
         f for f in os.listdir(os.path.join(REF, "0_stateless"))
-        if f.endswith(".sql"))
+        if f.endswith(".sql")) if not args.skip_stateless else []
     for f in stateless:
+        if args.only and args.only not in f:
+            continue
         path = os.path.join(REF, "0_stateless", f)
         if os.path.getsize(path) > args.max_bytes:
             continue
@@ -169,20 +229,26 @@ def main():
     print(f"stateless: tried {min(tried, args.limit)}, kept {kept}")
 
     vkept = 0
+    vtried = 0
     for f in sorted(os.listdir(os.path.join(REF, "2_vector_search"))):
-        if not f.endswith(".sh") or f.startswith("helpers"):
+        if not (f.endswith(".sh") or f.endswith(".sql")) \
+                or f.startswith("helpers"):
+            continue
+        if args.only and args.only not in f:
             continue
         path = os.path.join(REF, "2_vector_search", f)
+        vtried += 1
         ok, sqls = try_vector(path, args.verbose)
         if ok:
-            base = f[:-3]
+            base = f[:-3] if f.endswith(".sh") else f[:-4]
             with open(os.path.join(OUT, "vector", base + ".sql"), "w") as fh:
-                fh.write(";\n".join(sqls) + ";\n")
-            shutil.copy(path[:-3] + ".reference",
+                fh.write(serialize_statements(sqls))
+            shutil.copy(os.path.join(REF, "2_vector_search",
+                                     base + ".reference"),
                         os.path.join(OUT, "vector", base + ".reference"))
             vkept += 1
             print(f"KEEP vector/{base}")
-    print(f"vector: kept {vkept}")
+    print(f"vector: tried {vtried}, kept {vkept}")
     print(f"TOTAL goldens: {kept + vkept}")
 
 

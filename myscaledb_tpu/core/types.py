@@ -86,12 +86,22 @@ _PHYSICAL = {
 }
 
 _FROM_NAME = {t.value: t for t in DataType}
-# ClickHouse-compatible aliases
+# ClickHouse-compatible aliases (incl. the case-insensitive SQL-standard
+# names ClickHouse registers: src/DataTypes/DataTypesNumber.cpp aliases)
 _FROM_NAME.update({
     "Float": DataType.FLOAT32,
     "Double": DataType.FLOAT64,
     "Boolean": DataType.BOOL,
 })
+_SQL_ALIASES = {
+    "int": DataType.INT32, "integer": DataType.INT32,
+    "tinyint": DataType.INT8, "smallint": DataType.INT16,
+    "bigint": DataType.INT64, "float": DataType.FLOAT32,
+    "real": DataType.FLOAT32, "double": DataType.FLOAT64,
+    "varchar": DataType.STRING, "char": DataType.STRING,
+    "text": DataType.STRING, "blob": DataType.STRING,
+    "bool": DataType.BOOL, "boolean": DataType.BOOL,
+}
 
 
 def physical_dtype(t: DataType) -> np.dtype:
@@ -102,6 +112,8 @@ def type_from_name(name: str) -> DataType:
     name = name.strip()
     if name in _FROM_NAME:
         return _FROM_NAME[name]
+    if name.lower() in _SQL_ALIASES:
+        return _SQL_ALIASES[name.lower()]
     raise ValueError(f"unknown type name: {name!r}")
 
 

@@ -1702,3 +1702,19 @@ def _f_version(args, env):
 def _f_currentuser(args, env):
     user = getattr(env, "current_user", None) or "default"
     return Value(None, is_scalar=True, py=user)
+
+
+@func("currentDatabase")
+def _f_currentdatabase(args, env):
+    # single flat namespace; the reference default database name keeps
+    # system.* queries filtered on currentDatabase() portable
+    return Value(None, is_scalar=True, py="default")
+
+
+@func("sleep", "sleepEachRow")
+def _f_sleep(args, env):
+    # the reference suite sleeps to wait out ASYNC index builds / merges
+    # (VIBuilderUpdater background scheduling); this engine builds
+    # synchronously at DDL time, so the wait is a no-op returning 0 —
+    # sleeping for real would only slow the golden corpus down
+    return Value(jnp.asarray(0), is_scalar=True, py=0)

@@ -851,21 +851,12 @@ def ch_cells(table: Table, escape: bool = False) -> list:
         if isinstance(v, _dtm.date):
             return v.isoformat()
         if isinstance(v, (float, np.floating)):
-            fv = float(v)
-            if fv != fv:
-                return "nan"
-            if fv == float("inf"):
-                return "inf"
-            if fv == float("-inf"):
-                return "-inf"
-            if fv == int(fv) and abs(fv) < 1e15:
-                return str(int(fv))
-            if f32 or isinstance(v, np.float32):
-                s = np.format_float_positional(np.float32(fv), unique=True,
-                                               trim="-")
-            else:
-                s = repr(fv)
-            return s
+            # shortest-roundtrip with ClickHouse's exponent thresholds and
+            # style (sql/format.py — shared so goldens and wire formats
+            # agree: 1.1920929e-7, not 0.00000011920929 / 1.1920929e-07)
+            from myscaledb_tpu.sql.format import format_f32, format_f64
+            return format_f32(v) if (f32 or isinstance(v, np.float32)) \
+                else format_f64(float(v))
         if isinstance(v, str):
             if top and not escape:
                 return v

@@ -16,6 +16,7 @@ from myscaledb_tpu.runtime import metrics as M
 from myscaledb_tpu.runtime import tracing
 
 SYSTEM_TABLES = ("system.one", "system.tables", "system.columns",
+                 "system.parts",
                  "system.settings", "system.events", "system.metrics",
                  "system.timings", "system.query_log", "system.span_log",
                  "system.vector_indices", "system.numbers",
@@ -44,10 +45,33 @@ def build_system_table(session, name: str) -> Table:
             ncols.append(len(t.column_names))
             dist.append(1 if getattr(t, "mesh", None) is not None else 0)
         return Table.from_dict({
+            "database": ["default"] * len(names),
             "name": names,
             "total_rows": np.asarray(rows, dtype=np.int64),
             "total_columns": np.asarray(ncols, dtype=np.int64),
             "is_distributed": np.asarray(dist, dtype=np.uint8)})
+
+    if name == "system.parts":
+        # logical part set: one part per INSERT batch since the last
+        # merge/OPTIMIZE (the reference's immutable-part model,
+        # src/Storages/System/StorageSystemParts.cpp).  Durable TableStore
+        # tables have real on-disk parts; resident tables track the batch
+        # history so part-count-sensitive tests observe the same counts.
+        parts = getattr(session, "_table_parts", {})
+        tabs, pnames, prow, act = [], [], [], []
+        for tname, lst in sorted(parts.items()):
+            if tname not in session.tables:
+                continue
+            for i, nrows in enumerate(lst):
+                tabs.append(tname)
+                pnames.append(f"all_{i + 1}_{i + 1}_0")
+                prow.append(nrows)
+                act.append(1)
+        return Table.from_dict({
+            "database": ["default"] * len(tabs),
+            "table": tabs, "name": pnames,
+            "rows": np.asarray(prow, dtype=np.int64),
+            "active": np.asarray(act, dtype=np.uint8)})
 
     if name == "system.columns":
         tabs, cols, types = [], [], []
@@ -110,6 +134,7 @@ def build_system_table(session, name: str) -> Table:
             return base + (f"('{i['params']}')" if i.get("params") else "")
 
         return Table.from_dict({
+            "database": ["default"] * len(idxs),
             "table": [i["table"] for i in idxs],
             "name": [i["name"] for i in idxs],
             "column": [i["column"] for i in idxs],

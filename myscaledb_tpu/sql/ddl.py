@@ -119,6 +119,72 @@ class ModifyTableSetting:
 
 
 @dataclass
+class AlterMulti:
+    """ALTER TABLE t cmd1, cmd2, ... — commands run sequentially
+    (AlterCommands is a vector in the reference)."""
+    table: str
+    commands: list
+
+
+@dataclass
+class AddConstraint:
+    """ALTER TABLE t ADD CONSTRAINT name CHECK expr.  Recorded for SHOW
+    CREATE; CHECK enforcement on INSERT mirrors the reference's
+    enforce_fixed_vector_length_constraint=default leniency for vector
+    length (wrong-length rows are stored, searches skip them)."""
+    table: str
+    name: str
+    expr: object
+
+
+@dataclass
+class DropConstraint:
+    table: str
+    name: str
+
+
+@dataclass
+class AddColumn:
+    table: str
+    name: str
+    type_tokens: object        # (dtype, nullable, vdim, elem)
+    default: object = None     # AST expr or None
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropColumn:
+    table: str
+    name: str
+
+
+@dataclass
+class MaterializeColumn:
+    """No-op: columns are materialized eagerly at ADD COLUMN time here
+    (the reference defers to part rewrite, MutateTask)."""
+    table: str
+    name: str
+
+
+@dataclass
+class AddProjection:
+    """ALTER TABLE t ADD PROJECTION p (SELECT ... GROUP BY ...) —
+    aggregate projection declaration (reference: ASTProjectionDeclaration,
+    optimizeUseAggregateProjection.cpp).  Materialization is lazy: the
+    grouped sidecar is built on first matching query per mutation epoch
+    (sql/optimizer.py)."""
+    table: str
+    name: str
+    select_sql: str
+
+
+@dataclass
+class DropProjection:
+    table: str
+    name: str
+
+
+@dataclass
 class AddVectorIndex:
     table: str
     name: str
@@ -311,6 +377,15 @@ class DDLParser(Parser):
                 self.take_kw("QUERY")
                 self.expect_kw("CACHE")
                 return SystemStatement("drop_query_cache")
+            if self.take_kw("STOP") or self.take_kw("START"):
+                # STOP/START MERGES [table]: merges here run synchronously
+                # at OPTIMIZE / background-executor request, never behind a
+                # query's back — the toggle is accepted for suite
+                # compatibility and is a no-op
+                self.take_kw("MERGES")
+                target = self.next().text if self.peek().kind != "eof" \
+                    else None
+                return SystemStatement("merges_toggle", target)
             raise ParseError("unsupported SYSTEM statement")
         if up == "GRANT":
             return self.parse_grant(revoke=False)
@@ -353,6 +428,12 @@ class DDLParser(Parser):
         self.expect_kw("ALTER")
         self.expect_kw("TABLE")
         table = self.parse_table_name()
+        cmds = [self._parse_alter_command(table)]
+        while self.take_punct(","):
+            cmds.append(self._parse_alter_command(table))
+        return cmds[0] if len(cmds) == 1 else AlterMulti(table, cmds)
+
+    def _parse_alter_command(self, table):
         if self.take_kw("DELETE"):
             self.expect_kw("WHERE")
             return AlterDelete(table, self.parse_expr())
@@ -366,9 +447,36 @@ class DDLParser(Parser):
                     break
             self.expect_kw("WHERE")
             return AlterUpdate(table, assignments, self.parse_expr())
+        if self.take_kw("MATERIALIZE"):
+            self.expect_kw("COLUMN")
+            return MaterializeColumn(table, self.next().text)
         if self.take_kw("ADD"):
             if self.at_kw("INDEX"):
                 return AddSkipIndex(table, self._parse_skip_index())
+            if self.take_kw("CONSTRAINT"):
+                name = self.next().text
+                self.expect_kw("CHECK")
+                return AddConstraint(table, name, self.parse_expr())
+            if self.take_kw("COLUMN"):
+                ine = self._take_if_not_exists()
+                name = self.next().text.strip("`")
+                tt = self.parse_type()
+                default = None
+                if self.take_kw("DEFAULT") or self.take_kw("MATERIALIZED"):
+                    default = self.parse_expr()
+                return AddColumn(table, name, tt, default, ine)
+            if self.take_kw("PROJECTION"):
+                name = self.next().text
+                self.expect_punct("(")
+                start = self.peek().pos
+                depth, end = 1, len(self.sql)
+                while depth and self.peek().kind != "eof":
+                    tok = self.next()
+                    depth += (tok.text == "(") - (tok.text == ")")
+                    if depth == 0:
+                        end = tok.pos
+                return AddProjection(table, name,
+                                     self.sql[start:end].strip())
             self.expect_kw("VECTOR")
             self.expect_kw("INDEX")
             name = self.next().text
@@ -383,7 +491,12 @@ class DDLParser(Parser):
                     tok = self.next()
                     depth += (tok.text == "(") - (tok.text == ")")
                     if depth:
-                        parts.append(tok.text)
+                        # store UNQUOTED: system.vector_indices re-quotes in
+                        # its expr column (IVFFLAT('ncentroids = 1'), the
+                        # reference's rendering) — keeping the token quotes
+                        # here would double them
+                        parts.append(unquote_string(tok.text)
+                                     if tok.kind == "string" else tok.text)
                 params = " ".join(parts)
             return AddVectorIndex(table, name, column, itype, params)
         if self.take_kw("DROP"):
@@ -401,6 +514,13 @@ class DDLParser(Parser):
                 return DropPartition(table, val)
             if self.take_kw("INDEX"):
                 return DropSkipIndex(table, self.next().text)
+            if self.take_kw("PROJECTION"):
+                return DropProjection(table, self.next().text)
+            if self.take_kw("CONSTRAINT"):
+                return DropConstraint(table, self.next().text)
+            if self.take_kw("COLUMN"):
+                self._take_if_exists()
+                return DropColumn(table, self.next().text.strip("`"))
             self.expect_kw("VECTOR")
             self.expect_kw("INDEX")
             return DropVectorIndex(table, self.next().text)
@@ -1216,7 +1336,10 @@ def required_privilege(stmt):
         return ("TRUNCATE", stmt.name)
     if isinstance(stmt, (AlterDelete, AlterUpdate, AddVectorIndex,
                          DropVectorIndex, DropPartition, AddSkipIndex,
-                         DropSkipIndex, ModifyTableSetting)):
+                         DropSkipIndex, ModifyTableSetting, AddProjection,
+                         DropProjection, AlterMulti, AddConstraint,
+                         DropConstraint, AddColumn, DropColumn,
+                         MaterializeColumn)):
         return ("ALTER", stmt.table)
     if isinstance(stmt, OptimizeTable):
         return ("OPTIMIZE", stmt.table)
@@ -1303,6 +1426,93 @@ def execute_statement(session, stmt) -> Table:
                               if i.name != stmt.name]
         return T([])
 
+    if isinstance(stmt, AlterMulti):
+        for cmd in stmt.commands:
+            execute_statement(session, cmd)
+        return T([])
+
+    if isinstance(stmt, AddConstraint):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        cons = session.__dict__.setdefault("_table_constraints", {})
+        cons.setdefault(stmt.table, {})[stmt.name] = stmt.expr
+        return T([])
+
+    if isinstance(stmt, DropConstraint):
+        getattr(session, "_table_constraints", {}).get(
+            stmt.table, {}).pop(stmt.name, None)
+        return T([])
+
+    if isinstance(stmt, MaterializeColumn):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        return T([])        # columns materialize eagerly at ADD COLUMN
+
+    if isinstance(stmt, AddColumn):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        t = session.tables[stmt.table]
+        if stmt.name in t.column_names:
+            if stmt.if_not_exists:
+                return T([])
+            raise ValueError(f"column {stmt.name!r} already exists")
+        dtype, nullable, vdim, elem = stmt.type_tokens
+        if stmt.default is not None:
+            # evaluate the DEFAULT expression over the existing rows —
+            # eager materialization (the reference defers to MutateTask;
+            # same observable state after MATERIALIZE COLUMN)
+            from myscaledb_tpu.exec.expr import Env, eval_expr
+            from myscaledb_tpu.sql.executor import _value_to_column
+            env = Env(t)
+            v = eval_expr(stmt.default, env)
+            col = _value_to_column(stmt.name, v, t.n_rows)
+        else:
+            import numpy as np
+            n = t.n_rows
+            if dtype is DataType.FLOAT32_VECTOR:
+                import jax.numpy as jnp
+                dim = max(vdim, 1)
+                col = Column(Field(stmt.name, dtype, vector_dim=dim),
+                             jnp.zeros((n, dim), dtype=jnp.float32),
+                             jnp.zeros(n, dtype=bool))
+            elif dtype is DataType.STRING:
+                col = Column.from_numpy(stmt.name,
+                                        np.asarray([""] * n, dtype=object))
+            else:
+                col = Column.from_numpy(
+                    stmt.name, np.zeros(n, dtype=physical_dtype(dtype)),
+                    dtype=dtype)
+        cols = list(t.columns.values()) + [col]
+        nt = T(cols)
+        nt.name = stmt.table
+        session.tables[stmt.table] = nt
+        return T([])
+
+    if isinstance(stmt, DropColumn):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        t = session.tables[stmt.table]
+        if stmt.name not in t.column_names:
+            raise ValueError(f"unknown column {stmt.name!r}")
+        nt = t.select([c for c in t.column_names if c != stmt.name])
+        nt.name = stmt.table
+        session.tables[stmt.table] = nt
+        return T([])
+
+    if isinstance(stmt, AddProjection):
+        if stmt.table not in session.tables:
+            raise ValueError(f"unknown table {stmt.table!r}")
+        from myscaledb_tpu.sql.optimizer import parse_projection
+        proj = parse_projection(stmt.name, stmt.select_sql)
+        projs = session.__dict__.setdefault("_projections", {})
+        projs.setdefault(stmt.table, {})[stmt.name] = proj
+        return T([])
+
+    if isinstance(stmt, DropProjection):
+        projs = getattr(session, "_projections", {})
+        projs.get(stmt.table, {}).pop(stmt.name, None)
+        return T([])
+
     if isinstance(stmt, InsertValues):
         if stmt.table not in session.tables:
             raise ValueError(f"unknown table {stmt.table!r}")
@@ -1330,6 +1540,29 @@ def execute_statement(session, stmt) -> Table:
                         renamed.append(Column(
                             Field(tgt.name, DataType.FLOAT32_VECTOR,
                                   vector_dim=dim), dense))
+                        continue
+                    # wrong-length rows (incl. []) with a known target dim:
+                    # stored as zero rows with valid=False — searches skip
+                    # them and they render as [] (the reference stores the
+                    # raw Array and its brute-force/index build skips rows
+                    # whose length mismatches, MergeTreeVSManager.cpp:961
+                    # with enforce_fixed_vector_length_constraint=0)
+                    tdim = tgt.field.vector_dim or (
+                        int(np.asarray(tgt.data).shape[1])
+                        if getattr(tgt.data, "ndim", 1) == 2 else 0)
+                    if len(lens) and tdim:
+                        import jax.numpy as jnp
+                        ok = lens == tdim
+                        flat = np.asarray(src.data, dtype=np.float32)
+                        dense_np = np.zeros((len(lens), tdim),
+                                            dtype=np.float32)
+                        off = np.asarray(src.offsets)
+                        for i in np.nonzero(ok)[0]:
+                            dense_np[i] = flat[off[i]:off[i] + tdim]
+                        renamed.append(Column(
+                            Field(tgt.name, DataType.FLOAT32_VECTOR,
+                                  vector_dim=tdim),
+                            jnp.asarray(dense_np), jnp.asarray(ok)))
                         continue
                 renamed.append(Column(Field(tgt.name, src.dtype,
                                             src.field.nullable,
@@ -1395,6 +1628,10 @@ def execute_statement(session, stmt) -> Table:
                     except Exception:
                         pass
         session.tables[stmt.table] = merged
+        # logical part accounting for system.parts (one part per INSERT
+        # batch until a merge collapses them — MergeTreeData part model)
+        session.__dict__.setdefault("_table_parts", {}).setdefault(
+            stmt.table, []).append(new.n_rows)
         run_materialized_views(session, stmt.table, new)
         file_engine_writethrough(session, stmt.table)
         return T([])
@@ -1456,6 +1693,10 @@ def execute_statement(session, stmt) -> Table:
         if stmt.table not in session.tables:
             raise ValueError(f"unknown table {stmt.table!r}")
         apply_table_ttl(session, stmt.table)
+        parts = getattr(session, "_table_parts", {})
+        if stmt.table in parts:          # merge collapses the part set
+            total = session.tables[stmt.table].n_rows
+            parts[stmt.table] = [total] if total else []
         return T([])
 
     if isinstance(stmt, ModifyTableSetting):
@@ -1576,11 +1817,14 @@ def execute_statement(session, stmt) -> Table:
         if stmt.name not in session.tables and not stmt.if_exists:
             raise ValueError(f"unknown table {stmt.name!r}")
         session.drop_table(stmt.name)
+        getattr(session, "_table_parts", {}).pop(stmt.name, None)
+        getattr(session, "_projections", {}).pop(stmt.name, None)
         return T([])
 
     if isinstance(stmt, TruncateTable):
         t = session.tables[stmt.name]
         session.tables[stmt.name] = t.head(0)
+        getattr(session, "_table_parts", {}).pop(stmt.name, None)
         return T([])
 
     if isinstance(stmt, SetStatement):

@@ -97,11 +97,19 @@ def _find_distance_call(q: SelectQuery, alias_exprs: dict):
     for e in (q.where, q.prewhere, q.having):
         if e is not None:
             exprs.append(e)
-    for e in exprs:
+    found: dict = {}                 # render -> node (dedupe repeats of the
+    for e in exprs:                  # same call across SELECT/ORDER BY)
         for node in walk(e):
             if isinstance(node, FuncCall) and node.name.lower() in DIST_FNS:
-                return node
-    return None
+                found.setdefault(render(node), node)
+    if len(found) > 1:
+        # reference: one search function per query
+        # (src/VectorIndex/Utils/CommonUtils.cpp checkAndGetSearchFunc;
+        # exact wording asserted by golden 00018_mqvs_multi_distance_funcs)
+        raise ExecError(
+            "DB::Exception: Not support more than one function of: "
+            "distance, batch_distance, TextSearch, HybridSearch")
+    return next(iter(found.values()), None)
 
 
 def analyze_vector_search(q: SelectQuery, session, table: Table,
@@ -116,8 +124,10 @@ def analyze_vector_search(q: SelectQuery, session, table: Table,
         raise ExecError(f"{call.name}: first argument must be a vector column")
     col = col_arg.name
     if col not in table:
-        # reference wording: "There is no column 'x'." (00007 golden)
-        raise ExecError(f"There is no column {col!r}")
+        # reference wording incl. the DB::Exception prefix the client
+        # prints — golden 00007 greps the full
+        # "DB::Exception: There is no column 'x'." text
+        raise ExecError(f"DB::Exception: There is no column {col!r}.")
     is_batch = call.name.lower() == "batch_distance"
     if table[col].field.fixed_len > 0:
         # FixedString column = BINARY VECTOR (VIUtils.cpp:666): the query
@@ -2099,6 +2109,12 @@ def execute_select(session, q: SelectQuery) -> Table:
     if q.order_by:
         q = SelectQuery(**{**vars(q),
                            "order_by": _expand_order_tuples(q.order_by)})
+    # 0a. removeRedundantSorting: inner ORDER BYs the outer destroys
+    # (sql/optimizer.py; reference removeRedundantSorting.cpp)
+    from myscaledb_tpu.sql.optimizer import (remove_redundant_sorting,
+                                             match_projection,
+                                             apply_projection)
+    remove_redundant_sorting(q)
     # 0. CTEs: materialize into temporarily-registered tables
     if q.ctes:
         saved = {}
@@ -2139,6 +2155,29 @@ def execute_select(session, q: SelectQuery) -> Table:
                       for o in q.order_by],
             with_aliases=[(n, _resolve_subqueries(e, session))
                           for n, e in q.with_aliases])
+    # 0c. aggregate projection (optimizeUseAggregateProjection analog):
+    # answer a matching GROUP BY from the cached grouped sidecar
+    pm = match_projection(session, q)
+    if pm is not None:
+        # the rewrite bypasses the base-table read, so enforce its SELECT
+        # privilege here; users under row policies must scan the real rows
+        session.access.check(session.current_user, "SELECT", q.table)
+        has_pol, _pol = session.access.row_policy_exprs(
+            session.current_user, q.table)
+        if has_pol:
+            pm = None
+    if pm is not None:
+        sidecar, new_q, hidden = apply_projection(session, q, pm)
+        saved_tbl = session.tables.get(hidden)
+        try:
+            sidecar.name = hidden
+            session.tables[hidden] = sidecar
+            return execute_select(session, new_q)
+        finally:
+            if saved_tbl is None:
+                session.tables.pop(hidden, None)
+            else:
+                session.tables[hidden] = saved_tbl
     # 1. source
     if getattr(q, "table_function", None) is not None:
         kind, params = q.table_function
@@ -2265,6 +2304,14 @@ def execute_select(session, q: SelectQuery) -> Table:
         _vs_cm.__enter__()
         _vs_ok = False
         x = table[vs.col].data
+        # rows whose stored vector length mismatched the column dim carry
+        # valid=False (ddl.py INSERT alignment) — the reference's
+        # brute-force/index build skips them
+        # (enforce_fixed_vector_length_constraint=0 semantics); fold into
+        # the search mask so they never rank
+        _vcv = table[vs.col].valid
+        if _vcv is not None:
+            mask = _vcv if mask is None else jnp.logical_and(mask, _vcv)
         if table.n_rows == 0:
             d = jnp.zeros((vs.qvec.shape[0], 0), dtype=jnp.float32)
             ids = jnp.zeros((vs.qvec.shape[0], 0), dtype=jnp.int32)

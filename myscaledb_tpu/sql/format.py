@@ -14,6 +14,13 @@ from myscaledb_tpu.core.types import DataType
 from myscaledb_tpu.core.table import Table
 
 
+def _ch_exp_style(s: str) -> str:
+    """double-conversion/ClickHouse exponent style: no '+', no leading
+    zeros — 1.1920929e-07 -> 1.1920929e-7, 4e+21 -> 4e21."""
+    import re
+    return re.sub(r"e\+?(-?)0*(\d)", r"e\1\2", s)
+
+
 def format_f32(v) -> str:
     f = np.float32(v)
     if np.isnan(f):
@@ -26,9 +33,8 @@ def format_f32(v) -> str:
     # scientific for very small/large like ClickHouse (1.1920929e-7 but
     # 0.00008100271 positional — threshold calibrated on the goldens)
     if abs(f) < 1e-5 or abs(f) >= 1e15:
-        s = np.format_float_scientific(f, unique=True, trim="-")
-        s = s.replace("e+0", "e+").replace("e-0", "e-")
-        # ClickHouse style: 1.1920929e-7 (no plus sign on negative exps only)
+        s = _ch_exp_style(np.format_float_scientific(f, unique=True,
+                                                     trim="-"))
     return s
 
 
@@ -40,7 +46,11 @@ def format_f64(v) -> str:
         return "inf" if f > 0 else "-inf"
     if f == int(f) and abs(f) < 1e15:
         return str(int(f))
-    return repr(f)
+    s = np.format_float_positional(f, unique=True, trim="-")
+    if abs(f) < 1e-5 or abs(f) >= 1e15:
+        s = _ch_exp_style(np.format_float_scientific(f, unique=True,
+                                                     trim="-"))
+    return s
 
 
 def _quote_str(s: str) -> str:

@@ -86,6 +86,17 @@ def build_plan(session, q) -> PlanNode:
                                             AGG_NAMES)
     settings = session.settings
 
+    # pass 0: removeRedundantSorting (sql/optimizer.py; the executor runs
+    # the same function, so the plan shows exactly what executes)
+    from myscaledb_tpu.sql.optimizer import (remove_redundant_sorting,
+                                             match_projection)
+    removed_sorts = remove_redundant_sorting(q)
+    proj_match = None
+    try:
+        proj_match = match_projection(session, q)
+    except Exception:
+        proj_match = None
+
     table = None
     if q.table is not None:
         try:
@@ -198,6 +209,10 @@ def build_plan(session, q) -> PlanNode:
         hint = getattr(settings, "max_block_size", 65536)
         strat = choose_agg_strategy(table, settings, hint)
         props = {}
+        if proj_match is not None:
+            # optimizeUseAggregateProjection analog: answered from the
+            # grouped sidecar instead of scanning the table
+            props["projection"] = proj_match[0].name
         if table is not None and is_distributed(table):
             props["strategy"] = ("psum merge of dense states"
                                  if strat == "psum" else
@@ -286,6 +301,8 @@ def build_plan(session, q) -> PlanNode:
         node = PlanNode("Limit", detail=f"limit={q.limit}, "
                                         f"offset={q.offset}",
                         children=[node])
+    if removed_sorts:
+        node.props["removed_redundant_sorting"] = "; ".join(removed_sorts)
     return node
 
 

@@ -7,7 +7,6 @@ runs (SURVEY.md §4).  Every case asserts byte-identical TSV output.
 """
 
 import os
-import re
 
 import pytest
 
@@ -26,28 +25,15 @@ def _cases():
     return out
 
 
-def _split_sql(text):
-    text = re.sub(r"--[^\n]*", "", text)
-    return [p for p in text.split(";") if p.strip()]
-
-
 @pytest.mark.parametrize("sub,name", _cases(),
                          ids=[f"{s}/{n}" for s, n in _cases()])
 def test_golden(sub, name):
     from myscaledb_tpu import connect
-    from myscaledb_tpu.runtime.formats import ch_tsv_lines
+    from myscaledb_tpu.testing import run_golden_text
     sql_text = open(os.path.join(GOLDENS, sub, name + ".sql")).read()
     expected = open(os.path.join(GOLDENS, sub, name + ".reference")
                     ).read().rstrip("\n").split("\n")
     if expected == [""]:
         expected = []
-    s = connect()
-    got = []
-    for stmt in _split_sql(sql_text):
-        stmt = stmt.strip().rstrip(";").strip()
-        if not stmt:
-            continue
-        t = s.sql(stmt)
-        if stmt.upper().startswith(("SELECT", "WITH")) and t is not None:
-            got.extend(ch_tsv_lines(t))
+    got = run_golden_text(connect(), sql_text)
     assert got == expected

@@ -1,0 +1,165 @@
+"""Optimizer passes: removeRedundantSorting + aggregate projections
+(sql/optimizer.py; reference removeRedundantSorting.cpp and
+optimizeUseAggregateProjection.cpp)."""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu import connect
+
+
+def _explain(s, sql):
+    return "\n".join(str(r[0]) for r in
+                      s.sql("EXPLAIN PLAN " + sql).to_rows())
+
+
+@pytest.fixture
+def s():
+    s = connect()
+    rng = np.random.default_rng(3)
+    n = 5000
+    s.create_table("t", {
+        "k": rng.integers(0, 16, n).astype(np.int64),
+        "k2": rng.integers(0, 4, n).astype(np.int64),
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+        "f": rng.normal(size=n),
+    })
+    return s
+
+
+# --- removeRedundantSorting ------------------------------------------------
+
+def test_subquery_sort_removed_under_outer_sort(s):
+    sql = ("SELECT k, v FROM (SELECT k, v FROM t ORDER BY v DESC) "
+           "ORDER BY k, v LIMIT 5")
+    plain = s.sql("SELECT k, v FROM t ORDER BY k, v LIMIT 5").to_rows()
+    assert s.sql(sql).to_rows() == plain
+    lines = _explain(s, sql)
+    assert "removed_redundant_sorting" in lines
+    assert "subquery ORDER BY [v]" in lines
+
+
+def test_subquery_sort_kept_with_inner_limit(s):
+    # LIMIT pins the sort: it selects WHICH rows survive
+    sql = ("SELECT sum(v) FROM (SELECT v FROM t ORDER BY v DESC LIMIT 10) "
+           "ORDER BY 1")
+    top10 = sorted(np.asarray(s.sql("SELECT v FROM t").to_rows()).ravel())
+    want = int(sum(top10[-10:]))
+    assert s.sql(sql).to_rows() == [(want,)]
+    lines = _explain(s, sql)
+    assert "removed_redundant_sorting" not in lines
+
+
+def test_subquery_sort_kept_for_order_sensitive_agg(s):
+    sql = ("SELECT groupArray(v) FROM (SELECT v FROM t ORDER BY v LIMIT 3) "
+           "ORDER BY 1")
+    lines = _explain(s, sql)
+    assert "removed_redundant_sorting" not in lines
+
+
+def test_in_subquery_sort_removed(s):
+    sql = ("SELECT count() FROM t WHERE k IN "
+           "(SELECT k2 FROM t ORDER BY v DESC)")
+    want = s.sql("SELECT count() FROM t WHERE k IN "
+                 "(SELECT k2 FROM t)").to_rows()
+    assert s.sql(sql).to_rows() == want
+    lines = _explain(s, sql)
+    assert "IN-subquery ORDER BY [v]" in lines
+
+
+# --- aggregate projections -------------------------------------------------
+
+BASE = ("SELECT k, sum(v), count(), min(v), max(v), avg(v) FROM t "
+        "GROUP BY k ORDER BY k")
+
+
+def test_projection_answers_matching_group_by(s):
+    want = s.sql(BASE).to_rows()
+    s.sql("ALTER TABLE t ADD PROJECTION p1 "
+          "(SELECT k, sum(v), count(), min(v), max(v), avg(v) GROUP BY k)")
+    lines = _explain(s, BASE)
+    assert "projection=p1" in lines
+    assert s.sql(BASE).to_rows() == want
+
+
+def test_projection_subset_keys_reaggregate(s):
+    s.sql("ALTER TABLE t ADD PROJECTION p2 "
+          "(SELECT k, k2, sum(v), count() GROUP BY k, k2)")
+    sql = "SELECT k, sum(v), count() FROM t GROUP BY k ORDER BY k"
+    want = s.sql("SELECT k, sum(v), count() FROM (SELECT * FROM t) "
+                 "GROUP BY k ORDER BY k").to_rows()
+    lines = _explain(s, sql)
+    assert "projection=p2" in lines
+    assert s.sql(sql).to_rows() == want
+
+
+def test_projection_key_filter_commutes(s):
+    s.sql("ALTER TABLE t ADD PROJECTION p3 (SELECT k, sum(v) GROUP BY k)")
+    sql = "SELECT k, sum(v) FROM t WHERE k < 8 GROUP BY k ORDER BY k"
+    want = s.sql(
+        "SELECT k, sum(v) FROM (SELECT * FROM t) WHERE k < 8 "
+        "GROUP BY k ORDER BY k").to_rows()
+    lines = _explain(s, sql)
+    assert "projection=p3" in lines
+    assert s.sql(sql).to_rows() == want
+
+
+def test_projection_not_used_for_value_filter(s):
+    s.sql("ALTER TABLE t ADD PROJECTION p4 (SELECT k, sum(v) GROUP BY k)")
+    sql = "SELECT k, sum(v) FROM t WHERE v > 0 GROUP BY k ORDER BY k"
+    lines = _explain(s, sql)
+    assert "projection" not in lines
+    # and results are still right
+    want = s.sql("SELECT k, sum(v) FROM (SELECT * FROM t) WHERE v > 0 "
+                 "GROUP BY k ORDER BY k").to_rows()
+    assert s.sql(sql).to_rows() == want
+
+
+def test_projection_invalidated_by_insert(s):
+    s.sql("ALTER TABLE t ADD PROJECTION p5 (SELECT k, sum(v), count() "
+          "GROUP BY k)")
+    sql = "SELECT k, sum(v), count() FROM t GROUP BY k ORDER BY k"
+    before = s.sql(sql).to_rows()          # builds + caches the sidecar
+    s.sql("INSERT INTO t (k, k2, v, f) VALUES (3, 0, 1000000, 0.0)")
+    after = s.sql(sql).to_rows()
+    assert before != after
+    row3 = [r for r in after if r[0] == 3][0]
+    row3_before = [r for r in before if r[0] == 3][0]
+    assert row3[1] == row3_before[1] + 1000000
+    assert row3[2] == row3_before[2] + 1
+
+
+def test_drop_projection(s):
+    s.sql("ALTER TABLE t ADD PROJECTION p6 (SELECT k, sum(v) GROUP BY k)")
+    s.sql("ALTER TABLE t DROP PROJECTION p6")
+    sql = "SELECT k, sum(v) FROM t GROUP BY k ORDER BY k"
+    lines = _explain(s, sql)
+    assert "projection" not in lines
+
+
+def test_projection_avg_from_sum_count(s):
+    s.sql("ALTER TABLE t ADD PROJECTION p7 (SELECT k, avg(v) GROUP BY k)")
+    sql = "SELECT k, avg(v) FROM t GROUP BY k ORDER BY k"
+    want = s.sql("SELECT k, avg(v) FROM (SELECT * FROM t) "
+                 "GROUP BY k ORDER BY k").to_rows()
+    lines = _explain(s, sql)
+    assert "projection=p7" in lines
+    got = s.sql(sql).to_rows()
+    assert [r[0] for r in got] == [r[0] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9
+
+
+def test_projection_respects_row_policies(s):
+    s.sql("ALTER TABLE t ADD PROJECTION p8 (SELECT k, sum(v) GROUP BY k)")
+    s.sql("CREATE USER bob")
+    s.sql("GRANT SELECT ON t TO bob")
+    s.sql("CREATE ROW POLICY rp ON t USING k < 4 TO bob")
+    prev = s.current_user
+    try:
+        s.current_user = "bob"
+        rows = s.sql("SELECT k, sum(v) FROM t GROUP BY k ORDER BY k"
+                     ).to_rows()
+    finally:
+        s.current_user = prev
+    assert all(r[0] < 4 for r in rows)
