@@ -1157,6 +1157,28 @@ def _f_char(args, env):
             valid = a.valid if valid is None else valid & a.valid
     return Value(jnp.asarray(np.asarray(ids).astype(np.int32)), valid, sd)
 
+@func("randomPrintableASCII")
+def _f_random_printable_ascii(args, env):
+    """Per-row random printable string of the given length (reference:
+    src/Functions/randomPrintableASCII.cpp).  Deterministic per process via
+    a module counter — golden tests only consume counts/lengths."""
+    ln = args[0]
+    n = env.n_rows
+    length = int(ln.py if ln.is_scalar and ln.py is not None
+                 else np.asarray(ln.data).ravel()[0])
+    global _RAND_ASCII_STATE
+    rng = np.random.default_rng(_RAND_ASCII_STATE)
+    _RAND_ASCII_STATE += 1
+    chars = rng.integers(32, 127, size=(n, max(length, 0)))
+    out = ["".join(chr(c) for c in row) for row in chars]
+    sd = StringDictionary()
+    ids = sd.encode(out)
+    return Value(jnp.asarray(np.asarray(ids).astype(np.int32)), None, sd)
+
+
+_RAND_ASCII_STATE = 12345
+
+
 @func("bin")
 def _f_bin(args, env):
     v = args[0]

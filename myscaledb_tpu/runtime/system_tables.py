@@ -71,7 +71,10 @@ def build_system_table(session, name: str) -> Table:
             "database": ["default"] * len(tabs),
             "table": tabs, "name": pnames,
             "rows": np.asarray(prow, dtype=np.int64),
-            "active": np.asarray(act, dtype=np.uint8)})
+            "active": np.asarray(act, dtype=np.uint8),
+            "part_type": ["Wide"] * len(tabs),
+            "path": [f"/var/lib/data/default/{t}/{p}/"
+                     for t, p in zip(tabs, pnames)]})
 
     if name == "system.columns":
         tabs, cols, types = [], [], []
@@ -133,6 +136,15 @@ def build_system_table(session, name: str) -> Table:
             base = f"{i['name']} {i['column']} TYPE {i['type']}"
             return base + (f"('{i['params']}')" if i.get("params") else "")
 
+        parts = getattr(session, "_table_parts", {})
+
+        def _nparts(i):
+            t = session.tables.get(i["table"])
+            lst = parts.get(i["table"])
+            if lst is not None:
+                return len(lst)
+            return 1 if (t is not None and t.n_rows) else 0
+
         return Table.from_dict({
             "database": ["default"] * len(idxs),
             "table": [i["table"] for i in idxs],
@@ -141,6 +153,16 @@ def build_system_table(session, name: str) -> Table:
             "type": [i["type"] for i in idxs],
             "expr": [_expr(i) for i in idxs],
             "status": [i["status"] for i in idxs],
+            # part accounting (StorageSystemVIs.cpp columns): every part of
+            # a Built index is indexed; no decouple/small split here
+            "total_parts": np.asarray([_nparts(i) for i in idxs],
+                                      dtype=np.int64),
+            "parts_with_vector_index":
+                np.asarray([_nparts(i) if i["status"] == "Built" else 0
+                            for i in idxs], dtype=np.int64),
+            "small_parts": np.asarray([0] * len(idxs), dtype=np.int64),
+            "latest_failed_part": ["" for _ in idxs],
+            "latest_fail_reason": ["" for _ in idxs],
         })
 
     if name == "system.vector_index_event_log":
@@ -153,22 +175,38 @@ def build_system_table(session, name: str) -> Table:
             "event_type": [e["event_type"] for e in evs]})
 
     if name == "system.vector_index_segments":
-        # reference: system.vector_index_segments
-        # (src/VectorIndex/Storages/StorageSystemVIsWithPart.cpp) — one row
-        # per (index, part); resident tables are one segment
+        # reference: system.vector_index_segments — one row per
+        # (index, part segment), column set of
+        # src/VectorIndex/Storages/StorageSystemVIsWithPart.cpp:43-57
         idxs = getattr(session, "vector_indices", [])
+        parts_of = getattr(session, "_table_parts", {})
         rows = []
         for i in idxs:
             t = session.tables.get(i["table"])
-            rows.append((i["table"], i["name"], "all",
-                         t.n_rows if t is not None else 0, i["status"]))
+            nrows_tab = t.n_rows if t is not None else 0
+            plist = parts_of.get(i["table"]) or ([nrows_tab]
+                                                 if nrows_tab else [])
+            for pi, prows in enumerate(plist):
+                pname = f"all_{pi + 1}_{pi + 1}_0"
+                dim = 0
+                if t is not None and i["column"] in t:
+                    dim = t[i["column"]].field.vector_dim or 0
+                rows.append((i["table"], pname, pname, i["name"],
+                             i["type"], dim, i["status"], prows))
         return Table.from_dict({
+            "database": ["default"] * len(rows),
             "table": [r[0] for r in rows],
-            "index_name": [r[1] for r in rows],
-            "part": [r[2] for r in rows],
-            "total_vectors": np.asarray([r[3] for r in rows],
+            "part": [r[1] for r in rows],
+            "owner_part": [r[2] for r in rows],
+            "owner_part_id": np.asarray([0] * len(rows), dtype=np.int32),
+            "name": [r[3] for r in rows],
+            "index_name": [r[3] for r in rows],   # back-compat alias
+            "type": [r[4] for r in rows],
+            "dimension": np.asarray([r[5] for r in rows], dtype=np.int32),
+            "status": [r[6] for r in rows],
+            "total_vectors": np.asarray([r[7] for r in rows],
                                         dtype=np.int64),
-            "status": [r[4] for r in rows]})
+            "error": ["" for _ in rows]})
 
     if name == "system.views":
         vs = [(n, sql, "View") for n, sql in session.views.items()] + \

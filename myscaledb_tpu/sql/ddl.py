@@ -42,6 +42,8 @@ class CreateTable:
     engine: str = "MergeTree"
     engine_args: list = field(default_factory=list)
     ttl: object = None          # table-level row TTL expression (AST)
+    vector_indexes: list = field(default_factory=list)
+                                # inline (name, col, type, params)
 
 
 @dataclass
@@ -191,6 +193,7 @@ class AddVectorIndex:
     column: str
     index_type: str
     params: str = ""
+    if_not_exists: bool = False
 
 
 @dataclass
@@ -448,6 +451,10 @@ class DDLParser(Parser):
             self.expect_kw("WHERE")
             return AlterUpdate(table, assignments, self.parse_expr())
         if self.take_kw("MATERIALIZE"):
+            if self.take_kw("INDEX") or self.take_kw("PROJECTION"):
+                # skip/projection sidecars rebuild lazily per epoch — the
+                # explicit materialize is satisfied by construction
+                return MaterializeColumn(table, self.next().text)
             self.expect_kw("COLUMN")
             return MaterializeColumn(table, self.next().text)
         if self.take_kw("ADD"):
@@ -525,22 +532,89 @@ class DDLParser(Parser):
             self.expect_kw("INDEX")
             return DropVectorIndex(table, self.next().text)
         if self.take_kw("MODIFY"):
-            # ALTER TABLE t MODIFY SETTING name = value (reference:
+            # ALTER TABLE t MODIFY SETTING a = 1[, b = 2 ...] (reference:
             # MergeTreeSettings runtime changes, AlterCommands::MODIFY_SETTING)
             self.expect_kw("SETTING")
-            name = self.next().text
-            self.expect_punct("=")
-            tok = self.next()
-            val = tok.text.strip("'") if tok.kind == "string" else tok.text
-            try:
-                val = int(val)
-            except (TypeError, ValueError):
-                pass
-            return ModifyTableSetting(table, name, val)
+
+            def one():
+                name = self.next().text
+                self.expect_punct("=")
+                tok = self.next()
+                val = tok.text.strip("'") if tok.kind == "string" \
+                    else tok.text
+                try:
+                    val = int(val)
+                except (TypeError, ValueError):
+                    pass
+                return ModifyTableSetting(table, name, val)
+
+            cmds = [one()]
+            # a following "name =" continues the SETTING list; anything else
+            # (ADD/DROP/...) is the next ALTER command for the outer loop
+            while self.at_punct(",") and self.peek(2).text == "=":
+                self.next()
+                cmds.append(one())
+            return cmds[0] if len(cmds) == 1 else AlterMulti(table, cmds)
         raise ParseError("unsupported ALTER TABLE clause")
 
     def parse_create(self):
         self.expect_kw("CREATE")
+        if self.take_kw("VECTOR"):
+            # CREATE VECTOR INDEX [IF NOT EXISTS] name ON table col TYPE X
+            # (reference: the suite's standalone form,
+            # 00015_mqvs_create_vector_index)
+            self.expect_kw("INDEX")
+            ine = self._take_if_not_exists()
+            name = self.next().text
+            self.expect_kw("ON")
+            table = self.parse_table_name()
+            column = self.next().text
+            self.expect_kw("TYPE")
+            itype = self.next().text
+            params = ""
+            if self.take_punct("("):
+                depth, parts = 1, []
+                while depth and self.peek().kind != "eof":
+                    tok = self.next()
+                    depth += (tok.text == "(") - (tok.text == ")")
+                    if depth:
+                        parts.append(unquote_string(tok.text)
+                                     if tok.kind == "string" else tok.text)
+                params = " ".join(parts)
+            return AddVectorIndex(table, name, column, itype, params, ine)
+        if self.at_kw("INDEX"):
+            # CREATE INDEX [IF NOT EXISTS] name ON table(col) TYPE kind ...
+            self.next()
+            self._take_if_not_exists()
+            iname = self.next().text
+            self.expect_kw("ON")
+            table = self.parse_table_name()
+            # reuse the skip-index tail grammar by rewinding onto a shared
+            # helper: parse col(...) TYPE kind[(params)] [GRANULARITY g]
+            from myscaledb_tpu.storage.skip_index import SkipIndexDef
+            if self.take_punct("("):
+                col = self.next().text
+                self.expect_punct(")")
+            else:
+                col = self.next().text
+            self.expect_kw("TYPE")
+            kind = self.next().text.lower()
+            kind = {"ngrambf_v1": "ngrambf", "tokenbf_v1": "tokenbf"}.get(
+                kind, kind)
+            param = 0.0
+            if self.take_punct("("):
+                first = True
+                while not self.take_punct(")"):
+                    tok = self.next().text
+                    if first:
+                        param = float(tok)
+                        first = False
+                    self.take_punct(",")
+            gran = 1
+            if self.take_kw("GRANULARITY"):
+                gran = int(self.next().text)
+            return AddSkipIndex(table, SkipIndexDef(iname, col, kind,
+                                                    param, gran))
         if self.take_kw("USER"):
             ine = self._take_if_not_exists()
             name = self.next().text
@@ -619,9 +693,33 @@ class DDLParser(Parser):
         self.expect_punct("(")
         cols = []
         skip_defs = []
+        vec_defs = []
         while True:
             if self.at_kw("INDEX"):
                 skip_defs.append(self._parse_skip_index())
+            elif self.at_kw("VECTOR") and self.peek(1).upper == "INDEX":
+                # inline VECTOR INDEX name col TYPE X('params') declaration
+                # (reference: ParserCreateQuery.cpp vector-index grammar) —
+                # guarded on the second token: `vector` is also a popular
+                # COLUMN name in the suite
+                self.next()
+                self.expect_kw("INDEX")
+                vname = self.next().text
+                vcol = self.next().text
+                self.expect_kw("TYPE")
+                vtype = self.next().text
+                vparams = ""
+                if self.take_punct("("):
+                    depth, parts = 1, []
+                    while depth and self.peek().kind != "eof":
+                        tok = self.next()
+                        depth += (tok.text == "(") - (tok.text == ")")
+                        if depth:
+                            parts.append(unquote_string(tok.text)
+                                         if tok.kind == "string"
+                                         else tok.text)
+                    vparams = " ".join(parts)
+                vec_defs.append((vname, vcol, vtype, vparams))
             elif self.take_kw("CONSTRAINT"):
                 # CONSTRAINT x CHECK length(v) = N fixes a vector dim
                 self.next()                       # constraint name
@@ -712,7 +810,7 @@ class DDLParser(Parser):
                 self.next()   # tolerate unknown clauses
         return CreateTable(name, cols, order_by, ine, settings,
                            partition_by, skip_defs, engine, engine_args,
-                           ttl)
+                           ttl, vec_defs)
 
     def _parse_skip_index(self):
         """INDEX name col TYPE minmax|set(N)|bloom_filter([fp]) [GRANULARITY g]
@@ -721,10 +819,14 @@ class DDLParser(Parser):
         from myscaledb_tpu.storage.skip_index import SkipIndexDef
         self.expect_kw("INDEX")
         iname = self.next().text
-        col = self.next().text
-        if self.take_punct("("):     # tolerate INDEX n (col) TYPE ...
+        if self.take_punct("("):     # INDEX n(col) TYPE ... (paren form)
             col = self.next().text
             self.expect_punct(")")
+        else:
+            col = self.next().text
+            if self.take_punct("("):  # INDEX n (col) TYPE ... (spaced form)
+                col = self.next().text
+                self.expect_punct(")")
         self.expect_kw("TYPE")
         kind = self.next().text.lower()
         # ngrambf_v1(n, size, hashes, seed) / tokenbf_v1(size, hashes, seed):
@@ -1011,6 +1113,19 @@ class DDLParser(Parser):
 
     def parse_drop(self):
         self.expect_kw("DROP")
+        if self.take_kw("VECTOR"):
+            # DROP VECTOR INDEX [IF EXISTS] name ON table
+            self.expect_kw("INDEX")
+            self._take_if_exists()
+            name = self.next().text
+            self.expect_kw("ON")
+            return DropVectorIndex(self.parse_table_name(), name)
+        if self.take_kw("INDEX"):
+            # DROP INDEX [IF EXISTS] name ON table (skip index)
+            self._take_if_exists()
+            name = self.next().text
+            self.expect_kw("ON")
+            return DropSkipIndex(self.parse_table_name(), name)
         if self.take_kw("USER"):
             ie = self._take_if_exists()
             return DropPrincipal("user", self.next().text, ie)
@@ -1405,6 +1520,9 @@ def execute_statement(session, stmt) -> Table:
                 engines[stmt.name] = {"engine": "URL", "url": url,
                                       "format": fmt}
             refresh_external_table(session, stmt.name)
+        for vname, vcol, vtype, vparams in stmt.vector_indexes:
+            execute_statement(session, AddVectorIndex(
+                stmt.name, vname, vcol, vtype, vparams))
         return T([])
 
     if isinstance(stmt, AddSkipIndex):
@@ -1748,7 +1866,27 @@ def execute_statement(session, stmt) -> Table:
                 params[k.strip().lower()] = v.strip()
         if "metric_type" in params:
             ts = session.table_settings.setdefault(stmt.table, TableSettings())
-            ts.float_vector_search_metric_type = params["metric_type"]
+            # normalize spellings: the suite writes 'cosine'/'l2'/'ip'
+            # (helpers/00000_prepare_index_cosine.sh) while the engine's
+            # kernels dispatch on 'Cosine'/'L2'/'IP'
+            mt = params["metric_type"]
+            ts.float_vector_search_metric_type = {
+                "cosine": "Cosine", "l2": "L2", "ip": "IP"}.get(
+                mt.lower(), mt)
+        # duplicate declarations mirror the reference's checks
+        # (MergeTreeData::checkVectorIndexes): same name -> LOGICAL_ERROR,
+        # second index on one column -> NOT_IMPLEMENTED
+        for i in idxs:
+            if i["table"] == stmt.table and i["name"] == stmt.name:
+                if stmt.if_not_exists:
+                    return T([])
+                raise ValueError(
+                    f"DB::Exception: vector index {stmt.name!r} already "
+                    f"exists on table {stmt.table!r}")
+            if i["table"] == stmt.table and i["column"] == stmt.column:
+                raise ValueError(
+                    "DB::Exception: NOT_IMPLEMENTED: only one vector index "
+                    "per column is supported")
         entry = {"table": stmt.table, "name": stmt.name,
                  "column": stmt.column, "type": stmt.index_type,
                  "status": "InProgress", "params": stmt.params}
@@ -1770,7 +1908,7 @@ def execute_statement(session, stmt) -> Table:
             try:
                 from myscaledb_tpu.sql.executor import _vector_sidecar
                 t_now = session.tables.get(table_name)
-                if t_now is not None:
+                if t_now is not None and t_now.n_rows > 0:
                     _vector_sidecar(session, table_name, t_now, col)
                 e["status"] = "Built"
                 session.vi_events.append({
@@ -1819,6 +1957,11 @@ def execute_statement(session, stmt) -> Table:
         session.drop_table(stmt.name)
         getattr(session, "_table_parts", {}).pop(stmt.name, None)
         getattr(session, "_projections", {}).pop(stmt.name, None)
+        # index definitions die with the table (the reference drops part
+        # -local .vidx3 files with the parts)
+        session.vector_indices = [
+            i for i in getattr(session, "vector_indices", [])
+            if i["table"] != stmt.name]
         return T([])
 
     if isinstance(stmt, TruncateTable):

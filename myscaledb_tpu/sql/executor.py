@@ -117,9 +117,16 @@ def analyze_vector_search(q: SelectQuery, session, table: Table,
     call = _find_distance_call(q, alias_exprs)
     if call is None:
         return None
-    if len(call.args) != 2:
+    args = list(call.args)
+    if len(args) == 3 and isinstance(args[0], Literal) and \
+            isinstance(args[0].value, str):
+        # parameterized call distance('nprobe = 32')(col, q): the params
+        # tune approximate index probes (VSDescription.h:47 vector_parameter)
+        # — the exact scan ignores them, results are already recall-1.0
+        args = args[1:]
+    if len(args) != 2:
         raise ExecError(f"{call.name} expects (column, query_vector)")
-    col_arg, vec_arg = call.args
+    col_arg, vec_arg = args
     if not isinstance(col_arg, Ident):
         raise ExecError(f"{call.name}: first argument must be a vector column")
     col = col_arg.name
@@ -134,6 +141,31 @@ def analyze_vector_search(q: SelectQuery, session, table: Table,
         # argument is any constant string expression (char/unhex/unbin/...)
         return _analyze_binary_vector_search(q, session, table, call, col,
                                              vec_arg, is_batch, alias_exprs)
+    if not isinstance(vec_arg, VectorLiteral):
+        # any CONSTANT expression can produce the query vector — WITH
+        # aliases, arrayMap(x -> .., range(..)), casts (the reference
+        # evaluates the literal argument the same way,
+        # ExpressionAnalyzer::analyzeVectorScan)
+        resolved = vec_arg
+        if isinstance(resolved, Ident) and resolved.name in alias_exprs:
+            resolved = alias_exprs[resolved.name]
+        if not isinstance(resolved, VectorLiteral):
+            try:
+                one_row = Table([Column.from_numpy(
+                    "dummy", np.zeros(1, dtype=np.int64),
+                    build_zonemap=False)])
+                v = eval_expr(resolved, Env(one_row))
+                if v.offsets is not None:
+                    off = np.asarray(v.offsets)
+                    if len(off) == 2:
+                        arr = np.asarray(v.data,
+                                         dtype=np.float32)[off[0]:off[1]]
+                        resolved = VectorLiteral(arr.tolist())
+                elif v.is_scalar and isinstance(v.py, (list, tuple)):
+                    resolved = VectorLiteral(list(v.py))
+            except Exception:
+                pass
+        vec_arg = resolved
     if not isinstance(vec_arg, VectorLiteral):
         raise ExecError(f"{call.name}: second argument must be a vector literal")
     if not table[col].dtype.is_vector:
@@ -176,6 +208,15 @@ def _apply_vs_fusion(info: VSInfo, q: SelectQuery) -> VSInfo:
 
     want_asc = info.metric != "IP"          # Hamming/Jaccard/L2/Cosine asc
     if not info.is_batch:
+        if (q.order_by and refs_distance(q.order_by[0].expr)
+                and q.order_by[0].ascending != want_asc):
+            # wrong direction is an ERROR, not a valid bottom-k query
+            # (reference: checkVSOrderBy direction check, serverError 62;
+            # golden 00027_mqvs_check_order_by_for_metric_type)
+            raise ExecError(
+                "DB::Exception: The ORDER BY direction does not match the "
+                f"vector search metric type {info.metric} (expected "
+                f"{'ASC' if want_asc else 'DESC'})")
         if (q.order_by and q.limit is not None and not q.group_by
                 and refs_distance(q.order_by[0].expr)
                 and q.order_by[0].ascending == want_asc):
@@ -2378,24 +2419,50 @@ def execute_select(session, q: SelectQuery) -> Table:
                 env.extra[vs.alias] = Value(c.data, c.valid)
             post_terms = []
     elif ts is not None and ts.fused:
-        # 4a'. fused text / hybrid top-k
-        idx = _get_text_index(session, table, ts.text_col)
+        # 4a'. fused text / hybrid top-k.  Distributed tables run the
+        # reference's dual fan-out: per-shard BM25 with global stats +
+        # per-shard vector top-k, candidate lists fused at the initiator
+        # (StorageDistributed.cpp:1057-1300, FusionSortingStep;
+        # text/distributed.py) — NOT a whole-table index over gathered rows.
+        dist = is_distributed(table)
+        idx = None if dist else _get_text_index(session, table, ts.text_col)
         if ts.kind == "text":
-            with span("text_search", k=ts.k, rows=table.n_rows):
-                scores, ids = idx.search(ts.query, ts.k, mask=mask,
-                                         operator=ts.operator)
+            with span("text_search", k=ts.k, rows=table.n_rows,
+                      distributed=dist):
+                if dist:
+                    from myscaledb_tpu.text.distributed import \
+                        sharded_text_search
+                    scores, ids = sharded_text_search(
+                        session, table, ts.text_col, ts.query, ts.k,
+                        mask=mask, operator=ts.operator)
+                else:
+                    scores, ids = idx.search(ts.query, ts.k, mask=mask,
+                                             operator=ts.operator)
             d2, i2 = np.asarray(scores)[None, :], np.asarray(ids)[None, :]
         else:
             from myscaledb_tpu.text.fusion import (relative_score_fusion,
                                                    reciprocal_rank_fusion)
             ncand = ts.k * settings.hybrid_search_top_k_multiple_base
-            with span("hybrid_search", k=ts.k, rows=table.n_rows):
-                vd, vids = distance_scan(
-                    table[ts.vec_col].data, jnp.asarray(ts.qvec),
-                    metric=ts.metric, k=ncand, mask=mask,
-                    block_rows=settings.vector_scan_block_rows)
-                tscores, tids = idx.search(ts.query, ncand, mask=mask,
-                                           operator=ts.operator)
+            with span("hybrid_search", k=ts.k, rows=table.n_rows,
+                      distributed=dist):
+                if dist:
+                    from myscaledb_tpu.text.distributed import \
+                        sharded_text_search
+                    vd, vids = sharded_distance_topk(
+                        table.mesh, table[ts.vec_col].data,
+                        jnp.asarray(ts.qvec), ts.metric, ncand, mask=mask,
+                        block_rows=settings.vector_scan_block_rows,
+                        axis=table.mesh_axis)
+                    tscores, tids = sharded_text_search(
+                        session, table, ts.text_col, ts.query, ncand,
+                        mask=mask, operator=ts.operator)
+                else:
+                    vd, vids = distance_scan(
+                        table[ts.vec_col].data, jnp.asarray(ts.qvec),
+                        metric=ts.metric, k=ncand, mask=mask,
+                        block_rows=settings.vector_scan_block_rows)
+                    tscores, tids = idx.search(ts.query, ncand, mask=mask,
+                                               operator=ts.operator)
             vids_np = np.asarray(vids[0]); vd_np = np.asarray(vd[0])
             vok = vids_np != INVALID_ID
             tids_np = np.asarray(tids); ts_np = np.asarray(tscores)
@@ -2766,6 +2833,16 @@ def _project(q, items, env: Env, table: Table, alias_exprs, tuple_groups, vs):
             continue
         e = _expand_item_aliases(it.expr, alias_exprs, table)
         name = it.alias or render(it.expr)
+        if name in seen and name not in tuple_groups:
+            # repeated select item (SELECT range(768), range(768)): the
+            # reference emits BOTH columns under the same display name; our
+            # Table needs unique keys, so suffix with \x00k (stripped by
+            # display-name helpers; positional consumers — TSV cells,
+            # INSERT ... SELECT alignment — are unaffected)
+            k = 2
+            while f"{name}\x00{k}" in seen:
+                k += 1
+            name = f"{name}\x00{k}"
         # tuple column (batch distance): select emits its member columns
         if name in tuple_groups or render(e) in tuple_groups:
             gname = name if name in tuple_groups else render(e)

@@ -72,8 +72,11 @@ def _scan(text: str) -> list:
             i = j
             continue
         if ch == ";":
-            stmts.append(("".join(cur), " ".join(comments)))
-            pending = len(stmts) - 1
+            if "".join(cur).strip():
+                stmts.append(("".join(cur), " ".join(comments)))
+                pending = len(stmts) - 1
+            # empty statement (";;"): keep pending on the previous real
+            # statement so a same-line tag still attaches to it
             cur, comments = [], []
             i += 1
             continue
@@ -112,14 +115,15 @@ def serialize_statements(entries: list) -> str:
     for entry in entries:
         if isinstance(entry, tuple):
             sql, expect = entry
+            sql = sql.strip().rstrip(";").strip()
             if expect == "error":
-                lines.append(f"{sql.strip()}; -- {{ serverError }}")
+                lines.append(f"{sql}; -- {{ serverError }}")
             else:
                 _g, needle, ok_word, fail_word = expect
                 spec = json.dumps({"grep": [needle, ok_word, fail_word]})
-                lines.append(f"{sql.strip()}; -- {{GOLDEN_EXPECT: {spec}}}")
+                lines.append(f"{sql}; -- {{GOLDEN_EXPECT: {spec}}}")
         else:
-            lines.append(entry.strip() + ";")
+            lines.append(entry.strip().rstrip(";").strip() + ";")
     return "\n".join(lines) + "\n"
 
 

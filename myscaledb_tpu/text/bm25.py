@@ -146,8 +146,14 @@ class BM25Index:
         if not terms or self.n_docs == 0:
             return out
         hit_counts = jnp.zeros(self.n_docs, dtype=jnp.int32)
+        # avg_len must come from the GLOBAL stats too or per-shard scores
+        # diverge from the whole-table index (BM25InfoInDataParts ships
+        # total token counts for exactly this reason)
+        avg = (global_stats["total_tokens"] / max(n, 1)
+               if global_stats and "total_tokens" in global_stats
+               else self.avg_len)
         norm_denom = K1 * (1.0 - B + B * self.doc_len /
-                           jnp.float32(max(self.avg_len, 1e-9)))
+                           jnp.float32(max(avg, 1e-9)))
         seen = set()
         n_query_terms = 0
         for t in terms:

@@ -1,0 +1,102 @@
+"""Distributed text / hybrid search: per-shard sub-searches fused at the
+initiator.
+
+Reference architecture (redesigned single-controller): StorageDistributed
+fans a TextSearch/HybridSearch out to every shard, each shard scores its
+OWN rows with BM25 using GLOBAL statistics aggregated first
+(src/Storages/StorageDistributed.cpp:1057-1300;
+src/VectorIndex/Common/BM25InfoInDataParts.h — df/token counts summed
+across parts+shards), ships per-shard top-k candidate lists tagged
+score_type back, and the initiator fuses
+(InterpreterSelectQuery.cpp:2970-2993, FusionSortingStep).
+
+Here each shard's slice of the row-sharded table gets its own cached
+BM25Index (postings never leave the shard's slot); the host merges the
+tiny per-term stats (the psum of this layer), every shard scores with the
+global stats — bit-identical to the undistributed table because BM25 is
+per-doc given (N, avg_len, df) — and the initiator merge-sorts the k-lists
+(score desc, global row id asc, the reference's tie order)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from myscaledb_tpu.text.bm25 import BM25Index, tokenize
+
+
+def _shard_indexes(session, table, text_col: str):
+    """Per-shard BM25 indexes over the sharded doc column, cached per
+    (table, column, mutation epoch) like the vector sidecars."""
+    from myscaledb_tpu.parallel.dist_table import ROW_VALID
+    epoch = session._mutation_epoch
+    key = (table.name, text_col, "bm25_shards", epoch)
+    cache = session.__dict__.setdefault("_text_indexes", {})
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    nsh = table.mesh.shape[table.mesh_axis]
+    c = table[text_col]
+    ids = np.asarray(c.data)
+    docs = c.dictionary.decode(ids) if c.dictionary is not None \
+        else [str(x) for x in ids]
+    valid = np.asarray(table[ROW_VALID].data) if ROW_VALID in table \
+        else np.ones(len(docs), dtype=bool)
+    per = len(docs) // nsh
+    shards = []
+    for r in range(nsh):
+        sl = slice(r * per, (r + 1) * per)
+        shards.append(BM25Index(list(docs[sl.start:sl.stop]),
+                                doc_valid=valid[sl]))
+    stale = [k for k in cache if k[:3] == key[:3] and k != key]
+    for k in stale:
+        del cache[k]
+    cache[key] = shards
+    return shards
+
+
+def global_stats(shards, query: str) -> dict:
+    """Merge the per-shard statistics for the query's terms — the
+    BM25InfoInDataParts aggregation (sum of df / doc counts / token
+    counts)."""
+    n_docs = sum(ix.stat_docs for ix in shards)
+    total_tokens = sum(ix.total_tokens for ix in shards)
+    df = {}
+    for t in set(tokenize(query)):
+        df[t] = sum(ix.term_df(t) for ix in shards)
+    return {"n_docs": n_docs, "total_tokens": total_tokens, "df": df}
+
+
+def sharded_text_search(session, table, text_col: str, query: str, k: int,
+                        mask=None, operator: str = "OR"):
+    """Per-shard BM25 top-k + initiator merge.  Returns (scores (k,),
+    global_ids (k,)) numpy arrays, INVALID_ID-padded, bit-identical to the
+    undistributed BM25Index.search on the whole table."""
+    from myscaledb_tpu.ops.vector import INVALID_ID
+    shards = _shard_indexes(session, table, text_col)
+    stats = global_stats(shards, query)
+    mask_np = None if mask is None else np.asarray(mask)
+    per = len(mask_np) // len(shards) if mask_np is not None else None
+    cand_scores, cand_ids = [], []
+    for r, ix in enumerate(shards):
+        m = None if mask_np is None else mask_np[r * per:(r + 1) * per]
+        import jax.numpy as jnp
+        s = ix.scores(query, operator, global_stats=stats)
+        if m is not None:
+            s = jnp.where(jnp.asarray(m, dtype=bool), s, 0.0)
+        s = np.asarray(s)
+        kk = min(k, ix.n_docs)
+        top = np.argsort(-s, kind="stable")[:kk]     # ties by local id asc
+        keep = s[top] > 0
+        cand_scores.append(s[top][keep])
+        cand_ids.append((top[keep] + r * ix.n_docs).astype(np.int64))
+    scores = np.concatenate(cand_scores) if cand_scores else \
+        np.zeros(0, dtype=np.float32)
+    gids = np.concatenate(cand_ids) if cand_ids else \
+        np.zeros(0, dtype=np.int64)
+    # initiator merge: score desc, global id asc (FusionSortingStep order)
+    order = np.lexsort((gids, -scores))[:k]
+    out_s = np.full(k, 0.0, dtype=np.float32)
+    out_i = np.full(k, INVALID_ID, dtype=np.int32)
+    out_s[:len(order)] = scores[order]
+    out_i[:len(order)] = gids[order].astype(np.int32)
+    return out_s, out_i

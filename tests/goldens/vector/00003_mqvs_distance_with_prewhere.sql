@@ -1,5 +1,5 @@
 DROP TABLE IF EXISTS test_vector;
-CREATE TABLE test_vector(id Float32, vector Array(Float32), CONSTRAINT vector_len CHECK length(vector) = 3) engine MergeTree primary key id SETTINGS index_granularity=1024, min_rows_to_build_vector_index=0, vector_index_parameter_check=0;;
-INSERT INTO test_vector SELECT number, [number, number, number] FROM numbers(100);;
-ALTER TABLE test_vector ADD VECTOR INDEX v1 vector TYPE FLAT;;
-SELECT id, vector, distance(vector, [1.0, 1.0, 1.0]) as d FROM test_vector prewhere id < 10 or id > 60 ORDER BY (d, id) limit 20;;
+CREATE TABLE test_vector(id Float32, vector Array(Float32), CONSTRAINT vector_len CHECK length(vector) = 3) engine MergeTree primary key id SETTINGS index_granularity=1024, min_rows_to_build_vector_index=0, vector_index_parameter_check=0;
+INSERT INTO test_vector SELECT number, [number, number, number] FROM numbers(100);
+ALTER TABLE test_vector ADD VECTOR INDEX v1 vector TYPE FLAT;
+SELECT id, vector, distance(vector, [1.0, 1.0, 1.0]) as d FROM test_vector prewhere id < 10 or id > 60 ORDER BY (d, id) limit 20;

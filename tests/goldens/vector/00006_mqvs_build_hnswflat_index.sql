@@ -1,5 +1,5 @@
 DROP TABLE IF EXISTS test_hnsw;
-CREATE TABLE test_hnsw(id Float32, vector Array(Float32), CONSTRAINT vector_len CHECK length(vector) = 3) engine MergeTree primary key id SETTINGS index_granularity=1024;;
-ALTER TABLE test_hnsw ADD VECTOR INDEX v1 vector TYPE HNSWFLAT('m = 10');;
+CREATE TABLE test_hnsw(id Float32, vector Array(Float32), CONSTRAINT vector_len CHECK length(vector) = 3) engine MergeTree primary key id SETTINGS index_granularity=1024;
+ALTER TABLE test_hnsw ADD VECTOR INDEX v1 vector TYPE HNSWFLAT('m = 10');
 SELECT table,name,type,expr,status from system.vector_indices where table = 'test_hnsw';
 DROP TABLE test_hnsw;

@@ -1,0 +1,7 @@
+DROP TABLE IF EXISTS test_vector;
+CREATE TABLE test_vector(id Float32, vector Array(Float32)) engine MergeTree primary key id SETTINGS index_granularity=128, min_rows_to_build_vector_index=0, vector_index_parameter_check=0;
+INSERT INTO test_vector SELECT number, [number, number, number] FROM numbers(10);
+INSERT INTO test_vector SELECT number + 10, [] FROM numbers(20);
+INSERT INTO test_vector SELECT number + 30, [number + 30, number + 30, number + 30] FROM numbers(10000);
+ALTER TABLE test_vector ADD CONSTRAINT vector_len CHECK length(vector) = 3;
+SELECT id, vector, distance(vector, [10020.1, 10020.1, 10020.1]) as d FROM test_vector prewhere id>5000 or id =9 or id=31 or id=999 or id=1 order by d limit 100 SETTINGS enable_brute_force_vector_search=1;

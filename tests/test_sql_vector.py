@@ -134,13 +134,14 @@ def test_distance_not_fused_without_limit(vsess):
 
 
 def test_ip_direction_enforced(vsess):
-    # ORDER BY ASC with IP metric must NOT fuse (different semantics):
-    # it still executes as a full sort over materialized distances
+    # ORDER BY ASC with IP metric is an ERROR, not a bottom-k query
+    # (reference serverError 62; golden
+    # 00027_mqvs_check_order_by_for_metric_type asserts this wording)
     vsess.table_settings["test_vector"] = TableSettings(
         float_vector_search_metric_type="IP")
-    r = vsess.sql("SELECT id, distance(vector, [1., 1, 1]) AS d "
+    with pytest.raises(Exception, match="ORDER BY direction"):
+        vsess.sql("SELECT id, distance(vector, [1., 1, 1]) AS d "
                   "FROM test_vector ORDER BY d ASC LIMIT 3")
-    assert r.to_pydict()["id"] == [0.0, 1.0, 2.0]   # smallest dot first
 
 
 def test_wrong_dim_rejected(vsess):
