@@ -387,8 +387,8 @@ def bench_config5():
 
 def bench_config6():
     """Binary-vector top-k (Hamming over packed bits) — the FixedString
-    brute-force surface (BruteForceSearch.h:95; off the default 1-5 driver
-    set, run with --config 6).  16M x 256-bit vectors, 10 queries."""
+    brute-force surface (BruteForceSearch.h:95; in the default driver set
+    since round 5).  16M x 256-bit vectors, 10 queries."""
     import jax
     import jax.numpy as jnp
     from myscaledb_tpu.ops.binary_vector import binary_distance_scan
@@ -431,8 +431,7 @@ def main():
     args = ap.parse_args()
     benches = {1: bench_config1, 2: bench_config2, 3: bench_config3,
                4: bench_config4, 5: bench_config5, 6: bench_config6}
-    configs = [args.config] if args.config else sorted(
-        k for k in benches if k <= 5)
+    configs = [args.config] if args.config else sorted(benches)
     for c in configs:
         try:
             result, note = benches[c]()

@@ -1,0 +1,292 @@
+"""Microbenchmarks that decide the config-4 join-probe architecture.
+
+The round-4 verdict claims a radix *partition* is "two streaming passes
+(~10-15 ms)"; the builder claims partition = sort on this hardware.  This
+script measures the actual primitives so the design (and BENCH_NOTES) can
+argue from numbers:
+
+  1. lax.sort int32 throughput vs chunk size (the current probe-sort cost);
+  2. searchsorted window-locate cost (per-tile windows);
+  3. the merge-count kernel's compare phase in isolation (pre-sorted probes);
+  4. Pallas VPU substep cost: roll+select+min/max on (8192,128) int32 —
+     extrapolates a full in-VMEM bitonic sort / butterfly radix route;
+  5. whether Mosaic supports per-lane sublane gather (take_along_axis
+     axis=0) in VMEM, and its throughput — unlocks binary-search probes;
+  6. DMA issue overhead for a 64-run scatter per grid step.
+
+Run on the real chip: python benchmarks/join_micro.py [--exp N]
+"""
+
+import argparse
+import time
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def timed(fn, *args, iters=8, reps=3):
+    @jax.jit
+    def run(*a):
+        def body(acc, _):
+            out = fn(*a, acc)
+            return jnp.float32(out), None
+        acc, _ = lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    np.asarray(run(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run(*args))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def exp1_sort_curve():
+    print("== exp1: lax.sort int32 throughput vs chunk size ==")
+    n_total = 128 * 1024 * 1024
+    keys = jax.random.randint(jax.random.PRNGKey(0), (n_total,),
+                              0, 1 << 30, dtype=jnp.int32)
+    jax.block_until_ready(keys)
+    for chunk_log in [20, 22, 24, 25, 26]:
+        chunk = 1 << chunk_log
+        c = n_total // chunk
+
+        def body(keys, acc):
+            ch = keys.reshape(c, chunk) + (acc * 1e-30).astype(jnp.int32)
+            s = lax.sort(ch, dimension=1)
+            return s[0, 0].astype(jnp.float32) * 1e-9 + \
+                s[-1, -1].astype(jnp.float32) * 1e-9
+
+        dt = timed(body, keys, iters=4)
+        print(f"  chunk=2^{chunk_log} ({chunk//(1<<20)}M): {dt*1e3:8.1f} ms "
+              f"for {n_total//(1<<20)}M = {dt*1e9/n_total:.3f} ns/elem")
+
+
+def exp2_searchsorted():
+    print("== exp2: searchsorted 250K queries into 10M sorted ==")
+    b = jnp.sort(jax.random.randint(jax.random.PRNGKey(1), (10_000_000,),
+                                    0, 1 << 30, dtype=jnp.int32))
+    q = jax.random.randint(jax.random.PRNGKey(2), (250_000,),
+                           0, 1 << 30, dtype=jnp.int32)
+    jax.block_until_ready((b, q))
+
+    def body(b, q, acc):
+        pos = jnp.searchsorted(b, q + (acc * 1e-30).astype(jnp.int32))
+        return pos.sum().astype(jnp.float32) * 1e-9
+
+    dt = timed(body, b, q, iters=8)
+    print(f"  {dt*1e3:.2f} ms for 250K lookups = {250e3/dt/1e6:.1f} M/s")
+
+
+def exp3_merge_phase():
+    print("== exp3: merge-count compare phase, pre-sorted probes ==")
+    from myscaledb_tpu.ops.pallas.merge_count import (
+        merge_count, prepare_build, _merge_count_jit)
+    n_dim, n_probe = 10_000_000, 125_000_000
+    SPREAD = jnp.int32(2654435761 & 0x7FFFFFFF)
+    dim_keys = (jnp.arange(n_dim, dtype=jnp.int32) * SPREAD) & jnp.int32(0x7FFFFFFF)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (n_probe,), jnp.float32)
+    probe = ((u * u * (2 * n_dim)).astype(jnp.int32) * SPREAD) & jnp.int32(0x7FFFFFFF)
+    b2d, has_max = prepare_build(dim_keys)
+    jax.block_until_ready((b2d, probe))
+
+    # full path (sort + merge)
+    def body(b2d, probe, acc):
+        cnt, _ = _merge_count_jit(b2d, probe + (acc * 1e-30).astype(jnp.int32),
+                                  1 << 25, False)
+        return cnt.astype(jnp.float32) * 1e-9
+
+    dt_full = timed(body, b2d, probe, iters=2, reps=2)
+    print(f"  full (sort+merge): {dt_full*1e3:.1f} ms")
+
+    # pre-sorted probes: chunk-sort outside the timed region, then run the
+    # same path (its internal per-chunk sort of sorted data is cheap? no --
+    # lax.sort cost is data-independent; instead time JUST the sort)
+    chunk = 1 << 25
+    c = n_probe // chunk + (1 if n_probe % chunk else 0)
+    npad = c * chunk
+    pp = jnp.pad(probe, (0, npad - n_probe), constant_values=jnp.iinfo(jnp.int32).max)
+
+    def body_sort(pp, acc):
+        ch = pp.reshape(c, chunk) + (acc * 1e-30).astype(jnp.int32)
+        s = lax.sort(ch, dimension=1)
+        return s[0, 0].astype(jnp.float32) * 1e-9
+
+    dt_sort = timed(body_sort, pp, iters=2, reps=2)
+    print(f"  chunk-sort only:   {dt_sort*1e3:.1f} ms  -> merge+window = "
+          f"{(dt_full-dt_sort)*1e3:.1f} ms")
+
+
+def exp4_vpu_substep():
+    print("== exp4: Pallas VPU substep (roll+cmp+select) on (8192,128) ==")
+    R, L = 8192, 128
+    REPS = 64
+
+    def kernel(x_ref, o_ref):
+        v = x_ref[...]
+        acc = jnp.zeros_like(v)
+        for i in range(REPS):
+            d = 1 << (i % 7)
+            w = pltpu.roll(v, d, 1)
+            w2 = pltpu.roll(v, 128 - d, 1)
+            m = (v & d) == 0
+            w = jnp.where(m, w, w2)
+            v = jnp.where(v > w, jnp.minimum(v, w), jnp.maximum(v, w))
+            acc = acc + v
+        o_ref[...] = acc
+
+    x = jax.random.randint(jax.random.PRNGKey(4), (R, L), 0, 1 << 30,
+                           dtype=jnp.int32)
+
+    def body(x, acc):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, L), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x + (acc * 1e-30).astype(jnp.int32))
+        return out[0, 0].astype(jnp.float32) * 1e-9
+
+    dt = timed(body, x, iters=8)
+    n_sub = R * L * REPS
+    print(f"  lane-roll substeps: {dt*1e6:.0f} us for {REPS} substeps x 1M "
+          f"= {dt*1e9/n_sub:.3f} ns/elem/substep "
+          f"({n_sub*7/dt/1e12:.2f} T 'ops'/s at ~7 ops/substep)")
+
+    def kernel0(x_ref, o_ref):
+        v = x_ref[...]
+        acc = jnp.zeros_like(v)
+        for i in range(REPS):
+            d = 8 << (i % 7)
+            w = pltpu.roll(v, d, 0)
+            w2 = pltpu.roll(v, 8192 - d, 0)
+            m = (v & d) == 0
+            w = jnp.where(m, w, w2)
+            v = jnp.where(v > w, jnp.minimum(v, w), jnp.maximum(v, w))
+            acc = acc + v
+        o_ref[...] = acc
+
+    def body0(x, acc):
+        out = pl.pallas_call(
+            kernel0,
+            out_shape=jax.ShapeDtypeStruct((R, L), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x + (acc * 1e-30).astype(jnp.int32))
+        return out[0, 0].astype(jnp.float32) * 1e-9
+
+    dt0 = timed(body0, x, iters=8)
+    print(f"  sublane-roll (axis0) substeps: {dt0*1e9/n_sub:.3f} ns/elem/substep")
+
+
+def exp5_sublane_gather():
+    print("== exp5: per-lane sublane gather (take_along_axis axis=0) ==")
+    for D in [8, 32, 512, 4096]:
+        R, L = 512, 128
+        REPS = 16
+
+        def kernel(t_ref, i_ref, o_ref):
+            idx = i_ref[...]
+            acc = jnp.zeros((R, L), jnp.int32)
+            for r in range(REPS):
+                g = jnp.take_along_axis(t_ref[...], (idx + r) % D, axis=0)
+                acc = acc + g
+            o_ref[...] = acc
+
+        t = jax.random.randint(jax.random.PRNGKey(5), (D, L), 0, 100,
+                               dtype=jnp.int32)
+        idx = jax.random.randint(jax.random.PRNGKey(6), (R, L), 0, D,
+                                 dtype=jnp.int32)
+
+        def body(t, idx, acc):
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((R, L), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(t, (idx + (acc * 1e-30).astype(jnp.int32)) % D)
+            return out[0, 0].astype(jnp.float32) * 1e-9
+
+        try:
+            dt = timed(body, t, idx, iters=8)
+            n_g = R * L * REPS
+            print(f"  D={D:5d}: OK  {dt*1e9/n_g:.3f} ns/gather-elem "
+                  f"({n_g/dt/1e9:.2f} G gathers/s)")
+        except Exception as e:
+            msg = str(e).split(chr(10))[0][:120]
+            print(f"  D={D:5d}: FAIL {type(e).__name__}: {msg}")
+
+
+def exp6_dma_scatter():
+    print("== exp6: DMA scatter issue overhead (64 runs/block) ==")
+    NRUN = 64
+    RUN_ROWS = 32          # 32x128 int32 = 16 KB per run
+    R = NRUN * RUN_ROWS    # 2048 rows in, scattered to out
+    NB = 48                # grid steps
+
+    def kernel(off_ref, x_ref, o_ref, sem):
+        for r in range(NRUN):
+            dst = off_ref[0, r]
+            cp = pltpu.make_async_copy(
+                x_ref.at[pl.ds(r * RUN_ROWS, RUN_ROWS), :],
+                o_ref.at[pl.ds(dst, RUN_ROWS), :],
+                sem)
+            cp.start()
+            cp.wait()
+
+    x = jax.random.randint(jax.random.PRNGKey(7), (NB * R, 128), 0, 100,
+                           dtype=jnp.int32)
+    # block-cyclic destinations: run r of block b -> r * NB + b region
+    offs = np.zeros((NB, 8, 128), np.int32)
+    for b in range(NB):
+        for r in range(NRUN):
+            offs[b, 0, r] = (r * NB + b) * RUN_ROWS
+    offs = jnp.asarray(offs.reshape(NB * 8, 128))
+
+    def body(offs, x, acc):
+        out = pl.pallas_call(
+            kernel,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((R, 128), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((NB * R, 128), jnp.int32),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(offs, x + (acc * 1e-30).astype(jnp.int32))
+        return out[0, 0].astype(jnp.float32) * 1e-9
+
+    dt = timed(body, offs, x, iters=8)
+    ndma = NB * NRUN
+    mb = NB * R * 128 * 4 / 1e6
+    print(f"  {dt*1e3:.2f} ms for {ndma} DMAs of 16KB ({mb:.0f} MB) = "
+          f"{dt*1e6/ndma:.2f} us/DMA, {mb/1e3/dt:.0f} GB/s")
+
+
+EXPS = {1: exp1_sort_curve, 2: exp2_searchsorted, 3: exp3_merge_phase,
+        4: exp4_vpu_substep, 5: exp5_sublane_gather, 6: exp6_dma_scatter}
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", type=int, default=0)
+    a = ap.parse_args()
+    print(f"devices: {jax.devices()}")
+    for k, fn in sorted(EXPS.items()):
+        if a.exp in (0, k):
+            try:
+                fn()
+            except Exception as e:
+                print(f"  exp{k} CRASHED: {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:200]}")
+            sys.stdout.flush()

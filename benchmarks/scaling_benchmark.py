@@ -86,11 +86,16 @@ def main():
             jax.random.PRNGKey(8), (n,), 0, 1 << 16, dtype=jnp.int64))
         jax.block_until_ready((x, q, gid, vals, rkey, lkey))
 
+        # the 1-shard join baseline PAYS the exchange (force_exchange): the
+        # round-4 curve compared N-shard all_to_all cost against the
+        # engine's exchange-free single-shard identity fast path, which made
+        # the efficiency column price the exchange itself, not its scaling
         ops = {
             "scan": lambda: sharded_distance_topk(mesh, x, q, "L2", args.k),
             "agg": lambda: sharded_group_aggregate(mesh, gid, mask, (vals,),
                                                    ("sum",), args.groups),
-            "join": lambda: sharded_shuffle_join_count(mesh, lkey, rkey),
+            "join": lambda: sharded_shuffle_join_count(
+                mesh, lkey, rkey, force_exchange=(nsh == 1)),
         }
         row = {"shards": nsh, "rows": n}
         results.append(row)
@@ -113,6 +118,15 @@ def main():
             row[f"{name}_rows_per_s"] = round(rps, 1)
             row[f"{name}_efficiency"] = round(rps / (base[name] * nsh), 4)
             flush()
+    # 2->8 weak-scaling efficiency: how much of the 4x ideal the growth
+    # from 2 to 8 shards returns, independent of any 1-shard fast path
+    by_shards = {r["shards"]: r for r in results}
+    if 2 in by_shards and 8 in by_shards:
+        for name in ("scan", "agg", "join"):
+            r2 = by_shards[2].get(f"{name}_rows_per_s")
+            r8 = by_shards[8].get(f"{name}_rows_per_s")
+            if r2 and r8:
+                state[f"{name}_efficiency_2to8"] = round(r8 / (4 * r2), 4)
     state["complete"] = True
     flush()
     print(json.dumps(state))

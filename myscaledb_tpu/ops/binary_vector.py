@@ -76,6 +76,62 @@ def _binary_scan_impl(xw, qw, mask, metric: str, k: int, has_mask: bool):
     return s, i
 
 
+def _block_scores(xc, qw, mask_c, metric: str, has_mask: bool):
+    """(nq, C) scores for one row block; masked rows -> +inf."""
+    x = xc[None, :, :]                          # (1, C, w)
+    q = qw[:, None, :]                          # (nq, 1, w)
+    if metric == "Hamming":
+        score = jnp.sum(lax.population_count(jnp.bitwise_xor(x, q)),
+                        axis=-1).astype(jnp.float32)
+    else:
+        inter = jnp.sum(lax.population_count(jnp.bitwise_and(x, q)),
+                        axis=-1).astype(jnp.float32)
+        union = jnp.sum(lax.population_count(jnp.bitwise_or(x, q)),
+                        axis=-1).astype(jnp.float32)
+        score = jnp.where(union > 0, (union - inter) / union,
+                          jnp.float32(1))
+    if has_mask:
+        score = jnp.where(mask_c[None, :], score, jnp.inf)
+    return score
+
+
+@partial(jax.jit,
+         static_argnames=("metric", "k", "has_mask", "chunk", "n"))
+def _binary_scan_stream(xw, qw, mask, metric: str, k: int, has_mask: bool,
+                        chunk: int, n: int):
+    """Streaming fused scan+k-select: one jitted lax.scan over row chunks,
+    each step computing the (nq, chunk) XOR/popcount scores in registers and
+    folding them into a running (nq, k) best via a lexicographic
+    (score, id) sort — the (nq, n) score matrix never reaches HBM (the
+    float scan's blockwise streaming trick, BENCH_NOTES round-4 weak #4)."""
+    nq = qw.shape[0]
+    npad = xw.shape[0]
+    nch = npad // chunk
+    xs = xw.reshape(nch, chunk, xw.shape[1])
+    ms = (mask.reshape(nch, chunk) if has_mask
+          else jnp.zeros((nch, 0), dtype=bool))
+    bases = (jnp.arange(nch, dtype=jnp.int32) * chunk)
+
+    init = (jnp.full((nq, k), jnp.inf, dtype=jnp.float32),
+            jnp.full((nq, k), INVALID_ID, dtype=jnp.int32))
+
+    def body(carry, inp):
+        bs, bi = carry
+        xc, mc, base = inp
+        score = _block_scores(xc, qw, mc, metric, has_mask)
+        row = base + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        score = jnp.where(row < n, score, jnp.inf)    # tail padding rows
+        neg, idx = lax.top_k(-score, min(k, chunk))
+        cs = jnp.concatenate([bs, -neg], axis=-1)
+        ci = jnp.concatenate([bi, (idx + base).astype(jnp.int32)], axis=-1)
+        ss, si = lax.sort((cs, ci), dimension=-1, num_keys=2)
+        return (ss[:, :k], si[:, :k]), None
+
+    (bs, bi), _ = lax.scan(body, init, (xs, ms, bases))
+    bi = jnp.where(jnp.isposinf(bs), INVALID_ID, bi)
+    return bs, bi
+
+
 def binary_distance_scan(xw, qw, metric: str = "Hamming", k: int = 10,
                          mask=None, block_rows: int = 1 << 20):
     """Exact top-k binary scan.  xw: (n, words) uint32 packed rows;
@@ -94,17 +150,14 @@ def binary_distance_scan(xw, qw, metric: str = "Hamming", k: int = 10,
         return _binary_scan_impl(
             xw, qw, mask if has_mask else jnp.zeros(0, dtype=bool),
             metric, k, has_mask)
-    best_s = best_i = None
-    for lo in range(0, n, block_rows):
-        hi = min(n, lo + block_rows)
-        m = mask[lo:hi] if has_mask else jnp.zeros(0, dtype=bool)
-        s, i = _binary_scan_impl(xw[lo:hi], qw, m, metric, k, has_mask)
-        i = jnp.where(i == INVALID_ID, INVALID_ID, i + lo)
-        if best_s is None:
-            best_s, best_i = s, i
-        else:
-            cs = jnp.concatenate([best_s, s], axis=-1)
-            ci = jnp.concatenate([best_i, i], axis=-1)
-            ss, si = lax.sort((cs, ci), dimension=-1, num_keys=2)
-            best_s, best_i = ss[:, :k], si[:, :k]
-    return best_s, best_i
+    # chunk sized so the (nq, chunk) block stays comfortably on-chip
+    chunk = max(1 << 13, min(block_rows, (1 << 23) // max(nq, 1)))
+    npad = -(-n // chunk) * chunk
+    if npad != n:
+        xw = jnp.pad(xw, ((0, npad - n), (0, 0)))
+        if has_mask:
+            mask = jnp.pad(jnp.asarray(mask, dtype=bool),
+                           (0, npad - n), constant_values=False)
+    return _binary_scan_stream(
+        xw, qw, mask if has_mask else jnp.zeros(0, dtype=bool),
+        metric, min(k, n), has_mask, chunk, n)

@@ -103,13 +103,21 @@ def _local_distance_topk(x_loc, q_rep, mask_loc, metric: str, k: int,
                   -dloc if metric == "IP" else dloc)
     p = lax.axis_index(axis).astype(jnp.int32)
     gids = jnp.where(iloc == INVALID_ID, INVALID_ID, iloc + p * n_loc)
-    if nsh & (nsh - 1) == 0 and nsh >= 4:
+    # merge strategy: the log(nsh)-step ppermute butterfly halves traffic
+    # per step but costs log(nsh) sequential collective launches — for the
+    # small (nq, k) candidate payloads of a top-k merge one all_gather +
+    # local cut wins until the gathered buffer is ICI-bandwidth-relevant
+    # (same trade RemoteQueryExecutor makes: stream all shard top-ks to the
+    # initiator rather than tree-merge tiny packets)
+    if nsh & (nsh - 1) == 0 and nsh >= 4 and \
+            nsh * s.shape[0] * k >= (1 << 18):
         ms, mi = _butterfly_topk(s, gids, k, nsh, axis)
     else:
-        all_s = lax.all_gather(s, axis)          # (nsh, nq, k)
+        kk = s.shape[1]                          # local cut may be < k
+        all_s = lax.all_gather(s, axis)          # (nsh, nq, kk)
         all_i = lax.all_gather(gids, axis)
-        all_s = jnp.moveaxis(all_s, 0, 1).reshape(s.shape[0], nsh * k)
-        all_i = jnp.moveaxis(all_i, 0, 1).reshape(s.shape[0], nsh * k)
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(s.shape[0], nsh * kk)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(s.shape[0], nsh * kk)
         ms, mi = _merge_minscore_topk(all_s, all_i, k)
     md = jnp.where(jnp.isposinf(ms),
                    jnp.float32(-jnp.inf if metric == "IP" else jnp.inf),

@@ -36,16 +36,12 @@ def _dest_of(key: jnp.ndarray, nsh: int) -> jnp.ndarray:
     return (hash32(key) % jnp.uint32(nsh)).astype(jnp.int32)
 
 
-def _exchange_local(key_loc, cols, vmask, nsh: int, cap: int, axis: str):
-    """Shard-local body of the shuffle: route rows to destination buckets
-    and all_to_all them.  Usable inside any shard_map."""
+def _route(key_loc, vmask, nsh: int, cap: int):
+    """Destination routing shared by the exchange variants: returns
+    (order, slot, n_dropped) — rows sorted by destination shard, their
+    packed slot in an (nsh, cap) buffer, and how many valid rows overflowed
+    the per-destination capacity (0 whenever cap is the worst case)."""
     n_loc = key_loc.shape[0]
-    if nsh == 1 and cap == n_loc:
-        # single-shard identity: every row is already local — skip the
-        # route sort, packing and self-all_to_all entirely (the reference
-        # likewise bypasses remote exchange for local-only plans,
-        # StorageDistributed single-shard optimization)
-        return key_loc, tuple(cols), jnp.asarray(vmask, dtype=bool)
     dest = jnp.where(vmask, _dest_of(key_loc, nsh), nsh)   # invalid -> drop
     order = jnp.argsort(dest, stable=True)                 # group by dest
     sdest = dest[order]
@@ -55,8 +51,63 @@ def _exchange_local(key_loc, cols, vmask, nsh: int, cap: int, axis: str):
                                          dtype=jnp.int32)])[:nsh + 1]
     within = jnp.arange(n_loc, dtype=jnp.int32) - starts[
         jnp.clip(sdest, 0, nsh)]
-    slot = jnp.where(jnp.logical_and(sdest < nsh, within < cap),
-                     sdest * cap + within, nsh * cap)
+    ok = jnp.logical_and(sdest < nsh, within < cap)
+    slot = jnp.where(ok, sdest * cap + within, nsh * cap)
+    n_dropped = jnp.sum(jnp.logical_and(sdest < nsh, within >= cap)
+                        .astype(jnp.int32))
+    return order, slot, n_dropped
+
+
+def exchange_pair_local(lk, lv, rk, rv, nsh: int, cap_l: int, cap_r: int,
+                        axis: str):
+    """Fused two-sided exchange for shuffle joins: routes BOTH sides and
+    ships them in a single all_to_all of an (nsh, cap_l + cap_r) combined
+    buffer (keys in a common dtype) plus one validity all_to_all — 2
+    collectives instead of the 4 a per-side exchange pays.  The per-side
+    caps may be OPTIMISTIC (e.g. 2x the uniform-hash expectation): the
+    returned dropped count is exact, so callers retry with the worst case
+    when it is non-zero (SURVEY §7 capacity-doubling-retry discipline).
+
+    Returns (lk_rx, lv_rx, rk_rx, rv_rx, dropped)."""
+    kdt = jnp.promote_types(lk.dtype, rk.dtype)
+    ord_l, slot_l, drop_l = _route(lk, lv, nsh, cap_l)
+    ord_r, slot_r, drop_r = _route(rk, rv, nsh, cap_r)
+    span = cap_l + cap_r
+    # per-destination layout: [0, cap_l) left keys | [cap_l, span) right
+    dst_l = (slot_l // cap_l) * span + (slot_l % cap_l)
+    dst_l = jnp.where(slot_l >= nsh * cap_l, nsh * span, dst_l)
+    dst_r = (slot_r // cap_r) * span + cap_l + (slot_r % cap_r)
+    dst_r = jnp.where(slot_r >= nsh * cap_r, nsh * span, dst_r)
+    buf = jnp.zeros((nsh * span,), dtype=kdt)
+    buf = buf.at[dst_l].set(lk[ord_l].astype(kdt), mode="drop")
+    buf = buf.at[dst_r].set(rk[ord_r].astype(kdt), mode="drop")
+    vbuf = jnp.zeros((nsh * span,), dtype=bool)
+    vbuf = vbuf.at[dst_l].set(True, mode="drop")
+    vbuf = vbuf.at[dst_r].set(True, mode="drop")
+    rx = lax.all_to_all(buf.reshape(nsh, span), axis, 0, 0, tiled=True)
+    vrx = lax.all_to_all(vbuf.reshape(nsh, span), axis, 0, 0, tiled=True)
+    lk_rx = rx[:, :cap_l].reshape(-1)
+    rk_rx = rx[:, cap_l:].reshape(-1)
+    lv_rx = vrx[:, :cap_l].reshape(-1)
+    rv_rx = vrx[:, cap_l:].reshape(-1)
+    return lk_rx, lv_rx, rk_rx, rv_rx, drop_l + drop_r
+
+
+def _exchange_local(key_loc, cols, vmask, nsh: int, cap: int, axis: str,
+                    force_exchange: bool = False):
+    """Shard-local body of the shuffle: route rows to destination buckets
+    and all_to_all them.  Usable inside any shard_map.  force_exchange
+    prices the full route+pack+all_to_all even on one shard — benchmark
+    baselines use it so N-shard efficiency is not compared against an
+    exchange-free fast path (round-4 scaling-metric finding)."""
+    n_loc = key_loc.shape[0]
+    if nsh == 1 and cap == n_loc and not force_exchange:
+        # single-shard identity: every row is already local — skip the
+        # route sort, packing and self-all_to_all entirely (the reference
+        # likewise bypasses remote exchange for local-only plans,
+        # StorageDistributed single-shard optimization)
+        return key_loc, tuple(cols), jnp.asarray(vmask, dtype=bool)
+    order, slot, _n_dropped = _route(key_loc, vmask, nsh, cap)
 
     def pack(col):
         buf = jnp.zeros((nsh * cap,), dtype=col.dtype)
@@ -215,37 +266,72 @@ def sharded_shuffle_join_pairs(mesh: Mesh, left_key, right_key,
     return out_l[o].astype(np.int32), out_r[o].astype(np.int32)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def sharded_shuffle_join_count(mesh: Mesh, left_key, right_key,
                                axis: str = SHARD_AXIS, left_valid=None,
-                               right_valid=None):
+                               right_valid=None, force_exchange=False,
+                               optimistic_caps=True):
     """Fully-on-device distributed join count: shuffle both sides by key
-    hash, count (left, right) matches per shard, psum.  Jittable — no host
-    syncs — so it composes into larger fused pipelines (the
-    JOIN-feeding-an-aggregate stage split, QueryProcessingStage
-    WithMergeableState).  Returns a replicated int64 scalar."""
+    hash in ONE fused all_to_all (exchange_pair_local), count (left, right)
+    matches per shard, psum.
+
+    The exchange buffers default to an optimistic 2x-uniform capacity —
+    the worst-case (nsh, n_loc) buffer the round-4 path shipped makes
+    exchanged bytes AND the receive-side sort scale with nsh^2, which was
+    the measured 8.9%-efficiency collapse.  Overflow is detected exactly
+    (psum'd dropped count) and retried once at worst case, so results are
+    always exact.  Returns a replicated int64 scalar."""
     nsh = mesh.shape[axis]
     n_l = left_key.shape[0]
     n_r = right_key.shape[0]
-    cap_l = max(n_l // nsh, 1)
-    cap_r = max(n_r // nsh, 1)
+    full_l = max(n_l // nsh, 1)
+    full_r = max(n_r // nsh, 1)
     lv_in = (left_valid,) if left_valid is not None else ()
     rv_in = (right_valid,) if right_valid is not None else ()
     in_specs = tuple(P(axis) for _ in range(2 + len(lv_in) + len(rv_in)))
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(),
-             check_vma=False)
-    def step(lk, rk, *rest):
-        i = 0
-        lv = rest[i] if left_valid is not None else \
-            jnp.ones(lk.shape[0], dtype=bool)
-        i += 1 if left_valid is not None else 0
-        rv = rest[i] if right_valid is not None else \
-            jnp.ones(rk.shape[0], dtype=bool)
-        lk_rx, _, lv_rx = _exchange_local(lk, (), lv, nsh, cap_l, axis)
-        rk_rx, _, rv_rx = _exchange_local(rk, (), rv, nsh, cap_r, axis)
-        return lax.psum(_all_pair_count(lk_rx, lv_rx, rk_rx, rv_rx), axis)
+    def run(cap_l: int, cap_r: int):
+        @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=(P(), P()), check_vma=False)
+        def step(lk, rk, *rest):
+            i = 0
+            lv = rest[i] if left_valid is not None else \
+                jnp.ones(lk.shape[0], dtype=bool)
+            i += 1 if left_valid is not None else 0
+            rv = rest[i] if right_valid is not None else \
+                jnp.ones(rk.shape[0], dtype=bool)
+            if nsh == 1 and not force_exchange:
+                lk_rx, _, lv_rx = _exchange_local(lk, (), lv, nsh,
+                                                  full_l, axis)
+                rk_rx, _, rv_rx = _exchange_local(rk, (), rv, nsh,
+                                                  full_r, axis)
+                dropped = jnp.int32(0)
+            else:
+                lk_rx, lv_rx, rk_rx, rv_rx, dropped = exchange_pair_local(
+                    lk, lv, rk, rv, nsh, cap_l, cap_r, axis)
+            cnt = lax.psum(_all_pair_count(lk_rx, lv_rx, rk_rx, rv_rx),
+                           axis)
+            return cnt, lax.psum(dropped, axis)
 
-    return step(left_key, right_key, *lv_in, *rv_in)
+        return step(left_key, right_key, *lv_in, *rv_in)
+
+    # under an outer jit trace the dropped-count host sync is impossible —
+    # keep the documented "jittable, no host syncs" contract by going
+    # straight to the worst-case (always-correct) capacity there
+    import jax.core as _core
+    traced = any(isinstance(a, _core.Tracer)
+                 for a in (left_key, right_key) + lv_in + rv_in)
+    if nsh > 1 and optimistic_caps and not traced:
+        cap_l = min(full_l, _round_up(2 * full_l // nsh + 64, 64))
+        cap_r = min(full_r, _round_up(2 * full_r // nsh + 64, 64))
+        cnt, dropped = run(cap_l, cap_r)
+        if int(dropped) == 0:
+            return cnt
+    cnt, _ = run(full_l, full_r)
+    return cnt
 
 
 def _all_pair_count(lk, lv, rk, rv):

@@ -1170,6 +1170,39 @@ class DDLParser(Parser):
 # ---------------------------------------------------------------------------
 # execution
 
+MERGE_MIN_PARTS = 8
+
+
+def maybe_schedule_background_merge(session, name: str) -> None:
+    """Schedule a background part merge once a table accumulates enough
+    INSERT parts (reference: StorageMergeTree::scheduleDataProcessingJob,
+    src/Storages/StorageMergeTree.cpp:1311).  The merge applies the table's
+    row TTL — the reference runs TTLDeleteAlgorithm inside *any* merge, not
+    only at OPTIMIZE — then collapses the logical part list."""
+    parts = getattr(session, "_table_parts", {}).get(name)
+    if parts is None or len(parts) < MERGE_MIN_PARTS:
+        return
+    pending = session.__dict__.setdefault("_bg_merge_pending", set())
+    if name in pending:
+        return
+    pending.add(name)
+
+    def _merge():
+        try:
+            if name not in session.tables:
+                return
+            apply_table_ttl(session, name)
+            plist = getattr(session, "_table_parts", {}).get(name)
+            if plist is not None and len(plist) >= 2:
+                total = session.tables[name].n_rows
+                plist[:] = [total] if total else []
+        finally:
+            pending.discard(name)
+
+    from myscaledb_tpu.storage.background import default_executor
+    default_executor().schedule(_merge)
+
+
 def apply_table_ttl(session, name: str) -> int:
     """Delete rows whose TTL timestamp has passed (reference:
     TTLDeleteAlgorithm applied during merges; here at merge/OPTIMIZE time).
@@ -1750,6 +1783,7 @@ def execute_statement(session, stmt) -> Table:
         # batch until a merge collapses them — MergeTreeData part model)
         session.__dict__.setdefault("_table_parts", {}).setdefault(
             stmt.table, []).append(new.n_rows)
+        maybe_schedule_background_merge(session, stmt.table)
         run_materialized_views(session, stmt.table, new)
         file_engine_writethrough(session, stmt.table)
         return T([])

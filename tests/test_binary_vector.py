@@ -173,3 +173,24 @@ def test_ops_jaccard_empty_union():
     # empty union -> distance 1 (both all-zero); row 1 has union 2, inter 0
     got = sorted(zip(np.asarray(ids)[0].tolist(), np.asarray(d)[0].tolist()))
     assert got == [(0, 1.0), (1, 1.0)]
+
+
+def test_streaming_path_matches_single_block():
+    """The fused lax.scan streaming path (n > block_rows) must return the
+    same (score, id) rows — incl. ties-by-id and mask/padding handling —
+    as the single-block reference implementation."""
+    import jax
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.binary_vector import binary_distance_scan
+    rng = np.random.default_rng(7)
+    n, words, nq, k = 5000, 4, 3, 7          # non-multiple of chunk
+    xw = jnp.asarray(rng.integers(0, 1 << 32, (n, words), dtype=np.uint32))
+    qw = jnp.asarray(rng.integers(0, 1 << 32, (nq, words), dtype=np.uint32))
+    mask = jnp.asarray(rng.random(n) < 0.5)
+    for metric in ("Hamming", "Jaccard"):
+        for m in (None, mask):
+            ref_d, ref_i = binary_distance_scan(xw, qw, metric, k, mask=m)
+            got_d, got_i = binary_distance_scan(xw, qw, metric, k, mask=m,
+                                                block_rows=512)
+            assert np.array_equal(np.asarray(ref_d), np.asarray(got_d)), metric
+            assert np.array_equal(np.asarray(ref_i), np.asarray(got_i)), metric

@@ -144,6 +144,27 @@ def test_ttl_enforced_on_optimize():
     assert got == [2, 3]           # id 1 expired (2h old, 1h TTL)
 
 
+def test_ttl_enforced_by_background_merge():
+    """TTL also runs inside background part merges, not only at explicit
+    OPTIMIZE — the reference applies TTLDeleteAlgorithm during any merge
+    (src/Storages/MergeTree/MergeTask.h)."""
+    import time
+    from myscaledb_tpu.storage.background import default_executor
+    s = Session()
+    s.sql("CREATE TABLE ev2 (id UInt32, ts DateTime) ENGINE = MergeTree "
+          "ORDER BY id TTL ts + INTERVAL 1 HOUR")
+    now = int(time.time())
+    # 8 insert parts trip the background-merge threshold (MERGE_MIN_PARTS)
+    for i in range(8):
+        age = 7200 if i < 4 else 0
+        s.sql(f"INSERT INTO ev2 VALUES ({i}, {now - age})")
+    assert default_executor().wait_idle(timeout=30.0)
+    got = sorted(r[0] for r in s.sql("SELECT id FROM ev2").to_rows())
+    assert got == [4, 5, 6, 7]     # ids 0-3 expired without OPTIMIZE
+    parts = s._table_parts["ev2"]
+    assert len(parts) == 1         # merge collapsed the part list
+
+
 def test_interval_literal_arithmetic():
     s = Session()
     r = s.sql("SELECT INTERVAL 2 HOUR + 30").to_rows()[0][0]

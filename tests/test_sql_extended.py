@@ -110,10 +110,15 @@ def test_vector_index_ddl():
     st = s.sql("SELECT status FROM system.vector_indices "
                "WHERE table = 'tv' AND name = 'v1'").to_rows()
     assert st == [("Built",)]
+    # a second index on the same column is rejected like the reference
+    # (AlterCommands.cpp:835 "this column already has a vector index")
+    with pytest.raises(Exception, match="already has|only one vector index"):
+        s.sql("ALTER TABLE tv ADD VECTOR INDEX v2 vector "
+              "TYPE HNSWFLAT('metric_type=IP')")
+    s.sql("ALTER TABLE tv DROP VECTOR INDEX v1")
     # metric_type in index params overrides table settings
     s.sql("ALTER TABLE tv ADD VECTOR INDEX v2 vector TYPE HNSWFLAT('metric_type=IP')")
     assert s.table_settings["tv"].float_vector_search_metric_type == "IP"
-    s.sql("ALTER TABLE tv DROP VECTOR INDEX v1")
     s.sql("ALTER TABLE tv DROP VECTOR INDEX v2")
     assert s.sql("SELECT count(*) FROM system.vector_indices").to_rows() == [(0,)]
 
