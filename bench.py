@@ -310,7 +310,7 @@ def bench_config4():
         "vs_baseline": round(rows_per_sec / sol, 4),
         "vs_baseline_nominal": round(rows_per_sec / sol_nom, 4),
     }, (f"dt={dt*1000:.1f} ms per {n_probe} skewed probes vs {n_dim} build "
-        f"(chunk-sorted windowed merge-count, ops/pallas/merge_count.py); "
+        f"(chunk-sorted row-aligned merge-count v3, ops/pallas/merge_count.py); "
         f"10M-key build={build_ms:.0f} "
         f"ms; measured bw={bw/1e9:.0f} GB/s; "
         f"vs nominal-spec roofline={rows_per_sec/sol_nom:.4f}")

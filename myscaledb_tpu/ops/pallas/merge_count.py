@@ -1,28 +1,54 @@
-"""Pallas windowed merge-count: the TPU replacement for the hash-join
+"""Pallas row-aligned merge-count: the TPU replacement for the hash-join
 probe loop on the count path (reference: HashJoin probe,
 src/Interpreters/HashJoin.cpp:2091 joinRightColumns; the count shape is a
 JOIN feeding an aggregate, QueryProcessingStage::WithMergeableState).
 
-Why this shape: the chip has no usable random access (XLA gather/scatter
-~0.25 G elem/s measured on v5e) so a streamed hash probe is impossible; the
-previous engine paid a full `lax.sort` of build+probe per probe call
-(0.21 G pairs/s -> 1.29 s for 125M probes).  This path instead:
+Why this shape (all constants measured on the session chip, see
+benchmarks/join_micro.py and BENCH_NOTES.md):
 
-  1. sorts the probe keys in CHUNKS (batched 1D sorts are ~1.8x cheaper
-     than one giant sort: 84 ms per 32M chunk vs 584 ms for 125M, measured);
-  2. computes, per 1024-probe tile, the build-key WINDOW [searchsorted of
-     the tile head, searchsorted of the tile tail] — sorted probes make
-     windows tiny (avg = build_n * 1024 / chunk_n keys);
-  3. a Pallas kernel DMAs each 64-tile block's window into VMEM and
-     compares every probe tile against its window rows with a lane-roll
-     sweep: 128 rotate+compare steps cover all (probe, window-key) pairs
-     at 3 VPU ops per pair — no scalar loops, no gathers.
+  - no usable random access: XLA gather ~3 M lookups/s, Mosaic has no
+    vectorized VMEM gather (take_along_axis fails to lower), so hash-table
+    probes and per-probe binary search are impossible;
+  - partition = sort on this hardware: a full in-VMEM bitonic substep
+    costs ~16 ps/elem (VMEM-bandwidth-bound), so a 1M-element Pallas block
+    sort is ~3.3 ns/elem — SLOWER than lax.sort (2.3-2.5 ns/elem at 1-4M
+    chunks) — and scatter DMA costs ~1 us per descriptor at 16 GB/s, so a
+    256-bucket radix scatter pass cannot beat re-sorting;
+  - lax.sort cost FALLS with smaller chunks (2^24: 0.64x of 2^25/elem),
+    so the probe side sorts in 16M chunks;
+  - jnp.searchsorted costs ~0.3 us/lookup — the round-4 kernel spent
+    ~80 ms locating per-tile windows with it; v3 locates every PROBE ROW's
+    build row with blocked compare-reduces (pure VPU, ~2 ops/probe);
+  - per-iteration fori_loop overhead dwarfs an (8,128) vreg op, and
+    Mosaic lowers value-returning lax.cond poorly — the sweep is a
+    statically unrolled 128-step lane roll and the rare wide-row fallback
+    is an always-present fori whose bound is 0 on the fast path.
+
+The v3 pipeline:
+
+  1. sort the probe keys in 16M chunks (one batched lax.sort);
+  2. XLA-side window precompute: per 64K-probe block, one searchsorted
+     pair gives the build-row window base (1900 lookups, ~1 ms); each
+     probe ROW's window row index comes from comparing the block's 1024
+     window row-head keys against the row's head/tail keys (blocked
+     compare-reduce, no gathers); per (8,128) tile this yields a base row
+     R, two roll patterns k0/k1, and a fallback row count (0 unless some
+     probe row spans >1 build row beyond its neighbor);
+  3. the kernel reads the 8-row window slice at R once per tile, assembles
+     each probe row's OWN build row by a k-way roll+select, and lane-roll
+     sweeps twice — ~2 row sweeps per tile instead of the round-4 kernel's
+     3+ whole-window sweeps.  ANY-count semantics need exactly one build
+     row per probe: for sorted build keys, key k exists iff it appears in
+     the last row whose head <= k.  Comparing a probe against a WRONG
+     build row can only produce true positives (any equality is with a
+     real build key), so wide tiles simply add fallback sweeps and the
+     match flag is acc > 0.
 
 Duplicate build keys are fine (a probe counts once via `acc > 0`);
 INT32_MAX is the padding sentinel and genuine INT32_MAX keys are counted
-exactly by a scalar XLA correction term.  Adversarial distributions where
-a 64-tile block's window exceeds the static VMEM window (128K keys) fall
-back to an exact XLA searchsorted count under `lax.cond`.
+exactly by a scalar XLA correction term.  Distributions whose 64K-block
+window exceeds the static 128K-key VMEM window fall back to an exact XLA
+searchsorted count under `lax.cond`.
 """
 
 from __future__ import annotations
@@ -43,113 +69,167 @@ WIN_ROWS = 1024               # VMEM window: 128K build keys (512 KB)
 IMAX = jnp.iinfo(jnp.int32).max
 
 
-def _kernel(offs_ref, build_ref, probe_ref, out_ref, win, sem):
-    """offs_ref: SMEM (1, 128): [0:64] per-tile window start row relative to
-    the block's DMA base, [64:128] per-tile window row count, [126] the
-    block's DMA base row.  build_ref: HBM (rows, 128) sorted keys (invalid /
-    padding = INT32_MAX).  probe_ref: VMEM (512, 128) sorted probes.
-    out: VMEM (8, 128) per-block matched-probe partial counts."""
-    row0 = offs_ref[1, 0]
-    cp = pltpu.make_async_copy(build_ref.at[pl.ds(row0, WIN_ROWS), :],
+def _sweep(acc, p, w):
+    """acc += all-pairs equality of probe tile p against window tile w,
+    row i of p against row i of w (128 statically-unrolled lane
+    rotations — per-step loop overhead would dwarf the vreg op)."""
+    for s in range(LANES):
+        ws = pltpu.roll(w, s, 1) if s else w
+        acc = acc + (p == ws).astype(jnp.int32)
+    return acc
+
+
+def _kernel(offs_ref, build_ref, probe_ref, kv_ref, out_ref, win, sem):
+    """offs_ref: SMEM (8, 128): [0,0] = block window base build row;
+    [1, t] = tile t's aligned slice row R (window-relative); [2, t] =
+    fallback start row; [3, t] = fallback row count (0 on the fast path).
+    build_ref: HBM (rows, 128) sorted keys.  probe_ref: VMEM (512, 128)
+    sorted probes.  kv_ref: VMEM (16, 128): rows 0-7 = roll pattern k0
+    [row i, lane t], rows 8-15 = k1.  out: (8,128) partial counts."""
+    base = offs_ref[0, 0]
+    cp = pltpu.make_async_copy(build_ref.at[pl.ds(base, WIN_ROWS), :],
                                win, sem)
     cp.start()
     cp.wait()
-    total = jnp.zeros((TILE_ROWS, LANES), dtype=jnp.int32)
-    for t in range(TILES_PER_BLOCK):
-        p = probe_ref[t * TILE_ROWS:(t + 1) * TILE_ROWS, :]
-        r0 = offs_ref[0, t]
-        nch = offs_ref[0, 64 + t]
+    kv0 = kv_ref[0:TILE_ROWS, :]
+    kv1 = kv_ref[TILE_ROWS:2 * TILE_ROWS, :]
 
-        def wbody(j, acc):
-            wrow = win[pl.ds(r0 + j, 1), :]
-            w = jnp.broadcast_to(wrow, (TILE_ROWS, LANES))
-            # lane-roll sweep: after 128 rotations every probe lane has
-            # been compared against every window key of this row
-            for s in range(LANES):
-                ws = pltpu.roll(w, s, 1) if s else w
-                acc = acc + (p == ws).astype(jnp.int32)
-            return acc
+    def tile_body(t, total):
+        p = probe_ref[pl.ds(t * TILE_ROWS, TILE_ROWS), :]
+        R = offs_ref[1, t]
+        lo = offs_ref[2, t]
+        nfb = offs_ref[3, t]
+        sl = win[pl.ds(R, TILE_ROWS), :]
+        # per-probe-row window rows: rotate tile t's roll pattern into
+        # lane 0, then k-way roll+select the 8-row slice
+        sh = lax.rem(jnp.int32(LANES) - t, jnp.int32(LANES))
+        kc0 = pltpu.roll(kv0, sh, 1)[:, 0:1]
+        kc1 = pltpu.roll(kv1, sh, 1)[:, 0:1]
+        w0 = sl
+        w1 = sl
+        for k in range(1, TILE_ROWS):
+            rolled = pltpu.roll(sl, k, 0)
+            w0 = jnp.where(kc0 == k, rolled, w0)
+            w1 = jnp.where(kc1 == k, rolled, w1)
+        acc = _sweep(jnp.zeros((TILE_ROWS, LANES), jnp.int32), p, w0)
+        acc = _sweep(acc, p, w1)
 
-        acc = lax.fori_loop(0, nch, wbody, jnp.zeros((TILE_ROWS, LANES),
-                                                     dtype=jnp.int32))
+        # wide-row fallback: bound is 0 unless some probe row spans more
+        # than [R_i, R_i+1]; extra sweeps only ever add true matches
+        def fb(j, a):
+            wrow = win[pl.ds(lo + j, 1), :]
+            return _sweep(a, p, jnp.broadcast_to(wrow, (TILE_ROWS, LANES)))
+
+        acc = lax.fori_loop(jnp.int32(0), nfb, fb, acc)
         matched = jnp.logical_and(acc > 0, p != IMAX)
-        total = total + matched.astype(jnp.int32)
-    out_ref[...] = total
+        return total + matched.astype(jnp.int32)
+
+    out_ref[...] = lax.fori_loop(
+        jnp.int32(0), jnp.int32(TILES_PER_BLOCK), tile_body,
+        jnp.zeros((TILE_ROWS, LANES), dtype=jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("chunk_elems", "interpret"))
 def _merge_count_jit(build2d, probe, chunk_elems: int, interpret: bool):
     n = probe.shape[0]
     b1d = build2d.reshape(-1)
-    nb_rows = build2d.shape[0]
     # pad probes to whole chunks of whole blocks
     c = -(-n // chunk_elems)
     n_pad = c * chunk_elems
     probe = jnp.pad(probe, (0, n_pad - n), constant_values=IMAX)
-    chunks = probe.reshape(c, chunk_elems)
-    chunks = jnp.concatenate(
-        [lax.sort(chunks[i])[None] for i in range(c)], axis=0)
-    ps2d = chunks.reshape(-1, LANES)
+    ps2d = lax.sort(probe.reshape(c, chunk_elems),
+                    dimension=1).reshape(-1, LANES)
 
-    tiles = n_pad // (TILE_ROWS * LANES)
-    heads = ps2d[::TILE_ROWS, 0]                       # (tiles,)
-    tails = ps2d[TILE_ROWS - 1::TILE_ROWS, LANES - 1]  # (tiles,)
-    # clamp windows to the non-sentinel region: MAX build keys (genuine or
-    # padding) are never window-matched — MAX probes go via the caller's
-    # correction term.  Without the clamp, padded probe tiles get windows
-    # spanning the whole MAX-padded tail and trip the overflow fallback.
+    nblocks = n_pad // (BLOCK_ROWS * LANES)
+    heads = ps2d[::BLOCK_ROWS, 0]                            # (nblocks,)
+    tails = ps2d[BLOCK_ROWS - 1::BLOCK_ROWS, LANES - 1]
+    # clamp to the non-sentinel region: MAX build keys (genuine or padding)
+    # are never window-matched — MAX probes go via the caller's correction
     nb_eff = jnp.searchsorted(b1d, jnp.int32(IMAX),
                               side="left").astype(jnp.int32)
-    starts = jnp.searchsorted(b1d, heads, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(b1d, tails, side="right").astype(jnp.int32)
-    starts = jnp.minimum(starts, nb_eff)
-    ends = jnp.minimum(ends, nb_eff)
-    row_lo = starts // LANES
-    row_hi = jnp.maximum(ends - 1, starts) // LANES
-    nch = jnp.where(ends > starts, row_hi - row_lo + 1, 0)
+    starts = jnp.minimum(jnp.searchsorted(b1d, heads, side="left")
+                         .astype(jnp.int32), nb_eff)
+    ends = jnp.minimum(jnp.searchsorted(b1d, tails, side="right")
+                       .astype(jnp.int32), nb_eff)
+    base = starts // LANES                                   # window base row
+    end_row = jnp.maximum(ends - 1, starts) // LANES
+    overflow = jnp.any(end_row - base >= WIN_ROWS)
 
-    nblocks = tiles // TILES_PER_BLOCK
-    row_lo_b = row_lo.reshape(nblocks, TILES_PER_BLOCK)
-    nch_b = nch.reshape(nblocks, TILES_PER_BLOCK)
-    base = row_lo_b[:, 0]                              # monotone per block
-    r0rel = row_lo_b - base[:, None]
-    overflow = jnp.any(r0rel + nch_b > WIN_ROWS)
+    # ---- XLA-side per-probe-row window location (no searchsorted) ----
+    # window row-head keys per block, (nblocks, WIN_ROWS)
+    rh1d = build2d[:, 0]
+    W = jax.vmap(lambda b: lax.dynamic_slice(rh1d, (b,), (WIN_ROWS,)))(base)
+    # per probe row: head key and max REAL key (padding IMAX lanes map to
+    # the row head so the max skips them; rows sort ascending)
+    row_h = ps2d[:, 0].reshape(nblocks, BLOCK_ROWS)
+    row_t = jnp.max(jnp.where(ps2d == IMAX, ps2d[:, 0:1], ps2d),
+                    axis=1).reshape(nblocks, BLOCK_ROWS)
 
-    # per-block SMEM rows: row 0 = [r0rel(64) | nch(64)], row 1 = [base, ...]
-    # (8 rows per block: Mosaic requires sublane-divisible block shapes)
-    offs = jnp.zeros((nblocks, 8, LANES), dtype=jnp.int32)
-    offs = offs.at[:, 0, 0:TILES_PER_BLOCK].set(r0rel)
-    offs = offs.at[:, 0, 64:64 + TILES_PER_BLOCK].set(nch_b)
-    offs = offs.at[:, 1, 0].set(base)
-    offs = offs.reshape(nblocks * 8, LANES)
+    def count_le(vals):
+        # (nblocks, BLOCK_ROWS) counts of window row-heads <= val, in
+        # WIN_ROWS/LANES blocked compare-reduces (bounded materialization)
+        cnt = jnp.zeros(vals.shape, dtype=jnp.int32)
+        for w0 in range(0, WIN_ROWS, LANES):
+            wc = W[:, None, w0:w0 + LANES]
+            cnt = cnt + jnp.sum((wc <= vals[:, :, None]).astype(jnp.int32),
+                                axis=2, dtype=jnp.int32)
+        return cnt
+
+    r_h = jnp.clip(count_le(row_h) - 1, 0, WIN_ROWS - 1)
+    r_t = jnp.clip(count_le(row_t) - 1, 0, WIN_ROWS - 1)
+    r_h3 = r_h.reshape(nblocks, TILES_PER_BLOCK, TILE_ROWS)
+    r_t3 = r_t.reshape(nblocks, TILES_PER_BLOCK, TILE_ROWS)
+    lo = jnp.min(r_h3, axis=2)                      # (nblocks, tiles)
+    span = jnp.max(r_t3, axis=2) - lo
+    # the aligned sweeps cover only {r_h, r_t} per probe row: any row whose
+    # keys span a middle build row (row span >= 2) needs the fallback, as
+    # does a tile whose rows do not fit one 8-row slice
+    need_fb = jnp.logical_or(jnp.any(r_t3 - r_h3 >= 2, axis=2),
+                             span >= TILE_ROWS)
+    R = jnp.minimum(lo, WIN_ROWS - TILE_ROWS)
+    nfb = jnp.where(need_fb, jnp.minimum(span + 1, WIN_ROWS), 0)
+    rows_i = jnp.arange(TILE_ROWS, dtype=jnp.int32)
+    q0 = jnp.clip(r_h3 - R[:, :, None], 0, TILE_ROWS - 1)
+    q1 = jnp.clip(r_t3 - R[:, :, None], 0, TILE_ROWS - 1)
+    k0 = (rows_i[None, None, :] - q0) % TILE_ROWS   # (nblocks, tiles, 8)
+    k1 = (rows_i[None, None, :] - q1) % TILE_ROWS
+    # kv layout: (nblocks, 16, 128): rows 0-7 = k0[row i, lane t], 8-15 = k1
+    kv = jnp.zeros((nblocks, 2 * TILE_ROWS, LANES), dtype=jnp.int32)
+    kv = kv.at[:, :TILE_ROWS, :TILES_PER_BLOCK].set(
+        jnp.transpose(k0, (0, 2, 1)))
+    kv = kv.at[:, TILE_ROWS:, :TILES_PER_BLOCK].set(
+        jnp.transpose(k1, (0, 2, 1)))
+    kv = kv.reshape(nblocks * 2 * TILE_ROWS, LANES)
+
+    offs = jnp.zeros((nblocks, TILE_ROWS, LANES), dtype=jnp.int32)
+    offs = offs.at[:, 0, 0].set(base)
+    offs = offs.at[:, 1, :TILES_PER_BLOCK].set(R)
+    offs = offs.at[:, 2, :TILES_PER_BLOCK].set(lo)  # unclamped fallback base
+    offs = offs.at[:, 3, :TILES_PER_BLOCK].set(nfb)
+    offs = offs.reshape(nblocks * TILE_ROWS, LANES)
 
     def fast(_):
         if interpret:
-            # exact emulation of the kernel's window semantics (per-tile
-            # [row_lo, row_lo+nch) build slice) for the CPU test mesh: the
-            # Mosaic kernel interpreted runs ~1000x slower than this.  A
-            # probe matches iff its equal-key run in b1d intersects its
-            # tile's window — identical to the kernel's windowed compare.
-            ps1d = ps2d.reshape(-1)               # sorted layout, like kernel
-            tile_of = jnp.arange(n_pad) // (TILE_ROWS * LANES)
+            # the v3 kernel is exact ANY-membership (each probe checks
+            # its own build row); the CPU-mesh emulation is a plain exact
+            # membership count (the Mosaic kernel interpreted runs ~1000x
+            # slower than this)
+            ps1d = ps2d.reshape(-1)
             pos_l = jnp.searchsorted(b1d, ps1d, side="left")
             pos_r = jnp.searchsorted(b1d, ps1d, side="right")
-            lo_pos = (row_lo[tile_of] * LANES).astype(pos_l.dtype)
-            hi_pos = ((row_lo + nch)[tile_of] * LANES).astype(pos_l.dtype)
-            hit = jnp.logical_and(
-                pos_r > pos_l,                   # the key exists in b1d
-                jnp.logical_and(pos_l < hi_pos, pos_r > lo_pos))
-            hit = jnp.logical_and(hit, ps1d != IMAX)
+            hit = jnp.logical_and(pos_r > pos_l, ps1d != IMAX)
             return jnp.sum(hit, dtype=jnp.int64)
         with jax.enable_x64(False):
             parts = pl.pallas_call(
                 _kernel,
                 grid=(nblocks,),
                 in_specs=[
-                    pl.BlockSpec((8, LANES), lambda b: (b, 0),
+                    pl.BlockSpec((TILE_ROWS, LANES), lambda b: (b, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.ANY),
                     pl.BlockSpec((BLOCK_ROWS, LANES), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * TILE_ROWS, LANES), lambda b: (b, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda b: (b, 0),
@@ -159,7 +239,7 @@ def _merge_count_jit(build2d, probe, chunk_elems: int, interpret: bool):
                 scratch_shapes=[pltpu.VMEM((WIN_ROWS, LANES), jnp.int32),
                                 pltpu.SemaphoreType.DMA],
                 interpret=interpret,
-            )(offs, build2d, ps2d)
+            )(offs, build2d, ps2d, kv)
         return jnp.sum(parts.astype(jnp.int64))
 
     def slow(_):
@@ -177,7 +257,7 @@ def _merge_count_jit(build2d, probe, chunk_elems: int, interpret: bool):
 
 
 def merge_count(build_sorted_2d, probe_keys, build_has_max,
-                chunk_elems: int = 1 << 25, interpret: bool | None = None):
+                chunk_elems: int = 1 << 24, interpret: bool | None = None):
     """Count probe keys present in the sorted build table.
 
     build_sorted_2d: (rows, 128) int32, ascending flattened, invalid and
@@ -206,8 +286,8 @@ def _round_up(x: int, m: int) -> int:
 def prepare_build(keys, valid=None):
     """Sort + sentinel-clean the build keys for merge_count: returns
     (build2d (rows,128) int32, has_max bool scalar).  Invalid rows become
-    INT32_MAX; WIN_ROWS of all-MAX margin rows are appended so every block
-    window DMA stays in bounds."""
+    INT32_MAX; 2*WIN_ROWS of all-MAX margin rows are appended so every
+    block window DMA and row-head slice stays in bounds."""
     keys = jnp.asarray(keys, dtype=jnp.int32)
     if valid is not None:
         keys = jnp.where(jnp.asarray(valid, dtype=bool), keys, IMAX)
@@ -218,6 +298,6 @@ def prepare_build(keys, valid=None):
     s = lax.sort(keys)
     n_pad = _round_up(max(keys.shape[0], 1), LANES)
     s = jnp.pad(s, (0, n_pad - keys.shape[0]), constant_values=IMAX)
-    s = jnp.concatenate([s, jnp.full(WIN_ROWS * LANES, IMAX,
+    s = jnp.concatenate([s, jnp.full(2 * WIN_ROWS * LANES, IMAX,
                                      dtype=jnp.int32)])
     return s.reshape(-1, LANES), has_max
