@@ -394,19 +394,22 @@ def bench_config6():
     from myscaledb_tpu.ops.binary_vector import binary_distance_scan
 
     n, words, nq, k = 16_000_000, 8, 10, 10
-    xw = jax.random.randint(jax.random.PRNGKey(11), (n, words),
+    # segment-major (nseg, words, SEG) — the layout the engine's binary
+    # sidecar stores (ops/pallas/binary_scan.py; (n, words) lane-pads 16x)
+    x3 = jax.random.randint(jax.random.PRNGKey(11), (n // 1024, words, 1024),
                             0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
     qw = jax.random.randint(jax.random.PRNGKey(12), (nq, words),
                             0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
-    jax.block_until_ready((xw, qw))
+    jax.block_until_ready((x3, qw))
 
-    def body(xw, qw, acc):
+    def body(x3, qw, acc):
         d, i = binary_distance_scan(
-            jnp.bitwise_xor(xw, (acc * 1e-30).astype(jnp.int32)
-                            .astype(jnp.uint32)), qw, "Hamming", k)
+            jnp.bitwise_xor(x3, (acc * 1e-30).astype(jnp.int32)
+                            .astype(jnp.uint32)), qw, "Hamming", k,
+            layout="segs", n=n)
         return jnp.sum(d) + jnp.sum(i).astype(jnp.float32) * 0
 
-    dt = _timed_repeat(body, xw, qw, iters=16)
+    dt = _timed_repeat(body, x3, qw, iters=16)
     rows_per_sec = n / dt
     dev = jax.devices()[0]
     bytes_per_row = words * 4

@@ -1,0 +1,29 @@
+#!/bin/bash
+# Crash-resuming driver for the full stateless golden sweep: a pathological
+# case (OOM, runaway compile) kills the curator process; this loop reads the
+# last TRY line and restarts past it.  Usage: run_golden_sweep.sh [budget_s]
+set -u
+cd "$(dirname "$0")/.."
+BUDGET=${1:-7200}
+DEADLINE=$(( $(date +%s) + BUDGET ))
+LOG=/tmp/golden_sweep.log
+: > "$LOG"
+START_AFTER=""
+while true; do
+  LEFT=$(( DEADLINE - $(date +%s) ))
+  [ "$LEFT" -le 60 ] && { echo "budget exhausted"; break; }
+  ARGS=()
+  [ -n "$START_AFTER" ] && ARGS=(--start-after "$START_AFTER")
+  JAX_PLATFORMS=cpu timeout "$LEFT" \
+    python benchmarks/curate_goldens.py --skip-vector "${ARGS[@]}" \
+    >> "$LOG" 2>&1
+  RC=$?
+  if [ $RC -eq 0 ]; then echo "sweep complete"; break; fi
+  LAST=$(grep -oP '(?<=^TRY ).*' "$LOG" | tail -1)
+  if [ -z "$LAST" ] || [ "$LAST" = "$START_AFTER" ]; then
+    echo "no progress (rc=$RC, last=$LAST); stopping"; break
+  fi
+  echo "curator died (rc=$RC) at $LAST; resuming past it" | tee -a "$LOG"
+  START_AFTER="$LAST"
+done
+grep -c '^KEEP' "$LOG" || true

@@ -132,14 +132,110 @@ def _binary_scan_stream(xw, qw, mask, metric: str, k: int, has_mask: bool,
     return bs, bi
 
 
+def pack_binary_segs(raw, nbytes: int) -> np.ndarray:
+    """Segment-major packed layout (nseg, words, SEG) — the TPU-native
+    layout: each 1024-row segment's words contiguous, words on sublanes,
+    rows on lanes, every vreg full.  ((n, words) puts the tiny word count
+    on lanes and pads it to 128 — a measured 16x HBM blowup whenever XLA
+    materializes a temp of it.)"""
+    return to_segs_layout(pack_binary(raw, nbytes))
+
+
+def to_segs_layout(xw: np.ndarray) -> np.ndarray:
+    """(n, words) -> (nseg, words, SEG) with zero row padding."""
+    from myscaledb_tpu.ops.pallas.binary_scan import SEG, SEGS_PER_STEP
+    xw = np.asarray(xw)
+    n, words = xw.shape
+    span = SEG * SEGS_PER_STEP
+    npad = -(-max(n, 1) // span) * span
+    if npad != n:
+        xw = np.pad(xw, ((0, npad - n), (0, 0)))
+    return np.ascontiguousarray(
+        xw.reshape(npad // SEG, SEG, words).transpose(0, 2, 1))
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "n", "has_mask"))
+def _binary_rescore(x3, qw, segmins, mask2, metric: str, k: int, n: int,
+                    has_mask: bool):
+    """Pass 2: gather the top-k segments per query by (min, segment_id) and
+    rescore them exactly; lexicographic (score, id) cut.  Exactness incl.
+    ties-by-id is proven in ops/pallas/binary_scan.py."""
+    from myscaledb_tpu.ops.pallas.binary_scan import SEG
+    nseg, words, _ = x3.shape
+    nq = qw.shape[0]
+    kk = min(k, n)
+    m = min(max(kk, 1), nseg)
+    _, segs = lax.top_k(-jnp.transpose(segmins), m)  # (nq, m) ties->low seg
+    xseg = jnp.take(x3, segs.reshape(-1), axis=0)    # (nq*m, words, SEG)
+    xseg = xseg.reshape(nq, m, words, SEG)
+    qx = qw[:, None, :, None]                        # (nq, 1, words, 1)
+    if metric == "Hamming":
+        score = jnp.sum(lax.population_count(jnp.bitwise_xor(xseg, qx)),
+                        axis=2).astype(jnp.float32)          # (nq, m, SEG)
+    else:
+        inter = jnp.sum(lax.population_count(jnp.bitwise_and(xseg, qx)),
+                        axis=2).astype(jnp.float32)
+        union = jnp.sum(lax.population_count(jnp.bitwise_or(xseg, qx)),
+                        axis=2).astype(jnp.float32)
+        score = jnp.where(union > 0, (union - inter) / union,
+                          jnp.float32(1))
+    ids = segs[:, :, None] * SEG + jnp.arange(SEG, dtype=jnp.int32)
+    live = ids < n
+    if has_mask:
+        mseg = jnp.take(mask2, segs.reshape(-1),
+                        axis=0).reshape(nq, m, SEG)
+        live = jnp.logical_and(live, mseg != 0)
+    score = jnp.where(live, score, jnp.inf)
+    ids = jnp.where(live, ids, INVALID_ID)
+    s_score, s_id = lax.sort((score.reshape(nq, m * SEG),
+                              ids.reshape(nq, m * SEG)),
+                             dimension=-1, num_keys=2)
+    s, i = s_score[:, :kk], s_id[:, :kk]
+    return s, jnp.where(jnp.isposinf(s), INVALID_ID, i)
+
+
+def _binary_scan_segs(x3, qw, metric, k, mask, n):
+    """Two-pass exact top-k over the segment-major layout: Pallas
+    segment-min stream (never materializes (nq, n)) + exact rescore of k
+    segments."""
+    from myscaledb_tpu.ops.pallas.binary_scan import (SEG,
+                                                      binary_segment_mins)
+    nseg = x3.shape[0]
+    has_mask = mask is not None
+    if has_mask:
+        mask_u8 = jnp.asarray(mask, dtype=jnp.uint8)
+        mask_u8 = jnp.pad(mask_u8, (0, nseg * SEG - mask_u8.shape[0]))
+        mask2 = mask_u8.reshape(nseg, SEG)
+    else:
+        mask2 = jnp.zeros((nseg, SEG), dtype=jnp.uint8)
+    segmins = binary_segment_mins(x3, qw, mask2, metric, n, has_mask)
+    return _binary_rescore(x3, qw, segmins, mask2, metric, k, n, has_mask)
+
+
 def binary_distance_scan(xw, qw, metric: str = "Hamming", k: int = 10,
-                         mask=None, block_rows: int = 1 << 20):
-    """Exact top-k binary scan.  xw: (n, words) uint32 packed rows;
-    qw: (nq, words) packed queries.  Returns (dist (nq, kk) float32 —
-    integral values for Hamming — and ids (nq, kk) int32, ties by id asc).
-    Blocks the row dim so the (nq, block) score matrix stays bounded."""
+                         mask=None, block_rows: int = 1 << 20,
+                         layout: str = "rows", n: int | None = None):
+    """Exact top-k binary scan.  xw: (n, words) uint32 packed rows (layout
+    "rows"), or (nseg, words, SEG) segment-major (layout "segs",
+    pack_binary_segs; n gives the real row count under the padding).
+    Returns (dist (nq, kk) float32 — integral values for Hamming — and ids
+    (nq, kk) int32, ties by id asc).  Large row counts stream blockwise; on
+    TPU the segment-major layout runs the Pallas segment-min + rescore
+    pipeline."""
     xw = jnp.asarray(xw, dtype=jnp.uint32)
     qw = jnp.asarray(qw, dtype=jnp.uint32)
+    if layout == "segs":
+        from myscaledb_tpu.ops.pallas.binary_scan import SEG
+        nseg, words, _seg = xw.shape
+        n = nseg * SEG if n is None else int(n)
+        nq = qw.shape[0]
+        if n == 0:
+            return (jnp.zeros((nq, 0), dtype=jnp.float32),
+                    jnp.zeros((nq, 0), dtype=jnp.int32))
+        if jax.default_backend() != "cpu" and n > (1 << 16):
+            return _binary_scan_segs(xw, qw, metric, k, mask, n)
+        # small / CPU: unpack back to the row-major path
+        xw = jnp.transpose(xw, (0, 2, 1)).reshape(nseg * SEG, words)[:n]
     n = xw.shape[0]
     nq = qw.shape[0]
     if n == 0:

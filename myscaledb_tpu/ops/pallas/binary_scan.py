@@ -1,0 +1,104 @@
+"""Pallas binary-vector segment-min scan (pass 1 of the exact top-k).
+
+Reference surface: brute-force binary search, XOR/AND/OR + popcount per row
+(src/VectorIndex/Common/BruteForceSearch.h:63-110).  The round-4 path
+materialized the (nq, n) score matrix (0.22 of roofline); a round-5 XLA
+streaming rewrite still paid either a 16x lane-padding blowup on the
+(n, words) layout or an unpipelined compute tail.  This kernel fixes both:
+
+* **Layout**: the packed table is segment-major ``(nseg, words, SEG)`` —
+  each 1024-row segment's words contiguous, words on sublanes, rows on
+  lanes, every vreg full.  ((n, words) puts the tiny word count on lanes
+  and pads it to 128 — a measured 16x HBM blowup when XLA materializes a
+  temp of it.)  The relayout from the row-major ingest format happens once
+  per table epoch in the cached sidecar, exactly like the SQ8 sidecar.
+* **Fusion**: one grid step per 8 segments computes all queries' popcount
+  scores in VMEM and writes only the per-(segment, query) MINIMUM — an
+  (nseg, nq) f32 to HBM, never (nq, n).  Pallas double-buffers the segment
+  DMA, hiding the VPU popcounts under the HBM stream.
+
+Pass 2 (rescore, plain XLA in ops/binary_vector.py) gathers the top-k
+segments per query by (min, segment_id) and rescores them exactly.  Taking
+k segments is EXACT including the ties-by-lowest-id contract: if a true
+top-k row r in segment s were outside the k chosen segments, then k
+segments precede (min_s, s) lexicographically, and each contributes a
+witness row that beats r — strictly smaller min, or an equal min in an
+earlier segment, whose rows ALL have smaller ids than r because segments
+are contiguous row ranges.  k rows beating r contradicts r in the top k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+SEG = 1024                 # rows per segment (lanes)
+SEGS_PER_STEP = 16         # segments per grid step (sublane tiling of out)
+
+
+def _scores(x, qcol, metric: str):
+    """(S8, words, SEG) u32 block vs one query column (words, 1) ->
+    (S8, SEG) f32 scores."""
+    q = qcol[None, :, :]                         # (1, words, 1)
+
+    def pcount(v):                               # int32 sum: the engine's
+        return jnp.sum(lax.population_count(v).astype(jnp.int32),
+                       axis=1, dtype=jnp.int32)  # global x64 would promote
+    if metric == "Hamming":                      # to u64 (Mosaic rejects)
+        return pcount(jnp.bitwise_xor(x, q)).astype(jnp.float32)
+    inter = pcount(jnp.bitwise_and(x, q)).astype(jnp.float32)
+    union = pcount(jnp.bitwise_or(x, q)).astype(jnp.float32)
+    return jnp.where(union > 0, (union - inter) / union, jnp.float32(1))
+
+
+def _segmin_kernel(x_ref, q_ref, m_ref, out_ref, *, nq: int, metric: str,
+                   n: int, has_mask: bool):
+    x = x_ref[...]                               # (S8, words, SEG) u32
+    # all-i32 index math: python-int constants promote via i64 under the
+    # engine's global x64 and Mosaic rejects the i64 scalars
+    seg0 = pl.program_id(0) * jnp.int32(SEGS_PER_STEP)
+    row = ((seg0 + lax.broadcasted_iota(jnp.int32, (SEGS_PER_STEP, SEG), 0))
+           * jnp.int32(SEG)
+           + lax.broadcasted_iota(jnp.int32, (SEGS_PER_STEP, SEG), 1))
+    live = row < jnp.int32(n)
+    if has_mask:
+        live = jnp.logical_and(live, m_ref[...] != 0)
+    mins = []
+    for qi in range(nq):                         # static unroll
+        s = _scores(x, q_ref[:, qi:qi + 1], metric)
+        s = jnp.where(live, s, jnp.float32(jnp.inf))
+        mins.append(jnp.min(s, axis=1, keepdims=True))   # (S8, 1)
+    out_ref[...] = jnp.concatenate(mins, axis=1)         # (S8, nq)
+
+
+@partial(jax.jit, static_argnames=("metric", "n", "has_mask"))
+def binary_segment_mins(x3, qw, mask2, metric: str, n: int, has_mask: bool):
+    """x3: (nseg, words, SEG) u32 segment-major packed table (nseg %
+    SEGS_PER_STEP == 0); qw: (nq, words) packed queries; mask2: (nseg, SEG)
+    u8 row validity (only read when has_mask).  Returns (nseg, nq) f32
+    per-segment score minima (+inf for fully masked/padded segments)."""
+    nseg, words, _ = x3.shape
+    nq = qw.shape[0]
+    grid = (nseg // SEGS_PER_STEP,)
+    import numpy as _np
+    z = _np.int32(0)          # index maps must return i32: python-int 0
+    in_specs = [               # traces to i64 under global x64 -> Mosaic
+        pl.BlockSpec((SEGS_PER_STEP, words, SEG),      # rejects func.return
+                     lambda i: (i, z, z)),
+        pl.BlockSpec((words, nq), lambda i: (z, z)),
+        pl.BlockSpec((SEGS_PER_STEP, SEG), lambda i: (i, z)),
+    ]
+    out_spec = pl.BlockSpec((SEGS_PER_STEP, nq), lambda i: (i, z))
+    kernel = partial(_segmin_kernel, nq=nq, metric=metric, n=n,
+                     has_mask=has_mask)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nseg, nq), jnp.float32),
+    )(x3, jnp.transpose(qw), mask2)

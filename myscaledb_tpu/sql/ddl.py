@@ -1365,6 +1365,26 @@ def rows_to_table(template: Table, columns: Optional[list],
                     f"vector dim {arr.shape[1]} != declared "
                     f"{c.field.vector_dim} for column {cname!r}")
         elif c.dtype is DataType.STRING:
+            fl = c.field.fixed_len
+            if fl:
+                # FixedString(N): preserve the declared width on insert —
+                # pad short values with NULs, reject longer ones
+                # (DataTypeFixedString::checkSizeOfString "Too large value")
+                padded = []
+                for v in vals:
+                    v = "" if v is None else str(v)
+                    if len(v) > fl:
+                        raise ParseError(
+                            f"Too large value for FixedString({fl}) "
+                            f"column {cname!r}")
+                    padded.append(v + "\x00" * (fl - len(v)))
+                col = Column.from_numpy(cname,
+                                        np.asarray(padded, dtype=object),
+                                        DataType.STRING)
+                col.field = Field(cname, DataType.STRING,
+                                  col.field.nullable, fixed_len=fl)
+                data[cname] = col
+                continue
             arr = np.asarray(vals, dtype=object)
         elif c.dtype in (DataType.DATE, DataType.DATETIME):
             from myscaledb_tpu.exec.datetime_fns import parse_date_literal

@@ -706,22 +706,25 @@ def _vector_sidecar(session, table_name, table, col):
 
 def _binary_sidecar(session, table_name, table, col):
     """Packed uint32 layout of a FixedString binary-vector column, cached
-    per (table, column, mutation epoch) like the SQ8 sidecar."""
+    per (table, column, mutation epoch) like the SQ8 sidecar.  Stored in
+    the TPU-native segment-major (nseg, words, SEG) layout
+    (ops/pallas/binary_scan.py) with the real row count alongside."""
     epoch = session._mutation_epoch
     key = (table_name, col + "\x00binary", epoch)
     hit = session._vector_sidecars.get(key)
     if hit is not None:
         return hit
-    from myscaledb_tpu.ops.binary_vector import pack_binary
+    from myscaledb_tpu.ops.binary_vector import pack_binary_segs
     c = table[col]
     raws = [("" if s is None else s).encode("latin-1", "replace")
             for s in c.to_python()]
-    xw = jnp.asarray(pack_binary(raws, c.field.fixed_len))
+    x3 = jnp.asarray(pack_binary_segs(raws, c.field.fixed_len))
+    out = (x3, len(raws))
     stale = [k for k in session._vector_sidecars if k[2] != epoch]
     for k in stale:
         del session._vector_sidecars[k]
-    session._vector_sidecars[key] = xw
-    return xw
+    session._vector_sidecars[key] = out
+    return out
 
 
 def _distributed_topn_ids(q, table, env, mask, alias_exprs):
@@ -2365,15 +2368,19 @@ def execute_select(session, q: SelectQuery) -> Table:
             base_tab = session.tables.get(q.table) if q.table else None
             if base_tab is not None and vs.col in base_tab and \
                     base_tab[vs.col].data is table[vs.col].data:
-                xw = _binary_sidecar(session, q.table, table, vs.col)
+                x3, n_rows = _binary_sidecar(session, q.table, table, vs.col)
+                d, ids = binary_distance_scan(x3, jnp.asarray(vs.qvec),
+                                              metric=vs.metric, k=vs.k,
+                                              mask=mask, layout="segs",
+                                              n=n_rows)
             else:                      # scanned column was replaced (join/
                 c = table[vs.col]      # subquery): pack ad hoc
                 xw = jnp.asarray(pack_binary(
                     [("" if s is None else s).encode("latin-1", "replace")
                      for s in c.to_python()], c.field.fixed_len))
-            d, ids = binary_distance_scan(xw, jnp.asarray(vs.qvec),
-                                          metric=vs.metric, k=vs.k,
-                                          mask=mask)
+                d, ids = binary_distance_scan(xw, jnp.asarray(vs.qvec),
+                                              metric=vs.metric, k=vs.k,
+                                              mask=mask)
         elif is_distributed(table):
             d, ids = sharded_distance_topk(
                 table.mesh, x, jnp.asarray(vs.qvec), vs.metric, vs.k,

@@ -52,7 +52,25 @@ def tokenize(sql: str) -> list[Token]:
     return out
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "b": "\b",
+            "f": "\f", "a": "\a", "v": "\v", "'": "'", '"': '"',
+            "\\": "\\"}
+_ESC_RE = re.compile(r"''|\\x([0-9A-Fa-f]{2})|\\(.)", re.DOTALL)
+
+
+def _unescape_one(m) -> str:
+    if m.group() == "''":
+        return "'"
+    if m.group(1) is not None:               # \xHH byte escape
+        return chr(int(m.group(1), 16))
+    c = m.group(2)
+    # unknown escapes KEEP the backslash (ClickHouse
+    # parseComplexEscapeSequence) — '\%' must reach LIKE as backslash-%
+    return _ESCAPES.get(c, "\\" + c)
+
+
 def unquote_string(tok_text: str) -> str:
-    body = tok_text[1:-1]
-    return (body.replace("''", "'").replace("\\'", "'")
-            .replace("\\\\", "\\").replace("\\n", "\n").replace("\\t", "\t"))
+    """Single-pass unescape of a quoted SQL string literal: '' and the
+    ClickHouse escape set incl. \\xHH bytes (the sequential str.replace
+    chain double-decoded e.g. \\\\t into backslash+TAB)."""
+    return _ESC_RE.sub(_unescape_one, tok_text[1:-1])

@@ -194,3 +194,33 @@ def test_streaming_path_matches_single_block():
                                                 block_rows=512)
             assert np.array_equal(np.asarray(ref_d), np.asarray(got_d)), metric
             assert np.array_equal(np.asarray(ref_i), np.asarray(got_i)), metric
+
+
+def test_segs_layout_roundtrip_and_scan():
+    """Segment-major (nseg, words, SEG) layout (the TPU sidecar format,
+    ops/pallas/binary_scan.py): to_segs_layout must be a pure relayout, and
+    binary_distance_scan(layout="segs") must match the row-major path
+    bit-exactly (on CPU it unpacks back; on TPU it runs the Pallas
+    segment-min + rescore pipeline — same contract either way)."""
+    import jax.numpy as jnp
+    from myscaledb_tpu.ops.binary_vector import (binary_distance_scan,
+                                                 to_segs_layout)
+    rng = np.random.default_rng(11)
+    n, words, nq, k = 3000, 2, 4, 9
+    xw = rng.integers(0, 1 << 32, (n, words), dtype=np.uint32)
+    qw = jnp.asarray(rng.integers(0, 1 << 32, (nq, words), dtype=np.uint32))
+    mask = jnp.asarray(rng.random(n) < 0.6)
+    x3 = to_segs_layout(xw)
+    assert x3.shape[1] == words and x3.shape[2] == 1024
+    # relayout roundtrip
+    back = x3.transpose(0, 2, 1).reshape(-1, words)[:n]
+    assert np.array_equal(back, xw)
+    for metric in ("Hamming", "Jaccard"):
+        for m in (None, mask):
+            ref_d, ref_i = binary_distance_scan(jnp.asarray(xw), qw,
+                                                metric, k, mask=m)
+            got_d, got_i = binary_distance_scan(jnp.asarray(x3), qw,
+                                                metric, k, mask=m,
+                                                layout="segs", n=n)
+            assert np.array_equal(np.asarray(ref_d), np.asarray(got_d))
+            assert np.array_equal(np.asarray(ref_i), np.asarray(got_i))
