@@ -45,6 +45,8 @@ def main(argv=None) -> int:
                         help="also serve the MySQL wire protocol")
         ap.add_argument("--pg-port", type=int, default=0,
                         help="also serve the PostgreSQL wire protocol")
+        ap.add_argument("--grpc-port", type=int, default=0,
+                        help="also serve the gRPC protocol")
         ap.add_argument("--data-dir", default=None)
         ap.add_argument("--user-files", default="user_files",
                         help="directory file()/File-engine paths are "
@@ -70,12 +72,16 @@ def main(argv=None) -> int:
         if a.pg_port:
             from myscaledb_tpu.runtime.pg_server import serve_pg
             serve_pg(session, a.host, a.pg_port)
+        if a.grpc_port:
+            from myscaledb_tpu.runtime.grpc_server import serve_grpc
+            serve_grpc(session, a.host, a.grpc_port)
         httpd = make_server(session, a.host, a.port)
         print(f"listening on http://{a.host}:{a.port}"
               + (f" tcp://{a.host}:{a.tcp_port}" if a.tcp_port else "")
               + (f" mysql://{a.host}:{a.mysql_port}" if a.mysql_port
                  else "")
-              + (f" pg://{a.host}:{a.pg_port}" if a.pg_port else ""))
+              + (f" pg://{a.host}:{a.pg_port}" if a.pg_port else "")
+              + (f" grpc://{a.host}:{a.grpc_port}" if a.grpc_port else ""))
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:

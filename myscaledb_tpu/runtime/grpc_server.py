@@ -1,0 +1,472 @@
+"""gRPC protocol server.
+
+Reference analog: src/Server/GRPCServer.cpp — the ClickHouse gRPC service
+(src/Server/grpc_protos/clickhouse_grpc.proto): ``ExecuteQuery(QueryInfo)
+returns (Result)`` plus the three streaming variants.  The reference links
+the grpc++ library; this image has no grpc/h2 package, so the server speaks
+the wire protocol natively: HTTP/2 framing (RFC 7540), an HPACK decoder
+(RFC 7541; static+dynamic tables, integer/string literals), and hand-rolled
+protobuf wire coding for QueryInfo/Result.  One thread per connection, the
+session exec lock serializing query execution — the same model as the
+HTTP/MySQL/PostgreSQL servers here.
+
+Scope gates (documented, tested): header values sent Huffman-coded are
+skipped rather than decoded (grpc clients send :path as a plain literal;
+routing treats every method as collect-request / reply-Result, which is
+correct for ExecuteQuery and WithStreamInput and a valid single-frame
+answer for the stream-output variants); ``input_data`` compression and
+external tables are not supported and answer with a Result.exception.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import struct
+import threading
+
+from myscaledb_tpu.runtime import metrics as M
+
+# ---------------------------------------------------------------------------
+# protobuf wire helpers (proto3: varint=0, 64bit=1, len-delimited=2, 32bit=5)
+# ---------------------------------------------------------------------------
+
+
+def _uvarint(buf: bytes, i: int):
+    v = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, i
+        shift += 7
+
+
+def _enc_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_field(num: int, wire: int, payload: bytes) -> bytes:
+    return _enc_uvarint((num << 3) | wire) + payload
+
+
+def enc_str(num: int, s) -> bytes:
+    b = s if isinstance(s, bytes) else str(s).encode()
+    if not b:
+        return b""
+    return _enc_field(num, 2, _enc_uvarint(len(b)) + b)
+
+
+def enc_varint_field(num: int, v: int) -> bytes:
+    if not v:
+        return b""
+    return _enc_field(num, 0, _enc_uvarint(v))
+
+
+def parse_message(buf: bytes) -> dict:
+    """Generic proto3 parse: {field_number: [values]} — varints as int,
+    len-delimited as bytes (callers decode strings/sub-messages)."""
+    out: dict = {}
+    i = 0
+    n = len(buf)
+    while i < n:
+        tag, i = _uvarint(buf, i)
+        num, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, i = _uvarint(buf, i)
+        elif wire == 1:
+            v = struct.unpack("<q", buf[i:i + 8])[0]
+            i += 8
+        elif wire == 2:
+            ln, i = _uvarint(buf, i)
+            v = buf[i:i + ln]
+            i += ln
+        elif wire == 5:
+            v = struct.unpack("<i", buf[i:i + 4])[0]
+            i += 4
+        else:
+            raise ValueError(f"bad wire type {wire}")
+        out.setdefault(num, []).append(v)
+    return out
+
+
+def parse_query_info(buf: bytes) -> dict:
+    """clickhouse_grpc.proto QueryInfo (field numbers from the .proto)."""
+    f = parse_message(buf)
+
+    def s(num, default=""):
+        return f[num][-1].decode("utf-8", "replace") if num in f else default
+
+    settings = {}
+    for entry in f.get(3, ()):           # map<string,string> settings
+        e = parse_message(entry)
+        k = e.get(1, [b""])[-1].decode("utf-8", "replace")
+        v = e.get(2, [b""])[-1].decode("utf-8", "replace")
+        settings[k] = v
+    return {
+        "query": s(1), "query_id": s(2), "settings": settings,
+        "database": s(4),
+        "input_data": b"".join(f.get(5, ())),
+        "output_format": s(7), "user_name": s(9), "password": s(10),
+        "cancel": bool(f.get(15, [0])[-1]),
+        "next_query_info": bool(f.get(16, [0])[-1]),
+        "input_compression_type": s(20),
+        "external_tables": f.get(8, ()),
+        "send_output_columns": bool(f.get(24, [0])[-1]),
+    }
+
+
+def encode_result(output: bytes = b"", query_id: str = "",
+                  output_format: str = "", columns=(),
+                  exception=None) -> bytes:
+    """clickhouse_grpc.proto Result: output=1, exception=7, query_id=9,
+    output_format=11, output_columns=12 (NameAndType name=1 type=2)."""
+    out = bytearray()
+    out += enc_str(9, query_id)
+    out += enc_str(11, output_format)
+    for name, typ in columns:
+        sub = enc_str(1, name) + enc_str(2, typ)
+        out += _enc_field(12, 2, _enc_uvarint(len(sub)) + sub)
+    out += enc_str(1, output)
+    if exception is not None:
+        code, name, text = exception
+        sub = (enc_varint_field(1, code & 0xFFFFFFFF) + enc_str(2, name) +
+               enc_str(3, text))
+        out += _enc_field(7, 2, _enc_uvarint(len(sub)) + sub)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# HPACK (RFC 7541) — decoder with static + dynamic table; Huffman-coded
+# strings are skipped (returned as None), plain literals decode fully
+# ---------------------------------------------------------------------------
+
+_STATIC = [None,
+    (":authority", ""), (":method", "GET"), (":method", "POST"),
+    (":path", "/"), (":path", "/index.html"), (":scheme", "http"),
+    (":scheme", "https"), (":status", "200"), (":status", "204"),
+    (":status", "206"), (":status", "304"), (":status", "400"),
+    (":status", "404"), (":status", "500"), ("accept-charset", ""),
+    ("accept-encoding", "gzip, deflate"), ("accept-language", ""),
+    ("accept-ranges", ""), ("accept", ""), ("access-control-allow-origin", ""),
+    ("age", ""), ("allow", ""), ("authorization", ""), ("cache-control", ""),
+    ("content-disposition", ""), ("content-encoding", ""),
+    ("content-language", ""), ("content-length", ""), ("content-location", ""),
+    ("content-range", ""), ("content-type", ""), ("cookie", ""), ("date", ""),
+    ("etag", ""), ("expect", ""), ("expires", ""), ("from", ""), ("host", ""),
+    ("if-match", ""), ("if-modified-since", ""), ("if-none-match", ""),
+    ("if-range", ""), ("if-unmodified-since", ""), ("last-modified", ""),
+    ("link", ""), ("location", ""), ("max-forwards", ""),
+    ("proxy-authenticate", ""), ("proxy-authorization", ""), ("range", ""),
+    ("referer", ""), ("refresh", ""), ("retry-after", ""), ("server", ""),
+    ("set-cookie", ""), ("strict-transport-security", ""),
+    ("transfer-encoding", ""), ("user-agent", ""), ("vary", ""), ("via", ""),
+    ("www-authenticate", "")]
+
+
+class HpackDecoder:
+    def __init__(self):
+        self.dynamic: list = []          # newest first
+        self.max_size = 4096
+
+    def _entry(self, idx: int):
+        if idx < len(_STATIC):
+            e = _STATIC[idx]
+            if e is None:
+                raise ValueError("HPACK index 0")
+            return e
+        d = idx - len(_STATIC)
+        if d >= len(self.dynamic):
+            raise ValueError(f"HPACK index {idx} out of range")
+        return self.dynamic[d]
+
+    def _int(self, buf, i, prefix_bits):
+        mask = (1 << prefix_bits) - 1
+        v = buf[i] & mask
+        i += 1
+        if v < mask:
+            return v, i
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            v += (b & 0x7F) << shift
+            if not b & 0x80:
+                return v, i
+            shift += 7
+
+    def _string(self, buf, i):
+        huff = bool(buf[i] & 0x80)
+        ln, i = self._int(buf, i, 7)
+        raw = buf[i:i + ln]
+        i += ln
+        if huff:
+            return None, i               # documented gate: skip, not decode
+        return raw.decode("utf-8", "replace"), i
+
+    def decode(self, buf: bytes) -> list:
+        """Header block -> [(name, value)]; None value for skipped
+        (Huffman) strings."""
+        out = []
+        i = 0
+        n = len(buf)
+        while i < n:
+            b = buf[i]
+            if b & 0x80:                                 # indexed
+                idx, i = self._int(buf, i, 7)
+                out.append(self._entry(idx))
+            elif b & 0x40:                               # literal + indexing
+                idx, i = self._int(buf, i, 6)
+                if idx:
+                    name = self._entry(idx)[0]
+                else:
+                    name, i = self._string(buf, i)
+                val, i = self._string(buf, i)
+                self.dynamic.insert(0, (name, val))
+                out.append((name, val))
+            elif b & 0x20:                               # table size update
+                _sz, i = self._int(buf, i, 5)
+            else:                                        # literal, no index
+                idx, i = self._int(buf, i, 4)
+                if idx:
+                    name = self._entry(idx)[0]
+                else:
+                    name, i = self._string(buf, i)
+                val, i = self._string(buf, i)
+                out.append((name, val))
+        return out
+
+
+def hpack_encode(headers) -> bytes:
+    """Literal-without-indexing, plain strings (always legal to send)."""
+    out = bytearray()
+    for name, val in headers:
+        out.append(0x00)
+        nb = name.encode()
+        out.append(len(nb))              # < 127 always here
+        out += nb
+        vb = val.encode()
+        if len(vb) < 127:
+            out.append(len(vb))
+        else:
+            out.append(127)
+            rest = len(vb) - 127
+            while True:
+                b = rest & 0x7F
+                rest >>= 7
+                out.append(b | 0x80 if rest else b)
+                if not rest:
+                    break
+        out += vb
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# HTTP/2 frames
+# ---------------------------------------------------------------------------
+
+F_DATA, F_HEADERS, F_PRIORITY, F_RST, F_SETTINGS, F_PUSH, F_PING, \
+    F_GOAWAY, F_WINDOW_UPDATE, F_CONTINUATION = range(10)
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+FLAG_END_STREAM = 0x1
+FLAG_END_HEADERS = 0x4
+FLAG_ACK = 0x1
+FLAG_PADDED = 0x8
+FLAG_PRIORITY = 0x20
+
+
+def _read_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def _read_frame(sock):
+    hdr = _read_exact(sock, 9)
+    ln = int.from_bytes(hdr[:3], "big")
+    ftype, flags = hdr[3], hdr[4]
+    sid = int.from_bytes(hdr[5:9], "big") & 0x7FFFFFFF
+    return ftype, flags, sid, _read_exact(sock, ln) if ln else b""
+
+
+def _frame(ftype: int, flags: int, sid: int, payload: bytes) -> bytes:
+    return (len(payload).to_bytes(3, "big") + bytes([ftype, flags]) +
+            sid.to_bytes(4, "big") + payload)
+
+
+def grpc_frames(buf: bytes):
+    """Split concatenated gRPC length-prefixed messages."""
+    i = 0
+    while i + 5 <= len(buf):
+        compressed = buf[i]
+        ln = int.from_bytes(buf[i + 1:i + 5], "big")
+        yield compressed, buf[i + 5:i + 5 + ln]
+        i += 5 + ln
+
+
+def grpc_frame(msg: bytes) -> bytes:
+    return b"\x00" + len(msg).to_bytes(4, "big") + msg
+
+
+class _Stream:
+    __slots__ = ("headers", "data", "hdr_buf", "hdr_flags", "ended")
+
+    def __init__(self):
+        self.headers = []
+        self.data = bytearray()
+        self.hdr_buf = bytearray()
+        self.hdr_flags = 0
+        self.ended = False
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        sock = self.request
+        session = self.server.session
+        try:
+            if _read_exact(sock, len(PREFACE)) != PREFACE:
+                return
+            sock.sendall(_frame(F_SETTINGS, 0, 0, b""))
+            dec = HpackDecoder()
+            streams: dict = {}
+            recv_window = 0
+            while True:
+                ftype, flags, sid, payload = _read_frame(sock)
+                if ftype == F_SETTINGS:
+                    if not flags & FLAG_ACK:
+                        sock.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+                    continue
+                if ftype == F_PING:
+                    if not flags & FLAG_ACK:
+                        sock.sendall(_frame(F_PING, FLAG_ACK, 0, payload))
+                    continue
+                if ftype == F_GOAWAY:
+                    return
+                if ftype in (F_WINDOW_UPDATE, F_PRIORITY, F_RST):
+                    continue
+                st = streams.setdefault(sid, _Stream())
+                if ftype in (F_HEADERS, F_CONTINUATION):
+                    body = payload
+                    if ftype == F_HEADERS:
+                        if flags & FLAG_PADDED:
+                            pad = body[0]
+                            body = body[1:len(body) - pad]
+                        if flags & FLAG_PRIORITY:
+                            body = body[5:]
+                        st.hdr_flags = flags
+                    st.hdr_buf += body
+                    if flags & FLAG_END_HEADERS:
+                        st.headers = dec.decode(bytes(st.hdr_buf))
+                        st.hdr_buf = bytearray()
+                    if (st.hdr_flags & FLAG_END_STREAM) and \
+                            (flags & FLAG_END_HEADERS):
+                        st.ended = True
+                elif ftype == F_DATA:
+                    body = payload
+                    if flags & FLAG_PADDED:
+                        pad = body[0]
+                        body = body[1:len(body) - pad]
+                    st.data += body
+                    recv_window += len(payload)
+                    if recv_window > 32768:   # refill conn + stream windows
+                        inc = recv_window.to_bytes(4, "big")
+                        sock.sendall(_frame(F_WINDOW_UPDATE, 0, 0, inc) +
+                                     _frame(F_WINDOW_UPDATE, 0, sid, inc))
+                        recv_window = 0
+                    if flags & FLAG_END_STREAM:
+                        st.ended = True
+                if sid and streams.get(sid) is st and st.ended:
+                    self._respond(sock, session, sid, st)
+                    del streams[sid]
+        except (ConnectionError, OSError):
+            pass
+
+    def _respond(self, sock, session, sid: int, st: _Stream):
+        from myscaledb_tpu.sql.format import format_tsv
+        infos = [parse_query_info(m) for _c, m in grpc_frames(bytes(st.data))]
+        if not infos:
+            infos = [parse_query_info(b"")]
+        first = infos[0]
+        qid = first["query_id"]
+        fmt = first["output_format"] or "TabSeparated"
+        grpc_status = 0
+        try:
+            user = session.access.authenticate(
+                first["user_name"] or "default", first["password"] or None)
+            if first["input_compression_type"] not in ("", "none"):
+                raise ValueError("input_data compression is not supported")
+            if first["external_tables"]:
+                raise ValueError("external tables are not supported")
+            sql = first["query"]
+            input_data = b"".join(i["input_data"] for i in infos)
+            if input_data and sql.strip().upper().startswith("INSERT"):
+                # input_data is the INSERT body: compose the inline-data
+                # form INSERT ... FORMAT fmt\n<rows> (GRPCServer.cpp feeds
+                # input_data into the insert pipeline the same way)
+                if " FORMAT " not in sql.upper():
+                    sql = sql.rstrip() + " FORMAT TabSeparated"
+                sql = sql.rstrip() + "\n" + \
+                    input_data.decode("utf-8", "replace")
+            with self.server.exec_lock:
+                prev = session.current_user
+                session.current_user = user
+                try:
+                    result = session.sql(sql)
+                finally:
+                    session.current_user = prev
+            if result is not None and getattr(result, "n_rows", None) \
+                    is not None:
+                body = format_tsv(result)
+                output = (body + "\n" if body else "").encode()
+                cols = [(f.name, str(f).split(" ", 1)[1])
+                        for f in result.schema()
+                        if not f.name.startswith("__")] \
+                    if first["send_output_columns"] else []
+            else:
+                output, cols = b"", []
+            msg = encode_result(output, qid, fmt, cols)
+        except Exception as e:                           # noqa: BLE001
+            M.increment("GRPCFailedQuery")
+            msg = encode_result(b"", qid, fmt, (),
+                                exception=(53, type(e).__name__,
+                                           f"DB::Exception: {e}"))
+        hdrs = hpack_encode([(":status", "200"),
+                             ("content-type", "application/grpc")])
+        trailers = hpack_encode([("grpc-status", str(grpc_status)),
+                                 ("grpc-message", "")])
+        sock.sendall(
+            _frame(F_HEADERS, FLAG_END_HEADERS, sid, hdrs) +
+            _frame(F_DATA, 0, sid, grpc_frame(msg)) +
+            _frame(F_HEADERS, FLAG_END_HEADERS | FLAG_END_STREAM, sid,
+                   trailers))
+
+
+class GrpcServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, session):
+        self.session = session
+        self.exec_lock = threading.Lock()
+        super().__init__(addr, _Handler)
+
+
+def serve_grpc(session, host: str = "127.0.0.1", port: int = 9100):
+    """Start the gRPC server on a daemon thread; returns (server, port)."""
+    srv = GrpcServer((host, port), session)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

@@ -64,6 +64,8 @@ class InsertValues:
     columns: Optional[list]
     rows: list                    # list of tuples of python literals
     select_sql: Optional[str] = None
+    format_name: Optional[str] = None    # INSERT ... FORMAT fmt <raw data>
+    format_text: Optional[str] = None
 
 
 @dataclass
@@ -334,7 +336,66 @@ class DescribeTable:
     name: str
 
 
+def _split_inline_insert_data(sql: str):
+    """INSERT ... FORMAT fmt <raw data>: split BEFORE tokenizing (the data
+    is not SQL — '{' in JSONEachRow rows would fail the lexer).  Returns
+    (head_sql, fmt, data) or None.  Quote-aware scan; only INSERT heads
+    without a top-level SELECT qualify (INSERT..SELECT has no data tail)."""
+    s = sql.lstrip()
+    if not s[:6].upper() == "INSERT":
+        return None
+    i, n = 0, len(sql)
+    seen_select = False
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            q = ch
+            i += 1
+            while i < n:
+                if sql[i] == "\\":
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if sql[i:i + 6].upper() == "SELECT" and \
+                (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            seen_select = True
+        if sql[i:i + 6].upper() == "FORMAT" and not seen_select and \
+                i > 0 and sql[i - 1] in " \t\r\n" and \
+                (i + 6 == n or not (sql[i + 6].isalnum() or
+                                    sql[i + 6] == "_")):
+            j = i + 6
+            while j < n and sql[j] in " \t":
+                j += 1
+            k = j
+            while k < n and (sql[k].isalnum() or sql[k] == "_"):
+                k += 1
+            fmt = sql[j:k]
+            if not fmt or fmt.upper() == "VALUES":
+                return None              # VALUES parses as SQL tokens
+            data = sql[k:]
+            if data.startswith("\r\n"):
+                data = data[2:]
+            elif data.startswith(("\n", " ", "\t")):
+                data = data[1:]
+            return sql[:i], fmt, data
+        i += 1
+    return None
+
+
 class DDLParser(Parser):
+    def __init__(self, sql: str):
+        split = _split_inline_insert_data(sql)
+        self._inline_insert = None
+        if split is not None:
+            head, fmt, data = split
+            self._inline_insert = (fmt, data)
+            sql = head
+        super().__init__(sql)
+
     def parse_statement(self):
         t = self.peek()
         up = t.upper
@@ -1014,7 +1075,20 @@ class DDLParser(Parser):
             if self.take_kw("FORMAT"):
                 fmt = self.next().text
             return InsertInfile(name, path, fmt)
-        self.expect_kw("VALUES")
+        if getattr(self, "_inline_insert", None) is not None and \
+                self.peek().kind == "eof":
+            # INSERT INTO t [(cols)] FORMAT fmt <inline rows> — the
+            # clickhouse-client/HTTP data-bearing insert shape
+            # (ParserInsertQuery.cpp: data starts after the format name);
+            # the raw tail was split off before tokenizing (it is not SQL)
+            fmt, raw = self._inline_insert
+            return InsertValues(name, columns, [], format_name=fmt,
+                                format_text=raw)
+        if self.take_kw("FORMAT"):
+            # FORMAT Values: the rows tokenize as plain SQL literals
+            self.expect_kw("VALUES")
+        else:
+            self.expect_kw("VALUES")
         rows = []
         while self.take_punct("("):
             row = [self.parse_insert_value()]
@@ -1341,6 +1415,34 @@ def empty_table_from_defs(name: str, defs: list[ColumnDef]) -> Table:
                                  fixed_len=d.vector_dim if is_str else 0),
                            data, None, dictionary, None, offsets))
     return Table(cols, name=name)
+
+
+def _default_column(tmpl: Column, n: int) -> Column:
+    """n rows of the column type's default value (0 / '' / []), matching
+    the template's shape — the AddingDefaultsTransform analog for
+    column-subset INSERTs."""
+    dt = tmpl.dtype
+    if dt is DataType.ARRAY:
+        return Column.from_pylist_of_lists(tmpl.name, [[] for _ in range(n)],
+                                           tmpl.field.elem)
+    if dt is DataType.STRING:
+        fill = "\x00" * tmpl.field.fixed_len if tmpl.field.fixed_len else ""
+        col = Column.from_numpy(tmpl.name,
+                                np.asarray([fill] * n, dtype=object),
+                                DataType.STRING)
+        if tmpl.field.fixed_len:
+            col.field = Field(tmpl.name, DataType.STRING, col.field.nullable,
+                              fixed_len=tmpl.field.fixed_len)
+        return col
+    if dt is DataType.FLOAT32_VECTOR:
+        import jax.numpy as jnp
+        dim = tmpl.field.vector_dim or 1
+        return Column(Field(tmpl.name, dt, vector_dim=dim),
+                      jnp.zeros((n, dim), dtype=jnp.float32),
+                      jnp.zeros(n, dtype=bool))   # defaulted vectors are
+                                                  # masked like []-rows
+    arr = np.zeros(n, dtype=physical_dtype(dt))
+    return Column.from_numpy(tmpl.name, arr, dt)
 
 
 def rows_to_table(template: Table, columns: Optional[list],
@@ -1749,7 +1851,29 @@ def execute_statement(session, stmt) -> Table:
                 target = existing.select(
                     [n for n in existing.column_names
                      if n != "__row_valid__"])
-            new = rows_to_table(target, stmt.columns, stmt.rows)
+            if stmt.format_name is not None and \
+                    not (stmt.format_text or "").strip():
+                new = rows_to_table(target, stmt.columns, [])
+            elif stmt.format_name is not None:
+                # inline-data insert (INSERT ... FORMAT fmt <rows>): parse
+                # the raw text through the same reader battery file ingest
+                # uses (runtime/formats.read_file)
+                import os as _os
+                import tempfile as _tempfile
+                from myscaledb_tpu.runtime import formats as _formats
+                names = stmt.columns or [n for n in target.column_names]
+                schema = [(n, target[n].dtype) for n in names]
+                tf = _tempfile.NamedTemporaryFile(
+                    "w", suffix=".dat", delete=False, newline="")
+                try:
+                    tf.write(stmt.format_text or "")
+                    tf.close()
+                    new = _formats.read_file(tf.name, stmt.format_name,
+                                             schema)
+                finally:
+                    _os.unlink(tf.name)
+            else:
+                new = rows_to_table(target, stmt.columns, stmt.rows)
         pkeys = getattr(session, "_table_partition_keys", {}).get(
             stmt.table) or []
         if pkeys and all(k in new for k in pkeys) and new.n_rows > 1:
@@ -1780,6 +1904,15 @@ def execute_statement(session, stmt) -> Table:
             # first insert fixes unknown vector dims
             merged = new.select(existing.column_names)
         else:
+            missing = [n for n in existing.column_names
+                       if n not in new.column_names]
+            if missing and new.n_rows:
+                # column-subset INSERT: absent columns take their type
+                # default (reference: missing columns filled by
+                # AddingDefaultsTransform — 0 / '' / empty array)
+                new = T(list(new.columns.values()) +
+                        [_default_column(existing[n], new.n_rows)
+                         for n in missing])
             merged = concat_tables([existing, new.select(
                 existing.column_names)])
         merged.name = stmt.table

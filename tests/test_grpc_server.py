@@ -1,0 +1,186 @@
+"""gRPC protocol server tests — a raw HTTP/2 + HPACK + protobuf client
+drives real wire exchanges (reference: src/Server/GRPCServer.cpp and
+clickhouse_grpc.proto; no grpc library exists in this image, so the client
+below speaks the frames directly, like test_pg_server does for PG)."""
+
+import socket
+import struct
+
+import pytest
+
+from myscaledb_tpu.runtime.grpc_server import (
+    F_DATA, F_HEADERS, F_SETTINGS, F_PING, FLAG_ACK, FLAG_END_HEADERS,
+    FLAG_END_STREAM, PREFACE, HpackDecoder, enc_str, enc_varint_field,
+    _enc_field, _enc_uvarint, grpc_frame, grpc_frames, hpack_encode,
+    parse_message, serve_grpc)
+
+
+@pytest.fixture(scope="module")
+def grpc_port():
+    import jax
+    from myscaledb_tpu import connect
+    session = connect()
+    session.sql("CREATE TABLE gt (a Int32, b String) ENGINE = Memory")
+    session.sql("INSERT INTO gt VALUES (1, 'x'), (2, 'y')")
+    srv, port = serve_grpc(session, port=0)
+    yield port
+    srv.shutdown()
+
+
+def _frame(ftype, flags, sid, payload):
+    return (len(payload).to_bytes(3, "big") + bytes([ftype, flags]) +
+            sid.to_bytes(4, "big") + payload)
+
+
+def _read_frame(sock):
+    hdr = b""
+    while len(hdr) < 9:
+        c = sock.recv(9 - len(hdr))
+        assert c, "server closed"
+        hdr += c
+    ln = int.from_bytes(hdr[:3], "big")
+    body = b""
+    while len(body) < ln:
+        body += sock.recv(ln - len(body))
+    return hdr[3], hdr[4], int.from_bytes(hdr[5:9], "big") & 0x7FFFFFFF, body
+
+
+def _query_info(query="", **kw):
+    msg = enc_str(1, query)
+    msg += enc_str(2, kw.get("query_id", ""))
+    msg += enc_str(5, kw.get("input_data", b""))
+    msg += enc_str(7, kw.get("output_format", ""))
+    msg += enc_str(9, kw.get("user_name", ""))
+    msg += enc_str(10, kw.get("password", ""))
+    if kw.get("send_output_columns"):
+        msg += enc_varint_field(24, 1)
+    return msg
+
+
+def _call(port, msgs, extra_headers=()):
+    """One full gRPC call; returns (results, trailers) where results are
+    decoded Result field dicts."""
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    try:
+        s.sendall(PREFACE + _frame(F_SETTINGS, 0, 0, b""))
+        hdrs = hpack_encode(
+            [(":method", "POST"), (":scheme", "http"),
+             (":path", "/clickhouse.grpc.ClickHouse/ExecuteQuery"),
+             (":authority", "localhost"),
+             ("content-type", "application/grpc"), ("te", "trailers")]
+            + list(extra_headers))
+        s.sendall(_frame(F_HEADERS, FLAG_END_HEADERS, 1, hdrs))
+        body = b"".join(grpc_frame(m) for m in msgs)
+        s.sendall(_frame(F_DATA, FLAG_END_STREAM, 1, body))
+        results, trailers, resp_headers = [], None, None
+        dec = HpackDecoder()
+        data = b""
+        while True:
+            ftype, flags, sid, payload = _read_frame(s)
+            if ftype == F_SETTINGS:
+                if not flags & FLAG_ACK:
+                    s.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+                continue
+            if ftype == F_HEADERS and sid == 1:
+                decoded = dec.decode(payload)
+                if resp_headers is None:
+                    resp_headers = decoded
+                else:
+                    trailers = decoded
+                if flags & FLAG_END_STREAM:
+                    break
+            if ftype == F_DATA and sid == 1:
+                data += payload
+                if flags & FLAG_END_STREAM:
+                    break
+        for _c, m in grpc_frames(data):
+            results.append(parse_message(m))
+        return results, dict(resp_headers or []), dict(trailers or [])
+    finally:
+        s.close()
+
+
+def test_unary_select(grpc_port):
+    results, headers, trailers = _call(grpc_port, [_query_info("SELECT 1+2")])
+    assert headers[":status"] == "200"
+    assert headers["content-type"].startswith("application/grpc")
+    assert trailers["grpc-status"] == "0"
+    assert results[0][1][-1] == b"3\n"            # Result.output
+
+
+def test_select_rows_and_columns(grpc_port):
+    results, _h, _t = _call(grpc_port, [_query_info(
+        "SELECT a, b FROM gt ORDER BY a", send_output_columns=True)])
+    r = results[0]
+    assert r[1][-1] == b"1\tx\n2\ty\n"
+    cols = [parse_message(c) for c in r[12]]      # output_columns
+    assert [c[1][-1] for c in cols] == [b"a", b"b"]
+    assert cols[0][2][-1] == b"Int32"
+
+
+def test_insert_via_input_data(grpc_port):
+    _call(grpc_port, [_query_info("INSERT INTO gt",
+                                  input_data=b"7\tseven\n8\teight\n")])
+    results, _h, _t = _call(grpc_port,
+                            [_query_info("SELECT count() FROM gt")])
+    assert results[0][1][-1] == b"4\n"
+
+
+def test_exception_in_result(grpc_port):
+    results, _h, trailers = _call(grpc_port,
+                                  [_query_info("SELECT no_such_col FROM gt")])
+    # transport-level OK; the error rides Result.exception (field 7),
+    # exactly the reference's behavior for query errors
+    assert trailers["grpc-status"] == "0"
+    exc = parse_message(results[0][7][-1])
+    assert b"DB::Exception" in exc[3][-1]
+
+
+def test_bad_auth(grpc_port):
+    results, _h, _t = _call(grpc_port, [_query_info(
+        "SELECT 1", user_name="nosuchuser", password="nope")])
+    assert 7 in results[0]                        # exception set
+
+
+def test_ping_and_huffman_header_tolerated(grpc_port):
+    """An unknown header with the Huffman bit set must not break the
+    exchange (documented gate: Huffman values are skipped, not decoded)."""
+    # name: literal-without-indexing plain "x-junk"; value: Huffman flag
+    junk = bytes([0x00, 6]) + b"x-junk" + bytes([0x80 | 3, 0xAA, 0xBB, 0xCC])
+    s = socket.create_connection(("127.0.0.1", grpc_port), timeout=10)
+    try:
+        s.sendall(PREFACE + _frame(F_SETTINGS, 0, 0, b""))
+        s.sendall(_frame(F_PING, 0, 0, b"12345678"))
+        hdrs = hpack_encode([(":method", "POST"), (":path", "/x")]) + junk
+        s.sendall(_frame(F_HEADERS, FLAG_END_HEADERS, 1, hdrs))
+        s.sendall(_frame(F_DATA, FLAG_END_STREAM, 1,
+                         grpc_frame(_query_info("SELECT 42"))))
+        saw_pong, data = False, b""
+        while True:
+            ftype, flags, sid, payload = _read_frame(s)
+            if ftype == F_PING and flags & FLAG_ACK:
+                saw_pong = True
+                assert payload == b"12345678"
+            if ftype == F_DATA and sid == 1:
+                data += payload
+            if ftype == F_HEADERS and sid == 1 and flags & FLAG_END_STREAM:
+                break
+        assert saw_pong
+        out = [parse_message(m) for _c, m in grpc_frames(data)]
+        assert out[0][1][-1] == b"42\n"
+    finally:
+        s.close()
+
+
+def test_hpack_static_and_dynamic_roundtrip():
+    """Decoder unit checks: indexed static entries, literal with
+    incremental indexing (lands in the dynamic table), integer
+    continuation."""
+    dec = HpackDecoder()
+    # 0x82 = indexed static 2 (:method GET); literal-with-indexing name
+    # idx 4 (:path) value "/abc"; then indexed 62 = the new dynamic entry
+    block = bytes([0x82, 0x44, 4]) + b"/abc" + bytes([0x80 | 62])
+    hs = dec.decode(block)
+    assert hs[0] == (":method", "GET")
+    assert hs[1] == (":path", "/abc")
+    assert hs[2] == (":path", "/abc")
