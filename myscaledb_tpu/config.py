@@ -73,6 +73,25 @@ class Settings:
     # Empty = unconfined (embedded/library use); servers set it at startup.
     user_files_path: str = ""
 
+    # Template / Regexp / CustomSeparated format knobs (reference:
+    # src/Formats/FormatSettings.h template_settings/regexp_settings/
+    # custom_settings; *_format variants take the template inline)
+    format_template_resultset: str = ""      # file path with ${data}
+    format_template_row: str = ""            # file path with ${col:Esc}
+    format_template_row_format: str = ""     # inline row template
+    format_template_resultset_format: str = ""
+    format_template_rows_between_delimiter: str = "\n"
+    format_regexp: str = ""
+    format_regexp_escaping_rule: str = "Raw"
+    format_regexp_skip_unmatched: bool = False
+    format_custom_escaping_rule: str = "Escaped"
+    format_custom_field_delimiter: str = "\t"
+    format_custom_row_before_delimiter: str = ""
+    format_custom_row_after_delimiter: str = "\n"
+    format_custom_row_between_delimiter: str = ""
+    format_custom_result_before_delimiter: str = ""
+    format_custom_result_after_delimiter: str = ""
+
     def copy(self, **kw) -> "Settings":
         return replace(self, **kw)
 

@@ -925,6 +925,125 @@ def _f_dicthas(args, env):
     return Value(found[0] if scalar else found, is_scalar=scalar)
 
 
+# -- Join-engine probes (reference: src/Functions/FunctionJoinGet.cpp over
+# StorageJoin — joinGet('t', 'attr', keys...) answers from the persisted
+# build side; here the Join-engine table body IS the build side) --
+
+def _get_join_table(env: Env, name_val: Value):
+    sess = getattr(env, "session", None)
+    if sess is None:
+        raise EvalError("joinGet not available in this context")
+    name = name_val.py
+    if not isinstance(name, str):
+        raise EvalError("joinGet: table name must be a string literal")
+    info = getattr(sess, "_table_engines", {}).get(name)
+    if not info or info.get("engine") != "Join":
+        raise EvalError(f"joinGet: {name!r} is not a Join-engine table")
+    return sess.get_table(name), info
+
+
+def _join_probe(t, info, key_args, env: Env):
+    """Probe the Join table body with the key expressions; returns
+    (build_row, found, scalar)."""
+    from myscaledb_tpu.ops.hashtable import merge_join_any
+    if len(key_args) != len(info["keys"]):
+        raise EvalError(f"joinGet: expected {len(info['keys'])} key(s)")
+    scalar = all(k.is_scalar for k in key_args)
+    n = 1 if scalar else env.n_rows
+    build_cols, probe_cols = [], []
+    pvalid = None
+    for kc_name, kv in zip(info["keys"], key_args):
+        if kc_name not in t:
+            raise EvalError(f"joinGet: no key column {kc_name!r}")
+        bc = t[kc_name]
+        if bc.dictionary is not None or kv.dictionary is not None or \
+                isinstance(kv.py, str):
+            if bc.dictionary is None:
+                raise EvalError("joinGet: string key for a numeric column")
+            if isinstance(kv.py, str):
+                pid = np.full(n, bc.dictionary.index.get(kv.py, -2),
+                              dtype=np.int32)
+            elif kv.dictionary is not None:
+                remap = np.array([bc.dictionary.index.get(s, -2)
+                                  for s in kv.dictionary.values] or [-2],
+                                 dtype=np.int32)
+                pid = remap[np.asarray(kv.data)]
+            else:
+                raise EvalError("joinGet: key type mismatch")
+            build_cols.append(jnp.asarray(bc.data, dtype=jnp.int32))
+            probe_cols.append(jnp.asarray(pid))
+        else:
+            data = jnp.asarray(kv.data)
+            if kv.is_scalar:
+                data = data.reshape(1)
+            else:
+                data = jnp.broadcast_to(data, (n,))
+            dt = jnp.promote_types(bc.data.dtype, data.dtype)
+            build_cols.append(jnp.asarray(bc.data).astype(dt))
+            probe_cols.append(data.astype(dt))
+        if kv.valid is not None and not kv.is_scalar:
+            pvalid = kv.valid if pvalid is None else \
+                jnp.logical_and(pvalid, kv.valid)
+    row, found = merge_join_any(tuple(build_cols), tuple(probe_cols),
+                                probe_valid=pvalid)
+    row = jnp.where(found, row, 0)
+    return row, found, scalar
+
+
+def _join_gather(t, attr: str, row, found, scalar: bool,
+                 default: Optional[Value] = None) -> Value:
+    if attr not in t:
+        raise EvalError(f"joinGet: no column {attr!r}")
+    col = t[attr]
+    if t.n_rows == 0:
+        found = jnp.zeros(row.shape, dtype=bool)
+        out = jnp.zeros(row.shape, dtype=col.data.dtype)
+    else:
+        out = jnp.take(col.data, row, axis=0)
+    if col.dictionary is not None:
+        miss_s = default.py if default is not None and \
+            isinstance(default.py, str) else ""
+        miss = jnp.asarray(col.dictionary.encode_one(miss_s, grow=True))
+        out = jnp.where(found, out, miss)
+        return Value(out[0] if scalar else out, None, col.dictionary,
+                     is_scalar=scalar)
+    if default is not None:
+        dv = jnp.asarray(default.data)
+        out = jnp.where(found, out, dv.astype(out.dtype))
+    else:
+        out = jnp.where(found, out, jnp.zeros((), dtype=out.dtype))
+    return Value(out[0] if scalar else out, is_scalar=scalar,
+                 dt=col.dtype if col.dtype in (DataType.DATE,
+                                               DataType.DATETIME) else None)
+
+
+@func("joinget")
+def _f_joinget(args, env):
+    t, info = _get_join_table(env, args[0])
+    attr = args[1].py
+    row, found, scalar = _join_probe(t, info, args[2:], env)
+    return _join_gather(t, attr, row, found, scalar)
+
+
+@func("joingetordefault")
+def _f_joingetordefault(args, env):
+    t, info = _get_join_table(env, args[0])
+    attr = args[1].py
+    row, found, scalar = _join_probe(t, info, args[2:-1], env)
+    return _join_gather(t, attr, row, found, scalar, default=args[-1])
+
+
+@func("joingetornull")
+def _f_joingetornull(args, env):
+    t, info = _get_join_table(env, args[0])
+    attr = args[1].py
+    row, found, scalar = _join_probe(t, info, args[2:], env)
+    v = _join_gather(t, attr, row, found, scalar)
+    if scalar:
+        return v
+    return Value(v.data, found, v.dictionary)
+
+
 def eval_expr(e: Expr, env: Env) -> Value:
     if isinstance(e, Literal):
         if e.value is None:

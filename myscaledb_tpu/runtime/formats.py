@@ -710,7 +710,8 @@ def _norm(fmt: str) -> str:
     return fmt.replace("_", "").upper()
 
 
-def read_file(path: str, fmt: str, schema: list) -> Table:
+def read_file(path: str, fmt: str, schema: list,
+              settings=None) -> Table:
     f = _norm(fmt)
     if f == "CSV":
         return read_csv(path, schema)
@@ -752,10 +753,15 @@ def read_file(path: str, fmt: str, schema: list) -> Table:
         return fx.read_jsoncolumns(path, schema)
     if f == "LINEASSTRING":
         return fx.read_lineasstring(path, schema)
+    if f == "REGEXP":
+        return fx.read_regexp(path, schema, settings)
+    if f in ("CUSTOMSEPARATED", "CUSTOMSEPARATEDWITHNAMES"):
+        return fx.read_customseparated(path, schema, settings)
     raise ValueError(f"unsupported input format {fmt!r}")
 
 
-def write_file(table: Table, path: str, fmt: str) -> int:
+def write_file(table: Table, path: str, fmt: str,
+               settings=None) -> int:
     f = _norm(fmt)
     if f == "CSV":
         return write_csv(table, path)
@@ -809,6 +815,10 @@ def write_file(table: Table, path: str, fmt: str) -> int:
         return fx.write_sqlinsert(table, path, table.name)
     if f == "JSONCOLUMNS":
         return fx.write_jsoncolumns(table, path)
+    if f == "TEMPLATE":
+        return fx.write_template(table, path, settings)
+    if f in ("CUSTOMSEPARATED", "CUSTOMSEPARATEDWITHNAMES"):
+        return fx.write_customseparated(table, path, settings)
     raise ValueError(f"unsupported output format {fmt!r}")
 
 
@@ -817,10 +827,13 @@ INPUT_FORMATS = ["CSV", "CSVWithNames", "TSV", "TabSeparated",
                  "Parquet", "ORC", "Arrow", "ArrowStream", "Native",
                  "RowBinary", "RowBinaryWithNamesAndTypes", "Values",
                  "MsgPack", "Avro", "JSONCompactEachRow", "TSKV",
-                 "JSONColumns", "LineAsString"]
-OUTPUT_FORMATS = [f for f in INPUT_FORMATS if f != "LineAsString"] + [
+                 "JSONColumns", "LineAsString", "Regexp",
+                 "CustomSeparated"]
+OUTPUT_FORMATS = [f for f in INPUT_FORMATS
+                  if f not in ("LineAsString", "Regexp")] + [
     "JSON", "JSONCompact", "Pretty", "PrettyCompact",
-    "CSVWithNamesAndTypes", "Vertical", "Markdown", "SQLInsert"]
+    "CSVWithNamesAndTypes", "Vertical", "Markdown", "SQLInsert",
+    "Template"]
 
 
 def ch_cells(table: Table, escape: bool = False) -> list:

@@ -429,3 +429,244 @@ def read_lineasstring(path: str, schema: list) -> Table:
         lines = lines[:-1]
     name = schema[0].name if schema else "line"
     return Table([Column.from_numpy(name, np.asarray(lines, dtype=object))])
+
+
+# -- Template / CustomSeparated / Regexp ------------------------------------
+# Reference: src/Processors/Formats/Impl/TemplateBlockOutputFormat.cpp,
+# CustomSeparated*.cpp, RegexpRowInputFormat.cpp; knobs in FormatSettings.h.
+# The row template is "literal ${col:Rule} literal ..."; escaping rules
+# implemented: Escaped (TSV), CSV, JSON, Quoted, Raw/None.
+
+import re as _re
+
+_PLACEHOLDER = _re.compile(r"\$\{([^}:]*)(?::([A-Za-z]+))?\}")
+
+
+def _escape_cell(v, rule: str) -> str:
+    import json as _json
+    rule = (rule or "None").lower()
+    s = "" if v is None else str(v)
+    if rule in ("none", "raw"):
+        return s
+    if rule == "escaped":
+        if v is None:
+            return "\\N"
+        return (s.replace("\\", "\\\\").replace("\t", "\\t")
+                .replace("\n", "\\n"))
+    if rule == "csv":
+        if any(c in s for c in ",\"\n"):
+            return '"' + s.replace('"', '""') + '"'
+        return s
+    if rule == "json":
+        return _json.dumps(v)
+    if rule == "quoted":
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return s
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise ValueError(f"unknown escaping rule {rule!r}")
+
+
+def _unescape_cell(s: str, rule: str):
+    import json as _json
+    rule = (rule or "Raw").lower()
+    if rule in ("none", "raw"):
+        return s
+    if rule == "escaped":
+        if s == "\\N":
+            return None
+        return _re.sub(r"\\(.)", lambda m: {"t": "\t", "n": "\n",
+                                            "\\": "\\"}.get(m.group(1),
+                                                            m.group(1)), s)
+    if rule == "csv":
+        if s.startswith('"') and s.endswith('"'):
+            return s[1:-1].replace('""', '"')
+        return s
+    if rule == "json":
+        return _json.loads(s)
+    if rule == "quoted":
+        if s.startswith("'") and s.endswith("'"):
+            return _re.sub(r"\\(.)", lambda m: m.group(1), s[1:-1])
+        return s
+    raise ValueError(f"unknown escaping rule {rule!r}")
+
+
+def _template_of(settings, inline_attr: str, path_attr: str,
+                 default: str) -> str:
+    inline = getattr(settings, inline_attr, "") if settings else ""
+    if inline:
+        return inline
+    path = getattr(settings, path_attr, "") if settings else ""
+    if path:
+        with open(path) as fh:
+            return fh.read().rstrip("\n")
+    return default
+
+
+def write_template(table: Table, path: str, settings=None) -> int:
+    names, cols = _pycols(table)
+    default_row = "\t".join("${" + n + ":Escaped}" for n in names)
+    row_t = _template_of(settings, "format_template_row_format",
+                         "format_template_row", default_row)
+    between = getattr(settings, "format_template_rows_between_delimiter",
+                      "\n") if settings else "\n"
+    parts = []
+    pos = 0
+    pieces = []                # (literal, colname, rule)
+    for m in _PLACEHOLDER.finditer(row_t):
+        pieces.append((row_t[pos:m.start()], m.group(1), m.group(2)))
+        pos = m.end()
+    tail = row_t[pos:]
+    rows = []
+    for i in range(table.n_rows):
+        out = []
+        for lit, col, rule in pieces:
+            out.append(lit)
+            if col:
+                out.append(_escape_cell(cols[col][i], rule))
+        out.append(tail)
+        rows.append("".join(out))
+    body = between.join(rows)
+    rs_t = _template_of(settings, "format_template_resultset_format",
+                        "format_template_resultset", "${data}")
+    doc = []
+    pos = 0
+    for m in _PLACEHOLDER.finditer(rs_t):
+        doc.append(rs_t[pos:m.start()])
+        name = m.group(1)
+        if name == "data":
+            doc.append(body)
+        elif name == "rows":
+            doc.append(str(table.n_rows))
+        else:
+            doc.append("")
+        pos = m.end()
+    doc.append(rs_t[pos:])
+    with open(path, "w") as fh:
+        fh.write("".join(doc))
+        if not rs_t.endswith("\n"):
+            fh.write("\n")
+    return table.n_rows
+
+
+def read_regexp(path: str, schema: list, settings=None) -> Table:
+    """format_regexp: one regex per line; capture groups map to columns in
+    schema order (RegexpRowInputFormat.cpp); unmatched lines raise unless
+    format_regexp_skip_unmatched."""
+    pat = getattr(settings, "format_regexp", "") if settings else ""
+    if not pat:
+        raise ValueError("Regexp format needs SET format_regexp = '...'")
+    rule = getattr(settings, "format_regexp_escaping_rule", "Raw") \
+        if settings else "Raw"
+    skip = getattr(settings, "format_regexp_skip_unmatched", False) \
+        if settings else False
+    rx = _re.compile(pat)
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            m = rx.match(line)
+            if not m:
+                if skip:
+                    continue
+                raise ValueError(f"line does not match format_regexp: "
+                                 f"{line!r}")
+            rows.append([_unescape_cell(g or "", rule) for g in m.groups()])
+    fields = _as_fields(schema)
+    return _coerce_rows(rows, fields)
+
+
+def write_customseparated(table: Table, path: str, settings=None,
+                          with_names: bool = False) -> int:
+    g = lambda a, d: getattr(settings, a, d) if settings else d
+    rule = g("format_custom_escaping_rule", "Escaped")
+    fd = g("format_custom_field_delimiter", "\t")
+    rb = g("format_custom_row_before_delimiter", "")
+    ra = g("format_custom_row_after_delimiter", "\n")
+    rbt = g("format_custom_row_between_delimiter", "")
+    resb = g("format_custom_result_before_delimiter", "")
+    resa = g("format_custom_result_after_delimiter", "")
+    names, cols = _pycols(table)
+    out = [resb]
+    for i in range(table.n_rows):
+        if i and rbt:
+            out.append(rbt)
+        out.append(rb)
+        if with_names and i == 0:
+            pass
+        out.append(fd.join(_escape_cell(cols[n][i], rule) for n in names))
+        out.append(ra)
+    out.append(resa)
+    with open(path, "w") as fh:
+        fh.write("".join(out))
+    return table.n_rows
+
+
+def read_customseparated(path: str, schema: list, settings=None) -> Table:
+    g = lambda a, d: getattr(settings, a, d) if settings else d
+    rule = g("format_custom_escaping_rule", "Escaped")
+    fd = g("format_custom_field_delimiter", "\t")
+    rb = g("format_custom_row_before_delimiter", "")
+    ra = g("format_custom_row_after_delimiter", "\n")
+    rbt = g("format_custom_row_between_delimiter", "")
+    resb = g("format_custom_result_before_delimiter", "")
+    resa = g("format_custom_result_after_delimiter", "")
+    text = open(path).read()
+    if resb and text.startswith(resb):
+        text = text[len(resb):]
+    if resa and text.endswith(resa):
+        text = text[:len(text) - len(resa)]
+    rows = []
+    body = text
+    sep = ra + rbt if rbt else ra
+    for chunk in body.split(sep):
+        if not chunk:
+            continue
+        if rb and chunk.startswith(rb):
+            chunk = chunk[len(rb):]
+        chunk = chunk.rstrip("\n") if ra == "\n" else chunk
+        if not chunk:
+            continue
+        rows.append([_unescape_cell(c, rule) for c in chunk.split(fd)])
+    fields = _as_fields(schema)
+    return _coerce_rows(rows, fields)
+
+
+def _as_fields(schema) -> list:
+    out = []
+    for f in schema:
+        if isinstance(f, Field):
+            out.append(f)
+        else:
+            name, dt = f
+            out.append(Field(name, dt))
+    return out
+
+
+def _coerce_rows(rows: list, fields: list) -> Table:
+    """String cells -> typed columns (shares _build_from_rows after a
+    per-dtype text conversion)."""
+    conv = []
+    for r in rows:
+        row = []
+        for i, f in enumerate(fields):
+            v = r[i] if i < len(r) else None
+            if v is None:
+                row.append(None)
+            elif f.dtype is DataType.STRING:
+                row.append(str(v))
+            elif f.dtype in (DataType.FLOAT32, DataType.FLOAT64):
+                row.append(float(v))
+            elif f.dtype in (DataType.ARRAY, DataType.FLOAT32_VECTOR):
+                import json as _json
+                row.append(_json.loads(v) if isinstance(v, str) else v)
+            elif f.dtype in (DataType.DATE, DataType.DATETIME):
+                from myscaledb_tpu.exec.datetime_fns import \
+                    parse_date_literal
+                row.append(parse_date_literal(v, f.dtype)
+                           if isinstance(v, str) else v)
+            else:
+                row.append(int(float(v)) if isinstance(v, str) else v)
+        conv.append(row)
+    return _build_from_rows(conv, fields)

@@ -106,7 +106,8 @@ class Session:
                                    delimiter="\t" if format.upper() == "TSV"
                                    else ",", **kw)
         else:
-            new = formats.read_file(path, format, schema)
+            new = formats.read_file(path, format, schema,
+                                    settings=self.settings)
         merged = new if t.n_rows == 0 else concat_tables(
             [t, new.select([c for c in t.column_names
                             if c in new.column_names])])

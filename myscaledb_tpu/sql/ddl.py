@@ -360,9 +360,11 @@ def _split_inline_insert_data(sql: str):
                     break
                 i += 1
             continue
-        if sql[i:i + 6].upper() == "SELECT" and \
+        if (sql[i:i + 6].upper() == "SELECT" or
+                sql[i:i + 6].upper() == "INFILE") and \
                 (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
-            seen_select = True
+            seen_select = True       # INSERT..SELECT / FROM INFILE: the
+                                     # FORMAT clause is SQL, not a data tail
         if sql[i:i + 6].upper() == "FORMAT" and not seen_select and \
                 i > 0 and sql[i - 1] in " \t\r\n" and \
                 (i + 6 == n or not (sql[i + 6].isalnum() or
@@ -1320,8 +1322,8 @@ def refresh_external_table(session, name: str) -> None:
     is tracked by mtime so unchanged files cost one stat per query)."""
     import os
     info = getattr(session, "_table_engines", {}).get(name)
-    if not info:
-        return
+    if not info or info["engine"] not in ("File", "URL"):
+        return          # Join/Set engines are body-resident, nothing to do
     tmpl = session.tables[name]
     schema = [f for f in tmpl.schema() if not f.name.startswith("__")]
     if info["engine"] == "File":
@@ -1648,6 +1650,28 @@ def execute_statement(session, stmt) -> Table:
                 sk = session._table_skip_indexes = {}
             sk[stmt.name] = list(stmt.skip_indexes)
         eng = stmt.engine.lower()
+        if eng in ("join", "set"):
+            # StorageJoin / StorageSet (reference: src/Storages/
+            # StorageJoin.cpp, StorageSet.cpp): the table body is the
+            # precomputed build side; joinGet() probes Join tables, and
+            # `x IN set_table` consumes Set tables.  Engine metadata
+            # records the declared (strictness, kind, keys) for joinGet
+            # key resolution and dialect checks.
+            engines = getattr(session, "_table_engines", None)
+            if engines is None:
+                engines = session._table_engines = {}
+            if eng == "join":
+                if len(stmt.engine_args) < 3:
+                    raise ValueError(
+                        "ENGINE = Join needs (strictness, kind, keys...)")
+                engines[stmt.name] = {
+                    "engine": "Join",
+                    "strictness": stmt.engine_args[0].upper(),
+                    "kind": stmt.engine_args[1].upper(),
+                    "keys": [a.strip() for a in stmt.engine_args[2:]],
+                }
+            else:
+                engines[stmt.name] = {"engine": "Set"}
         if eng in ("file", "url"):
             # external-source engines (reference: src/Storages/StorageFile.cpp
             # / StorageURL.cpp): the data plane is a file/URL; reads refresh
@@ -1869,7 +1893,8 @@ def execute_statement(session, stmt) -> Table:
                     tf.write(stmt.format_text or "")
                     tf.close()
                     new = _formats.read_file(tf.name, stmt.format_name,
-                                             schema)
+                                             schema,
+                                             settings=session.settings)
                 finally:
                     _os.unlink(tf.name)
             else:

@@ -92,7 +92,8 @@ def execute_query(session, sql: str, params=None) -> Table:
         path, fmt = m.group(1), m.group(2)
         result = execute_query(session, stripped[:m.start()], params)
         formats.write_file(result, path,
-                           fmt or format_from_extension(path))
+                           fmt or format_from_extension(path),
+                           settings=session.settings)
         return result
     sql = stripped
     upper = stripped.upper()

@@ -438,11 +438,13 @@ def _file_url_table(session, kind: str, src: str, fmt, schema) -> Table:
             tf.write(payload)
             path = tf.name
         try:
-            return formats.read_file(path, fmt, fields)
+            return formats.read_file(path, fmt, fields,
+                                     settings=session.settings)
         finally:
             import os as _os
             _os.unlink(path)
-    return formats.read_file(src, fmt, fields)
+    return formats.read_file(src, fmt, fields,
+                             settings=session.settings)
 
 
 def _ftsindex_table(session, table_name: str, col: str, query: str) -> Table:
@@ -2272,6 +2274,7 @@ def execute_select(session, q: SelectQuery) -> Table:
     env = Env(table, alias_prefixes)
     env.subquery_runner = lambda sub: execute_any(session, sub)
     env.dictionaries = session.dictionaries
+    env.session = session                 # joinGet / Join-engine probes
     alias_exprs = {it.alias: it.expr for it in q.items if it.alias}
     for _wname, _wexpr in q.with_aliases:
         alias_exprs.setdefault(_wname, _wexpr)

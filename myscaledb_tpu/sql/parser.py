@@ -564,6 +564,17 @@ class Parser:
                 self.next()
                 neg = True
             if self.take_kw("IN"):
+                if not self.at_punct("("):
+                    # x IN table_name — the Set/Join-engine membership form
+                    # (reference: StorageSet; the right side is a table
+                    # whose rows form the set)
+                    name = self.next().text
+                    if self.take_punct("."):
+                        name = name + "." + self.next().text
+                    sub = Parser(f"SELECT * FROM {name}") \
+                        .parse_select_or_union()
+                    e = InSubquery(e, sub, neg)
+                    continue
                 self.expect_punct("(")
                 if self.at_kw("SELECT", "WITH"):
                     sub = self.parse_select_or_union()

@@ -74,3 +74,60 @@ def test_formats_listed():
         assert f in INPUT_FORMATS
     for f in ("Vertical", "Markdown", "SQLInsert"):
         assert f in OUTPUT_FORMATS
+
+
+def test_template_output(tmp_path):
+    from myscaledb_tpu import connect
+    s = connect()
+    s.sql("CREATE TABLE tt (a Int32, b String) ENGINE = Memory")
+    s.sql("INSERT INTO tt VALUES (1, 'x\ty'), (2, 'plain')")
+    s.sql("SET format_template_row_format = 'row: ${a:CSV} -> ${b:Escaped}'")
+    s.sql("SET format_template_rows_between_delimiter = '\n'")
+    out = tmp_path / "t.txt"
+    s.sql(f"SELECT * FROM tt ORDER BY a INTO OUTFILE '{out}' "
+          "FORMAT Template")
+    assert out.read_text() == "row: 1 -> x\\ty\nrow: 2 -> plain\n"
+
+
+def test_customseparated_roundtrip(tmp_path):
+    from myscaledb_tpu import connect
+    from myscaledb_tpu.runtime.formats import ch_tsv_lines
+    s = connect()
+    s.settings.user_files_path = str(tmp_path)
+    s.sql("CREATE TABLE ct (a Int32, b String) ENGINE = Memory")
+    s.sql("INSERT INTO ct VALUES (1, 'x\ty'), (2, 'plain')")
+    s.sql("SET format_custom_field_delimiter = '|'")
+    s.sql("SET format_custom_row_before_delimiter = '<'")
+    s.sql("SET format_custom_row_after_delimiter = '>\n'")
+    out = tmp_path / "c.txt"
+    s.sql(f"SELECT * FROM ct ORDER BY a INTO OUTFILE '{out}' "
+          "FORMAT CustomSeparated")
+    assert out.read_text() == "<1|x\\ty>\n<2|plain>\n"
+    s.sql("CREATE TABLE ct2 (a Int32, b String) ENGINE = Memory")
+    s.sql(f"INSERT INTO ct2 FROM INFILE '{out}' FORMAT CustomSeparated")
+    assert ch_tsv_lines(s.sql("SELECT * FROM ct2 ORDER BY a")) == \
+        ["1\tx\\ty", "2\tplain"]
+
+
+def test_regexp_input(tmp_path):
+    from myscaledb_tpu import connect
+    from myscaledb_tpu.runtime.formats import ch_tsv_lines
+    s = connect()
+    s.settings.user_files_path = str(tmp_path)
+    log = tmp_path / "r.log"
+    log.write_text("2024-01-01 [INFO] hello\n2024-01-02 [WARN] bye\n"
+                   "noise line\n")
+    s.sql(r"SET format_regexp = '(\\S+) \\[(\\w+)\\] (.*)'")
+    s.sql("SET format_regexp_skip_unmatched = 1")
+    s.sql("CREATE TABLE lg (d String, lvl String, msg String) "
+          "ENGINE = Memory")
+    s.sql(f"INSERT INTO lg FROM INFILE '{log}' FORMAT Regexp")
+    assert ch_tsv_lines(s.sql("SELECT * FROM lg ORDER BY d")) == \
+        ["2024-01-01\tINFO\thello", "2024-01-02\tWARN\tbye"]
+    # unmatched lines raise when skip is off
+    s.sql("SET format_regexp_skip_unmatched = 0")
+    s.sql("CREATE TABLE lg2 (d String, lvl String, msg String) "
+          "ENGINE = Memory")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="does not match"):
+        s.sql(f"INSERT INTO lg2 FROM INFILE '{log}' FORMAT Regexp")

@@ -1,0 +1,70 @@
+"""Join/Set storage engines (reference: src/Storages/StorageJoin.cpp,
+StorageSet.cpp; src/Functions/FunctionJoinGet.cpp): the table body is a
+precomputed build side — joinGet() probes Join tables, `x IN set_table`
+consumes Set tables, and both still join/scan as ordinary tables."""
+
+import pytest
+
+
+@pytest.fixture()
+def sess():
+    from myscaledb_tpu import connect
+    s = connect()
+    s.sql("CREATE TABLE jt (k UInt32, v String, w Int32) "
+          "ENGINE = Join(ANY, LEFT, k)")
+    s.sql("INSERT INTO jt VALUES (1, 'one', 10), (2, 'two', 20), "
+          "(3, 'three', 30)")
+    s.sql("CREATE TABLE facts (id UInt32, k UInt32) ENGINE = Memory")
+    s.sql("INSERT INTO facts VALUES (100, 1), (101, 3), (102, 9)")
+    return s
+
+
+def lines(s, q):
+    from myscaledb_tpu.runtime.formats import ch_tsv_lines
+    return ch_tsv_lines(s.sql(q))
+
+
+def test_joinget_vectorized(sess):
+    got = lines(sess, "SELECT id, joinGet('jt', 'v', k) AS v, "
+                      "joinGet('jt', 'w', k) AS w FROM facts ORDER BY id")
+    # misses take the type default ('', 0) exactly like the reference
+    assert got == ["100\tone\t10", "101\tthree\t30", "102\t\t0"]
+
+
+def test_joinget_scalar_and_ornull(sess):
+    assert lines(sess, "SELECT joinGet('jt', 'v', 2)") == ["two"]
+    assert lines(sess, "SELECT joinGetOrNull('jt', 'v', k) FROM facts "
+                       "ORDER BY id") == ["one", "three", "\\N"]
+
+
+def test_join_engine_table_in_regular_join(sess):
+    got = lines(sess, "SELECT f.id, j.v FROM facts AS f ANY LEFT JOIN jt "
+                      "AS j ON f.k = j.k ORDER BY f.id")
+    assert got == ["100\tone", "101\tthree", "102\t\\N"]
+
+
+def test_set_engine_in_membership(sess):
+    sess.sql("CREATE TABLE st (k UInt32) ENGINE = Set")
+    sess.sql("INSERT INTO st VALUES (1), (9)")
+    assert lines(sess, "SELECT id FROM facts WHERE k IN st ORDER BY id") \
+        == ["100", "102"]
+    assert lines(sess, "SELECT id FROM facts WHERE k NOT IN st "
+                       "ORDER BY id") == ["101"]
+
+
+def test_joinget_string_key(sess):
+    sess.sql("CREATE TABLE js (name String, code Int32) "
+             "ENGINE = Join(ANY, LEFT, name)")
+    sess.sql("INSERT INTO js VALUES ('aa', 7), ('bb', 8)")
+    assert lines(sess, "SELECT joinGet('js', 'code', 'bb')") == ["8"]
+    assert lines(sess, "SELECT joinGet('js', 'code', name) FROM "
+                       "(SELECT 'aa' AS name)") == ["7"]
+    # missing string key -> 0 default
+    assert lines(sess, "SELECT joinGet('js', 'code', 'zz')") == ["0"]
+
+
+def test_joinget_errors(sess):
+    with pytest.raises(Exception, match="not a Join-engine"):
+        sess.sql("SELECT joinGet('facts', 'k', 1)")
+    with pytest.raises(Exception, match="key"):
+        sess.sql("SELECT joinGet('jt', 'v', 1, 2)")
