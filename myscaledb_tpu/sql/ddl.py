@@ -1316,13 +1316,72 @@ def apply_table_ttl(session, name: str) -> int:
     return n_exp
 
 
+def poll_filelog(session, name: str) -> int:
+    """Consume newly appended records from a FileLog engine's file: parse
+    the byte range [offset, EOF) through the declared format, append the
+    rows to the table and fire its materialized views (reference:
+    StorageFileLog reads new records and pushes them through attached MVs;
+    deviation: the reference's SELECT is consume-once, here the table
+    RETAINS ingested rows — the MV path, the usual consumer, sees each
+    record exactly once either way).  Returns rows ingested."""
+    import os
+    import tempfile
+    info = session._table_engines[name]
+    path = info["path"]
+    if not os.path.exists(path):
+        return 0
+    size = os.path.getsize(path)
+    off = info.get("offset", 0)
+    if size <= off:
+        return 0
+    with open(path, "rb") as fh:
+        fh.seek(off)
+        chunk = fh.read(size - off)
+    # only whole records: leave a trailing partial line for the next poll
+    last_nl = chunk.rfind(b"\n")
+    if last_nl < 0:
+        return 0
+    info["offset"] = off + last_nl + 1
+    payload = chunk[:last_nl + 1]
+    if not payload.strip():
+        return 0
+    from myscaledb_tpu.runtime import formats
+    from myscaledb_tpu.core.table import concat_tables
+    t = session.tables[name]
+    schema = [f for f in t.schema() if not f.name.startswith("__")]
+    tf = tempfile.NamedTemporaryFile("wb", suffix=".dat", delete=False)
+    try:
+        tf.write(payload)
+        tf.close()
+        new = formats.read_file(tf.name, info["format"], schema,
+                                settings=session.settings)
+    finally:
+        os.unlink(tf.name)
+    if new.n_rows == 0:
+        return 0
+    merged = new if t.n_rows == 0 else concat_tables(
+        [t, new.select([c for c in t.column_names
+                        if c in new.column_names])])
+    merged.name = name
+    session.tables[name] = merged
+    run_materialized_views(session, name, new)
+    session.bump_epoch()
+    return new.n_rows
+
+
 def refresh_external_table(session, name: str) -> None:
     """Re-read a File/URL-engine table from its source when stale
     (StorageFile/StorageURL read the source at query time; File freshness
     is tracked by mtime so unchanged files cost one stat per query)."""
     import os
     info = getattr(session, "_table_engines", {}).get(name)
-    if not info or info["engine"] not in ("File", "URL"):
+    if not info:
+        return
+    if info.get("unavailable"):
+        raise ValueError(info["unavailable"])
+    if info["engine"] == "FileLog":
+        return poll_filelog(session, name)
+    if info["engine"] not in ("File", "URL", "S3"):
         return          # Join/Set engines are body-resident, nothing to do
     tmpl = session.tables[name]
     schema = [f for f in tmpl.schema() if not f.name.startswith("__")]
@@ -1342,14 +1401,20 @@ def refresh_external_table(session, name: str) -> None:
         from myscaledb_tpu.runtime import formats
         url = info["url"]
         fmt = info["format"] or format_from_extension(url)
-        with urllib.request.urlopen(url, timeout=30) as resp:
-            payload = resp.read()
+        if info["engine"] == "S3":
+            from myscaledb_tpu.runtime.object_storage import s3_get
+            payload = s3_get(url, info.get("key", ""),
+                             info.get("secret", ""))
+        else:
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                payload = resp.read()
         suffix = "." + url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1] \
             else ""
         with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tf:
             tf.write(payload)
         try:
-            t = formats.read_file(tf.name, fmt, schema)
+            t = formats.read_file(tf.name, fmt, schema,
+                                  settings=session.settings)
         finally:
             os.unlink(tf.name)
     t.name = name
@@ -1650,6 +1715,59 @@ def execute_statement(session, stmt) -> Table:
                 sk = session._table_skip_indexes = {}
             sk[stmt.name] = list(stmt.skip_indexes)
         eng = stmt.engine.lower()
+        if eng in ("filelog", "kafka", "rabbitmq", "nats"):
+            # streaming-ingest engines.  FileLog (reference:
+            # src/Storages/FileLog/StorageFileLog.cpp) tails a local
+            # append-only file: new records flow into the table and fire
+            # its materialized views — the broker-backed engines (Kafka/
+            # RabbitMQ/NATS) share that consume->MV pipeline but need a
+            # broker client this image does not ship, so they register and
+            # error on use with the missing-dependency message.
+            engines = getattr(session, "_table_engines", None)
+            if engines is None:
+                engines = session._table_engines = {}
+            if eng != "filelog":
+                engines[stmt.name] = {"engine": stmt.engine.capitalize(),
+                                      "unavailable":
+                                      f"{stmt.engine} engine needs a "
+                                      f"broker client (not in this image); "
+                                      f"use ENGINE = FileLog for local "
+                                      f"streaming ingest"}
+            else:
+                if not stmt.engine_args:
+                    raise ValueError("ENGINE = FileLog needs "
+                                     "(path[, format])")
+                from myscaledb_tpu.sql.executor import check_external_source
+                path = check_external_source(session, "file",
+                                             stmt.engine_args[0])
+                fmt = stmt.engine_args[1] if len(stmt.engine_args) > 1 \
+                    else "TSV"
+                engines[stmt.name] = {"engine": "FileLog", "path": path,
+                                      "format": fmt, "offset": 0}
+        if eng == "s3":
+            # ENGINE = S3(url[, key, secret][, format]) (reference:
+            # src/Storages/StorageS3.cpp): reads refresh from the object
+            # via the native SigV4 client, like URL refreshes over HTTP
+            from myscaledb_tpu.sql.executor import check_external_source
+            check_external_source(session, "url")
+            if not stmt.engine_args:
+                raise ValueError("ENGINE = S3 needs (url[, key, secret]"
+                                 "[, format])")
+            engines = getattr(session, "_table_engines", None)
+            if engines is None:
+                engines = session._table_engines = {}
+            a = [x.strip("'") for x in stmt.engine_args]
+            url, rest = a[0], a[1:]
+            from myscaledb_tpu.runtime.formats import INPUT_FORMATS
+            fmts = {f.replace("_", "").upper() for f in INPUT_FORMATS}
+            key = secret = ""
+            if len(rest) >= 2 and rest[0].replace("_", "").upper() \
+                    not in fmts:
+                key, secret, rest = rest[0], rest[1], rest[2:]
+            fmt = rest[0] if rest else None
+            engines[stmt.name] = {"engine": "S3", "url": url, "key": key,
+                                  "secret": secret, "format": fmt}
+            refresh_external_table(session, stmt.name)
         if eng in ("join", "set"):
             # StorageJoin / StorageSet (reference: src/Storages/
             # StorageJoin.cpp, StorageSet.cpp): the table body is the

@@ -447,6 +447,37 @@ def _file_url_table(session, kind: str, src: str, fmt, schema) -> Table:
                              settings=session.settings)
 
 
+def _s3_table(session, src: str, fmt, schema, access_key: str,
+              secret_key: str) -> Table:
+    """s3('url'[, key, secret][, fmt[, structure]]) table function
+    (reference: src/TableFunctions/TableFunctionS3.cpp over StorageS3) —
+    signed GET via the native SigV4 client (runtime/object_storage.py)."""
+    check_external_source(session, "url")
+    from myscaledb_tpu.runtime.object_storage import s3_get
+    from myscaledb_tpu.runtime import formats
+    from myscaledb_tpu.sql.ddl import parse_schema_string, fields_from_defs
+    import tempfile
+    import os as _os
+    fields = fields_from_defs(parse_schema_string(schema)) if schema else []
+    fmt = fmt or _guess_format(src)
+    if not fields and fmt.replace("_", "").upper() not in (
+            "PARQUET", "ORC", "ARROW", "ARROWSTREAM", "NATIVE"):
+        raise ExecError("s3() needs a structure argument for format "
+                        f"{fmt!r} (e.g. 'a Int64, b String')")
+    payload = s3_get(src, access_key, secret_key)
+    base = src.rsplit("/", 1)[-1]
+    with tempfile.NamedTemporaryFile(
+            suffix="." + base.rsplit(".", 1)[-1] if "." in base else "",
+            delete=False) as tf:
+        tf.write(payload)
+        path = tf.name
+    try:
+        return formats.read_file(path, fmt, fields,
+                                 settings=session.settings)
+    finally:
+        _os.unlink(path)
+
+
 def _ftsindex_table(session, table_name: str, col: str, query: str) -> Table:
     """ftsIndex(table, column, 'query') — the FTS-statistics table function
     (reference: TableFunctionFtsIndex.h:23 + StorageFtsIndex.h exposing
@@ -2237,6 +2268,8 @@ def execute_select(session, q: SelectQuery) -> Table:
             base = _ftsindex_table(session, *params)
         elif kind in ("file", "url"):
             base = _file_url_table(session, kind, *params)
+        elif kind == "s3":
+            base = _s3_table(session, *params)
         else:
             raise ExecError(f"unknown table function {kind!r}")
     elif q.subquery is not None:

@@ -204,12 +204,14 @@ class Parser:
                 self.expect_punct(")")
                 q.table_function = ("ftsindex", (tname, cname, qtok.text))
             elif self.peek().kind == "ident" and \
-                    self.peek().text.lower() in ("file", "url") and \
+                    self.peek().text.lower() in ("file", "url", "s3") and \
                     self.peek(1).text == "(":
-                # file('path'[, 'Format'[, 'a Int64, b String']]) and
-                # url('http://...'[, Format[, schema]]) table functions
-                # (reference: src/TableFunctions/TableFunctionFile.cpp,
-                # TableFunctionURL.cpp)
+                # file('path'[, 'Format'[, 'a Int64, b String']]),
+                # url('http://...'[, Format[, schema]]) and
+                # s3('url'[, key, secret][, Format[, schema]]) table
+                # functions (reference: src/TableFunctions/
+                # TableFunctionFile.cpp, TableFunctionURL.cpp,
+                # TableFunctionS3.cpp)
                 from myscaledb_tpu.sql.lexer import unquote_string
 
                 def _unq(tok):
@@ -218,14 +220,31 @@ class Parser:
                 kind = self.next().text.lower()
                 self.next()
                 src = _unq(self.next())
-                fmt = None
-                schema = None
-                if self.take_punct(","):
-                    fmt = _unq(self.next())
-                    if self.take_punct(","):
-                        schema = _unq(self.next())
+                args = []
+                while self.take_punct(","):
+                    args.append(_unq(self.next()))
                 self.expect_punct(")")
-                q.table_function = (kind, (src, fmt, schema))
+                if kind == "s3":
+                    # s3(url[, key, secret][, fmt[, structure]]) — creds
+                    # present iff the first extra arg is NOT a known format
+                    # (TableFunctionS3 disambiguates the same way)
+                    def _is_fmt(a):
+                        from myscaledb_tpu.runtime.formats import \
+                            INPUT_FORMATS
+                        return a.replace("_", "").upper() in {
+                            f.replace("_", "").upper()
+                            for f in INPUT_FORMATS}
+                    key = secret = ""
+                    if len(args) >= 2 and not _is_fmt(args[0]):
+                        key, secret, args = args[0], args[1], args[2:]
+                    fmt = args[0] if args else None
+                    schema = args[1] if len(args) > 1 else None
+                    q.table_function = (kind, (src, fmt, schema,
+                                               key, secret))
+                else:
+                    fmt = args[0] if args else None
+                    schema = args[1] if len(args) > 1 else None
+                    q.table_function = (kind, (src, fmt, schema))
             elif self.take_punct("("):
                 q.subquery = self.parse_select()
                 self.expect_punct(")")
