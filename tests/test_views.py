@@ -92,7 +92,7 @@ def test_vector_index_event_log():
                                    "BUILD_SUCCEED"]
     seg = s.sql("SELECT part, total_vectors, status FROM "
                 "system.vector_index_segments").to_rows()
-    assert seg == [("all", 4, "Built")]
+    assert seg == [("all_1_1_0", 4, "Built")]
     s.sql("ALTER TABLE docs DROP VECTOR INDEX idx")
     evs = s.sql("SELECT event_type FROM system.vector_index_event_log"
                 ).to_rows()
