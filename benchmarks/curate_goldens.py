@@ -42,9 +42,34 @@ from myscaledb_tpu.testing import (run_statements, split_statements,
                                    serialize_statements)
 
 
-def try_stateless(path, verbose=False):
+class _CaseTimeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _CaseTimeout()
+
+
+def try_stateless(path, verbose=False, timeout_s=120):
+    import signal
     from myscaledb_tpu import connect
     sql_text = open(path).read()
+    # per-case watchdog: a pathological query (runaway compile, huge
+    # materialization) must cost one case, not the sweep
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(timeout_s)
+    try:
+        return _try_stateless_inner(path, sql_text, verbose)
+    except _CaseTimeout:
+        if verbose:
+            print(f"  {os.path.basename(path)}: TIMEOUT")
+        return None
+    finally:
+        signal.alarm(0)
+
+
+def _try_stateless_inner(path, sql_text, verbose=False):
+    from myscaledb_tpu import connect
     ref_path = path[:-4] + ".reference"
     if not os.path.exists(ref_path):
         return None
@@ -187,6 +212,14 @@ def try_vector(path, verbose=False):
 
 
 def main():
+    try:
+        # hard memory ceiling: a pathological case raises MemoryError (one
+        # skipped case) instead of wedging the host at 80+ GB RSS
+        import resource
+        resource.setrlimit(resource.RLIMIT_AS,
+                           (16 << 30, resource.RLIM_INFINITY))
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=5000,
                     help="max stateless candidates to try")

@@ -411,6 +411,29 @@ def check_external_source(session, kind: str, path: str | None = None) -> str:
     return resolved
 
 
+def _limit_prunable(q) -> bool:
+    """True when evaluating only the first limit+offset base rows is
+    row-for-row identical to the full evaluation: no reordering,
+    filtering, grouping, expansion, dedup or aggregate touches rows
+    beyond the cut."""
+    from myscaledb_tpu.sql.agg_kinds import AGG_NAMES
+    from myscaledb_tpu.sql.ast import WindowCall
+    if q.order_by or q.group_by or q.distinct or q.joins or \
+            q.array_joins or q.limit_by is not None or \
+            q.where is not None or q.prewhere is not None or \
+            q.having is not None or q.sample is not None:
+        return False
+    exprs = [it.expr for it in q.items if it.expr is not None]
+    exprs += [e for _n, e in getattr(q, "with_aliases", ())]
+    for e in exprs:
+        for sub in walk(e):
+            if isinstance(sub, WindowCall):
+                return False
+            if isinstance(sub, FuncCall) and sub.name.lower() in AGG_NAMES:
+                return False
+    return True
+
+
 def _file_url_table(session, kind: str, src: str, fmt, schema) -> Table:
     """file('path', fmt, 'a Int64, ...') / url('http://...', fmt, schema)
     table functions (reference: src/TableFunctions/TableFunctionFile.cpp,
@@ -2294,6 +2317,16 @@ def execute_select(session, q: SelectQuery) -> Table:
         h = hash32(jnp.arange(nb, dtype=jnp.int64))
         keep = h < jnp.uint32(int(frac * 0xFFFFFFFF))
         base, _ = compact_table_host(base, keep)
+    if q.limit is not None and base.n_rows and not is_distributed(base) \
+            and _limit_prunable(q):
+        # LIMIT pushdown into the scan (reference: the pipeline stops
+        # pulling blocks once the limit fills — trivial SELECTs evaluate
+        # expressions over only limit+offset rows, not the whole table;
+        # round-5 finding: reverse(range(number)) over system.numbers
+        # materialized 2B array elements before a LIMIT 10)
+        keep = min(base.n_rows, q.limit + (q.offset or 0))
+        if keep < base.n_rows:
+            base = base.take(jnp.arange(keep))
     table = base
     alias_prefixes = {}
     if q.table_alias:
